@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Harness discipline (BASELINE.md): one long-lived session, one throwaway
+warm-up action (JIT + parquet footer cache), then time the query matrix
+back-to-back. Per-query time = full plan → collect round trip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+from etl_builder_spark.session import get_spark
+
+#: headline set — the queries BASELINE.md carries DuckDB numbers for,
+#: plus one representative per operator family.
+HEADLINE = [
+    "agg_pricing_summary",   # D1  TPC-H Q1 shape (flagship)
+    "topk_global",           # F2  TPC-H Q3 shape
+    "join_multiway_star",    # C11 TPC-H Q5 shape
+    "win_topk_per_group",    # E2  top-2 per group
+    "stream_tumbling_1h",    # J1  tumbling window
+    "stream_session_gap_30m",# J3  session gaps-and-islands
+    "agg_grouping_sets",     # D4  grouping-sets lattice
+    "sim_topk_cosine_sql",   # I6  cosine top-k
+    "join_asof",             # C10 as-of join rewrite
+    "dedup_exact_normalized",# I4  exact dedup
+    "text_tfidf_sql",        # I3  TF-IDF
+    "udf_pandas_scalar",     # K1  Arrow-batched pandas UDF
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _ensure_loaded()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JIT, codegen cache, parquet footers
+    REGISTRY["agg_pricing_summary"].fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        n = len(spec.fn(spark, sf_dir).collect())
+        times[name] = round(time.time() - t0, 4)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_matrix_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,237 @@
+"""H. Scalar function families — one composite declared query per family.
+
+Dialect discipline (SURVEY §7.2.7): regexes stay in the POSIX-common
+subset (Java ↔ RE2 safe); ceil/sign get explicit casts where return
+types differ; libm-backed functions (ln/exp) are rounded to 6 dp and
+run on bounded slices; timestamp math uses exact integer microseconds
+(unix_micros ↔ epoch_us), never float epochs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+@register(
+    "fn_string",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               lower(p_brand) AS brand_lower,
+               length(p_name) AS name_len,
+               substring(p_name, 1, 8) AS name_head,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               replace(p_type, ' ', '_') AS type_snake,
+               regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+               string_split(p_name, ' ')[1] AS first_word,
+               levenshtein(p_brand, 'Brand#10') AS lev_to_b10
+        FROM part
+    """,
+    tags=("H1",),
+)
+def fn_string(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.levenshtein("p_brand", F.lit("Brand#10")).alias("lev_to_b10"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr,
+               month(o_orderdate) AS mo,
+               day(o_orderdate) AS dom,
+               isodow(o_orderdate) AS iso_dow,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               o_orderdate + INTERVAL 30 DAY AS plus_30d,
+               date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+               epoch_us(o_orderdate) AS order_us,
+               (year(o_orderdate) * 12 + month(o_orderdate)) AS month_index
+        FROM orders
+    """,
+    tags=("H2",),
+)
+def fn_datetime(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    # parquet ms-timestamps surface as TIMESTAMP_NTZ; cast to TIMESTAMP
+    # (identity under the UTC-pinned session) for unix_micros.
+    d = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        (F.weekday(d) + F.lit(1)).alias("iso_dow"),
+        F.date_trunc("month", d).alias("month_start"),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("plus_30d"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), d).alias("days_to_2002"),
+        F.unix_micros(d).alias("order_us"),
+        (F.year(d) * F.lit(12) + F.month(d)).alias("month_index"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               abs(l_quantity - 25) AS qty_dev,
+               CAST(ceil(l_extendedprice / 100) AS BIGINT) AS price_ceil,
+               CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_floor,
+               power(l_quantity, 2) AS qty_sq,
+               sqrt(l_extendedprice) AS price_sqrt,
+               ROUND(ln(l_extendedprice), 6) AS price_ln,
+               ROUND(exp(l_discount), 6) AS disc_exp,
+               CAST(sign(l_quantity - 25) AS INTEGER) AS qty_sign,
+               ((l_orderkey % 7) + 7) % 7 AS key_mod7,
+               l_extendedprice / nullif(l_quantity - 1, 0) AS per_extra_unit
+        FROM lineitem
+        WHERE l_orderkey < 400
+    """,
+    tags=("H3",),
+)
+def fn_math(spark, sf_dir):
+    """sqrt is IEEE correctly-rounded (identical across engines);
+    ln/exp are libm-backed → round 6 dp; ceil/sign casts pin the
+    differing return types; try_divide ↔ x/nullif(y,0)."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 400)
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25).alias("qty_dev"),
+        F.ceil(p / 100).alias("price_ceil"),
+        F.floor(p / 100).alias("price_floor"),
+        F.pow(q, 2).alias("qty_sq"),
+        F.sqrt(p).alias("price_sqrt"),
+        F.round(F.log(p), 6).alias("price_ln"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("disc_exp"),
+        F.signum(q - 25).cast("int").alias("qty_sign"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+        F.try_divide(p, q - 1).alias("per_extra_unit"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice >= 300000 THEN 'high'
+                    WHEN o_totalprice >= 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+               greatest(o_totalprice, 250000.0) AS floor_price,
+               least(o_totalprice, 250000.0) AS capped_price
+        FROM orders
+    """,
+    tags=("H4",),
+)
+def fn_conditional(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(tp >= 300000, "high").when(tp >= 100000, "mid").otherwise("low").alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("status_label"),
+        F.greatest(tp, F.lit(250000.0)).alias("floor_price"),
+        F.least(tp, F.lit(250000.0)).alias("capped_price"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
+               ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_sum,
+               ROUND(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm2,
+               CAST(list_max(embedding) AS DOUBLE) AS vec_max,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive
+        FROM embeddings
+    """,
+    tags=("H5",),
+)
+def fn_array(spark, sf_dir):
+    """Array HOFs (transform/filter/aggregate) over the embedding
+    column. Element math is float→double cast (exact); folds rounded
+    to 6 dp to absorb summation-order ulps."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.slice(dbl, 1, 4).alias("head4"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 6).alias("vec_sum"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 6).alias("norm2"),
+        F.array_max("embedding").cast("double").alias("vec_max"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+        SELECT event_id,
+               map_extract(map(['type', 'user'], [event_type, CAST(user_id AS VARCHAR)]),
+                           'type')[1] AS type_val,
+               map_keys(map(['type', 'user'], [event_type, CAST(user_id AS VARCHAR)])) AS keys,
+               cardinality(map(['type', 'user'], [event_type, CAST(user_id AS VARCHAR)])) AS n_keys
+        FROM events
+        WHERE event_id < 500
+    """,
+    tags=("H6",),
+)
+def fn_map(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("user")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.map_keys(m).alias("keys"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+               (json_extract_string(props, '$.missing') IS NULL) AS missing_absent
+        FROM events
+    """,
+    tags=("H7",),
+)
+def fn_json(spark, sf_dir):
+    """JSON path extraction (get_json_object ↔ json_extract_string).
+    Spark 4's parse_json/VariantType is exposed as an engine capability
+    (sources/json.py) but not declared — no DuckDB variant analogue."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_absent"),
+    )

@@ -1,0 +1,229 @@
+"""Deduplication operators (SURVEY.md §2 I4-I5 + the training-data
+dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+The corpus's 500 texts are all distinct (measured), so every dedup
+query plants duplicates via a derived frame (union with a transformed
+copy shifted to doc_id+10000) — the operator must both prove identity
+on the originals and find the planted near-dups.
+
+Scale posture: exact dedup is one hash-shuffle on the normalized key.
+MinHash-LSH is the 100 TB path for near-dup: shingle → minhash →
+band-bucket join, candidate pairs only (never O(n²)). The brute-force
+n-gram Jaccard here is the oracle-checkable small-scale twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+PLANT_OFFSET = 10000
+
+
+def _with_planted_dups(d: DataFrame) -> DataFrame:
+    """Union the corpus with a case/whitespace-mangled copy of itself
+    (doc_id shifted) — the exact-dedup fixture."""
+    mangled = d.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" ")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(mangled)
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=f"""
+        WITH everything AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+                   '  ' || upper(text) || ' ' AS text
+            FROM documents
+        ),
+        normed AS (
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm_text
+            FROM everything
+        )
+        SELECT MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_copies,
+               min(length(norm_text)) AS norm_len
+        FROM normed
+        GROUP BY norm_text
+    """,
+    tags=("I4",),
+)
+def dedup_exact_normalized(spark, sf_dir):
+    """Exact dedup on normalized text (lower/trim/collapse-whitespace),
+    keep the minimum doc_id per group. Every group must have exactly
+    2 copies (original + planted mangle)."""
+    d = load_table(spark, sf_dir, "documents")
+    everything = _with_planted_dups(d)
+    normed = everything.select(
+        "doc_id",
+        F.lower(F.trim(F.regexp_replace(F.col("text"), " +", " "))).alias("norm_text"),
+    )
+    return normed.groupBy("norm_text").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.length("norm_text")).alias("norm_len"),
+    ).drop("norm_text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 100
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id, token
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs) t
+            WHERE token <> ''
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM shingles a JOIN shingles b
+              ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, n_common,
+               sa.n AS n_a, sb.n AS n_b,
+               ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+    tags=("I-jaccard",),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-shingle Jaccard near-dup, exact pairwise formulation on a
+    bounded slice — the oracle-checkable twin of MinHash-LSH (which
+    approximates exactly this measure at scale)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    sh = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .where(jac >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # probabilistic (banded minhash collisions) → rows-only
+    tags=("I5",),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """Near-dup candidate pairs via MinHash-LSH (pyspark.ml), fixed
+    seed. Fixture: corpus unioned with a copy that drops the last two
+    words of each text (shifted ids) — near-dups at Jaccard ≳ 0.8.
+
+    This is the 100 TB dedup path: HashingTF sparse vectors →
+    numHashTables banded minhashes → approxSimilarityJoin emits only
+    bucket-colliding candidate pairs (no O(n²) cross join).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    trimmed = d.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 2, F.lit(1))), " ").alias("text"),
+    )
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 14)
+    feats_a = tf.transform(tok.transform(d)).where(F.expr("aggregate(words, 0, (a, x) -> a + 1) > 0"))
+    feats_b = tf.transform(tok.transform(trimmed))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats_a)
+    pairs = model.approxSimilarityJoin(feats_a, feats_b, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .where(F.col("id_b") == F.col("id_a") + PLANT_OFFSET)
+        .orderBy("id_a")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 bit-mixing has no DuckDB twin → rows-only
+    tags=("I-simhash",),
+)
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints, expression-only: token → xxhash64 →
+    per-bit ±1 vote weighted by token frequency → sign → packed bits.
+    Near-dups = fingerprints at small Hamming distance; here the planted
+    copy drops one word, so distances are small but nonzero."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    trimmed = d.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 1, F.lit(1))), " ").alias("text"),
+    )
+    both = d.unionByName(trimmed)
+    toks = both.select("doc_id", F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    h = toks.select("doc_id", F.xxhash64("token").alias("h"))
+    bits = h.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"b{i}")
+            for i in range(16)
+        ],
+    )
+    votes = bits.groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(16)])
+    fp = votes.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(16)],
+            F.lit(0),
+        ).alias("simhash16"),
+    )
+    orig = fp.where(F.col("doc_id") < PLANT_OFFSET).alias("o")
+    plant = fp.where(F.col("doc_id") >= PLANT_OFFSET).alias("p")
+    paired = orig.join(plant, F.col("p.doc_id") == F.col("o.doc_id") + PLANT_OFFSET)
+    hamming = F.bit_count(F.col("o.simhash16").bitwiseXOR(F.col("p.simhash16")))
+    return paired.select(
+        F.col("o.doc_id").alias("doc_id"),
+        F.col("o.simhash16").alias("fp_orig"),
+        F.col("p.simhash16").alias("fp_near"),
+        hamming.alias("hamming"),
+    ).where(hamming <= 6)

@@ -1,0 +1,184 @@
+"""Similarity search over the embedding column (SURVEY.md §2 I6-I8).
+
+- Brute-force cosine top-k: expression-only (zip_with + aggregate),
+  broadcast probe set — the exact baseline, O(n·k_probes), no shuffle
+  of the candidate side.
+- LSH bucketed kNN (BucketedRandomProjectionLSH): the 100 TB path —
+  candidates come only from colliding hash buckets.
+- Per-label centroids: posexplode → (label, dim) aggregate — a single
+  shuffle, no driver-side vector math.
+
+Determinism: cosine accumulates floats, so similarity is ROUND(x, 6)
+and every ranking orders by the ROUNDED value with vec_id tiebreak
+(policy §7.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Expression-only dot product of two array<double> columns —
+    sequential left fold, JVM-side, no UDF."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _dbl(col: str = "embedding") -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+@register(
+    "sim_topk_cosine_sql",
+    oracle="""
+        WITH vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        probes AS (SELECT vec_id AS probe_id, v AS pv FROM vecs WHERE vec_id < 5),
+        sims AS (
+            SELECT probe_id, vec_id AS cand_id,
+                   ROUND(list_dot_product(pv, v)
+                         / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))),
+                         6) AS sim
+            FROM probes JOIN vecs ON vec_id <> probe_id
+        )
+        SELECT probe_id, cand_id, sim, rank FROM (
+            SELECT probe_id, cand_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+            FROM sims
+        ) WHERE rank <= 10
+    """,
+    tags=("I6",),
+)
+def sim_topk_cosine_sql(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 probe vectors. The probe set is
+    broadcast; candidates stream through codegen — scan-shaped, scales
+    linearly with the candidate table."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    sims = (
+        F.broadcast(probes)
+        .join(e, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("pv"), F.col("v")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), "cand_id")
+    return sims.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= 10)
+
+
+@register(
+    "sim_knn_lsh",
+    oracle=None,  # LSH bucketing is engine-specific → rows-only
+    tags=("I7",),
+)
+def sim_knn_lsh(spark, sf_dir):
+    """Approximate kNN via BucketedRandomProjectionLSH (fixed seed).
+    At 100 TB: fit once, persist the model, join probes to candidates
+    through hash buckets only."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(_dbl()).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(e)
+    probes = e.where(F.col("vec_id") < 5)
+    pairs = model.approxSimilarityJoin(probes, e, 3.0, distCol="dist")
+    out = pairs.select(
+        F.col("datasetA.vec_id").alias("probe_id"),
+        F.col("datasetB.vec_id").alias("cand_id"),
+        F.round("dist", 6).alias("dist"),
+    ).where(F.col("probe_id") != F.col("cand_id"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("dist"), "cand_id")
+    return out.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= 10)
+
+
+@register(
+    "sim_label_centroids",
+    oracle="""
+        SELECT label,
+               i AS pos,
+               COUNT(*) AS n,
+               ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS centroid_val
+        FROM embeddings
+        CROSS JOIN generate_series(1, 64) AS t(i)
+        GROUP BY label, i
+    """,
+    tags=("I8",),
+)
+def sim_label_centroids(spark, sf_dir):
+    """Per-label centroid, one row per (label, dimension) — the
+    distributed layout (never collects vectors to the driver)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select("label", F.posexplode(_dbl()).alias("pos0", "x"))
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("centroid_val"),
+        )
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT vec_id + 10000 AS vec_id,
+                   list_transform(v, x -> x * 1.01 + 0.001) AS v
+            FROM vecs
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                         6) AS cos_sim
+            FROM vecs a JOIN scaled b ON b.vec_id = a.vec_id + 10000
+        )
+        SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.999
+    """,
+    tags=("I-cos-dedup",),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: a perturbed copy of every vector
+    (scale + offset) must re-pair with its original at cos ≥ 0.999.
+    At scale the pairing join is LSH-bucketed (sim_knn_lsh); here the
+    planted pairing keeps the check exact."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
+    scaled = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * 1.01 + 0.001).alias("v"),
+    )
+    a = e.alias("a")
+    b = scaled.alias("b")
+    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 10000)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.999)
+    )

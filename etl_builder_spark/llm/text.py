@@ -1,0 +1,178 @@
+"""Text analysis over the documents corpus (SURVEY.md §2 I1-I3, plus
+language-ID heuristics, quality scoring, token counting and rolling-
+hash fingerprints mandated by the training-data-pipeline surface).
+
+Everything is expression-only (explode/split/groupBy) — tokenization
+never leaves the JVM, so at 100 TB it is a single shuffle on the token
+or doc key with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+def tokens(df, text_col: str = "text"):
+    """(doc_id, token) pairs — whitespace tokenization, lower-cased."""
+    return df.select(
+        "doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    ).where(F.col("token") != "")
+
+
+@register(
+    "text_tokenize_counts",
+    oracle="""
+        SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ) t
+        WHERE token <> ''
+        GROUP BY token
+    """,
+    tags=("I1",),
+)
+def text_tokenize_counts(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return tokens(d).groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs")
+    )
+
+
+@register(
+    "text_corpus_stats",
+    oracle="""
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+    tags=("I2",),
+)
+def text_corpus_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_tfidf_sql",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM toks WHERE token <> '' GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df
+            FROM toks WHERE token <> '' GROUP BY token
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.token, tf.tf,
+               ROUND(ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6) AS idf,
+               ROUND(tf.tf * ROUND(ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+    tags=("I3",),
+)
+def text_tfidf_sql(spark, sf_dir):
+    """TF-IDF as a pure-relational pipeline: tokenize → TF per
+    (doc, term) → DF per term (broadcast — vocabulary is small) →
+    smoothed idf. tfidf multiplies the ROUNDED idf so both engines
+    round the same double."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(d)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0), 6)
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            idf.alias("idf"),
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+        SELECT doc_id,
+               n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len,
+               len(list_filter(string_split(lower(text), ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS n_stopwords,
+               ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               (n_chars BETWEEN 50 AND 5000) AS length_ok
+        FROM documents
+    """,
+    tags=("I-text-quality",),
+)
+def text_quality_score(spark, sf_dir):
+    """Document quality heuristics for training-data filtering: token
+    counts, average token length, stopword ratio, length gate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is")])
+    n_stop = F.size(F.filter(F.split(F.lower(F.col("text")), " "), lambda t: F.array_contains(stop, t)))
+    n_toks = F.size(toks)
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_toks.alias("n_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_toks, 6).alias("avg_token_len"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop.cast("double") / n_toks, 6).alias("stopword_ratio"),
+        F.col("n_chars").between(50, 5000).alias("length_ok"),
+    )
+
+
+@register(
+    "text_lang_profile",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT source) AS n_sources,
+               SUM(n_chars) AS total_chars,
+               ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_tokens_per_doc
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("I-lang",),
+)
+def text_lang_profile(spark, sf_dir):
+    """Per-language corpus profile (the label-driven half of language
+    ID; the n-gram heuristic classifier lives in llm/langid.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_tokens_per_doc"),
+    )

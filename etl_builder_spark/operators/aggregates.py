@@ -1,0 +1,341 @@
+"""D. Aggregations (SURVEY.md §2 D1-D12).
+
+Spark executes these as hash aggregates with map-side partials and a
+final merge after a key shuffle; AQE coalesces the post-shuffle
+partitions. The decimal-cast policy (policy.py) makes every sum
+order-free, so partial aggregation changes nothing about the result —
+which is exactly what lets these run on 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.policy import money, money_avg, money_sum
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("D1", "flagship"),
+)
+def agg_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H Q1-shape multi-measure pricing summary."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum("l_quantity", "sum_qty"),
+        money_sum("l_extendedprice", "sum_base_price"),
+        F.sum(money("l_extendedprice") * (F.lit(1) - money("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.sum(
+            money("l_extendedprice") * (F.lit(1) - money("l_discount")) * (F.lit(1) + money("l_tax"))
+        )
+        .cast("double")
+        .alias("sum_charge"),
+        money_avg("l_quantity", "avg_qty"),
+        money_avg("l_extendedprice", "avg_price"),
+        money_avg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_custs,
+               COUNT(DISTINCT o_orderpriority) AS n_prios,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("D2",),
+)
+def agg_count_distinct(spark, sf_dir):
+    """Multiple exact COUNT(DISTINCT)s — Spark plans an Expand + two-phase
+    aggregate, still fully distributed."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL estimate differs across engines by construction → rows-only
+    tags=("D3",),
+)
+def agg_approx_distinct(spark, sf_dir):
+    """Approx count-distinct (HyperLogLog++). At 100 TB this is the
+    right default over exact distinct: no Expand blowup, mergeable
+    sketches, bounded memory."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("D4",),
+)
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS lattice. Corpus values are never NULL, so COALESCE
+    labels the super-aggregate rows unambiguously."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("D5",),
+)
+def agg_rollup(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), money_sum("s_acctbal", "total_bal"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_suppliers",
+            "total_bal",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("D6",),
+)
+def agg_cube(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("l_extendedprice", "sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_value,
+               COUNT(*) AS n_total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("D7",),
+)
+def agg_filtered(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(urgent, F.lit(1))).alias("n_urgent"),
+        F.sum(F.when(urgent, money("o_totalprice"))).cast("double").alias("urgent_value"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+        SELECT r_name, list_sort(list(n_name)) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    tags=("D8",),
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Deterministic array agg: bare collect_list is order-nondeterministic
+    across partitions — ALWAYS array_sort it (policy §7.2.4)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               ROUND(SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                        * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                     / (COUNT(*) - 1)), 6) AS stddev_qty,
+               ROUND((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                      - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                        * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                     / (COUNT(*) - 1), 6) AS covar_qty_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("D9",),
+)
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates via exact decimal moments: sums of x, x²,
+    x·y are order-free decimals; the final double math is an identical
+    IEEE expression on both engines. (Built-in stddev/corr accumulate
+    doubles in partition order — useful, but not oracle-exact; they are
+    exposed as engine functions, not declared here.)"""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = money("l_quantity")
+    p = money("l_extendedprice")
+    cnt = F.count(F.lit(1))
+    sum_q = F.sum(q).cast("double")
+    sum_q2 = F.sum(q * q).cast("double")
+    sum_p = F.sum(p).cast("double")
+    sum_qp = F.sum(q * p).cast("double")
+    return l.groupBy("l_returnflag").agg(
+        cnt.alias("n"),
+        F.round(F.sqrt((sum_q2 - sum_q * sum_q / cnt) / (cnt - F.lit(1))), 6).alias("stddev_qty"),
+        F.round((sum_qp - sum_q * sum_p / cnt) / (cnt - F.lit(1)), 6).alias("covar_qty_price"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("D10",),
+)
+def agg_percentile(spark, sf_dir):
+    """Exact interpolated percentile. Spark's percentile and DuckDB's
+    quantile_cont both use linear interpolation on the sorted values;
+    parity verified by selfcheck (demote to rows-only if it drifts)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+@register(
+    "pivot_manual",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+               COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_high,
+               COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
+               COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_notspec,
+               COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("D11",),
+)
+def pivot_manual(spark, sf_dir):
+    """Pivot with an explicit value list (no extra values-discovery job —
+    the two-pass inferring pivot is an anti-pattern at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = o.groupBy("o_orderstatus").pivot("o_orderpriority", prios).count()
+    renamed = piv.select(
+        "o_orderstatus",
+        F.coalesce(F.col("`1-URGENT`"), F.lit(0)).alias("p1_urgent"),
+        F.coalesce(F.col("`2-HIGH`"), F.lit(0)).alias("p2_high"),
+        F.coalesce(F.col("`3-MEDIUM`"), F.lit(0)).alias("p3_medium"),
+        F.coalesce(F.col("`4-NOT SPECIFIED`"), F.lit(0)).alias("p4_notspec"),
+        F.coalesce(F.col("`5-LOW`"), F.lit(0)).alias("p5_low"),
+    )
+    return renamed
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+        SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS val FROM part
+    """,
+    tags=("D12",),
+)
+def unpivot_melt(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice"),
+    )
+    return p.unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "val")

@@ -1,0 +1,156 @@
+"""C9/C10: interval join and as-of join (SURVEY.md §2, §4.2).
+
+Spark has no native ASOF JOIN. The engine implements it as the
+union-tag rewrite: tag left/right rows, union on the key+time axis,
+and carry the most recent right row forward with
+``last(..., ignorenulls=True)`` over a per-key time-ordered window.
+That is O(n log n), one shuffle on the key, no range-join blowup, and
+no per-key skew amplification — it scales exactly like a window
+function. DuckDB's native ASOF JOIN is the (genuinely independent)
+oracle for the rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+@register(
+    "join_interval",
+    oracle="""
+        SELECT s.user_id,
+               s.event_id AS signup_event_id,
+               p.event_id AS purchase_event_id,
+               epoch_us(p.ts) - epoch_us(s.ts) AS delay_us
+        FROM events s
+        JOIN events p
+          ON s.user_id = p.user_id
+         AND s.event_type = 'signup'
+         AND p.event_type = 'purchase'
+         AND p.ts >= s.ts
+         AND p.ts <= s.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("C9",),
+)
+def join_interval(spark, sf_dir):
+    """Interval self-join: purchases within 30 min after a signup by the
+    same user. Equi key (user_id) + range residual — hash join then
+    filter; at 100 TB add time-bucketing on both sides to bound the
+    per-key candidate set."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.where(F.col("event_type") == "signup").alias("s")
+    p = e.where(F.col("event_type") == "purchase").alias("p")
+    cond = (
+        (F.col("s.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("s.ts"))
+        & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return s.join(p, cond).select(
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.event_id").alias("signup_event_id"),
+        F.col("p.event_id").alias("purchase_event_id"),
+        (F.unix_micros(F.col("p.ts")) - F.unix_micros(F.col("s.ts"))).alias("delay_us"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Generic as-of join: for each left row, attach the most recent
+    right row with ``right.ts <= left.ts`` for the same key.
+
+    Union-tag rewrite (SURVEY §4.2): right rows sort before left rows at
+    equal timestamps (tag 0 < 1) → inclusive at-or-before semantics.
+    The right side must already be unique per (key, ts).
+    """
+    lcols = [c for c in left.columns if c not in (key, left_ts)]
+    tagged_left = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    tagged_right = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}") for c in right_cols],
+    )
+    return (
+        carried.where(F.col("__tag") == 1)
+        .select(
+            F.col(key),
+            F.col("__ts").alias(left_ts),
+            *[F.col(c) for c in lcols],
+            *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_cols],
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+        WITH signups AS (
+            SELECT user_id, ts, MAX(event_id) AS event_id
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id, ts
+        ),
+        purchases AS (
+            SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               p.ts,
+               p.value,
+               s.event_id AS asof_event_id,
+               s.ts AS asof_ts
+        FROM purchases p
+        ASOF LEFT JOIN signups s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    tags=("C10",),
+)
+def join_asof_latest_signup(spark, sf_dir):
+    """Latest signup at-or-before each purchase, per user — via the
+    union-tag rewrite, checked against DuckDB's native ASOF JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    signups = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(
+        purchases, signups, key="user_id", right_cols=("event_id", "ts")
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "ts",
+        "value",
+        F.col("asof_event_id"),
+        F.col("asof_ts"),
+    )

@@ -1,0 +1,233 @@
+"""C. Joins (SURVEY.md §2 C1-C8, C11; C9/C10 live in asof.py).
+
+The engine exposes *logical* join types and lets Catalyst + AQE pick
+the physical algorithm (broadcast-hash / shuffled-hash / sort-merge /
+nested-loop). Explicit ``F.broadcast`` pins the small-dim cases so the
+plan is broadcast even if stats mis-estimate — at 100 TB the fact side
+never shuffles for a dimension join. AQE skew-join splitting handles
+hot keys on the shuffled joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.policy import money
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F'
+    """,
+    tags=("C1",),
+)
+def join_inner_equi(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o["o_custkey"] == c["c_custkey"], "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, p_brand, p_size,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size >= 40
+    """,
+    tags=("C2",),
+)
+def join_broadcast(spark, sf_dir):
+    """Broadcast hash join pinned with an explicit hint: the part dim
+    ships to every executor; the lineitem fact side never shuffles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") >= 40)
+    return l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        "p_size",
+        (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, COUNT(o.o_orderkey) AS n_big_orders
+        FROM customer
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice >= 400000) o
+          ON o.o_custkey = c_custkey
+        GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("C3",),
+)
+def join_left_outer(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 400000)
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+             b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        SELECT COALESCE(a.k, b.k) AS custkey,
+               (a.k IS NOT NULL) AS has_open,
+               (b.k IS NOT NULL) AS has_filled
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+    tags=("C4",),
+)
+def join_full_outer(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("ka")).distinct()
+    b = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("kb")).distinct()
+    return a.join(b, a["ka"] == b["kb"], "full").select(
+        F.coalesce("ka", "kb").alias("custkey"),
+        F.col("ka").isNotNull().alias("has_open"),
+        F.col("kb").isNotNull().alias("has_filled"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    tags=("C5",),
+)
+def join_semi(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT p_partkey, p_brand
+        FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey AND l_quantity >= 45)
+    """,
+    tags=("C6",),
+)
+def join_anti(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    return p.join(l, p["p_partkey"] == l["l_partkey"], "left_anti").select("p_partkey", "p_brand")
+
+
+@register(
+    "join_cross_small",
+    oracle="""
+        SELECT n_name, r_name, (n_regionkey = r_regionkey) AS is_home
+        FROM nation CROSS JOIN region
+    """,
+    tags=("C7",),
+)
+def join_cross_small(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.crossJoin(r).select(
+        "n_name", "r_name", (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home")
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_late,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS late_value
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+         AND l_shipdate > o_orderdate + INTERVAL 120 DAY
+        GROUP BY o_orderpriority
+    """,
+    tags=("C8",),
+)
+def join_theta_range(spark, sf_dir):
+    """Theta join = equi key + range residual: Catalyst plans the equi
+    part as a hash/sort-merge join and evaluates the range predicate as
+    a post-join filter — no nested-loop blowup at scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (l["l_orderkey"] == o["o_orderkey"]) & (
+        l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 120 DAYS")
+    )
+    return (
+        l.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            F.sum(money("l_extendedprice")).cast("double").alias("late_value"),
+        )
+    )
+
+
+@register(
+    "join_multiway_star",
+    oracle="""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    tags=("C11",),
+)
+def join_multiway_star(spark, sf_dir):
+    """TPC-H Q5-shape 5-way star join. Dim tables (supplier, nation,
+    region) broadcast; the orders/lineitem join is the only real
+    shuffle, and the date filter prunes orders before it."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(money("l_extendedprice") * (F.lit(1) - money("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )

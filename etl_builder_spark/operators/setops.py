@@ -1,0 +1,76 @@
+"""G. Set operations (SURVEY.md §2 G1-G4).
+
+UNION ALL is a zero-shuffle concatenation of children; the distinct
+variants add one hash-aggregate; INTERSECT/EXCEPT plan as semi/anti
+joins with multiset semantics for the ALL forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+@register(
+    "set_union_all",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice < 150000
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice >= 150000
+    """,
+    tags=("G1",),
+)
+def set_union_all(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    lo = o.where(F.col("o_totalprice") < 150000)
+    hi = o.where(F.col("o_totalprice") >= 150000)
+    return lo.unionByName(hi)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("G2",),
+)
+def set_union_distinct(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("G3",),
+)
+def set_intersect(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("G4",),
+)
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL — multiset difference (each right row cancels one
+    left occurrence), the stronger form of G4."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)

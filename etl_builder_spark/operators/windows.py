@@ -1,0 +1,189 @@
+"""E. Window functions (SURVEY.md §2 E1-E6).
+
+Partitioned windows shuffle once on the partition key and sort within
+partitions — fully parallel. The one hazard is the UNPARTITIONED
+ordered window (E6): Spark plans it as a single partition, which is a
+deliberate, documented exception run only on a small slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_builder_spark.policy import money
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+@register(
+    "win_ranking",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROW_NUMBER()   OVER w AS rn,
+               RANK()         OVER w AS rnk,
+               DENSE_RANK()   OVER w AS drnk,
+               NTILE(2)       OVER w AS half,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST()    OVER w, 6) AS cume
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber)
+    """,
+    tags=("E1",),
+)
+def win_ranking(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_extendedprice").desc(), "l_linenumber")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(2).over(w).alias("half"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+            FROM lineitem
+        ) WHERE rn <= 2
+    """,
+    tags=("E2",),
+)
+def win_topk_per_group(spark, sf_dir):
+    """Top-k per group via row_number ≤ k — Spark pushes a per-partition
+    group-limit before the shuffle (WindowGroupLimit), so only k rows
+    per group per mapper move."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_extendedprice").desc(), "l_linenumber")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 2)
+        .drop("rn")
+    )
+
+
+@register(
+    "win_lead_lag",
+    oracle="""
+        SELECT event_id, user_id,
+               LAG(value)  OVER w AS prev_value,
+               LEAD(value) OVER w AS next_value,
+               FIRST_VALUE(event_type) OVER w AS first_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("E3",),
+)
+def win_lead_lag(spark, sf_dir):
+    """lead/lag/first over per-user event-time order. Gap emitted as
+    exact integer microseconds (unix_micros ↔ epoch_us) — no float
+    timestamp math."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_type").over(w).alias("first_type"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "win_running_frame",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+                   PARTITION BY c_nationkey ORDER BY c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal
+        FROM customer
+    """,
+    tags=("E4",),
+)
+def win_running_frame(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.sum(money("c_acctbal")).over(w).cast("double").alias("running_bal"),
+    )
+
+
+@register(
+    "win_sliding_range",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
+        FROM events
+    """,
+    tags=("E5",),
+)
+def win_sliding_range(spark, sf_dir):
+    """RANGE frame over a numeric event-time axis (µs since epoch):
+    trailing 1-hour sum per user — the batch mirror of a sliding
+    streaming window, expressed as one partitioned sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(money("value")).over(w).cast("double").alias("trailing_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@register(
+    "win_unpartitioned_caution",
+    oracle="""
+        SELECT o_orderkey,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM orders
+        WHERE o_orderkey < 1000
+    """,
+    tags=("E6",),
+)
+def win_unpartitioned_caution(spark, sf_dir):
+    """DOCUMENTED HAZARD: a global ordered window collapses to ONE
+    partition — never run unpartitioned windows on unbounded input at
+    scale. Declared only on a bounded slice; the scale-safe alternative
+    is a partitioned window or a two-pass prefix-sum."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.sum(money("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+    )

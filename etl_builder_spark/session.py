@@ -1,0 +1,93 @@
+"""SparkSession factory and table catalog.
+
+Scale posture: tested on local[N] but configured for cluster scale —
+AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+broadcast conversion), adaptive partition sizing, Arrow at the Python
+boundary. On a real 1000-executor cluster the same code runs unchanged;
+only ``spark.sql.shuffle.partitions`` / executor sizing move.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at any realistic scale factor
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "etl_builder_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    UTC timezone (corpus timestamps are naive; the DuckDB oracle is
+    naive — UTC makes them agree), Arrow for the pandas-UDF boundary,
+    AQE for runtime re-planning.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    _pin_runtime_confs(spark)
+    return spark
+
+
+def _pin_runtime_confs(spark: SparkSession) -> None:
+    """Pin determinism-critical confs even on a session we didn't build.
+
+    The driver constructs its own SparkSession for verification; these
+    are runtime-settable so every query helper re-pins them.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
+    # rejects by default; read as raw nanos and convert below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table. Parquet scan → vectorized columnar reader;
+    filters/pruning push down from whatever the caller composes on top."""
+    _pin_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ns-epoch LongType → TimestampType. Integer `div` — ns values
+        # overflow double precision, and the corpus is µs-precision so
+        # the truncation is lossless (measured, FIXTURES.md).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view (mirrors the DuckDB
+    oracle's pre-registered views) so SQL and DataFrame entry points
+    share one catalog."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,125 @@
+"""J1-J3 batch twins: event-time windowed aggregations expressed with
+the SAME Spark windowing primitives the streaming pipelines use
+(F.window / F.session_window), run in batch mode so the DuckDB oracle
+can check them exactly.
+
+Spark's time windows are aligned to the epoch, so a 1h tumbling window
+start ≡ date_trunc('hour', ts) and a 15-min slide lattice is derivable
+with timestamp arithmetic — the oracle formulations below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.policy import money
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+@register(
+    "stream_tumbling_1h",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS ws,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    tags=("J1",),
+)
+def stream_tumbling_1h(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(money("value")).cast("double").alias("total_value"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_1h_15m",
+    oracle="""
+        WITH expanded AS (
+            SELECT date_trunc('hour', ts)
+                     + ((minute(ts) // 15) * 15) * INTERVAL 1 MINUTE
+                     - k * INTERVAL 15 MINUTE AS ws,
+                   value
+            FROM events
+            CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)
+        )
+        SELECT ws,
+               ws + INTERVAL 1 HOUR AS we,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM expanded
+        GROUP BY ws
+    """,
+    tags=("J2",),
+)
+def stream_sliding_1h_15m(spark, sf_dir):
+    """Sliding window (1h length, 15m slide): every event lands in
+    exactly 4 windows; the oracle expands the slide lattice with
+    timestamp arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(money("value")).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n", "total_value")
+    )
+
+
+@register(
+    "stream_session_gap_30m",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    tags=("J3",),
+)
+def stream_session_gap_30m(spark, sf_dir):
+    """Session windows with a 30-min inactivity gap via the native
+    session_window primitive; the oracle is the classic gaps-and-islands
+    rewrite (lag → new-session marker → running session id)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,126 @@
+"""Structured Streaming runtime (SURVEY.md §2 J-rows, A6/A7).
+
+Real readStream pipelines over the events corpus: the file source
+replays parquet files as micro-batches; sinks are memory tables for
+tests and parquet/foreachBatch for production. The stateful operators
+(windowed aggs, session windows, dedup-in-watermark, per-key counters)
+run against the versioned StateStore with watermark-driven eviction —
+the 100 TB posture is: state is partitioned per key like any shuffle,
+and the watermark bounds its size.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: raw schema of events.parquet (ts is ns-epoch long under nanosAsLong)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """events as a stream: file source over parquet, schema pinned from
+    the batch read (file streams cannot infer), ns→µs ts conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(sdf: DataFrame, mode: str = "complete", timeout_s: int = 120) -> DataFrame:
+    """Execute a streaming frame to completion (availableNow) into a
+    memory sink; return the sink table as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return sdf.sparkSession.table(name)
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """J1/J4: watermarked tumbling-window counts (append-safe)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """J3 streaming form: session windows with watermark."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """J5: drop duplicate event_ids within the watermark horizon —
+    state stores only ids inside the 2h window, bounded by eviction."""
+    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """J7: stream ⋈ static dim — the dim is broadcast each micro-batch;
+    no state, no watermark needed."""
+    return events.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        events["user_id"] == F.col("c_custkey"),
+    ).select("event_id", "ts", "user_id", "c_mktsegment", "value")
+
+
+def running_user_counters(events: DataFrame) -> DataFrame:
+    """J6: arbitrary stateful — running per-user event counters via
+    applyInPandasWithState (one state row per user, updated per batch)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n_events", LongType())]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1,0 +1,107 @@
+"""K. Python UDF surface (SURVEY.md §2 K1-K3).
+
+UDFs are the slow path — everything else in this engine is JVM-side.
+When Python is genuinely needed (model scoring, custom feature
+extraction) the contract is: Arrow-batched pandas UDFs only, never
+row-at-a-time ``F.udf`` (K5 is documented as an anti-pattern and not
+used anywhere in the engine).
+
+Determinism notes per kind:
+- scalar (K1): elementwise float math — identical IEEE ops → exact.
+- grouped-agg (K2): accumulates in int64 cents (order-free), divides
+  once → exact vs the decimal-sum oracle.
+- grouped-map (K3): per-group normalize; mean/std accumulate floats in
+  pandas row order, so outputs are ROUND(x, 6).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+@pandas_udf(DoubleType())
+def clipped_zscore_100(v: pd.Series) -> pd.Series:
+    """(x - 100) / 50, clipped to [-3, 3] — vectorized over Arrow batches."""
+    return ((v - 100.0) / 50.0).clip(-3.0, 3.0)
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+        SELECT event_id,
+               value,
+               greatest(least((value - 100.0) / 50.0, 3.0), -3.0) AS clipped_score
+        FROM events
+    """,
+    tags=("K1",),
+)
+def udf_pandas_scalar(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.select("event_id", "value", clipped_zscore_100("value").alias("clipped_score"))
+
+
+@pandas_udf(DoubleType())
+def cents_mean(v: pd.Series) -> float:
+    """Order-free mean of a 2-dp column: sum exact int64 cents, divide
+    once. Matches CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/COUNT."""
+    cents = (v * 100).round().astype("int64")
+    return float(cents.sum()) / 100.0 / len(v)
+
+
+@pandas_udf(LongType())
+def group_count(v: pd.Series) -> int:
+    return len(v)
+
+
+@register(
+    "udaf_grouped_agg",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_value,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("K2",),
+)
+def udaf_grouped_agg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    # pandas grouped-agg UDFs cannot mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT) — so the count is a pandas UDF too.
+    return e.groupBy("event_type").agg(
+        cents_mean("value").alias("mean_value"), group_count("value").alias("n")
+    )
+
+
+def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    v = pdf["value"]
+    std = v.std(ddof=1)
+    z = (v - v.mean()) / std if std > 0 else v * 0.0
+    return pd.DataFrame(
+        {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z_value": z.round(6)}
+    )
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS z_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    """,
+    tags=("K3",),
+)
+def udf_grouped_map(spark, sf_dir):
+    """applyInPandas grouped-map: per-user z-score. The SQL twin is a
+    partitioned window mean/std — same math, verified to 6 dp."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return e.groupBy("user_id").applyInPandas(
+        _normalize_group, "event_id bigint, user_id bigint, z_value double"
+    )
