@@ -1,0 +1,87 @@
+"""Sources & sinks (SURVEY §2 A3/A4): CSV/JSON round-trips with
+explicit schemas, partitioned/sorted parquet writes, bucketed tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.session import load_table
+from etl_builder_spark.sources import readers, writers
+from tests.conftest import SF_DIR
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    n = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_csv")
+    writers.write_csv(n, path)
+    back = readers.read_csv(spark, path, n.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_json_roundtrip(spark, tmp_path):
+    r = load_table(spark, SF_DIR, "region")
+    path = str(tmp_path / "region_json")
+    writers.write_json(r, path)
+    back = readers.read_json(spark, path, r.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, r.collect()))
+
+
+def test_partitioned_parquet_write_prunes(spark, tmp_path):
+    o = load_table(spark, SF_DIR, "orders").withColumn("status", F.col("o_orderstatus"))
+    path = str(tmp_path / "orders_part")
+    writers.write_parquet_partitioned(o, path, partition_by=("status",))
+    import os
+
+    assert sorted(d for d in os.listdir(path) if d.startswith("status=")) == [
+        "status=F",
+        "status=O",
+        "status=P",
+    ]
+    back = readers.read_parquet(spark, path).where(F.col("status") == "O")
+    # partition pruning: only the status=O directory is scanned
+    assert back.count() == o.where(F.col("o_orderstatus") == "O").count()
+
+
+def test_sorted_parquet_write(spark, tmp_path):
+    o = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_sorted")
+    writers.write_parquet_sorted(o, path, sort_by=("o_orderdate",), n_files=4)
+    back = readers.read_parquet(spark, path)
+    assert back.count() == o.count()
+
+
+def test_bucketed_table_join_avoids_shuffle(spark, tmp_path):
+    import contextlib
+    import io
+
+    # warehouse dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored); drop them at the end.
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    writers.write_bucketed_table(o, "orders_b", ("o_custkey",), 8)
+    writers.write_bucketed_table(c, "cust_b", ("c_custkey",), 8)
+    # force the non-broadcast path so the bucketed SMJ is observable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_b").join(
+            spark.table("cust_b"), F.col("o_custkey") == F.col("c_custkey")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        # co-bucketed join: sort-merge join with NO shuffle exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == o.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_text_reader(spark, tmp_path):
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    df = readers.read_text(spark, str(p))
+    assert {r["value"] for r in df.collect()} == {"alpha", "beta", "gamma"}

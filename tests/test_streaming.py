@@ -1,12 +1,18 @@
 """Streaming smokes (SURVEY.md §2 J-rows): the real readStream
 pipelines execute end-to-end with memory sinks, and their final state
 matches the deterministic batch twins where semantics allow.
+
+The parquet file-stream source requires a *directory* (single files are
+rejected: "Option 'basePath' must be a directory"), so fixtures
+materialize the events file into tmp dirs.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
@@ -18,10 +24,17 @@ from tests.conftest import SF_DIR
 EVENTS = os.path.join(SF_DIR, "events.parquet")
 
 
-def test_tumbling_stream_matches_batch(spark):
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(EVENTS, d / "events.parquet")
+    return str(d)
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
     """J1: streaming tumbling counts (complete mode, full replay) ==
     batch groupBy over the same data."""
-    ev = runtime.stream_events(spark, EVENTS)
+    ev = runtime.stream_events(spark, events_dir)
     out = runtime.run_to_memory(runtime.tumbling_counts(ev, watermark="100 days"), "complete")
     batch = (
         load_table(spark, SF_DIR, "events")
@@ -32,8 +45,8 @@ def test_tumbling_stream_matches_batch(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
 
 
-def test_session_stream_runs(spark):
-    ev = runtime.stream_events(spark, EVENTS)
+def test_session_stream_runs(spark, events_dir):
+    ev = runtime.stream_events(spark, events_dir)
     out = runtime.run_to_memory(runtime.session_counts(ev), "complete")
     n_events = out.agg(F.sum("n_events")).collect()[0][0]
     assert n_events == 1000  # every event lands in exactly one session
@@ -51,18 +64,18 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert out.count() == t.num_rows
 
 
-def test_stream_static_join(spark):
-    ev = runtime.stream_events(spark, EVENTS)
+def test_stream_static_join(spark, events_dir):
+    ev = runtime.stream_events(spark, events_dir)
     cust = load_table(spark, SF_DIR, "customer")
     out = runtime.run_to_memory(runtime.stream_static_join(ev, cust), "append")
     assert out.count() == 1000
     assert out.where(F.col("c_mktsegment").isNull()).count() == 0
 
 
-def test_stateful_user_counters(spark):
+def test_stateful_user_counters(spark, events_dir):
     """J6: applyInPandasWithState running counters — final counter per
     user equals the batch per-user count."""
-    ev = runtime.stream_events(spark, EVENTS)
+    ev = runtime.stream_events(spark, events_dir)
     out = runtime.run_to_memory(runtime.running_user_counters(ev), "update")
     # update mode emits one row per user per batch; last value wins
     final = out.groupBy("user_id").agg(F.max("n_events").alias("n"))
@@ -73,43 +86,37 @@ def test_stateful_user_counters(spark):
 
 
 def test_late_data_dropped_by_watermark(spark, tmp_path):
-    """J4: with maxFilesPerTrigger=1, a second file far older than the
-    advanced watermark is dropped from the append-mode windowed agg."""
+    """J4: one query, maxFilesPerTrigger=1, file mtimes force the
+    newest half to process first; the oldest half arrives behind the
+    advanced watermark and is dropped from the append-mode output."""
     d = tmp_path / "late_events"
     d.mkdir()
     t = pq.read_table(EVENTS)
-    # first batch: the newest half; second batch: the oldest half (late)
-    import pyarrow.compute as pc
-
     order = pc.sort_indices(t.column("ts"))
     half = t.num_rows // 2
     newest = t.take(order.slice(half))
     oldest = t.take(order.slice(0, half))
+    bridge = t.take(order.slice(t.num_rows - 1))  # single max-ts event
     pq.write_table(newest, d / "batch_1_new.parquet")
+    pq.write_table(bridge, d / "batch_2_bridge.parquet")
+    pq.write_table(oldest, d / "batch_3_old.parquet")
+    # file source processes in mtime order — pin it explicitly. The
+    # watermark computed from batch N takes effect in batch N+1, so the
+    # bridge batch ensures the old file meets an already-advanced
+    # watermark.
+    os.utime(d / "batch_1_new.parquet", (1_000_000, 1_000_000))
+    os.utime(d / "batch_2_bridge.parquet", (2_000_000, 2_000_000))
+    os.utime(d / "batch_3_old.parquet", (3_000_000, 3_000_000))
+
     ev = runtime.stream_events(spark, str(d), max_files_per_trigger=1)
-    agg = runtime.tumbling_counts(ev, watermark="1 hour")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("late_test")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .start()
-    )
-    q.awaitTermination(120)
-    # replay the old half late, resuming from the same checkpoint
-    pq.write_table(oldest, d / "batch_2_old.parquet")
-    ev2 = runtime.stream_events(spark, str(d), max_files_per_trigger=1)
-    agg2 = runtime.tumbling_counts(ev2, watermark="1 hour")
-    q2 = (
-        agg2.writeStream.format("memory")
-        .queryName("late_test2")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .start()
-    )
-    q2.awaitTermination(120)
-    emitted = spark.table("late_test2").agg(F.sum("n")).collect()[0][0] or 0
-    # the late (oldest) half is behind the watermark → contributes nothing
-    assert emitted <= half
+    out = runtime.run_to_memory(runtime.tumbling_counts(ev, watermark="1 hour"), "append")
+    emitted = out.agg(F.sum("n")).collect()[0][0] or 0
+    # every event of the oldest half is behind the watermark → dropped;
+    # the newest half (+bridge) emits only windows sealed below the
+    # final watermark
+    assert 0 < emitted <= half + 1
+    import pandas as pd
+
+    min_ws = out.agg(F.min("ws")).collect()[0][0]
+    newest_min_hour = pd.Timestamp(pc.min(newest.column("ts")).as_py()).floor("h")
+    assert pd.Timestamp(min_ws.replace(tzinfo=None)) >= newest_min_hour
