@@ -1,0 +1,83 @@
+"""Document fingerprinting + token counting (training-data-pipeline
+text surface): polynomial rolling hash over characters and a BPE-ish
+regex tokenizer — both expression-only, both exactly mirrored in the
+DuckDB oracle (list_reduce ↔ F.aggregate, regexp_extract_all ↔
+regexp_extract_all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+#: BPE-ish pretokenizer: letter runs, digit runs, single punctuation.
+#: Space class is explicit (corpus is ASCII) — avoids \s dialect drift.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+MOD = 1_000_000_007
+
+
+@register(
+    "text_token_bpeish",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+               regexp_extract_all(text, '{BPE_RE}')[1] AS first_token,
+               CAST(ceil(len(regexp_extract_all(text, '{BPE_RE}')) * 1.3) AS BIGINT)
+                   AS est_llm_tokens
+        FROM documents
+    """,
+    tags=("I-tokens",),
+)
+def text_token_bpeish(spark, sf_dir):
+    """Token counting: whitespace tokens vs BPE-ish regex pretokens,
+    plus the standard ~1.3× subword-expansion estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(BPE_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.ceil(F.size(toks) * 1.3).alias("est_llm_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+        WITH codes AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_filter(string_split_regex(text, ''), c -> c <> ''),
+                       c -> CAST(unicode(c) AS BIGINT)) AS cs
+            FROM documents
+        )
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                           (a, b) -> (a * 31 + b) % {MOD}) AS fingerprint,
+               len(cs) AS n_chars_hashed
+        FROM codes
+    """,
+    tags=("I-fingerprint",),
+)
+def doc_fingerprint(spark, sf_dir):
+    """Polynomial rolling hash (base 31 mod 1e9+7) over the character
+    stream — a deterministic 60-bit-safe fingerprint computable in any
+    engine; the per-step mod keeps every intermediate < 2^35, so no
+    overflow-wrap semantics are involved (DuckDB would error on BIGINT
+    overflow where the JVM wraps)."""
+    d = load_table(spark, sf_dir, "documents")
+    codes = F.filter(
+        F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long")),
+        lambda x: x > 0,
+    )
+    fp = F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % MOD)
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.size(codes).alias("n_chars_hashed"),
+    )

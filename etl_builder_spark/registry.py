@@ -62,7 +62,10 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     import etl_builder_spark.functions.scalar  # noqa: F401
+    import etl_builder_spark.functions.sketches  # noqa: F401
     import etl_builder_spark.llm.dedup  # noqa: F401
+    import etl_builder_spark.llm.fingerprint  # noqa: F401
+    import etl_builder_spark.llm.langid  # noqa: F401
     import etl_builder_spark.llm.similarity  # noqa: F401
     import etl_builder_spark.llm.text  # noqa: F401
     import etl_builder_spark.operators.aggregates  # noqa: F401
