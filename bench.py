@@ -41,10 +41,13 @@ HEADLINE = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     _ensure_loaded()
-    # 8 shuffle partitions for the local sub-GB bench: task overhead
-    # dominates below ~64MB/partition (measured: session-window agg
-    # 3.8s @32 → 0.6s @8). On a cluster this is sized per job and AQE
-    # coalesces; SPARK_GRAFT_SHUFFLE overrides.
+    # 8 threads / 8 shuffle partitions for the local sub-GB bench: tasks
+    # are tiny, so wider parallelism only adds contention (measured:
+    # local[32] sweeps oscillate 24s→271s under sustained load;
+    # local[8] holds 13-22s; session-window agg 3.8s @32-part → 0.6s
+    # @8). On a cluster both are sized per job and AQE coalesces.
+    # SPARK_GRAFT_CPUS / SPARK_GRAFT_SHUFFLE override.
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")))
     spark.sparkContext.setLogLevel("ERROR")
 
