@@ -63,6 +63,8 @@ def _ensure_loaded() -> None:
         return
     import etl_builder_spark.functions.scalar  # noqa: F401
     import etl_builder_spark.functions.sketches  # noqa: F401
+    import etl_builder_spark.functions.udtf_ops  # noqa: F401
+    import etl_builder_spark.llm.cluster  # noqa: F401
     import etl_builder_spark.llm.dedup  # noqa: F401
     import etl_builder_spark.llm.fingerprint  # noqa: F401
     import etl_builder_spark.llm.langid  # noqa: F401
@@ -75,6 +77,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.scans  # noqa: F401
     import etl_builder_spark.operators.setops  # noqa: F401
     import etl_builder_spark.operators.sorts  # noqa: F401
+    import etl_builder_spark.operators.subqueries  # noqa: F401
     import etl_builder_spark.operators.windows  # noqa: F401
     import etl_builder_spark.streaming.batch_twins  # noqa: F401
     import etl_builder_spark.udfs  # noqa: F401
