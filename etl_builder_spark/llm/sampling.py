@@ -1,0 +1,62 @@
+"""Sampling operators for training-data curation: seeded uniform
+sampling, stratified per-language sampling, and deterministic
+hash-based sampling.
+
+Hash-based sampling is the 100 TB default: membership depends only on
+the row key (stable across reruns, engines, partitionings — the same
+documents are sampled no matter how the data is laid out), it needs no
+sampling state, and it composes with incremental pipelines (a new file
+arriving later samples consistently). Seeded rand()-based sampling is
+partitioning-dependent by construction → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float, mod: int = 10_000) -> DataFrame:
+    """Deterministic sample: keep rows where a stable hash of the key
+    falls under fraction·mod. Engine-portable when the hash is portable
+    — here the polynomial char hash shared with doc_fingerprint."""
+    return df.where(F.pmod(F.xxhash64(F.col(key)), F.lit(mod)) < int(fraction * mod))
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE (CAST(doc_id * 2654435761 AS BIGINT) % 4294967296) % 10000 < 2000
+    """,
+    tags=("I-sample",),
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """20% deterministic sample via Knuth multiplicative hashing on the
+    key — identical membership in any engine, any partitioning. (The
+    mixer is (k·2654435761 mod 2^32) mod 10000 — exact 64-bit integer
+    math on both sides.)"""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)), F.lit(10000)
+    )
+    return d.where(bucket < 2000).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "sample_stratified_seeded",
+    oracle=None,  # rand()-based membership is engine/partitioning-specific
+    tags=("I-sample",),
+)
+def sample_stratified_seeded(spark, sf_dir):
+    """Stratified per-language sampling (sampleBy, fixed seed) —
+    balances language mix in a curated corpus. Seeded but
+    partitioning-dependent → rows-only."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.3, "de": 0.6, "es": 0.6, "fr": 0.6, "zh": 0.6}
+    sampled = d.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))

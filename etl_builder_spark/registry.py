@@ -68,8 +68,10 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.llm.dedup  # noqa: F401
     import etl_builder_spark.llm.fingerprint  # noqa: F401
     import etl_builder_spark.llm.langid  # noqa: F401
+    import etl_builder_spark.llm.sampling  # noqa: F401
     import etl_builder_spark.llm.similarity  # noqa: F401
     import etl_builder_spark.llm.text  # noqa: F401
+    import etl_builder_spark.llm.training_pipeline  # noqa: F401
     import etl_builder_spark.operators.aggregates  # noqa: F401
     import etl_builder_spark.operators.asof  # noqa: F401
     import etl_builder_spark.operators.filters  # noqa: F401

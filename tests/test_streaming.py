@@ -120,3 +120,24 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     min_ws = out.agg(F.min("ws")).collect()[0][0]
     newest_min_hour = pd.Timestamp(pc.min(newest.column("ts")).as_py()).floor("h")
     assert pd.Timestamp(min_ws.replace(tzinfo=None)) >= newest_min_hour
+
+
+def test_streaming_parquet_sink_roundtrip(spark, events_dir, tmp_path):
+    """A7: writeStream to a parquet sink (fault-tolerant, checkpointed)
+    then read back as batch — counts and per-type totals must match."""
+    ev = runtime.stream_events(spark, events_dir)
+    out_dir = str(tmp_path / "out_parquet")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_dir)
+    src = load_table(spark, SF_DIR, "events")
+    assert back.count() == src.count()
+    got = {r["event_type"]: r["count"] for r in back.groupBy("event_type").count().collect()}
+    want = {r["event_type"]: r["count"] for r in src.groupBy("event_type").count().collect()}
+    assert got == want
