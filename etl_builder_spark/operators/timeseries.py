@@ -1,0 +1,120 @@
+"""Time-series utilities: generated date/hour spines and gap filling —
+the standard ETL pattern for turning sparse event streams into dense
+per-period series (dashboards, feature windows, forecasting inputs).
+
+Spine generation is `sequence()` + explode — pure expressions, no
+driver-side range materialization; the spine × key cross product is a
+broadcast-friendly small frame joined against the sparse aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.policy import money
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+@register(
+    "ts_hourly_gapfill",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+            FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT hour_start, event_type FROM spine CROSS JOIN types),
+        actual AS (
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT g.hour_start, g.event_type,
+               COALESCE(a.n, 0) AS n,
+               COALESCE(a.total_value, 0.0) AS total_value,
+               (a.n IS NULL) AS was_gap
+        FROM grid g LEFT JOIN actual a
+          ON a.hour_start = g.hour_start AND a.event_type = g.event_type
+    """,
+    tags=("TS-gapfill",),
+)
+def ts_hourly_gapfill(spark, sf_dir):
+    """Dense hourly series per event type: hour spine (sequence over
+    the observed range) × type dims, left-joined against the sparse
+    hourly aggregate; gaps zero-filled and flagged."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    actual = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(money("value")).cast("double").alias("total_value"),
+    )
+    g = grid.alias("g")
+    a = actual.alias("a")
+    return g.join(
+        a,
+        (F.col("a.hour_start") == F.col("g.hour_start"))
+        & (F.col("a.event_type") == F.col("g.event_type")),
+        "left",
+    ).select(
+        F.col("g.hour_start").alias("hour_start"),
+        F.col("g.event_type").alias("event_type"),
+        F.coalesce(F.col("a.n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("a.total_value"), F.lit(0.0)).alias("total_value"),
+        F.col("a.n").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+        SELECT r_name,
+               array_to_string(list_sort(list(n_name)), ',') AS nations_csv
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    tags=("D-listagg",),
+)
+def agg_string_concat(spark, sf_dir):
+    """Deterministic LISTAGG/string_agg: sort-then-join (bare
+    string_agg order is nondeterministic — policy §7.2.4 applies to
+    string concat exactly as to collect_list)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"))
+    )
+
+
+@register(
+    "agg_percentile_approx",
+    oracle=None,  # t-digest/GK sketch estimates are engine-specific
+    tags=("D10-approx",),
+)
+def agg_percentile_approx(spark, sf_dir):
+    """Approximate percentiles (GK sketch) — the 100 TB path for
+    quantiles: mergeable, single pass, bounded memory; exact
+    percentile (D10) requires a per-group sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(1000)).alias("p90_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

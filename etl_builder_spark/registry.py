@@ -80,6 +80,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.setops  # noqa: F401
     import etl_builder_spark.operators.sorts  # noqa: F401
     import etl_builder_spark.operators.subqueries  # noqa: F401
+    import etl_builder_spark.operators.timeseries  # noqa: F401
     import etl_builder_spark.operators.windows  # noqa: F401
     import etl_builder_spark.streaming.batch_twins  # noqa: F401
     import etl_builder_spark.udfs  # noqa: F401

@@ -1,0 +1,57 @@
+"""Engine facade: all five entry points compose the same catalog and
+interoperate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_builder_spark.engine import Engine
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark, SF_DIR)
+
+
+def test_table_and_sql_share_catalog(engine):
+    n_df = engine.table("nation").count()
+    n_sql = engine.sql("SELECT COUNT(*) AS n FROM nation").collect()[0]["n"]
+    assert n_df == n_sql == 25
+
+
+def test_pipeline_and_spec_agree(engine):
+    flu = (
+        engine.pipeline().scan("orders").filter("o_orderstatus = 'F'")
+        .agg(by=["o_orderpriority"], n="count(*)").frame()
+    )
+    spec = engine.run_spec(
+        {
+            "source": "orders",
+            "ops": [
+                {"op": "filter", "expr": "o_orderstatus = 'F'"},
+                {"op": "agg", "by": ["o_orderpriority"], "aggs": {"n": "count(*)"}},
+            ],
+        }
+    )
+    assert sorted(map(tuple, flu.collect())) == sorted(map(tuple, spec.collect()))
+
+
+def test_sql_feeds_pipeline(engine):
+    engine.sql("SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000")\
+        .createOrReplaceTempView("big_orders")
+    out = engine.pipeline().from_frame(engine.sql("SELECT * FROM big_orders"))\
+        .agg(by=[], n="count(*)").frame()
+    want = engine.table("orders").where(F.col("o_totalprice") > 400000).count()
+    assert out.collect()[0]["n"] == want
+
+
+def test_declared_query_surface(engine):
+    df = engine.query("agg_pricing_summary")
+    assert df.count() == 6
+
+
+def test_unknown_table_fails_loudly(engine):
+    with pytest.raises(KeyError, match="unknown table"):
+        engine.table("nope")
