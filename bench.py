@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_exact_normalized",# I4  exact dedup
     "text_tfidf_sql",        # I3  TF-IDF
     "udf_pandas_scalar",     # K1  Arrow-batched pandas UDF
+    "pipeline_training_data",# I   end-to-end curation pipeline
+    "ts_hourly_gapfill",     # TS  spine gap-fill
 ]
 
 
