@@ -1,0 +1,53 @@
+"""Explicit window frames: nth_value / last_value / first_value over
+full-partition and trailing ROWS frames (completes the E-row frame
+coverage beyond running/range frames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+@register(
+    "win_frames_nth",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               nth_value(l_extendedprice, 2) OVER wfull AS second_highest,
+               last_value(l_extendedprice)  OVER wfull AS lowest,
+               first_value(l_linenumber)    OVER wfull AS top_linenumber,
+               avg(l_extendedprice) OVER (PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber
+                   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS trailing2_avg
+        FROM lineitem
+        WHERE l_orderkey < 2000
+        WINDOW wfull AS (PARTITION BY l_orderkey
+                         ORDER BY l_extendedprice DESC, l_linenumber
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("E-frames",),
+)
+def win_frames_nth(spark, sf_dir):
+    """nth/last/first over the full-partition frame + a trailing-2
+    ROWS average. trailing2_avg averages 1-2 exact 2-dp doubles —
+    (a+b)/2 is the identical IEEE expression on both engines."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    order = [F.col("l_extendedprice").desc(), F.col("l_linenumber")]
+    wfull = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wtrail = Window.partitionBy("l_orderkey").orderBy(*order).rowsBetween(-1, 0)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.nth_value("l_extendedprice", 2).over(wfull).alias("second_highest"),
+        F.last("l_extendedprice").over(wfull).alias("lowest"),
+        F.first("l_linenumber").over(wfull).alias("top_linenumber"),
+        F.avg("l_extendedprice").over(wtrail).alias("trailing2_avg"),
+    )

@@ -75,12 +75,15 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.aggregates  # noqa: F401
     import etl_builder_spark.operators.asof  # noqa: F401
     import etl_builder_spark.operators.filters  # noqa: F401
+    import etl_builder_spark.operators.funnel  # noqa: F401
     import etl_builder_spark.operators.joins  # noqa: F401
+    import etl_builder_spark.operators.merge  # noqa: F401
     import etl_builder_spark.operators.scans  # noqa: F401
     import etl_builder_spark.operators.setops  # noqa: F401
     import etl_builder_spark.operators.sorts  # noqa: F401
     import etl_builder_spark.operators.subqueries  # noqa: F401
     import etl_builder_spark.operators.timeseries  # noqa: F401
+    import etl_builder_spark.operators.window_frames  # noqa: F401
     import etl_builder_spark.operators.windows  # noqa: F401
     import etl_builder_spark.streaming.batch_twins  # noqa: F401
     import etl_builder_spark.udfs  # noqa: F401

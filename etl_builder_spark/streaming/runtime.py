@@ -100,6 +100,24 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     ).select("event_id", "ts", "user_id", "c_mktsegment", "value")
 
 
+def stream_stream_interval_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join (signups ⋈ purchases within 30 min,
+    same user). Both sides carry watermarks and the join condition
+    bounds event-time ranges — that is what lets Spark evict join
+    state: a signup older than watermark+30min can never match again.
+    Streaming twin of the batch `join_interval` declared query."""
+    s = events.where(F.col("event_type") == "signup").withWatermark("ts", "1 hour").alias("s")
+    p = events.where(F.col("event_type") == "purchase").withWatermark("ts", "1 hour").alias("p")
+    cond = F.expr(
+        "s.user_id = p.user_id AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTES"
+    )
+    return s.join(p, cond).select(
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.event_id").alias("signup_event_id"),
+        F.col("p.event_id").alias("purchase_event_id"),
+    )
+
+
 def running_user_counters(events: DataFrame) -> DataFrame:
     """J6: arbitrary stateful — running per-user event counters via
     applyInPandasWithState (one state row per user, updated per batch)."""

@@ -141,3 +141,20 @@ def test_streaming_parquet_sink_roundtrip(spark, events_dir, tmp_path):
     got = {r["event_type"]: r["count"] for r in back.groupBy("event_type").count().collect()}
     want = {r["event_type"]: r["count"] for r in src.groupBy("event_type").count().collect()}
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream join with watermarked state == the batch
+    join_interval declared query on the same data."""
+    from etl_builder_spark.operators.asof import join_interval
+
+    ev = runtime.stream_events(spark, events_dir)
+    out = runtime.run_to_memory(runtime.stream_stream_interval_join(ev), "append")
+    got = sorted(
+        (r["user_id"], r["signup_event_id"], r["purchase_event_id"]) for r in out.collect()
+    )
+    batch = join_interval(spark, SF_DIR).select(
+        "user_id", "signup_event_id", "purchase_event_id"
+    )
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
