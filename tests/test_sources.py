@@ -85,3 +85,25 @@ def test_text_reader(spark, tmp_path):
     p.write_text("alpha\nbeta\ngamma\n")
     df = readers.read_text(spark, str(p))
     assert {r["value"] for r in df.collect()} == {"alpha", "beta", "gamma"}
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the second columnar format Spark ships natively."""
+    n = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_orc")
+    n.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution: files written with/without a new column read
+    together under mergeSchema with nulls for the missing column."""
+    p = str(tmp_path / "evolving")
+    r = load_table(spark, SF_DIR, "region")
+    r.write.parquet(p + "/v1")
+    r.withColumn("r_tier", F.col("r_regionkey") % 2).write.parquet(p + "/v2")
+    both = spark.read.option("mergeSchema", "true").parquet(p + "/v1", p + "/v2")
+    assert "r_tier" in both.columns
+    assert both.count() == 10
+    assert both.where(F.col("r_tier").isNull()).count() == 5
