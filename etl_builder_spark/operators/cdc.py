@@ -1,0 +1,156 @@
+"""Change-data-capture-style operators: snapshot diff, deterministic
+surrogate keys, and SCD Type 2 interval construction — the remaining
+classic ETL-builder patterns.
+
+All three are expression-only single-shuffle constructs:
+- diff = FULL OUTER on the key + per-column comparison,
+- surrogate keys = content hash (md5 — portable across engines),
+- SCD2 = change-detection lag + lead for the closing timestamp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str, compare_cols: tuple[str, ...]) -> DataFrame:
+    """Row-level diff of two snapshots: added / removed / changed /
+    unchanged, one FULL OUTER join."""
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | (~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")))
+    status = (
+        F.when(F.col(f"o.{key}").isNull(), "added")
+        .when(F.col(f"n.{key}").isNull(), "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        status.alias("diff_status"),
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+        WITH old AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+        new AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 3 <> 0
+        )
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                      OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+                    ELSE 'unchanged' END AS diff_status
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    """,
+    tags=("ETL-cdc",),
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Diff two derived order snapshots (drop every 7th vs drop every
+    3rd with status mutations on every 5th) → added/removed/changed/
+    unchanged per key."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 7 != 0)
+    new = o.where(F.col("o_orderkey") % 3 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, "X").otherwise(F.col("o_orderstatus")),
+    )
+    return snapshot_diff(old, new, "o_orderkey", ("o_orderstatus", "o_totalprice"))
+
+
+@register(
+    "etl_surrogate_keys",
+    oracle="""
+        SELECT o_orderkey,
+               md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                             o_orderpriority)) AS dim_key,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS seq_key
+        FROM orders
+        WHERE o_orderkey < 2000
+    """,
+    tags=("ETL-keys",),
+)
+def etl_surrogate_keys(spark, sf_dir):
+    """Surrogate keys two ways: content-hash key (md5 over a delimited
+    column tuple — portable, stable, collision-safe at warehouse
+    scale) and a dense sequence key (row_number over a total order —
+    the deterministic alternative to monotonically_increasing_id,
+    which is partition-dependent and therefore banned by the policy).
+    Sequence keys need a global order → bounded slice; hash keys are
+    the 100 TB default."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    w = Window.orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(
+                "|", F.col("o_custkey").cast("string"), "o_orderstatus", "o_orderpriority"
+            )
+        ).alias("dim_key"),
+        F.row_number().over(w).alias("seq_key"),
+    )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+        WITH states AS (
+            SELECT o_custkey, o_orderdate AS ts, o_orderpriority AS attr,
+                   o_orderkey,
+                   LAG(o_orderpriority) OVER w AS prev_attr
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        changes AS (
+            SELECT o_custkey, ts, attr, o_orderkey
+            FROM states
+            WHERE prev_attr IS NULL OR attr <> prev_attr
+        )
+        SELECT o_custkey, attr AS priority_state,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY o_custkey ORDER BY ts, o_orderkey) AS valid_to,
+               (LEAD(ts) OVER (PARTITION BY o_custkey ORDER BY ts, o_orderkey) IS NULL)
+                   AS is_current
+        FROM changes
+    """,
+    tags=("ETL-scd2",),
+)
+def scd2_intervals(spark, sf_dir):
+    """SCD Type 2: compress a per-key attribute timeline into validity
+    intervals — change-detection lag keeps only transition rows, lead
+    supplies the closing timestamp, NULL valid_to marks the current
+    row. One window shuffle on the key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    states = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("attr"),
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_attr"),
+    )
+    changes = states.where(
+        F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    lead_ts = F.lead("ts").over(w2)
+    return changes.select(
+        "o_custkey",
+        F.col("attr").alias("priority_state"),
+        F.col("ts").alias("valid_from"),
+        lead_ts.alias("valid_to"),
+        lead_ts.isNull().alias("is_current"),
+    )

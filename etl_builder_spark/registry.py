@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.llm.training_pipeline  # noqa: F401
     import etl_builder_spark.operators.aggregates  # noqa: F401
     import etl_builder_spark.operators.asof  # noqa: F401
+    import etl_builder_spark.operators.cdc  # noqa: F401
     import etl_builder_spark.operators.filters  # noqa: F401
     import etl_builder_spark.operators.funnel  # noqa: F401
     import etl_builder_spark.operators.joins  # noqa: F401
