@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.cdc  # noqa: F401
     import etl_builder_spark.operators.filters  # noqa: F401
     import etl_builder_spark.operators.funnel  # noqa: F401
+    import etl_builder_spark.operators.histogram  # noqa: F401
     import etl_builder_spark.operators.joins  # noqa: F401
     import etl_builder_spark.operators.merge  # noqa: F401
     import etl_builder_spark.operators.scans  # noqa: F401
