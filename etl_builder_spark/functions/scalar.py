@@ -159,7 +159,10 @@ def fn_conditional(spark, sf_dir):
     oracle="""
         SELECT vec_id,
                len(embedding) AS dim,
-               list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
+               CAST(embedding[1] AS DOUBLE) AS head_1,
+               CAST(embedding[2] AS DOUBLE) AS head_2,
+               CAST(embedding[3] AS DOUBLE) AS head_3,
+               CAST(embedding[4] AS DOUBLE) AS head_4,
                ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_sum,
                ROUND(list_sum(list_transform(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm2,
@@ -172,13 +175,20 @@ def fn_conditional(spark, sf_dir):
 def fn_array(spark, sf_dir):
     """Array HOFs (transform/filter/aggregate) over the embedding
     column. Element math is float→double cast (exact); folds rounded
-    to 6 dp to absorb summation-order ulps."""
+    to 6 dp to absorb summation-order ulps. Array head is projected as
+    four scalar double columns, not a serialized string: double→string
+    formatting differs between the JVM and other engines (scientific-
+    notation thresholds, shortest-round-trip algorithms), while scalar
+    doubles compare bitwise via the float64 path (§7.2.8)."""
     e = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.slice(dbl, 1, 4).alias("head4"),
+        dbl.getItem(0).alias("head_1"),
+        dbl.getItem(1).alias("head_2"),
+        dbl.getItem(2).alias("head_3"),
+        dbl.getItem(3).alias("head_4"),
         F.round(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 6).alias("vec_sum"),
         F.round(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 6).alias("norm2"),
         F.array_max("embedding").cast("double").alias("vec_max"),
@@ -192,7 +202,10 @@ def fn_array(spark, sf_dir):
         SELECT event_id,
                map_extract(map(['type', 'user'], [event_type, CAST(user_id AS VARCHAR)]),
                            'type')[1] AS type_val,
-               map_keys(map(['type', 'user'], [event_type, CAST(user_id AS VARCHAR)])) AS keys,
+               array_to_string(map_keys(map(['type', 'user'],
+                               [event_type, CAST(user_id AS VARCHAR)])), '|') AS keys,
+               array_to_string(map_values(map(['type', 'user'],
+                               [event_type, CAST(user_id AS VARCHAR)])), '|') AS vals,
                cardinality(map(['type', 'user'], [event_type, CAST(user_id AS VARCHAR)])) AS n_keys
         FROM events
         WHERE event_id < 500
@@ -208,7 +221,8 @@ def fn_map(spark, sf_dir):
     return e.select(
         "event_id",
         F.element_at(m, "type").alias("type_val"),
-        F.map_keys(m).alias("keys"),
+        F.array_join(F.map_keys(m), "|").alias("keys"),
+        F.array_join(F.map_values(m), "|").alias("vals"),
         F.size(m).alias("n_keys"),
     )
 

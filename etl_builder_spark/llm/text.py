@@ -47,7 +47,7 @@ def text_tokenize_counts(spark, sf_dir):
     oracle="""
         SELECT lang, source,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
                MIN(n_chars) AS min_chars,
                MAX(n_chars) AS max_chars
@@ -156,7 +156,7 @@ def text_quality_score(spark, sf_dir):
         SELECT lang,
                COUNT(*) AS n_docs,
                COUNT(DISTINCT source) AS n_sources,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 6)
                    AS avg_tokens_per_doc
         FROM documents

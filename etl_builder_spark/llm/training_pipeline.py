@@ -35,8 +35,8 @@ from etl_builder_spark.session import load_table
         )
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS total_tokens,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
                COUNT(DISTINCT source) AS n_sources
         FROM deduped

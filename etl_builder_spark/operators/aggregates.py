@@ -213,7 +213,7 @@ def agg_filtered(spark, sf_dir):
 @register(
     "agg_collect_sorted",
     oracle="""
-        SELECT r_name, list_sort(list(n_name)) AS nations
+        SELECT r_name, array_to_string(list_sort(list(n_name)), '|') AS nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
     """,
@@ -221,13 +221,16 @@ def agg_filtered(spark, sf_dir):
 )
 def agg_collect_sorted(spark, sf_dir):
     """Deterministic array agg: bare collect_list is order-nondeterministic
-    across partitions — ALWAYS array_sort it (policy §7.2.4)."""
+    across partitions — ALWAYS array_sort it (policy §7.2.4). The final
+    projection serializes the array with array_join so the result is
+    hashable by pandas-based comparators (driver-canon protocol §7.2.8);
+    the unserialized array form is the same expression minus the join."""
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
         n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name")
-        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"))
     )
 
 

@@ -71,21 +71,34 @@ def asof_join(
     Union-tag rewrite (SURVEY §4.2): right rows sort before left rows at
     equal timestamps (tag 0 < 1) → inclusive at-or-before semantics.
     The right side must already be unique per (key, ts).
+
+    Row-atomicity: all ``right_cols`` are packed into ONE struct and a
+    single ``last(struct, ignorenulls=True)`` is carried, then expanded.
+    Carrying each column through its own ``last(ignorenulls)`` would let
+    the output stitch together values from DIFFERENT right rows whenever
+    a right row holds NULL in one carried column but not another; the
+    struct itself is never NULL for right rows (even if every field is),
+    so each left row gets exactly the columns of its true as-of match.
     """
+    from pyspark.sql import types as T
+
     lcols = [c for c in left.columns if c not in (key, left_ts)]
+    rstruct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     tagged_left = left.select(
         F.col(key),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(rstruct_type).alias("__r"),
     )
     tagged_right = right.select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     w = (
@@ -95,7 +108,7 @@ def asof_join(
     )
     carried = unioned.select(
         "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}") for c in right_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__asof"),
     )
     return (
         carried.where(F.col("__tag") == 1)
@@ -103,7 +116,7 @@ def asof_join(
             F.col(key),
             F.col("__ts").alias(left_ts),
             *[F.col(c) for c in lcols],
-            *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_cols],
+            *[F.col(f"__asof.{c}").alias(f"asof_{c}") for c in right_cols],
         )
     )
 

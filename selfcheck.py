@@ -2,14 +2,29 @@
 """Local replica of the driver's t2 correctness gate (SURVEY.md §5.2).
 
 Runs every declared query's PySpark implementation and its DuckDB
-oracle side-by-side and compares row count, column names, and exact
-(order-insensitive) values — STRICTER than the driver's value-hash:
-any reasonable hash of values that pass here passes there.
+oracle side-by-side and compares row count, column names, and values.
+
+Two value-comparison modes:
+
+* ``parity`` (default) — replicates the DRIVER's canonicalization
+  exactly, as reverse-engineered from CORRECTNESS_r01.json tracebacks:
+  ``toPandas()`` / ``.df()`` → select columns sorted by name →
+  ``sort_values`` on the RAW values (dtype-sensitive; crashes on
+  list/map cells exactly like the driver) → ``astype(str)`` →
+  element-wise equality.  This is dtype-sensitive: DuckDB HUGEINT
+  materializing as float64 ("148.0") vs Spark int64 ("148") FAILS
+  here, as it does in the driver.  Round-1 lesson: the legacy
+  Python-value canon normalized exactly the differences the driver
+  trips on, so six driver-red queries were locally green.
+* ``--legacy`` — the old Python-value canon (fetchall/collect), kept
+  as a secondary semantic check (catches value drift that string
+  formatting could mask).
 
 Usage:
-    python selfcheck.py                       # sf0.01, all queries
+    python selfcheck.py                       # sf0.01, parity mode
     python selfcheck.py --sf /root/testdata/sf0.001
     python selfcheck.py --only agg_pricing_summary,join_asof
+    python selfcheck.py --legacy
 """
 
 from __future__ import annotations
@@ -22,11 +37,67 @@ from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+import pandas as pd
 
 from etl_builder_spark.registry import REGISTRY, _ensure_loaded
 from etl_builder_spark.session import TABLES, get_spark
 
 
+# ---------------------------------------------------------------- parity mode
+def pandas_canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The driver's canonicalization, replicated: sort columns by name,
+    sort rows on raw (dtype-sensitive) values, then stringify."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf.columns) and len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns))
+    return pdf.reset_index(drop=True).astype(str)
+
+
+def check_query_parity(spark, con, name, spec, sf_dir) -> tuple[str, str, float]:
+    t0 = time.time()
+    try:
+        sdf = spec.fn(spark, sf_dir)
+        spdf = sdf.toPandas()
+    except Exception as e:  # noqa: BLE001
+        return "SPARK-ERROR", f"{type(e).__name__}: {str(e)[:400]}", time.time() - t0
+    if spec.oracle is None:
+        return "ROWS-ONLY", f"{len(spdf)} rows", time.time() - t0
+    try:
+        opdf = con.execute(spec.oracle).df()
+    except Exception as e:  # noqa: BLE001
+        return "ORACLE-ERROR", f"{type(e).__name__}: {str(e)[:400]}", time.time() - t0
+    if sorted(spdf.columns) != sorted(opdf.columns):
+        return (
+            "SCHEMA-MISMATCH",
+            f"spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}",
+            time.time() - t0,
+        )
+    if len(spdf) != len(opdf):
+        return "COUNT-MISMATCH", f"spark={len(spdf)} oracle={len(opdf)}", time.time() - t0
+    try:
+        s = pandas_canon(spdf)
+        o = pandas_canon(opdf)
+    except Exception as e:  # noqa: BLE001
+        # The driver's canonicalizer would crash identically (e.g.
+        # "unhashable type: 'list'" on array/map columns) → harness err.
+        return "CANON-ERROR", f"{type(e).__name__}: {str(e)[:200]}", time.time() - t0
+    if not s.equals(o):
+        n_diff = int((s != o).any(axis=1).sum())
+        for col in s.columns:
+            neq = s[col] != o[col]
+            if neq.any():
+                i = int(neq.idxmax())
+                return (
+                    "VALUE-MISMATCH",
+                    f"{n_diff}/{len(s)} rows differ; first: col={col} "
+                    f"spark={s[col][i]!r} oracle={o[col][i]!r}",
+                    time.time() - t0,
+                )
+        return "VALUE-MISMATCH", f"{n_diff}/{len(s)} rows differ", time.time() - t0
+    return "OK", f"{len(spdf)} rows", time.time() - t0
+
+
+# ---------------------------------------------------------------- legacy mode
 def canon(v) -> str:
     """Canonicalize a cell value to a comparable string."""
     if v is None:
@@ -57,7 +128,7 @@ def rows_to_canonical(col_names, rows) -> list[tuple[str, ...]]:
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
-def check_query(spark, con, name, spec, sf_dir) -> tuple[str, str, float]:
+def check_query_legacy(spark, con, name, spec, sf_dir) -> tuple[str, str, float]:
     t0 = time.time()
     try:
         sdf = spec.fn(spark, sf_dir)
@@ -94,6 +165,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--legacy", action="store_true", help="old Python-value canon instead of driver parity"
+    )
     args = ap.parse_args()
 
     _ensure_loaded()
@@ -111,13 +185,14 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
 
+    check = check_query_legacy if args.legacy else check_query_parity
     n_bad = 0
     for name, spec in specs.items():
-        status, detail, dt = check_query(spark, con, name, spec, args.sf)
+        status, detail, dt = check(spark, con, name, spec, args.sf)
         ok = status in ("OK", "ROWS-ONLY")
         n_bad += 0 if ok else 1
-        print(f"{'✓' if ok else '✗'} {name:32s} {status:16s} {dt:6.2f}s  {detail}")
-    print(f"\n{len(specs) - n_bad}/{len(specs)} green")
+        print(f"{'✓' if ok else '✗'} {name:32s} {status:16s} {dt:6.2f}s  {detail}", flush=True)
+    print(f"\n{len(specs) - n_bad}/{len(specs)} green [{'legacy' if args.legacy else 'parity'}]")
     return 1 if n_bad else 0
 
 

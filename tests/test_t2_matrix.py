@@ -1,8 +1,9 @@
 """The t2 matrix: every declared query vs its DuckDB oracle at sf0.001.
 
-This is the same compare the driver runs at sf0.01 (selfcheck.py is
-the sf0.01 replica) — exact values, not hashes, so it is strictly
-stronger than the driver's check.
+Runs the DRIVER-PARITY compare (pandas canonicalization — dtype-
+sensitive, crashes on unserialized complex columns exactly like the
+driver's harness) so that every declared query is gated on the same
+check the driver grades with at sf0.01.
 """
 
 from __future__ import annotations
@@ -10,7 +11,7 @@ from __future__ import annotations
 import pytest
 
 from etl_builder_spark.registry import REGISTRY, _ensure_loaded
-from selfcheck import check_query
+from selfcheck import check_query_parity
 from tests.conftest import SF_DIR
 
 _ensure_loaded()
@@ -19,5 +20,5 @@ _ensure_loaded()
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, oracle, name):
     spec = REGISTRY[name]
-    status, detail, _ = check_query(spark, oracle, name, spec, SF_DIR)
+    status, detail, _ = check_query_parity(spark, oracle, name, spec, SF_DIR)
     assert status in ("OK", "ROWS-ONLY"), f"{name}: {status} — {detail}"
