@@ -11,7 +11,10 @@ from datetime import datetime, timedelta
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from etl_builder_spark.llm.cluster import connected_components_min_label
+from etl_builder_spark.llm.cluster import (
+    connected_components_min_label,
+    connected_components_star,
+)
 from etl_builder_spark.operators.asof import asof_join
 from etl_builder_spark.operators.skew import salted_join
 
@@ -94,6 +97,79 @@ def test_connected_components_match_union_find(spark, edges):
         union(s, d)
     expect = {n: find(n) for n in parent}
     assert got == expect
+
+
+def test_star_components_match_union_find(spark):
+    # 20 seeded random graphs fused into ONE disjoint graph (node ids
+    # offset by 1000*i) so a single star run — iterative Spark jobs are
+    # the cost — validates all of them against union-find at once.
+    # Includes self-loops, dup edges, chains, and dense blobs.
+    import random
+
+    rng = random.Random(20260813)
+    edges: list[tuple[int, int]] = []
+    for g in range(20):
+        base = 1000 * g
+        n_nodes = rng.randint(2, 12)
+        n_edges = rng.randint(1, 18)
+        for _ in range(n_edges):
+            edges.append(
+                (base + rng.randint(0, n_nodes - 1), base + rng.randint(0, n_nodes - 1))
+            )
+    edf = spark.createDataFrame(edges, schema="src long, dst long")
+    got = {
+        r["node"]: r["component"] for r in connected_components_star(edf).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    n_real = 0
+    for s, d in edges:
+        if s != d:
+            union(s, d)
+            n_real += 1
+    assert n_real > 0
+    # star components cover only non-isolated nodes (self-loops dropped)
+    expect = {n: find(n) for n in parent}
+    assert got == expect
+
+
+def test_min_label_raises_on_nonconvergence(spark):
+    # a 6-node chain has diameter 5 > max_iter=2 → must not silently
+    # return partial labels
+    import pytest as _pytest
+
+    from etl_builder_spark.llm.cluster import NonConvergedError
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], schema="src long, dst long"
+    )
+    with _pytest.raises(NonConvergedError):
+        connected_components_min_label(chain, max_iter=2)
+    # warn mode returns (partial) labels instead
+    with _pytest.warns(RuntimeWarning):
+        out = connected_components_min_label(chain, max_iter=2, on_nonconverged="warn")
+        assert out.count() == 6
+
+
+def test_star_handles_long_chain(spark):
+    # diameter-31 chain: min-label would need 31 rounds; star needs O(log²)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], schema="src long, dst long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components_star(chain).collect()}
+    assert got == {i: 0 for i in range(32)}
 
 
 facts = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=0, max_size=20)
