@@ -2,13 +2,18 @@
 binary + typed metadata; decode / feature-extract / resize /
 frame-sample as Arrow-batched pandas functions over mapInPandas).
 
-The image/audio codec libraries are not in this container, so the
-DECODE step is stubbed: ``decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder
-(seeded by the content hash) produces stable pseudo-pixels. Everything
-around the stub — the binary column representation, the metadata
-struct, the mapInPandas batch plumbing, partitioning, and output
-schemas — is real and tested (tests/test_multimodal.py).
+DECODE is REAL for formats parseable with numpy alone — PPM (P6),
+24-bit BMP, PCM-16 WAV (llm/codecs.py, pure numpy, golden-byte
+tested). Formats that need codec libraries absent from this container
+(JPEG/PNG/MP3) raise ``UnsupportedCodecError``; ``fake=True`` keeps
+the round-1 deterministic stand-in for payloads that are not real
+media (e.g. text bytes used as plumbing fixtures).
+
+The declared query ``multimodal_decode_meta`` proves the decode path
+end-to-end against an EXACT SQL oracle: encode deterministic
+constant-color P6 images (dims and channel values are closed-form in
+doc_id), decode the actual bytes back, and check parsed dims / channel
+means / byte counts against the closed form.
 
 100 TB posture: binaries stay opaque through the relational layers
 (never SELECT them unless the operator consumes bytes — column
@@ -26,6 +31,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -96,14 +103,24 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = False, dim: int = 16) -> np.ndarray:
-    """STUB: real image decode needs PIL/libjpeg — not in this
-    container. The Spark-side plumbing calls this per payload."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True "
-            "for the deterministic stand-in decoder"
-        )
-    return _fake_decode(payload, dim)
+    """Decode an image payload to a feature vector.
+
+    Real path: PPM (P6) and 24-bit BMP parse via the pure-numpy codecs
+    (llm/codecs.py) and featurize with ``image_features`` (16-dim).
+    JPEG/PNG would need libjpeg/libpng — absent here — so unknown
+    formats raise ``UnsupportedCodecError`` (a NotImplementedError)
+    unless ``fake=True``, which substitutes the deterministic
+    content-hash-seeded stand-in (for non-media plumbing fixtures)."""
+    from etl_builder_spark.llm.codecs import UnsupportedCodecError, decode_image_pixels, image_features
+
+    try:
+        pixels = decode_image_pixels(payload)
+    except UnsupportedCodecError:
+        if fake:
+            return _fake_decode(payload, dim)
+        raise
+    feats = image_features(pixels)
+    return feats[:dim] if dim <= len(feats) else np.pad(feats, (0, dim - len(feats)))
 
 
 def decode_features(assets: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
@@ -146,6 +163,87 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_sha": shas})
 
     return assets.select("asset_id", "duration_ms", "payload").mapInPandas(frames, FRAME_SCHEMA)
+
+
+def synthetic_ppm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image payloads: one constant-color P6 PPM per document,
+    dims and channel values closed-form in doc_id (so decode output is
+    exactly predictable). Encode runs in mapInPandas — at scale this is
+    the same Arrow-batched seam any ingest-side transcoder would use."""
+    from etl_builder_spark.llm.codecs import encode_ppm
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 16 + 1, did % 8 + 1
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = (did * 7) % 256
+                px[:, :, 1] = (did * 13) % 256
+                px[:, :, 2] = (did * 29) % 256
+                payloads.append(encode_ppm(px))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    return d.mapInPandas(encode, "asset_id long, payload binary")
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+               CAST(doc_id % 8 + 1 AS INTEGER) AS height,
+               (doc_id % 16 + 1) * (doc_id % 8 + 1) AS n_pixels,
+               CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_r,
+               CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_g,
+               CAST((doc_id * 29) % 256 AS DOUBLE) AS mean_b,
+               length(concat('P6', chr(10),
+                             CAST(doc_id % 16 + 1 AS VARCHAR), ' ',
+                             CAST(doc_id % 8 + 1 AS VARCHAR), chr(10),
+                             '255', chr(10)))
+                   + 3 * (doc_id % 16 + 1) * (doc_id % 8 + 1) AS n_bytes
+        FROM documents
+    """,
+    tags=("I9", "multimodal"),
+)
+def multimodal_decode_meta(spark, sf_dir):
+    """End-to-end REAL decode check: encode one deterministic
+    constant-color PPM per document, then parse the actual bytes back
+    (header tokenizer + raster) and report dims / channel means /
+    payload size. The oracle states the same values in closed form —
+    if the byte-level encode or decode drifts by even one byte,
+    n_bytes or the means diverge."""
+    from etl_builder_spark.llm.codecs import decode_ppm
+
+    assets = synthetic_ppm_assets(spark, sf_dir)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "width", "height", "n_pixels",
+                                   "mean_r", "mean_g", "mean_b", "n_bytes")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                px = decode_ppm(data)
+                h, w = px.shape[:2]
+                out["asset_id"].append(int(aid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_r"].append(float(px[:, :, 0].mean()))
+                out["mean_g"].append(float(px[:, :, 1].mean()))
+                out["mean_b"].append(float(px[:, :, 2].mean()))
+                out["n_bytes"].append(len(data))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        decode,
+        "asset_id long, width int, height int, n_pixels long, "
+        "mean_r double, mean_g double, mean_b double, n_bytes long",
+    )
 
 
 def resize_meta(assets: DataFrame, max_side: int = 256) -> DataFrame:

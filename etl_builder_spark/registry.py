@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.llm.fingerprint  # noqa: F401
     import etl_builder_spark.llm.ivf  # noqa: F401
     import etl_builder_spark.llm.langid  # noqa: F401
+    import etl_builder_spark.llm.multimodal  # noqa: F401
     import etl_builder_spark.llm.sampling  # noqa: F401
     import etl_builder_spark.llm.similarity  # noqa: F401
     import etl_builder_spark.llm.text  # noqa: F401
