@@ -90,6 +90,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.window_frames  # noqa: F401
     import etl_builder_spark.operators.windows  # noqa: F401
     import etl_builder_spark.quality  # noqa: F401
+    import etl_builder_spark.sources.roundtrip  # noqa: F401
     import etl_builder_spark.streaming.batch_twins  # noqa: F401
     import etl_builder_spark.udfs  # noqa: F401
 

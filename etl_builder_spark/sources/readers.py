@@ -46,17 +46,20 @@ def read_json(
     path: str,
     schema: StructType,
     multiline: bool = False,
+    timestamp_format: str | None = None,
     mode: str = "FAILFAST",
 ) -> DataFrame:
     """JSON-lines with an explicit schema (multiline only for
     whole-file documents — it is not splittable, so keep files small
     when it is on)."""
-    return (
+    reader = (
         spark.read.schema(schema)
         .option("multiLine", str(multiline).lower())
         .option("mode", mode)
-        .json(path)
     )
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.json(path)
 
 
 def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:

@@ -1,0 +1,88 @@
+"""A3 declared coverage: CSV and JSON readers proven by round-trip.
+
+Round 1 covered the CSV/JSON/text readers with pytest only; this
+declares a CORRECTNESS-row query: write an orders slice to BOTH csv
+and json-lines, read each back through the explicit-schema readers
+(sources/readers.py — never inferSchema), and return the union tagged
+by source format. The oracle reads the same slice straight from
+parquet — so any value the text formats mangle (double formatting,
+timestamp parsing, quoting) diverges from ground truth.
+
+Timestamp discipline: the format is pinned (yyyy-MM-dd HH:mm:ss) on
+write AND read; doubles rely on Java's round-trip-exact
+Double.toString ↔ parse pair.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+from etl_builder_spark.sources.readers import read_csv, read_json
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+_SLICE_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_orderdate", TimestampType()),
+    ]
+)
+
+
+@register(
+    "roundtrip_csv_json",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+            FROM orders WHERE o_orderkey < 2000
+        )
+        SELECT 'csv' AS src, * FROM base
+        UNION ALL
+        SELECT 'json' AS src, * FROM base
+    """,
+    tags=("A3",),
+)
+def roundtrip_csv_json(spark, sf_dir):
+    """orders slice → csv + json-lines on disk → explicit-schema read
+    back → union tagged by format; oracle is the parquet ground truth."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        )
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), "etl_builder_spark_roundtrip", os.path.basename(sf_dir.rstrip("/"))
+    )
+    csv_path, json_path = os.path.join(root, "csv"), os.path.join(root, "json")
+    base.write.mode("overwrite").option("header", "true").option(
+        "timestampFormat", _TS_FMT
+    ).csv(csv_path)
+    base.write.mode("overwrite").option("timestampFormat", _TS_FMT).json(json_path)
+
+    from_csv = read_csv(spark, csv_path, _SLICE_SCHEMA, timestamp_format=_TS_FMT)
+    from_json = read_json(spark, json_path, _SLICE_SCHEMA, timestamp_format=_TS_FMT)
+    return from_csv.withColumn("src", F.lit("csv")).unionByName(
+        from_json.withColumn("src", F.lit("json"))
+    )
