@@ -151,6 +151,54 @@ def text_quality_score(spark, sf_dir):
 
 
 @register(
+    "text_pii_scrub",
+    oracle="""
+        WITH synth AS (
+            SELECT doc_id,
+                   concat('contact user', CAST(doc_id AS VARCHAR),
+                          '@corp.example or +1-555-', CAST(doc_id % 10000 AS VARCHAR),
+                          ' re: ', substring(text, 1, 60)) AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                   '\\+?[0-9][0-9-]{5,}', '<PHONE>', 'g') AS scrubbed,
+               len(regexp_extract_all(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS n_emails,
+               len(regexp_extract_all(raw, '\\+?[0-9][0-9-]{5,}')) AS n_phones
+        FROM synth
+    """,
+    tags=("I-pii",),
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII masking for training-data hygiene: email and phone patterns
+    replaced with type tags, plus per-doc match counts. Patterns stay
+    in the POSIX-common regex subset (Java ↔ RE2 safe, §7.2.7); the
+    fixture plants one synthetic email + phone per doc so the scrub is
+    value-checked, and the doc text tail can contribute real matches.
+    Scan-fused expression work — zero shuffles at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@corp.example or +1-555-"),
+        (F.col("doc_id") % 10000).cast("string"),
+        F.lit(" re: "),
+        F.substring("text", 1, 60),
+    )
+    email = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+    phone = r"\+?[0-9][0-9-]{5,}"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(raw, F.lit(email), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(phone), 0)).cast("long").alias("n_phones"),
+    )
+
+
+@register(
     "text_lang_profile",
     oracle="""
         SELECT lang,

@@ -66,10 +66,12 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.functions.udtf_ops  # noqa: F401
     import etl_builder_spark.llm.cluster  # noqa: F401
     import etl_builder_spark.llm.dedup  # noqa: F401
+    import etl_builder_spark.llm.embeddings  # noqa: F401
     import etl_builder_spark.llm.fingerprint  # noqa: F401
     import etl_builder_spark.llm.ivf  # noqa: F401
     import etl_builder_spark.llm.langid  # noqa: F401
     import etl_builder_spark.llm.multimodal  # noqa: F401
+    import etl_builder_spark.llm.packing  # noqa: F401
     import etl_builder_spark.llm.sampling  # noqa: F401
     import etl_builder_spark.llm.similarity  # noqa: F401
     import etl_builder_spark.llm.text  # noqa: F401
