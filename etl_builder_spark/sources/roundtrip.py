@@ -86,3 +86,38 @@ def roundtrip_csv_json(spark, sf_dir):
     return from_csv.withColumn("src", F.lit("csv")).unionByName(
         from_json.withColumn("src", F.lit("json"))
     )
+
+
+@register(
+    "roundtrip_orc",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("A3", "A4"),
+)
+def roundtrip_orc(spark, sf_dir):
+    """Same slice through ORC (footer-carried schema, binary-exact
+    types — no text-format pinning needed); oracle is the parquet
+    ground truth, so the check is writer+reader value fidelity."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "etl_builder_spark_roundtrip",
+        os.path.basename(sf_dir.rstrip("/")),
+        "orc",
+    )
+    base.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
