@@ -78,6 +78,92 @@ def stream_sliding_1h_15m(spark, sf_dir):
 
 
 @register(
+    "stream_tumbling_1h_live",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS ws,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    tags=("J1", "live-stream"),
+)
+def stream_tumbling_1h_live(spark, sf_dir):
+    """J1 as an ACTUAL Structured Streaming run — readStream file
+    source → tumbling event-time agg → availableNow trigger → memory
+    sink — not the batch twin. Complete-mode output over a fully
+    replayed source equals the batch aggregation, so the exact oracle
+    carries over; this puts readStream/writeStream execution itself
+    under the t2 hash check."""
+    from etl_builder_spark.streaming.runtime import run_to_memory, stream_events
+
+    events = stream_events(spark, _staged_events_dir(sf_dir))
+    agg = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(money("value")).cast("double").alias("total_value"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+def _staged_events_dir(sf_dir):
+    """Stage events.parquet into a directory for the file-stream source
+    (it replays directories, not single files)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    stage = _os.path.join(
+        _tempfile.gettempdir(), "etl_builder_spark_stream", _os.path.basename(sf_dir.rstrip("/"))
+    )
+    _os.makedirs(stage, exist_ok=True)
+    dst = _os.path.join(stage, "events.parquet")
+    src = _os.path.join(sf_dir, "events.parquet")
+    if not _os.path.exists(dst) or _os.path.getmtime(dst) < _os.path.getmtime(src):
+        _shutil.copy(src, dst)
+    return stage
+
+
+@register(
+    "stream_interval_join_live",
+    oracle="""
+        SELECT s.user_id,
+               s.event_id AS signup_event_id,
+               p.event_id AS purchase_event_id
+        FROM events s
+        JOIN events p
+          ON s.user_id = p.user_id
+         AND s.event_type = 'signup'
+         AND p.event_type = 'purchase'
+         AND p.ts >= s.ts
+         AND p.ts <= s.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("J-join", "live-stream"),
+)
+def stream_interval_join_live(spark, sf_dir):
+    """Stream-stream interval join executed as a REAL streaming query
+    (watermarked state on both sides, availableNow replay, append
+    sink). A full single-pass replay emits every match exactly once —
+    the batch interval-join oracle checks it value-for-value."""
+    from etl_builder_spark.streaming.runtime import (
+        run_to_memory,
+        stream_events,
+        stream_stream_interval_join,
+    )
+
+    events = stream_events(spark, _staged_events_dir(sf_dir))
+    return run_to_memory(stream_stream_interval_join(events), mode="append")
+
+
+@register(
     "stream_session_gap_30m",
     oracle="""
         WITH marked AS (
