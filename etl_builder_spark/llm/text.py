@@ -151,6 +151,78 @@ def text_quality_score(spark, sf_dir):
 
 
 @register(
+    "vocab_top_tokens",
+    oracle="""
+        WITH counts AS (
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+            WHERE token <> ''
+            GROUP BY token
+        )
+        SELECT token, n, token_id FROM (
+            SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS token_id
+            FROM counts
+        ) WHERE token_id <= 500
+    """,
+    tags=("I-vocab",),
+)
+def vocab_top_tokens(spark, sf_dir):
+    """Vocabulary construction: top-500 tokens by frequency with dense
+    id assignment (count desc, token tiebreak — fully deterministic).
+    The global ranking window runs on the AGGREGATED count table —
+    |vocabulary| rows, not |corpus| — so the single-partition window is
+    bounded by vocab size at any corpus scale."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = tokens(d).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), "token")
+    return counts.withColumn("token_id", F.row_number().over(w)).where(
+        F.col("token_id") <= 500
+    )
+
+
+@register(
+    "text_ngrams_trigram",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+            FROM documents WHERE doc_id < 100
+        ),
+        tris AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(t) - 1),
+                                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS g
+            FROM toks WHERE len(t) >= 3
+        )
+        SELECT doc_id,
+               CAST(generate_subscripts(g, 1) AS INTEGER) AS pos,
+               unnest(g) AS trigram
+        FROM tris
+    """,
+    tags=("I-ngrams",),
+)
+def text_ngrams_trigram(spark, sf_dir):
+    """Word trigram generation with positions (shingling for n-gram LMs
+    and near-dup features): expression-only sequence/transform then
+    posexplode — the explode is the only row amplification (×n_tokens),
+    no shuffle until whatever aggregates downstream."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    return (
+        d.where(F.size(t) >= 3)
+        .select("doc_id", F.posexplode(tri).alias("pos0", "trigram"))
+        .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "trigram")
+    )
+
+
+@register(
     "text_pii_scrub",
     oracle="""
         WITH synth AS (
