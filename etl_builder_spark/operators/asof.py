@@ -57,6 +57,61 @@ def join_interval(spark, sf_dir):
     )
 
 
+@register(
+    "join_interval_bucketed",
+    oracle="""
+        SELECT s.user_id,
+               s.event_id AS signup_event_id,
+               p.event_id AS purchase_event_id,
+               epoch_us(p.ts) - epoch_us(s.ts) AS delay_us
+        FROM events s
+        JOIN events p
+          ON s.user_id = p.user_id
+         AND s.event_type = 'signup'
+         AND p.event_type = 'purchase'
+         AND p.ts >= s.ts
+         AND p.ts <= s.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("C9", "scale-path"),
+)
+def join_interval_bucketed(spark, sf_dir):
+    """The 100 TB formulation of join_interval, value-checked against
+    the SAME oracle as the naive form: bucket time into interval-width
+    (30 min) buckets, replicate each signup into its bucket and the
+    next (a ≤30-min-later purchase can only land there), equi-join on
+    (user_id, bucket), then apply the exact range residual. The join
+    key now bounds the per-key candidate set by bucket occupancy
+    instead of per-user event count — hot users no longer quadratically
+    amplify the probe side. Each matching pair survives exactly once
+    because the purchase's bucket equals exactly one of the two signup
+    replicas."""
+    bucket_us = 30 * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events")
+
+    def b(col):
+        return F.floor(F.unix_micros(col) / F.lit(float(bucket_us))).cast("long")
+
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .withColumn("__b0", b(F.col("ts")))
+        .withColumn("__b", F.explode(F.array(F.col("__b0"), F.col("__b0") + 1)))
+        .alias("s")
+    )
+    p = e.where(F.col("event_type") == "purchase").withColumn("__b", b(F.col("ts"))).alias("p")
+    cond = (
+        (F.col("s.user_id") == F.col("p.user_id"))
+        & (F.col("s.__b") == F.col("p.__b"))
+        & (F.col("p.ts") >= F.col("s.ts"))
+        & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return s.join(p, cond).select(
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.event_id").alias("signup_event_id"),
+        F.col("p.event_id").alias("purchase_event_id"),
+        (F.unix_micros(F.col("p.ts")) - F.unix_micros(F.col("s.ts"))).alias("delay_us"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
