@@ -89,6 +89,42 @@ def roundtrip_csv_json(spark, sf_dir):
 
 
 @register(
+    "roundtrip_schema_evolution",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey < 1000
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    """,
+    tags=("A4", "schema-evolution"),
+)
+def roundtrip_schema_evolution(spark, sf_dir):
+    """Schema evolution under mergeSchema: a v1 file set without
+    o_totalprice and a v2 set with it read together; v1 rows surface
+    NULL for the added column. Oracle states the union with the
+    explicit NULL — so the merged read's value semantics, not just its
+    schema, are checked."""
+    orders = load_table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "etl_builder_spark_roundtrip",
+        os.path.basename(sf_dir.rstrip("/")),
+        "evolution",
+    )
+    v1 = orders.where(F.col("o_orderkey") < 1000).select("o_orderkey", "o_orderstatus")
+    v2 = orders.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "v1"), os.path.join(root, "v2")
+    )
+    return merged.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
     "roundtrip_orc",
     oracle="""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
