@@ -249,3 +249,38 @@ def fn_json(spark, sf_dir):
         F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
         F.get_json_object("props", "$.missing").isNull().alias("missing_absent"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey & 255 AS key_and,
+               l_orderkey | 4096 AS key_or,
+               xor(l_orderkey, l_partkey) AS key_xor,
+               l_orderkey << 3 AS key_shl,
+               l_orderkey >> 2 AS key_shr,
+               ~l_orderkey AS key_not,
+               bit_count(l_orderkey) AS key_popcount
+        FROM lineitem
+        WHERE l_orderkey < 400
+    """,
+    tags=("H8",),
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise family over 64-bit keys (hash bucketing / bitmap-flag
+    workloads): and/or/xor, shifts, complement, popcount — all JVM
+    expressions with exact cross-engine integer semantics."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 400)
+    k = F.col("l_orderkey")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseOR(F.lit(4096)).alias("key_or"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
+        F.shiftleft(k, 3).alias("key_shl"),
+        F.shiftright(k, 2).alias("key_shr"),
+        F.bitwise_not(k).alias("key_not"),
+        F.bit_count(k).alias("key_popcount"),
+    )

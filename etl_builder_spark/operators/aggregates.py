@@ -342,3 +342,40 @@ def unpivot_melt(spark, sf_dir):
         F.col("p_retailprice"),
     )
     return p.unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "val")
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+        WITH counts AS (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        )
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY n DESC, o_orderpriority) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    """,
+    tags=("D-mode",),
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Deterministic mode (most frequent value per group): built-in
+    F.mode breaks frequency ties arbitrarily, so the engine computes
+    count-then-max_by over a (n, value) struct with a value tiebreak —
+    two shuffle-bounded aggregations, order-insensitive, exactly what
+    the SQL window oracle states."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    # min_by over the struct (-n, priority): struct comparison is
+    # lexicographic, so the minimum is the row with the LARGEST count,
+    # ties broken by the lexicographically smallest priority — total
+    # order, no arbitrary tie behavior
+    best = counts.groupBy("o_orderstatus").agg(
+        F.min_by(
+            F.struct(F.col("o_orderpriority").alias("mode_priority"), F.col("n").alias("mode_count")),
+            F.struct((-F.col("n")).alias("neg_n"), F.col("o_orderpriority")),
+        ).alias("m")
+    )
+    return best.select("o_orderstatus", "m.mode_priority", "m.mode_count")
