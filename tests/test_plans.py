@@ -62,3 +62,37 @@ def test_agg_has_partial_phase(spark):
 def test_semi_anti_plan_as_joins(spark):
     assert "LeftSemi" in plan(spark, "join_semi")
     assert "LeftAnti" in plan(spark, "join_anti")
+
+
+def test_scan_shaped_llm_ops_have_no_exchange(spark):
+    # expression-only operators must stay scan-shaped: zero shuffles
+    for name in ("embed_normalize_quantize", "text_pii_scrub", "text_quality_score"):
+        p = plan(spark, name)
+        assert "Exchange" not in p, f"{name} grew a shuffle"
+
+
+def test_packing_is_single_shuffle(spark):
+    p = plan(spark, "pack_context_windows")
+    # count tree nodes, not the per-operator detail section re-mentions
+    assert p.count("+- Exchange") == 1  # one hash partition on lang
+    assert "Window" in p
+
+
+def test_vocab_window_runs_on_aggregated_counts(spark):
+    # the global ranking window must sit ABOVE the token-count
+    # aggregation (|vocab| rows), not over the raw token stream
+    p = plan(spark, "vocab_top_tokens")
+    agg_pos = p.find("HashAggregate")
+    win_pos = p.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted plans list operators root-first: Window above the agg
+    # appears EARLIER in the text
+    assert win_pos < agg_pos
+
+
+def test_bucketed_interval_join_is_equi_hash(spark):
+    # the scale formulation must plan an equi-join (hash/sort-merge on
+    # user_id+bucket), NOT a broadcast-nested-loop over the range
+    p = plan(spark, "join_interval_bucketed")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
