@@ -65,6 +65,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.functions.sketches  # noqa: F401
     import etl_builder_spark.functions.udtf_ops  # noqa: F401
     import etl_builder_spark.llm.cluster  # noqa: F401
+    import etl_builder_spark.llm.curation  # noqa: F401
     import etl_builder_spark.llm.dedup  # noqa: F401
     import etl_builder_spark.llm.embeddings  # noqa: F401
     import etl_builder_spark.llm.fingerprint  # noqa: F401
