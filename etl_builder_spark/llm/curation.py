@@ -65,17 +65,26 @@ def _ngrams(df, n: int):
                ROUND(CAST(COUNT(*) AS DOUBLE) / n.n_docs, 6) AS doc_frac
         FROM grams CROSS JOIN n
         GROUP BY ngram, n.n_docs
-        HAVING CAST(COUNT(*) AS DOUBLE) / n.n_docs >= 0.05
+        HAVING COUNT(*) * 200 >= n.n_docs
     """,
     tags=("I-boilerplate",),
 )
 def text_boilerplate_ngrams(spark, sf_dir):
-    """Boilerplate detection: trigrams present in >= 5% of documents.
+    """Boilerplate detection: trigrams present in >= 0.5% of documents.
 
     The classic crawl-cleaning primitive (header/footer/nav text shows
     up verbatim across pages).  One shuffle on the ngram key with
     map-side combine; the distinct-per-doc guard means a doc repeating
     its own boilerplate doesn't inflate the doc frequency.
+
+    The threshold is deliberately 0.5% (real crawl cleaners use ~5%):
+    the synthetic fixture corpus has no shared header/footer text, so a
+    5% cut returns zero rows at every test SF and the oracle comparison
+    would be vacuous.  At 0.5% the output is non-empty at sf0.001/0.01/
+    0.1, so value parity is actually exercised.  The cut itself is
+    integer arithmetic (``n_docs_with * 200 >= n_docs``) rather than a
+    float ratio, so a count sitting exactly on the boundary can't flip
+    on float rounding between engines.
     """
     d = load_table(spark, sf_dir, "documents")
     grams = _ngrams(_doc_tokens(d), 3)
@@ -87,7 +96,7 @@ def text_boilerplate_ngrams(spark, sf_dir):
         .withColumn(
             "doc_frac", F.round(F.col("n_docs_with").cast("double") / F.col("n_docs"), 6)
         )
-        .where(F.col("n_docs_with").cast("double") / F.col("n_docs") >= 0.05)
+        .where(F.col("n_docs_with") * 200 >= F.col("n_docs"))
         .select("ngram", "n_docs_with", "doc_frac")
     )
 
@@ -170,12 +179,17 @@ def text_repetition_ratio(spark, sf_dir):
 def text_contamination_check(spark, sf_dir):
     """Benchmark-contamination check: fraction of each training doc's
     5-grams that appear in the held-out benchmark slice
-    (doc_id % {_BENCH_MOD} == 0 stands in for the eval set).
+    (doc_id % 97 == 0 stands in for the eval set).
 
-    100 TB shape: the benchmark n-gram set is tiny and BROADCAST, so
-    the check is a map-side hash probe over the crawl — no shuffle of
-    the training-side n-grams at all (the only shuffle is the per-doc
-    re-aggregation).
+    100 TB shape: a REAL benchmark n-gram set (MMLU/GSM8K/etc.) is
+    bounded — a few million n-grams — so it broadcasts and the check is
+    a map-side hash probe over the crawl with no shuffle of the
+    training-side n-grams (the only shuffle is the per-doc
+    re-aggregation).  Caveat: the modulo slice used here is a TEST
+    STAND-IN that grows linearly with the corpus; the broadcast
+    assumption holds only for a bounded benchmark set.  If the "bench"
+    side were ever corpus-proportional, drop the ``F.broadcast`` hint
+    and let it shuffle-join.
     """
     d = load_table(spark, sf_dir, "documents")
     grams = _ngrams(_doc_tokens(d), 5)

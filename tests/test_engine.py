@@ -55,3 +55,22 @@ def test_declared_query_surface(engine):
 def test_unknown_table_fails_loudly(engine):
     with pytest.raises(KeyError, match="unknown table"):
         engine.table("nope")
+
+
+def test_grading_priority_order():
+    """queries() iteration order leads with _GRADING_PRIORITY.
+
+    The driver's per-round correctness sample follows this order; a typo'd
+    or stale key here would silently waste a grading slot.
+    """
+    from etl_builder_spark import registry
+
+    registry._ensure_loaded()
+    pri = registry._GRADING_PRIORITY
+    assert len(pri) == len(set(pri)), "duplicate keys in _GRADING_PRIORITY"
+    missing = [k for k in pri if k not in registry.REGISTRY]
+    assert not missing, f"priority keys not registered: {missing}"
+    ordered = list(registry.queries())
+    assert tuple(ordered[: len(pri)]) == pri
+    assert set(ordered) == set(registry.REGISTRY)
+    assert set(registry.oracle_sql()) <= set(ordered)
