@@ -77,44 +77,35 @@ def dedup_exact_normalized(spark, sf_dir):
     ).drop("norm_text")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-        WITH docs AS (
-            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 100
-        ),
-        shingles AS (
-            SELECT DISTINCT doc_id, token
-            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs) t
-            WHERE token <> ''
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-            FROM shingles a JOIN shingles b
-              ON a.token = b.token AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT id_a, id_b, n_common,
-               sa.n AS n_a, sb.n AS n_b,
-               ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
-    """,
-    tags=("I-jaccard",),
-)
-def dedup_ngram_jaccard(spark, sf_dir):
-    """Word-shingle Jaccard near-dup, exact pairwise formulation on a
-    bounded slice — the oracle-checkable twin of MinHash-LSH (which
-    approximates exactly this measure at scale)."""
+#: Absolute doc-frequency ceiling for the token-inverted-index join:
+#: a token present in more than this many documents is dropped before
+#: pairing.  This bounds the candidate-pair blowup — per-token pairs
+#: are at most DF_CEILING², so total candidates ≤ |vocab| · DF_CEILING²
+#: regardless of corpus size (a crawl-scale stopword shared by 10⁶
+#: docs would otherwise emit 10¹² pairs on its own).  The constant is
+#: far above any df reachable at the test SFs (max measured df = 85),
+#: so the guard provably does not change results under the oracle — it
+#: exists purely as the scale clamp.  Real deployments set it to taste
+#: (or feed the text_boilerplate_ngrams output in as the drop list).
+DF_CEILING = 10_000
+
+
+def _ngram_jaccard(spark, sf_dir, df_ceiling: int = DF_CEILING):
+    """Shared body for dedup_ngram_jaccard; ``df_ceiling`` is exposed
+    so tests can exercise the guard at fixture scale."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     sh = (
         d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .where(F.col("token") != "")
         .distinct()
     )
+    keep = (
+        sh.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= df_ceiling)
+        .select("token")
+    )
+    sh = sh.join(F.broadcast(keep), "token")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -139,6 +130,57 @@ def dedup_ngram_jaccard(spark, sf_dir):
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 100
+        ),
+        raw_shingles AS (
+            SELECT DISTINCT doc_id, token
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs) t
+            WHERE token <> ''
+        ),
+        keep AS (
+            SELECT token FROM raw_shingles
+            GROUP BY token HAVING COUNT(*) <= {DF_CEILING}
+        ),
+        shingles AS (
+            SELECT s.doc_id, s.token FROM raw_shingles s JOIN keep USING (token)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM shingles a JOIN shingles b
+              ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, n_common,
+               sa.n AS n_a, sb.n AS n_b,
+               ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+    tags=("I-jaccard",),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-shingle Jaccard near-dup, exact pairwise formulation on a
+    bounded slice — the oracle-checkable twin of MinHash-LSH (which
+    approximates exactly this measure at scale).
+
+    Candidate-set bound: tokens with doc frequency above ``DF_CEILING``
+    are dropped before the inverted-index self-join (both here and in
+    the oracle, in lock-step), so per-token candidate pairs are capped
+    at DF_CEILING² and the join can never go quadratic in corpus size
+    on a hot token.  Jaccard is computed over the SURVIVING token
+    universe (sizes come from the filtered shingle set), keeping the
+    measure internally consistent.
+    """
+    return _ngram_jaccard(spark, sf_dir, DF_CEILING)
 
 
 @register(

