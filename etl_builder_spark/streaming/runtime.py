@@ -52,6 +52,18 @@ def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int | N
 def run_to_memory(sdf: DataFrame, mode: str = "complete", timeout_s: int = 120) -> DataFrame:
     """Execute a streaming frame to completion (availableNow) into a
     memory sink; return the sink table as a batch DataFrame."""
+    return run_to_memory_with_progress(sdf, mode, timeout_s)[0]
+
+
+def run_to_memory_with_progress(
+    sdf: DataFrame, mode: str = "complete", timeout_s: int = 120
+) -> tuple[DataFrame, list[dict]]:
+    """Like run_to_memory, but also return the per-micro-batch progress
+    dicts so callers can assert on state-operator metrics — notably
+    ``numRowsDroppedByWatermark``, the only observable record of rows
+    the watermark discarded (they appear in no sink)."""
+    import json
+
     name = f"mem_{uuid.uuid4().hex[:10]}"
     q = (
         sdf.writeStream.format("memory")
@@ -62,7 +74,8 @@ def run_to_memory(sdf: DataFrame, mode: str = "complete", timeout_s: int = 120) 
         .start()
     )
     q.awaitTermination(timeout_s)
-    return sdf.sparkSession.table(name)
+    progress = [p if isinstance(p, dict) else json.loads(p.json) for p in q.recentProgress]
+    return sdf.sparkSession.table(name), progress
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -49,9 +49,22 @@ def udf_pandas_scalar(spark, sf_dir):
 @pandas_udf(DoubleType())
 def cents_mean(v: pd.Series) -> float:
     """Order-free mean of a 2-dp column: sum exact int64 cents, divide
-    once. Matches CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/COUNT."""
-    cents = (v * 100).round().astype("int64")
-    return float(cents.sum()) / 100.0 / len(v)
+    once. Matches CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/COUNT.
+
+    Contract: inputs must carry at most 2 decimal places (currency-like
+    fixtures such as events.value). Anything finer would be silently
+    truncated by the cents quantization, so the UDF verifies the
+    round-trip per Arrow batch and raises instead of returning a
+    quietly-wrong mean.
+    """
+    cents = (v * 100).round()
+    if not ((cents / 100.0 - v).abs() < 1e-9).all():
+        bad = v[(cents / 100.0 - v).abs() >= 1e-9].iloc[0]
+        raise ValueError(
+            f"cents_mean requires <=2 decimal places; got {bad!r} — "
+            "use a float mean or widen the fixed-point scale"
+        )
+    return float(cents.astype("int64").sum()) / 100.0 / len(v)
 
 
 @pandas_udf(LongType())

@@ -158,3 +158,73 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     )
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_watermark_drops_exact_late_row_count(spark, tmp_path):
+    """J4 value-level check: deterministic three-file out-of-order
+    replay (new → bridge → old, mtime-pinned, one file per batch)
+    where the EXACT watermark-dropped count and the EXACT emitted row
+    total are computed independently in pandas from the watermark
+    algebra.  If late rows ever leaked into the windowed aggregate,
+    both assertions fail.
+
+    Two measured Spark behaviors the expectations encode:
+    - the late filter in batch N uses the watermark in effect BEFORE
+      batch N-1's update is applied, i.e. one batch of lag beyond the
+      progress-reported value — hence the bridge file, which burns a
+      batch so the old file meets an already-effective watermark;
+    - ``numRowsDroppedByWatermark`` counts rows AFTER map-side partial
+      aggregation, so the expected count is the number of distinct
+      late (window, event_type) groups in the old file (one input
+      partition per 500-row file → one partial row per group), not its
+      raw row count.
+    """
+    import pandas as pd
+
+    d = tmp_path / "late_exact"
+    d.mkdir()
+    t = pq.read_table(EVENTS)
+    order = pc.sort_indices(t.column("ts"))
+    half = t.num_rows // 2
+    newest = t.take(order.slice(half))
+    bridge = t.take(order.slice(t.num_rows - 1))  # re-sends the max-ts event
+    oldest = t.take(order.slice(0, half))
+    pq.write_table(newest, d / "a_new.parquet")
+    pq.write_table(bridge, d / "b_bridge.parquet")
+    pq.write_table(oldest, d / "c_old.parquet")
+    for i, f in enumerate(["a_new.parquet", "b_bridge.parquet", "c_old.parquet"]):
+        os.utime(d / f, (1_000_000 * (i + 1),) * 2)
+
+    HOUR_US = 3_600_000_000
+    us = lambda tbl: pd.Series(tbl.column("ts").to_pandas()).astype("int64") // 1_000
+    new_us, old_us = us(newest), us(oldest)
+    # watermark from the new half (ms granularity, 1h delay); bridge and
+    # old file cannot raise it, so this is also the final watermark
+    wm_us = (int(new_us.max()) // 1_000 - 3_600_000) * 1_000
+    win_end = lambda s: (s // HOUR_US) * HOUR_US + HOUR_US
+    old_groups = pd.DataFrame(
+        {
+            "we": win_end(old_us),
+            "et": oldest.column("event_type").to_pandas(),
+        }
+    ).drop_duplicates()
+    expect_dropped = int((old_groups["we"] <= wm_us).sum())
+    # emitted rows: events of sealed windows; every old group is late
+    # (asserted below) so only the new half contributes, and the bridge
+    # duplicate sits in the open max-ts window
+    assert expect_dropped == len(old_groups), "fixture: all old groups must be late"
+    expect_emitted = int((win_end(new_us) <= wm_us).sum())
+    assert expect_dropped > 0 and expect_emitted > 0  # fixture sanity
+
+    ev = runtime.stream_events(spark, str(d), max_files_per_trigger=1)
+    out, progress = runtime.run_to_memory_with_progress(
+        runtime.tumbling_counts(ev, watermark="1 hour"), "append"
+    )
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    emitted = out.agg(F.sum("n")).collect()[0][0] or 0
+    assert dropped == expect_dropped
+    assert emitted == expect_emitted
