@@ -90,6 +90,24 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(indexed: DataFrame, path: str) -> None:
+    """Materialize the inverted lists as a ``cluster_id``-partitioned
+    parquet layout: each IVF list becomes a physical partition
+    directory, so a probe that filters on cluster_id prunes whole
+    directories at planning time instead of scanning them.  This is the
+    on-disk form of the 'inverted list = cluster_id column' posture in
+    the module docstring."""
+    indexed.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+
+def probe_pruned_lists(spark, path: str, cluster_ids: list[int]) -> DataFrame:
+    """Read ONLY the probed lists from a written IVF index.  The isin
+    filter on the partition column becomes a PartitionFilter in the
+    scan — verified by a plan-shape test — so I/O is n_probe/k of the
+    index regardless of corpus size."""
+    return spark.read.parquet(path).where(F.col("cluster_id").isin(cluster_ids))
+
+
 @register(
     "sim_knn_ivf",
     oracle=None,  # k-means cluster boundaries are engine-specific → rows-only
