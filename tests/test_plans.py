@@ -143,3 +143,33 @@ def test_ivf_partitioned_index_prunes_probe_scan(spark, tmp_path):
     # and the pruned read returns exactly the rows of lists 1 and 3
     want = indexed.where(F.col("cluster_id").isin([1, 3])).count()
     assert probed.count() == want
+
+
+def test_tpch_family_plan_shapes(spark):
+    """The adapted TPC-H suite plans the shapes the 100 TB posture
+    depends on: semi-join EXISTS, pushed scans, top-k short-circuit,
+    and no nested-loop/cartesian fallbacks anywhere."""
+    p4 = plan(spark, "tpch_q4_priority_exists")
+    assert "LeftSemi" in p4
+    p6 = plan(spark, "tpch_q6_forecast_revenue")
+    assert "PushedFilters: [" in p6 and "GreaterThanOrEqual" in p6
+    for name in ("tpch_q10_returned_items", "tpch_q18_large_orders", "tpch_q21_waiting_supplier"):
+        p = plan(spark, name)
+        assert "TakeOrderedAndProject" in p, name
+    p21 = plan(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    for name in (
+        "tpch_q4_priority_exists",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_profit_by_nation",
+        "tpch_q17_small_qty_revenue",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q21_waiting_supplier",
+        "tpch_q22_dormant_customers",
+    ):
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        # BNLJ is acceptable only for broadcast single-row scalars
+        if "BroadcastNestedLoopJoin" in p:
+            assert name in ("tpch_q22_dormant_customers",), name
