@@ -183,6 +183,165 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return _ngram_jaccard(spark, sf_dir, DF_CEILING)
 
 
+#: 16 fixed universal-hash permutations (a*h + b) mod P for the exact
+#: MinHash twin — generated once from a pinned seed so the Spark body
+#: and the DuckDB oracle share literal constants.
+import random as _random
+
+_P = 1_000_000_007
+_rng = _random.Random(7)
+MINHASH_PERMS: tuple[tuple[int, int], ...] = tuple(
+    (_rng.randrange(1, 10**9), _rng.randrange(0, 10**9)) for _ in range(16)
+)
+_POW31 = (1, 31, 961, 29791)
+
+
+@register(
+    "dedup_minhash_exact",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 200
+        ),
+        planted AS (
+            SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+                   array_to_string(
+                       string_split(text, ' ')[1:greatest(len(string_split(text,' '))-2,1)],
+                       ' ') AS text
+            FROM base
+        ),
+        everything AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM everything),
+        shingles AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS sh
+            FROM toks, unnest(generate_series(0, len(toks)-3)) AS g(i)
+            WHERE len(toks) >= 3
+        ),
+        sh_hash AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split_regex(sh, ''), c -> c <> ''),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % {_P}) AS h
+            FROM shingles
+        ),
+        perms(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS))}),
+        sig AS (
+            SELECT doc_id, i, MIN((a * h + b) % {_P}) AS minh
+            FROM sh_hash CROSS JOIN perms
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            -- i // 4: explicit integer division (plain / is float in
+            -- DuckDB and CAST rounds-to-nearest, which would band
+            -- differently from Spark's truncating cast)
+            SELECT doc_id, i // 4 AS band,
+                   SUM((minh * CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                                          WHEN 2 THEN 961 ELSE 29791 END) % {_P})
+                       % {_P} AS bh
+            FROM sig GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.id_a, c.id_b, c.n_shared_bands,
+               CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_eq_components
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+        GROUP BY c.id_a, c.id_b, c.n_shared_bands
+    """,
+    tags=("I5-exact",),
+)
+def dedup_minhash_exact(spark, sf_dir):
+    """MinHash-LSH with deterministic universal-hash permutations —
+    the EXACT-oracle twin of ``dedup_minhash_lsh`` (whose pyspark.ml
+    minhashes are engine-specific and only rows-only checkable).
+
+    Pipeline, identical in both engines: 3-word shingles → char-level
+    polynomial hash mod 1e9+7 → 16 permuted min-hashes (fixed (a,b)
+    constants shared literally with the oracle) → 4 bands of 4 (band
+    key = order-free weighted sum mod P) → candidate pairs = docs
+    sharing a band bucket → per-pair matching-component count.
+
+    100 TB posture: this IS the scale formulation — candidates come
+    only from band-bucket collisions (one shuffle on (band, bh)), so
+    cost is proportional to true near-duplicates, never O(n²); the
+    16 min-aggregations are one shuffle on doc_id with map-side
+    combine.  Every intermediate stays below 2^60, so JVM wrap vs
+    DuckDB overflow-error semantics never diverge.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    planted = d.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 2, F.lit(1))
+            ),
+            " ",
+        ).alias("text"),
+    )
+    everything = d.unionByName(planted)
+    toks = everything.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - F.lit(3)),
+        lambda i: F.array_join(F.slice("toks", i + 1, 3), " "),
+    )
+    shingles = (
+        toks.where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(grams).alias("sh"))
+        .distinct()
+    )
+    codes = F.filter(
+        F.transform(F.split("sh", ""), lambda c: F.ascii(c).cast("long")), lambda x: x > 0
+    )
+    h = F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % _P)
+    sh_hash = shingles.select("doc_id", h.alias("h"))
+    perms = F.broadcast(
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(MINHASH_PERMS)], "i long, a long, b long"
+        )
+    )
+    sig = (
+        sh_hash.crossJoin(perms)
+        .groupBy("doc_id", "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % _P).alias("minh"))
+    )
+    pow31 = F.element_at(F.array(*[F.lit(p) for p in _POW31]), (F.col("i") % 4 + 1).cast("int"))
+    bands = (
+        sig.groupBy("doc_id", (F.col("i") / 4).cast("long").alias("band"))
+        .agg((F.sum((F.col("minh") * pow31) % _P) % _P).alias("bh"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("id_b")) & (F.col("sb.i") == F.col("sa.i")))
+        .groupBy("id_a", "id_b", "n_shared_bands")
+        .agg(
+            F.sum(F.when(F.col("sa.minh") == F.col("sb.minh"), 1).otherwise(0)).alias(
+                "n_eq_components"
+            )
+        )
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=None,  # probabilistic (banded minhash collisions) → rows-only

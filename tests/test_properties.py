@@ -220,3 +220,26 @@ def test_ngram_jaccard_df_ceiling_guard(spark):
     # and per-doc shingle sizes in the tiny run never count a pruned token
     n_hot = df_stats.where(F.col("df") > int(max_df) - 1).count()
     assert n_hot >= 1
+
+
+def test_minhash_exact_recall_on_planted_pairs(spark):
+    """The deterministic banded MinHash must recover nearly all planted
+    near-dup pairs (jaccard ~0.8 trimmed copies) and its component
+    counts must be consistent: shared bands imply >= 4 equal signature
+    components per shared band's worth."""
+    from pyspark.sql import functions as F
+
+    from etl_builder_spark.llm.dedup import PLANT_OFFSET, dedup_minhash_exact
+    from tests.conftest import SF_DIR
+
+    out = dedup_minhash_exact(spark, SF_DIR)
+    rows = out.collect()
+    planted = [r for r in rows if r["id_b"] == r["id_a"] + PLANT_OFFSET]
+    # 200 planted pairs; 4x4 banding at j~0.8 catches ~1-(1-0.8^4)^4 ~ 97%
+    assert len(planted) >= 180
+    for r in rows:
+        assert 1 <= r["n_shared_bands"] <= 4
+        # a shared band virtually always means its 4 components matched
+        # (band-hash collisions without component equality are ~1/P);
+        # deterministic inputs make this stable run-to-run
+        assert r["n_shared_bands"] <= r["n_eq_components"] <= 16
