@@ -296,3 +296,70 @@ def text_lang_profile(spark, sf_dir):
             F.sum(F.size(F.split(F.col("text"), " "))).cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_tokens_per_doc"),
     )
+
+
+@register(
+    "text_oov_rate",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        vocab AS (
+            SELECT token FROM (
+                SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS r
+                FROM clean GROUP BY token
+            ) WHERE r <= 20
+        )
+        SELECT c.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS oov_rate
+        FROM clean c LEFT JOIN vocab v USING (token)
+        GROUP BY c.doc_id
+    """,
+    tags=("I-oov",),
+)
+def text_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    rate against the top-20 corpus vocabulary (count desc, token
+    tiebreak — the deterministic twin of ``vocab_top_tokens``'s id
+    assignment).  The question every tokenizer change has to answer
+    before a training run: how much of the corpus falls outside the
+    vocab?
+
+    100 TB posture: the vocab is bounded (top-K of an aggregated count
+    table) and BROADCAST; the coverage probe is a map-side hash lookup
+    over the token stream, so the only corpus-scale shuffle is the
+    per-doc re-aggregation.  K=20 (not 500) because the synthetic
+    corpus has a 31-token vocabulary — a full-cover vocab would make
+    the oracle comparison vacuously all-zero.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(d)
+    w = Window.orderBy(F.desc("n"), "token")
+    vocab = (
+        t.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 20)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        t.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -160,6 +160,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.llm.langid  # noqa: F401
     import etl_builder_spark.llm.multimodal  # noqa: F401
     import etl_builder_spark.llm.packing  # noqa: F401
+    import etl_builder_spark.llm.pq  # noqa: F401
     import etl_builder_spark.llm.sampling  # noqa: F401
     import etl_builder_spark.llm.similarity  # noqa: F401
     import etl_builder_spark.llm.text  # noqa: F401
