@@ -173,3 +173,55 @@ def test_tpch_family_plan_shapes(spark):
         # BNLJ is acceptable only for broadcast single-row scalars
         if "BroadcastNestedLoopJoin" in p:
             assert name in ("tpch_q22_dormant_customers",), name
+
+
+def test_runtime_bloom_filter_join_reduction(spark):
+    """Spark's runtime bloom-filter injection — the semi-join reduction
+    that prunes the fact side of a shuffle join before the shuffle.
+    At 100 TB this is the lever when the dim side is filtered but too
+    big to broadcast: the filtered build side aggregates a bloom filter
+    on the join key and the probe-side scan applies might_contain.
+    Demonstrated here by forcing the SMJ path (broadcast off) and
+    lowering the application-side threshold the toy corpus can't meet."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from etl_builder_spark.session import load_table
+
+        l = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").where(F.col("o_totalprice") > 400000)
+        j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).groupBy("o_orderpriority").count()
+
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "bloom_filter_agg" in p  # build side constructs the filter
+        # and the result is correct with the filter applied
+        got = {r["o_orderpriority"]: r["count"] for r in j.collect()}
+        want = {
+            r["o_orderpriority"]: r["count"]
+            for r in l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
