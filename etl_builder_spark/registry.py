@@ -170,6 +170,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.cdc  # noqa: F401
     import etl_builder_spark.operators.filters  # noqa: F401
     import etl_builder_spark.operators.funnel  # noqa: F401
+    import etl_builder_spark.operators.fuzzy  # noqa: F401
     import etl_builder_spark.operators.histogram  # noqa: F401
     import etl_builder_spark.operators.joins  # noqa: F401
     import etl_builder_spark.operators.merge  # noqa: F401

@@ -243,3 +243,18 @@ def test_minhash_exact_recall_on_planted_pairs(spark):
         # (band-hash collisions without component equality are ~1/P);
         # deterministic inputs make this stable run-to-run
         assert r["n_shared_bands"] <= r["n_eq_components"] <= 16
+
+
+def test_er_fuzzy_recovers_all_planted_dirty_pairs(spark):
+    """Every planted dirty duplicate (last name char corrupted, edit
+    distance exactly 1) must be recovered by the blocked matcher —
+    the blocking key is invariant to the corruption by design."""
+    from etl_builder_spark.operators.fuzzy import ER_OFFSET, er_blocked_fuzzy_match
+    from etl_builder_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    out = er_blocked_fuzzy_match(spark, SF_DIR)
+    planted = out.where(out["id_b"] == out["id_a"] + ER_OFFSET)
+    assert planted.count() == n_cust
+    assert planted.where(planted["edit_dist"] != 1).count() == 0
