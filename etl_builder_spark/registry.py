@@ -44,82 +44,64 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -
 
 
 # The driver's per-round correctness sample (~50 keys) tracks the order of
-# the dict returned by queries().  Two rounds in, the relational core
-# (scans/joins/windows/sorts/set-ops/streaming/UDFs) had zero driver-graded
-# rows purely because those modules registered late.  This list pins the
-# never-yet-graded keys (plus the two keys whose latest grading was red and
-# are since fixed) to the FRONT of the iteration order so round 3 grades
-# them; everything else follows in registration order.  Ordering is
-# presentation-only — it does not change any query or oracle.
+# the dict returned by queries().  This list pins never-yet-driver-graded
+# keys (and then the keys whose last grading is oldest) to the FRONT of the
+# iteration order so each round's sample lands on the least-evidenced
+# queries first; everything else follows in registration order.  Ordering is
+# presentation-only — it does not change any query or oracle, and it is
+# DISCLOSED here and in README.md so the grading-driver owner can override
+# it with random/exhaustive sampling at any time (per ADVICE r3).
+#
+# Round-4 refresh (VERDICT r3 item 1): front-load the 27 keys that have no
+# CORRECTNESS row in r1-r3 (the 15 tpch_* + round-3 LLM additions + the 6
+# that sat just past r3's 50-key cutoff), then new round-4 keys, then the 9
+# keys whose latest grading is r1.  Everything r2/r3-green follows in
+# registration order.
 _GRADING_PRIORITY: tuple[str, ...] = (
-    # fixed-at-HEAD, last driver grading red — regrade first
-    "text_lang_profile",
-    "pipeline_training_data",
-    # scans (A1-A2)
-    "scan_parquet_full",
-    "scan_parquet_pruned",
-    # joins (C1-C8, C11 + bucketed interval twin)
-    "join_inner_equi",
-    "join_broadcast",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross_small",
-    "join_theta_range",
-    "join_multiway_star",
-    "join_interval_bucketed",
-    # windows (E1-E6 + frames)
-    "win_ranking",
-    "win_topk_per_group",
-    "win_lead_lag",
-    "win_running_frame",
-    "win_sliding_range",
-    "win_unpartitioned_caution",
-    "win_frames_nth",
-    "win_conditional_rows",
-    # sorts (F1-F3)
-    "sort_multikey",
-    "topk_global",
-    "limit_offset",
-    # set ops (G1-G4)
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except_all",
-    # filters (B3-B4)
-    "filter_null_semantics",
-    "project_distinct",
-    # streaming batch-twins + live forms (J1-J3)
-    "stream_tumbling_1h",
-    "stream_sliding_1h_15m",
-    "stream_session_gap_30m",
-    "stream_tumbling_1h_live",
-    "stream_interval_join_live",
-    # pandas UDF seams (K1-K3)
-    "udf_pandas_scalar",
-    "udaf_grouped_agg",
-    "udf_grouped_map",
-    # source round-trips (A3)
-    "roundtrip_csv_json",
-    "roundtrip_schema_evolution",
-    "roundtrip_orc",
-    # subqueries
-    "subq_correlated_above_avg",
-    "subq_in_not_in",
-    "subq_scalar_uncorrelated",
-    # remaining never-graded keys
-    "ts_hourly_gapfill",
-    "agg_string_concat",
-    "agg_percentile_approx",
-    "dq_audit_orders",
-    "dq_orphans_lineitem",
+    # --- never driver-graded: TPC-H suite (L1-L15) ---
+    "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q10_returned_items",
+    "tpch_q12_latency_classes",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_customers",
+    # --- never driver-graded: round-3 LLM-pipeline additions ---
+    "dedup_minhash_exact",
+    "text_oov_rate",
+    "embed_pq_codes",
+    "sim_topk_pq_adc",
+    "sim_topk_pq_rerank",
+    "er_blocked_fuzzy_match",
+    # --- never driver-graded: missed r3's 50-key cutoff ---
     "merge_upsert_orders",
     "funnel_signup_purchase",
     "agg_histogram",
     "vocab_top_tokens",
     "text_ngrams_trigram",
     "text_pii_scrub",
+    # --- new round-4 keys (never graded by construction) ---
+    "tpch_q9_profit_selective",
+    "sim_knn_ivf_exact",
+    "stream_foreachbatch_sink",
+    # --- stalest evidence: latest grading is r1 ---
+    "text_tfidf_sql",
+    "text_quality_score",
+    "join_interval",
+    "join_asof",
+    "cdc_snapshot_diff",
+    "etl_surrogate_keys",
+    "scd2_intervals",
+    "project_compute",
+    "filter_compound",
 )
 
 
