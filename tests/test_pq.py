@@ -114,3 +114,41 @@ def test_pq_adc_recall_vs_exact(spark):
     assert sum(rr_recalls) / len(rr_recalls) >= 0.6, rr_recalls
     avg_adc = sum(recalls) / len(recalls)
     assert sum(rr_recalls) / len(rr_recalls) > avg_adc
+
+
+def test_pq_encode_follows_codebook_m(spark):
+    """A codebook trained at m=4 must drive 4-wide slicing and 4 codes
+    per vector — m is implied by the codebook, not assumed (ADVICE r3:
+    a module-constant m would silently mis-slice here)."""
+    e = _vectors(spark)
+    cb4 = train_pq_codebooks(e, m=4, k=8)
+    out = pq_encode(e, cb4).collect()
+    assert out
+    for _, codes, err in out[:50]:
+        assert len(codes) == 4
+        assert all(0 <= c < 8 for c in codes)
+        assert err >= 0.0
+
+
+def test_corpus_codebook_trains_once(spark):
+    """corpus_codebook memoizes: second call must rebuild from the
+    cached rows (no second KMeans pass) and match exactly."""
+    from etl_builder_spark.llm import pq
+
+    pq._CODEBOOK_CACHE.clear()
+    cb1 = sorted(map(tuple, pq.corpus_codebook(spark, SF_DIR).collect()))
+    assert len(pq._CODEBOOK_CACHE) == 1
+    calls = {"n": 0}
+    orig = pq.train_pq_codebooks
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    pq.train_pq_codebooks = counting
+    try:
+        cb2 = sorted(map(tuple, pq.corpus_codebook(spark, SF_DIR).collect()))
+    finally:
+        pq.train_pq_codebooks = orig
+    assert calls["n"] == 0
+    assert cb1 == cb2
