@@ -303,16 +303,23 @@ def dedup_minhash_exact(spark, sf_dir):
     )
     h = F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % _P)
     sh_hash = shingles.select("doc_id", h.alias("h"))
-    perms = F.broadcast(
-        spark.createDataFrame(
-            [(i, a, b) for i, (a, b) in enumerate(MINHASH_PERMS)], "i long, a long, b long"
-        )
-    )
-    sig = (
-        sh_hash.crossJoin(perms)
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % _P).alias("minh"))
-    )
+    # 16 permuted minima as 16 aggregate expressions over the UN-expanded
+    # shingle rows (map-side combine does the heavy lifting), then a
+    # posexplode back to the (doc_id, i, minh) long form the banding and
+    # component-compare stages expect.  The old shape crossJoined every
+    # shingle row with the 16 broadcast perms before aggregating — 16×
+    # the shuffle volume for identical values (VERDICT r3 item 3).
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    sig_wide = sh_hash.groupBy("doc_id").agg(*mins)
+    sig = sig_wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{i}") for i in range(len(MINHASH_PERMS))])
+        ).alias("i", "minh"),
+    ).select("doc_id", F.col("i").cast("long").alias("i"), "minh")
     pow31 = F.element_at(F.array(*[F.lit(p) for p in _POW31]), (F.col("i") % 4 + 1).cast("int"))
     bands = (
         sig.groupBy("doc_id", (F.col("i") / 4).cast("long").alias("band"))
