@@ -108,6 +108,118 @@ def probe_pruned_lists(spark, path: str, cluster_ids: list[int]) -> DataFrame:
     return spark.read.parquet(path).where(F.col("cluster_id").isin(cluster_ids))
 
 
+#: Pinned coarse-quantizer seeds for the exact twin: the vectors of
+#: these 16 fixed corpus points ARE the centroids (k-means‖-style
+#: seeding frozen at its sample), so cluster boundaries are data-derived
+#: yet engine-independent — both engines compute identical lists.
+IVF_SEED_LO, IVF_SEED_HI = 100, 115
+
+_COS = (
+    "ROUND(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "sim_knn_ivf_exact",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id - {IVF_SEED_LO} AS cluster_id, v AS cv
+            FROM vecs WHERE vec_id BETWEEN {IVF_SEED_LO} AND {IVF_SEED_HI}
+        ),
+        asg AS (
+            SELECT vec_id, v, cluster_id FROM (
+                SELECT vecs.vec_id, vecs.v, cent.cluster_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {_COS.format(a="v", b="cv")} DESC, cluster_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cent
+            ) WHERE rn = 1
+        ),
+        probes AS (SELECT vec_id AS probe_id, v AS pv FROM vecs WHERE vec_id < 5),
+        plists AS (
+            SELECT probe_id, pv, cluster_id FROM (
+                SELECT p.probe_id, p.pv, c.cluster_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.probe_id
+                           ORDER BY {_COS.format(a="pv", b="cv")} DESC, c.cluster_id
+                       ) AS crn
+                FROM probes p CROSS JOIN cent c
+            ) WHERE crn <= 4
+        ),
+        cands AS (
+            SELECT pl.probe_id, a.vec_id AS cand_id,
+                   {_COS.format(a="pl.pv", b="a.v")} AS sim
+            FROM plists pl JOIN asg a
+              ON a.cluster_id = pl.cluster_id AND a.vec_id <> pl.probe_id
+        )
+        SELECT probe_id, cand_id, sim, rank FROM (
+            SELECT probe_id, cand_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+            FROM cands
+        ) WHERE rank <= 10
+    """,
+    tags=("I7-ivf-exact",),
+)
+def sim_knn_ivf_exact(spark, sf_dir):
+    """IVF top-10 for 5 probes with the coarse quantizer PINNED to 16
+    fixed corpus points (IVF_SEED_LO..HI) instead of k-means — the
+    exact-oracle twin of ``sim_knn_ivf``, the same way
+    ``dedup_minhash_exact`` twins the ml-lib LSH path: freeze the
+    engine-specific training step at shared, data-derived constants and
+    the whole pipeline (assignment, probe-list selection, in-list
+    ranking) becomes hash-checkable end-to-end.
+
+    Same shape as the approximate path: centroids broadcast, one-scan
+    argmax assignment, probes touch 4 of 16 lists, candidates come only
+    from probed lists.  Cosine everywhere, rounded 6 dp, ranked on the
+    rounded value with id tiebreaks (policy §7.2)."""
+    from etl_builder_spark.llm.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
+    centroids = e.where(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI)).select(
+        (F.col("vec_id") - IVF_SEED_LO).alias("cluster_id"), F.col("v").alias("cv")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cluster_id")
+    )
+    asg = (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster_id")
+    )
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.round(cosine(F.col("pv"), F.col("cv")), 6).desc(), F.col("cluster_id")
+    )
+    plists = (
+        probes.crossJoin(F.broadcast(centroids))
+        .withColumn("crn", F.row_number().over(wp))
+        .where(F.col("crn") <= 4)
+        .select("probe_id", "pv", "cluster_id")
+    )
+    cands = (
+        F.broadcast(plists)
+        .join(asg, "cluster_id")
+        .where(F.col("vec_id") != F.col("probe_id"))
+    )
+    sim = F.round(cosine(F.col("pv"), F.col("v")), 6)
+    wk = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), "cand_id")
+    return (
+        cands.select("probe_id", F.col("vec_id").alias("cand_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= 10)
+    )
+
+
 @register(
     "sim_knn_ivf",
     oracle=None,  # k-means cluster boundaries are engine-specific → rows-only

@@ -225,3 +225,14 @@ def test_runtime_bloom_filter_join_reduction(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_exact_twin_broadcasts_quantizer(spark):
+    """sim_knn_ivf_exact: the pinned 16-point quantizer must broadcast
+    (assignment is a broadcast nested-loop argmax, never a shuffle of
+    the corpus against centroids), and the probe-list → candidates join
+    must be a broadcast hash equi-join on cluster_id."""
+    p = plan(spark, "sim_knn_ivf_exact")
+    assert "BroadcastNestedLoopJoin" in p  # corpus x 16 broadcast centroids
+    assert "BroadcastHashJoin" in p and "cluster_id" in p
+    assert "CartesianProduct" not in p
