@@ -280,6 +280,60 @@ def tpch_q9_profit_by_nation(spark, sf_dir):
 
 
 @register(
+    "tpch_q9_profit_selective",
+    oracle=f"""
+        SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   year(o_orderdate) AS o_year,
+                   {_REV_SQL}
+                   - CAST(p_retailprice AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_retailprice >= 905 AND p_retailprice < 915
+        ) profit
+        GROUP BY nation, o_year
+    """,
+    tags=("L-q9-selective",),
+)
+def tpch_q9_profit_selective(spark, sf_dir):
+    """Q9's selective twin: the original Q9 filters part on ``p_name
+    LIKE '%green%'`` (a ~1/17 selective dim filter); the corpus keeps
+    p_name but with arbitrary synthetic tokens, so the equivalent
+    selective-scan character is restored with a ``p_retailprice``
+    band (~10% of part).  Same 5-table join tree and arithmetic as
+    ``tpch_q9_profit_by_nation``.
+
+    100 TB posture: the band predicate pushes into the part scan
+    (PushedFilters, plan-asserted), and because part is the FILTERED
+    build side of the part⋈lineitem shuffle join, Spark's runtime
+    bloom-filter injection prunes lineitem rows on l_partkey BEFORE
+    the shuffle once the sides clear the size thresholds — the exact
+    filtered-dim-too-big-to-broadcast lever demonstrated end-to-end in
+    tests/test_plans.py::test_q9_selective_pushdown_and_bloom."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice").where(
+        (F.col("p_retailprice") >= 905) & (F.col("p_retailprice") < 915)
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = _rev() - money("p_retailprice") * money("l_quantity")
+    return (
+        p.join(l, p["p_partkey"] == l["l_partkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == l["l_suppkey"])
+        .join(o, o["o_orderkey"] == l["l_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
     "tpch_q10_returned_items",
     oracle=f"""
         SELECT c_custkey, c_name,

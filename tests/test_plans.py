@@ -236,3 +236,42 @@ def test_ivf_exact_twin_broadcasts_quantizer(spark):
     assert "BroadcastNestedLoopJoin" in p  # corpus x 16 broadcast centroids
     assert "BroadcastHashJoin" in p and "cluster_id" in p
     assert "CartesianProduct" not in p
+
+
+def test_q9_selective_pushdown_and_bloom(spark):
+    """tpch_q9_profit_selective: (1) the p_retailprice band reaches the
+    part scan as PushedFilters; (2) with broadcast off and the toy-scale
+    bloom thresholds lowered, the filtered part side injects a runtime
+    bloom filter that prunes lineitem on l_partkey BEFORE the shuffle —
+    Q9's fact-side reduction at 100 TB."""
+    p = plan(spark, "tpch_q9_profit_selective")
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln and "p_retailprice" in ln]
+    assert pushed, "band filter must push into the part scan"
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from etl_builder_spark.registry import REGISTRY
+
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            REGISTRY["tpch_q9_profit_selective"].fn(spark, SF_DIR).explain("formatted")
+        pb = buf.getvalue()
+        assert "bloom_filter_agg" in pb
+        assert "might_contain" in pb
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
