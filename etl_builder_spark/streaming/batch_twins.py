@@ -209,3 +209,69 @@ def stream_session_gap_30m(spark, sf_dir):
             "session_value",
         )
     )
+
+
+def _staged_events_3files(sf_dir):
+    """Stage events.parquet as THREE files so maxFilesPerTrigger=1
+    yields a genuine multi-micro-batch replay (deterministic row
+    slices; file mtimes force replay order a < b < c)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    stage = _os.path.join(
+        _tempfile.gettempdir(),
+        "etl_builder_spark_stream3",
+        _os.path.basename(sf_dir.rstrip("/")),
+    )
+    src = _os.path.join(sf_dir, "events.parquet")
+    done = _os.path.join(stage, "_staged")
+    if not _os.path.exists(done) or _os.path.getmtime(done) < _os.path.getmtime(src):
+        _os.makedirs(stage, exist_ok=True)
+        t = _pq.read_table(src)
+        n = t.num_rows
+        cuts = [0, n // 3, 2 * n // 3, n]
+        for i, name in enumerate(("a", "b", "c")):
+            _pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), _os.path.join(stage, f"{name}.parquet"))
+            _os.utime(_os.path.join(stage, f"{name}.parquet"), (1_700_000_000 + i, 1_700_000_000 + i))
+        with open(done, "w") as f:
+            f.write("ok")
+    return stage
+
+
+@register(
+    "stream_foreachbatch_sink",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_2dp
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    tags=("J-cap", "live-stream", "A7"),
+)
+def stream_foreachbatch_sink(spark, sf_dir):
+    """foreachBatch → checkpointed, idempotent parquet sink, executed
+    as a REAL 3-micro-batch streaming replay (3 staged source files,
+    maxFilesPerTrigger=1): each batch filters purchases, projects a
+    2-dp value, and overwrites its own batch_id=N directory (see
+    runtime.foreach_batch_parquet_sink).  The sink's final content is
+    batching-invariant — the union over batches of a per-batch filter
+    equals the batch filter over the whole corpus — so the exact SQL
+    oracle checks the streamed sink value-for-value."""
+    import tempfile as _tempfile
+
+    from etl_builder_spark.policy import money as _money
+    from etl_builder_spark.streaming.runtime import (
+        foreach_batch_parquet_sink,
+        stream_events,
+    )
+
+    events = stream_events(spark, _staged_events_3files(sf_dir), max_files_per_trigger=1)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", _money("value").cast("double").alias("value_2dp")
+    )
+    sink = _tempfile.mkdtemp(prefix="fb_sink_")
+    ckpt = _tempfile.mkdtemp(prefix="fb_ckpt_")
+    foreach_batch_parquet_sink(purchases, sink, ckpt)
+    return spark.read.parquet(sink).select("event_id", "user_id", "ts", "value_2dp")

@@ -61,9 +61,16 @@ def run_to_memory_with_progress(
     """Like run_to_memory, but also return the per-micro-batch progress
     dicts so callers can assert on state-operator metrics — notably
     ``numRowsDroppedByWatermark``, the only observable record of rows
-    the watermark discarded (they appear in no sink)."""
+    the watermark discarded (they appear in no sink).
+
+    Spark keeps only ``spark.sql.streaming.numRecentProgressUpdates``
+    (default 100) entries in ``recentProgress``; a replay with more
+    micro-batches would silently truncate the metrics this helper
+    promises, so the buffer is raised to cover any availableNow replay
+    this repo stages (a listener would be the unbounded alternative)."""
     import json
 
+    sdf.sparkSession.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     name = f"mem_{uuid.uuid4().hex[:10]}"
     q = (
         sdf.writeStream.format("memory")
@@ -155,3 +162,27 @@ def running_user_counters(events: DataFrame) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def foreach_batch_parquet_sink(
+    sdf: DataFrame, sink_dir: str, checkpoint_dir: str, timeout_s: int = 120
+) -> None:
+    """A7/J-cap: foreachBatch → idempotent parquet sink.  Each
+    micro-batch overwrites its OWN ``batch_id=N`` directory, the
+    standard exactly-once-by-idempotence pattern for sinks without
+    transactional commit: a batch replayed after failure rewrites the
+    same directory instead of appending duplicates (checkpoint tracks
+    the offsets, the overwrite makes redelivery harmless).  At 100 TB
+    the same shape targets a transactional table format; the per-batch
+    overwrite is the format-agnostic fallback."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

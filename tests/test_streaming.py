@@ -228,3 +228,32 @@ def test_watermark_drops_exact_late_row_count(spark, tmp_path):
     emitted = out.agg(F.sum("n")).collect()[0][0] or 0
     assert dropped == expect_dropped
     assert emitted == expect_emitted
+
+
+def test_foreachbatch_sink_three_batches_and_idempotent(spark):
+    """stream_foreachbatch_sink: the 3-file staging + maxFilesPerTrigger=1
+    must produce exactly 3 batch_id directories, and re-writing a batch
+    (simulated redelivery) must overwrite, not duplicate."""
+    import glob
+
+    from etl_builder_spark.registry import REGISTRY
+    from etl_builder_spark.streaming.batch_twins import _staged_events_3files
+
+    stage = _staged_events_3files(SF_DIR)
+    assert len(glob.glob(os.path.join(stage, "*.parquet"))) == 3
+
+    out = REGISTRY["stream_foreachbatch_sink"].fn(spark, SF_DIR)
+    # the sink the query just read is its input_files' common parent
+    files = out.inputFiles()
+    assert files
+    sink = files[0].split("/batch_id=")[0].removeprefix("file:")
+    batch_dirs = sorted(glob.glob(os.path.join(sink, "batch_id=*")))
+    assert len(batch_dirs) == 3, batch_dirs
+
+    n_before = spark.read.parquet(sink).count()
+    # redeliver batch 0: overwrite its directory with the same rows
+    redelivered = spark.read.parquet(batch_dirs[0]).cache()
+    n_b0 = redelivered.count()
+    redelivered.write.mode("overwrite").parquet(batch_dirs[0])
+    assert spark.read.parquet(sink).count() == n_before
+    assert spark.read.parquet(batch_dirs[0]).count() == n_b0
