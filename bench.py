@@ -37,6 +37,29 @@ HEADLINE = [
     "udf_pandas_scalar",     # K1  Arrow-batched pandas UDF
     "pipeline_training_data",# I   end-to-end curation pipeline
     "ts_hourly_gapfill",     # TS  spine gap-fill
+    "sim_knn_ivf_exact",     # I7  pinned-quantizer IVF (r4)
+]
+
+#: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched
+#: into the same parsed matrix so round-over-round regression tracking
+#: covers it (VERDICT r3 item 5; PERF.md carried these only as prose).
+TPCH = [
+    "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q9_profit_selective",
+    "tpch_q10_returned_items",
+    "tpch_q12_latency_classes",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_customers",
 ]
 
 
@@ -62,7 +85,7 @@ def main() -> int:
     # ~25s of wall to the harness.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + TPCH:
         spec = REGISTRY[name]
         best, n = float("inf"), 0
         for _ in range(reps):
