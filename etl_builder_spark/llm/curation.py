@@ -23,6 +23,18 @@ from etl_builder_spark.session import load_table
 # held-out eval set in the contamination check.
 _BENCH_MOD = 97
 
+#: Boilerplate doc-frequency cut, expressed as an integer reciprocal
+#: (an n-gram is boilerplate when it appears in >= 1/N of documents —
+#: integer arithmetic so a boundary count can't flip on float rounding).
+#: PRODUCTION default: ~5% (1/20), the classic crawl-cleaner setting.
+#: The registered query runs at the FIXTURE cut 0.5% (1/200) because
+#: the synthetic corpus shares no header/footer text and a 5% cut
+#: returns zero rows at every test SF, making the oracle comparison
+#: vacuous.  Callers reusing boilerplate detection as a production
+#: drop-list (see dedup.DF_CEILING) should pass the production value.
+BOILERPLATE_PROD_RECIPROCAL = 20
+BOILERPLATE_FIXTURE_RECIPROCAL = 200
+
 
 def _doc_tokens(df, text_col: str = "text"):
     """documents → (doc_id, tokens array), lower-cased whitespace split."""
@@ -65,28 +77,32 @@ def _ngrams(df, n: int):
                ROUND(CAST(COUNT(*) AS DOUBLE) / n.n_docs, 6) AS doc_frac
         FROM grams CROSS JOIN n
         GROUP BY ngram, n.n_docs
-        HAVING COUNT(*) * 200 >= n.n_docs
+        HAVING COUNT(*) * {BOILERPLATE_FIXTURE_RECIPROCAL} >= n.n_docs
     """,
     tags=("I-boilerplate",),
 )
 def text_boilerplate_ngrams(spark, sf_dir):
-    """Boilerplate detection: trigrams present in >= 0.5% of documents.
+    """Boilerplate detection: trigrams present in >= 1/RECIPROCAL of
+    documents (the registered query runs at the fixture cut — see
+    BOILERPLATE_FIXTURE_RECIPROCAL for why, and use
+    BOILERPLATE_PROD_RECIPROCAL when reusing this as a production
+    drop-list).
 
     The classic crawl-cleaning primitive (header/footer/nav text shows
     up verbatim across pages).  One shuffle on the ngram key with
     map-side combine; the distinct-per-doc guard means a doc repeating
     its own boilerplate doesn't inflate the doc frequency.
-
-    The threshold is deliberately 0.5% (real crawl cleaners use ~5%):
-    the synthetic fixture corpus has no shared header/footer text, so a
-    5% cut returns zero rows at every test SF and the oracle comparison
-    would be vacuous.  At 0.5% the output is non-empty at sf0.001/0.01/
-    0.1, so value parity is actually exercised.  The cut itself is
-    integer arithmetic (``n_docs_with * 200 >= n_docs``) rather than a
-    float ratio, so a count sitting exactly on the boundary can't flip
-    on float rounding between engines.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return boilerplate_ngrams(
+        load_table(spark, sf_dir, "documents"), BOILERPLATE_FIXTURE_RECIPROCAL
+    )
+
+
+def boilerplate_ngrams(d, reciprocal: int = BOILERPLATE_PROD_RECIPROCAL):
+    """Trigrams in >= 1/``reciprocal`` of ``d``'s documents.  The cut
+    is integer arithmetic (``n_docs_with * reciprocal >= n_docs``), so
+    a count sitting exactly on the boundary can't flip on float
+    rounding between engines."""
     grams = _ngrams(_doc_tokens(d), 3)
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
@@ -96,7 +112,7 @@ def text_boilerplate_ngrams(spark, sf_dir):
         .withColumn(
             "doc_frac", F.round(F.col("n_docs_with").cast("double") / F.col("n_docs"), 6)
         )
-        .where(F.col("n_docs_with") * 200 >= F.col("n_docs"))
+        .where(F.col("n_docs_with") * reciprocal >= F.col("n_docs"))
         .select("ngram", "n_docs_with", "doc_frac")
     )
 
