@@ -63,26 +63,64 @@ def run_to_memory_with_progress(
     ``numRowsDroppedByWatermark``, the only observable record of rows
     the watermark discarded (they appear in no sink).
 
-    Spark keeps only ``spark.sql.streaming.numRecentProgressUpdates``
-    (default 100) entries in ``recentProgress``; a replay with more
-    micro-batches would silently truncate the metrics this helper
-    promises, so the buffer is raised to cover any availableNow replay
-    this repo stages (a listener would be the unbounded alternative)."""
+    ``q.recentProgress`` keeps only the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100)
+    entries, so a replay with more micro-batches would silently
+    truncate the metrics this helper promises.  A
+    ``StreamingQueryListener`` sees every progress event regardless of
+    that cap; the two sources are merged by batchId (the listener
+    thread delivers asynchronously, so recentProgress also covers any
+    tail event still in flight when the query terminates)."""
     import json
+    import time
 
-    sdf.sparkSession.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    spark = sdf.sparkSession
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    progress = [p if isinstance(p, dict) else json.loads(p.json) for p in q.recentProgress]
-    return sdf.sparkSession.table(name), progress
+    seen: dict[int, dict] = {}
+    terminated: list[str] = []
+
+    class _Collect(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = json.loads(event.progress.json)
+            if p.get("name") == name:
+                seen[p["batchId"]] = p
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            terminated.append(str(event.id))
+
+    listener = _Collect()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        # Listener events are delivered on a separate thread; give it a
+        # bounded grace period to drain up to the termination event.
+        deadline = time.monotonic() + 10
+        qid = str(q.id)
+        while time.monotonic() < deadline and qid not in terminated:
+            time.sleep(0.05)
+        for p in q.recentProgress:
+            d = p if isinstance(p, dict) else json.loads(p.json)
+            seen.setdefault(d["batchId"], d)
+    finally:
+        spark.streams.removeListener(listener)
+    progress = [seen[b] for b in sorted(seen)]
+    return spark.table(name), progress
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

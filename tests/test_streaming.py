@@ -257,3 +257,35 @@ def test_foreachbatch_sink_three_batches_and_idempotent(spark):
     redelivered.write.mode("overwrite").parquet(batch_dirs[0])
     assert spark.read.parquet(sink).count() == n_before
     assert spark.read.parquet(batch_dirs[0]).count() == n_b0
+
+
+def test_progress_complete_beyond_recent_cap(spark, tmp_path):
+    """run_to_memory_with_progress must return EVERY micro-batch's
+    progress, not just the last ``numRecentProgressUpdates`` — shrink
+    the cap to 2, replay 4 micro-batches, and require 4 contiguous
+    batch entries (the listener path; recentProgress alone would keep
+    only 2)."""
+    d = tmp_path / "many_batches"
+    d.mkdir()
+    t = pq.read_table(EVENTS)
+    quarter = t.num_rows // 4
+    for i in range(4):
+        f = d / f"part_{i}.parquet"
+        pq.write_table(t.slice(i * quarter, quarter), f)
+        os.utime(f, (1_000_000 + i, 1_000_000 + i))
+
+    key = "spark.sql.streaming.numRecentProgressUpdates"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "2")
+    try:
+        ev = runtime.stream_events(spark, str(d), max_files_per_trigger=1)
+        _, progress = runtime.run_to_memory_with_progress(
+            runtime.tumbling_counts(ev, watermark="100 days"), "complete"
+        )
+    finally:
+        spark.conf.set(key, old) if old is not None else spark.conf.unset(key)
+
+    batch_ids = [p["batchId"] for p in progress]
+    assert batch_ids == list(range(len(batch_ids))), batch_ids
+    assert len(batch_ids) >= 4, batch_ids
+    assert sum(p.get("numInputRows", 0) for p in progress) == quarter * 4
