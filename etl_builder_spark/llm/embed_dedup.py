@@ -1,0 +1,171 @@
+"""Embedding-cosine near-duplicate detection (SURVEY.md §2 I-family):
+the semantic-dedup step of a training-data pipeline — pairs of vectors
+whose cosine similarity crosses a threshold, found WITHOUT an all-pairs
+scan.
+
+Shape (the only one that survives 100 TB):
+
+1. Sign-LSH bucketing: each vector's block key per band is the sign
+   pattern of its dot products with that band's hyperplanes (random
+   hyperplane LSH — collision probability 1 − θ/π per bit).
+2. OR-amplified banding: ``N_BANDS`` independent band keys per vector;
+   a pair is a candidate if it collides in ANY band (the minhash-LSH
+   banding scheme applied to sign bits).  Candidates come from a
+   band-bucket equi-join — never a cross join.
+3. Verify: exact cosine only on candidate pairs, threshold at
+   ``EMBED_DUP_TAU``.
+
+At fixture scale 4 bits/band keeps buckets coarse (16/band); at real
+scale bits-per-band grows with log n so bucket occupancy stays bounded
+— the banding JOIN shape is unchanged.  The hyperplanes here are
+pinned corpus vectors (ids HYP_LO..) exactly like the IVF exact twin's
+centroids, so the whole pipeline — bucketing, banding, candidate join,
+verification — is engine-independent and hash-checked against the
+DuckDB oracle end-to-end.
+
+Fixture: the corpus unioned with a perturbed copy
+(vec_id + VEC_OFFSET, every component + PERTURB_DELTA).  The delta is
+a power of two, so float→double + add is bit-identical in both
+engines; planted pairs land at cosine ≈ 0.992, natural pairs max
+≈ 0.74 — τ = 0.95 separates them with wide margin on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.llm.similarity import _dbl, cosine, dot
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+#: planted near-dup copy: vec_id shift and component perturbation
+#: (2**-6 — exactly representable, so both engines add the same double)
+VEC_OFFSET = 100_000
+PERTURB_DELTA = 0.015625
+
+#: sign-LSH geometry: 3 bands × 4 bits from 12 pinned corpus vectors
+N_BANDS = 3
+BITS_PER_BAND = 4
+HYP_LO = 200
+
+#: near-duplicate cosine threshold (standard semantic-dedup setting)
+EMBED_DUP_TAU = 0.95
+
+_N_HYP = N_BANDS * BITS_PER_BAND
+
+_DOT = "list_dot_product({a}, {b})"
+_COS = f"ROUND({_DOT.format(a='{a}', b='{b}')} / (sqrt({_DOT.format(a='{a}', b='{a}')}) * sqrt({_DOT.format(a='{b}', b='{b}')})), 6)"
+
+
+def _oracle() -> str:
+    hcols = ", ".join(
+        f"max(CASE WHEN j={i} THEN h END) AS h{i}" for i in range(_N_HYP)
+    )
+    band_keys = ", ".join(
+        " + ".join(
+            f"(CASE WHEN ROUND(list_dot_product(v, h{b * BITS_PER_BAND + i}), 6) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(BITS_PER_BAND)
+        )
+        + f" AS k{b}"
+        for b in range(N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS block FROM banded" for b in range(N_BANDS)
+    )
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        all_vecs AS (
+            SELECT vec_id, v FROM vecs
+            UNION ALL
+            SELECT vec_id + {VEC_OFFSET},
+                   list_transform(v, x -> x + {PERTURB_DELTA})
+            FROM vecs
+        ),
+        hyp AS (
+            SELECT vec_id - {HYP_LO} AS j, v AS h
+            FROM vecs WHERE vec_id BETWEEN {HYP_LO} AND {HYP_LO + _N_HYP - 1}
+        ),
+        hw AS (SELECT {hcols} FROM hyp),
+        banded AS (SELECT vec_id, v, {band_keys} FROM all_vecs CROSS JOIN hw),
+        keys AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM keys a
+            JOIN keys b ON a.band = b.band AND a.block = b.block
+                       AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, sim FROM (
+            SELECT c.id_a, c.id_b, {_COS.format(a="x.v", b="y.v")} AS sim
+            FROM cand c
+            JOIN all_vecs x ON x.vec_id = c.id_a
+            JOIN all_vecs y ON y.vec_id = c.id_b
+        ) WHERE sim >= {EMBED_DUP_TAU}
+    """
+
+
+@register("dedup_embedding_cosine", oracle=_oracle(), tags=("I-dedup-embed",))
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over corpus ∪ planted copies:
+    sign-LSH banded candidates (band-bucket equi-join, 3 bands × 4
+    bits, pinned hyperplanes), exact cosine ≥ τ verification on
+    candidates only.  Rounded 6 dp like every similarity in this repo
+    (policy §7.2)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
+    planted = e.select(
+        (F.col("vec_id") + VEC_OFFSET).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(PERTURB_DELTA)).alias("v"),
+    )
+    all_vecs = e.unionByName(planted)
+
+    hyp = e.where(F.col("vec_id").between(HYP_LO, HYP_LO + _N_HYP - 1)).select(
+        (F.col("vec_id") - HYP_LO).alias("j"), F.col("v").alias("h")
+    )
+    # one wide row (h0..h11) — the de-exploded form: the corpus is never
+    # multiplied by the hyperplane count
+    hw = hyp.groupBy().agg(
+        *[F.max(F.when(F.col("j") == i, F.col("h"))).alias(f"h{i}") for i in range(_N_HYP)]
+    )
+
+    def band_key(b: int):
+        bits = [
+            F.when(
+                F.round(dot(F.col("v"), F.col(f"h{b * BITS_PER_BAND + i}")), 6) >= 0,
+                F.lit(1 << i),
+            ).otherwise(0)
+            for i in range(BITS_PER_BAND)
+        ]
+        acc = bits[0]
+        for x in bits[1:]:
+            acc = acc + x
+        return acc.alias(f"k{b}")
+
+    banded = all_vecs.crossJoin(F.broadcast(hw)).select(
+        "vec_id", *[band_key(b) for b in range(N_BANDS)]
+    )
+    keys = banded.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"k{b}") for b in range(N_BANDS)])).alias(
+            "band", "block"
+        ),
+    )
+    a = keys.select(F.col("vec_id").alias("id_a"), "band", "block")
+    b = keys.select(F.col("vec_id").alias("id_b"), "band", "block")
+    cand = (
+        a.join(b, ["band", "block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = all_vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = all_vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= EMBED_DUP_TAU)
+    )

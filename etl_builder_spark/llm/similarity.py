@@ -137,48 +137,7 @@ def sim_label_centroids(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle="""
-        WITH vecs AS (
-            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings
-        ),
-        scaled AS (
-            SELECT vec_id + 10000 AS vec_id,
-                   list_transform(v, x -> x * 1.01 + 0.001) AS v
-            FROM vecs
-        ),
-        pairs AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_dot_product(a.v, b.v)
-                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                         6) AS cos_sim
-            FROM vecs a JOIN scaled b ON b.vec_id = a.vec_id + 10000
-        )
-        SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.999
-    """,
-    tags=("I-cos-dedup",),
-)
-def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup: a perturbed copy of every vector
-    (scale + offset) must re-pair with its original at cos ≥ 0.999.
-    At scale the pairing join is LSH-bucketed (sim_knn_lsh); here the
-    planted pairing keeps the check exact."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
-    scaled = e.select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform(F.col("v"), lambda x: x * 1.01 + 0.001).alias("v"),
-    )
-    a = e.alias("a")
-    b = scaled.alias("b")
-    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
-    return (
-        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 10000)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= 0.999)
-    )
+# dedup_embedding_cosine moved to llm/embed_dedup.py: the original
+# form here only re-paired each vector with its own planted copy by id
+# (a verification, not a search); the replacement finds near-dup pairs
+# via sign-LSH banded candidate generation — the actual operator.

@@ -92,6 +92,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "tpch_q9_profit_selective",
     "sim_knn_ivf_exact",
     "stream_foreachbatch_sink",
+    "dedup_embedding_cosine",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",
@@ -136,6 +137,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.llm.cluster  # noqa: F401
     import etl_builder_spark.llm.curation  # noqa: F401
     import etl_builder_spark.llm.dedup  # noqa: F401
+    import etl_builder_spark.llm.embed_dedup  # noqa: F401
     import etl_builder_spark.llm.embeddings  # noqa: F401
     import etl_builder_spark.llm.fingerprint  # noqa: F401
     import etl_builder_spark.llm.ivf  # noqa: F401

@@ -275,3 +275,31 @@ def test_q9_selective_pushdown_and_bloom(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_embed_dedup_candidates_are_equi_join(spark):
+    """The sign-LSH candidate stage must be a band-bucket EQUI-join:
+    the only nested-loop join allowed in the plan is the broadcast of
+    the single wide hyperplane row — the corpus itself is never
+    cross-joined."""
+    import contextlib
+    import io
+
+    from etl_builder_spark.llm.embed_dedup import dedup_embedding_cosine
+
+    df = dedup_embedding_cosine(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    # the only nested-loop joins are the 1-row hw broadcast, which the
+    # candidate self-join recomputes once per branch (2 physical nodes)
+    import re
+
+    bnlj_nodes = re.findall(r"\(\d+\)\s+BroadcastNestedLoopJoin", p)
+    assert len(bnlj_nodes) <= 2, f"unexpected nested-loop joins: {len(bnlj_nodes)}"
+    # the candidate self-join and both vector fetch-backs are hash equi-joins
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        p.count("BroadcastHashJoin") >= 2
+    )

@@ -258,3 +258,24 @@ def test_er_fuzzy_recovers_all_planted_dirty_pairs(spark):
     planted = out.where(out["id_b"] == out["id_a"] + ER_OFFSET)
     assert planted.count() == n_cust
     assert planted.where(planted["edit_dist"] != 1).count() == 0
+
+
+def test_embed_dedup_recall_and_precision_on_planted_pairs(spark):
+    """Sign-LSH banded embedding dedup: ≥97% of planted perturbed
+    copies are recovered through the band-bucket join (no all-pairs
+    scan), every surviving pair is a planted one (natural max cosine
+    ~0.74 << τ), and sims sit above τ."""
+    from etl_builder_spark.llm.embed_dedup import (
+        EMBED_DUP_TAU,
+        VEC_OFFSET,
+        dedup_embedding_cosine,
+    )
+    from etl_builder_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    n_vec = load_table(spark, SF_DIR, "embeddings").count()
+    rows = dedup_embedding_cosine(spark, SF_DIR).collect()
+    planted = [r for r in rows if r["id_b"] == r["id_a"] + VEC_OFFSET]
+    assert len(planted) >= int(0.97 * n_vec)  # OR-amplified 3-band recall
+    assert len(planted) == len(rows)  # zero false positives at this τ
+    assert all(r["sim"] >= EMBED_DUP_TAU for r in rows)
