@@ -93,6 +93,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "sim_knn_ivf_exact",
     "stream_foreachbatch_sink",
     "dedup_embedding_cosine",
+    "scan_dpp_partitioned",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",
@@ -167,6 +168,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.window_frames  # noqa: F401
     import etl_builder_spark.operators.windows  # noqa: F401
     import etl_builder_spark.quality  # noqa: F401
+    import etl_builder_spark.sources.partitioned  # noqa: F401
     import etl_builder_spark.sources.roundtrip  # noqa: F401
     import etl_builder_spark.streaming.batch_twins  # noqa: F401
     import etl_builder_spark.udfs  # noqa: F401

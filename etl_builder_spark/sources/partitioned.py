@@ -1,0 +1,108 @@
+"""Partitioned layouts + dynamic partition pruning (SURVEY.md §4.1).
+
+The 100 TB scan discipline has two halves:
+
+* STATIC pruning — a literal predicate on the partition column prunes
+  directories at plan time (the IVF index, llm/ivf.py, already
+  demonstrates this with PartitionFilters).
+* DYNAMIC pruning (DPP) — the partition values to keep are only known
+  at runtime (they come from the filtered side of a join), so Catalyst
+  injects a dynamicpruning subquery into the fact scan: the dim side
+  is evaluated first (reusing its broadcast), and only the surviving
+  partitions of the fact are read at all.  On a date-partitioned
+  100 TB fact table this is the difference between scanning 7 years
+  and scanning one quarter.
+
+Single-file corpus parquet can't show either, so this module stages a
+month-partitioned copy of ``orders`` (written once per sf_dir through
+the normal writer path, ``partitionBy("o_month")``) and runs the
+star-schema probe against it.  Values are partitioning-invariant, so
+the DuckDB oracle reads the original single-file table.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_builder_spark.policy import money_sum
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+
+def staged_orders_by_month(spark: SparkSession, sf_dir: str) -> str:
+    """orders as a ``o_month=yyyy-MM``-partitioned parquet layout (~80
+    directories), staged once per sf_dir and reused (marker-file
+    memoized, invalidated when the source file changes)."""
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "etl_builder_spark_dpp",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    src = os.path.join(sf_dir, "orders.parquet")
+    done = os.path.join(stage, "_staged")
+    if not os.path.exists(done) or os.path.getmtime(done) < os.path.getmtime(src):
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+            .write.mode("overwrite")
+            .partitionBy("o_month")
+            .parquet(stage)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return stage
+
+
+@register(
+    "scan_dpp_partitioned",
+    oracle="""
+        WITH fact AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+            FROM orders
+        ),
+        dim AS (
+            SELECT DISTINCT o_month FROM fact
+            WHERE CAST(substr(o_month, 6, 2) AS INT) <= 3
+        )
+        SELECT f.o_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM fact f JOIN dim d ON f.o_month = d.o_month
+        GROUP BY f.o_month
+    """,
+    tags=("A-dpp",),
+)
+def scan_dpp_partitioned(spark, sf_dir):
+    """Q1-quarter probe against the month-partitioned orders layout:
+    the month dim is filtered on a DERIVED attribute (first calendar
+    quarter), so the partitions to keep are unknowable at plan time —
+    Catalyst injects a dynamicpruning subquery into the fact scan's
+    PartitionFilters (plan-asserted in tests/test_plans.py) and only
+    ~3/12 of the directories are read.  Values are layout-invariant:
+    the oracle computes the same result from the single-file table."""
+    fact = spark.read.parquet(staged_orders_by_month(spark, sf_dir))
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("o_month"))
+        .distinct()
+        .where(F.substring("o_month", 6, 2).cast("int") <= 3)
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:
+    """General partitioned-layout writer (the A4 write path with a
+    partition spec): one directory per distinct partition tuple, the
+    layout static and dynamic pruning both consume."""
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)

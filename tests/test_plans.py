@@ -303,3 +303,25 @@ def test_embed_dedup_candidates_are_equi_join(spark):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         p.count("BroadcastHashJoin") >= 2
     )
+
+
+def test_dpp_partitioned_scan_prunes_dynamically(spark):
+    """scan_dpp_partitioned: the month-partitioned fact scan must carry
+    a dynamicpruning subquery in its PartitionFilters (the runtime
+    partition-prune fed by the filtered month dim) and read only the
+    measure column."""
+    import contextlib
+    import io
+
+    from etl_builder_spark.sources.partitioned import scan_dpp_partitioned
+
+    df = scan_dpp_partitioned(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and "dynamicpruningexpression" in pf[0]
+    # fact side reads just the measure — partition column comes from
+    # the directory structure, every other column is pruned
+    assert "struct<o_totalprice:double>" in p
