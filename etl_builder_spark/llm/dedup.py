@@ -435,3 +435,169 @@ def dedup_simhash(spark, sf_dir):
         F.col("p.simhash16").alias("fp_near"),
         hamming.alias("hamming"),
     ).where(hamming <= 6)
+
+
+#: 48 fixed universal-hash bit-functions for the exact SimHash twin —
+#: same pinned-seed scheme as MINHASH_PERMS, so Spark body and DuckDB
+#: oracle share literal constants.  48 bits keeps the packed
+#: fingerprint positive in a BIGINT in both engines.
+_simhash_rng = _random.Random(11)
+SIMHASH_PERMS: tuple[tuple[int, int], ...] = tuple(
+    (_simhash_rng.randrange(1, 10**9), _simhash_rng.randrange(0, 10**9)) for _ in range(48)
+)
+#: pigeonhole banding: 6 bands × 8 bits.  Hamming ≤ 5 forces at least
+#: one equal band, so the band-bucket join loses NOTHING at the ham ≤ 3
+#: output cut — the banded search is exactly brute force, minus the scan.
+SIMHASH_BANDS, SIMHASH_BAND_BITS = 6, 8
+SIMHASH_HAM_MAX = 3
+
+
+@register(
+    "dedup_simhash_exact",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 200
+        ),
+        planted AS (
+            SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+                   array_to_string(
+                       string_split(text, ' ')[1:greatest(len(string_split(text,' '))-1,1)],
+                       ' ') AS text
+            FROM base
+        ),
+        everything AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        tok AS (
+            SELECT doc_id, t AS token, COUNT(*) AS w
+            FROM everything, unnest(string_split(text, ' ')) AS u(t)
+            WHERE t <> '' GROUP BY doc_id, t
+        ),
+        th AS (
+            SELECT doc_id, w,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split_regex(token, ''), c -> c <> ''),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % {_P}) AS h
+            FROM tok
+        ),
+        perms(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(SIMHASH_PERMS))}),
+        votes AS (
+            SELECT doc_id, i,
+                   SUM(w * (2 * (((a * h + b) % {_P}) % 2) - 1)) AS v
+            FROM th CROSS JOIN perms GROUP BY doc_id, i
+        ),
+        fp AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS f
+            FROM votes GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, f, b AS band,
+                   (f >> ({SIMHASH_BAND_BITS} * b)) & {(1 << SIMHASH_BAND_BITS) - 1} AS bkey
+            FROM fp, unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS u(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, ham FROM (
+            SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS ham FROM cand
+        ) WHERE ham <= {SIMHASH_HAM_MAX}
+    """,
+    tags=("I-simhash-exact",),
+)
+def dedup_simhash_exact(spark, sf_dir):
+    """SimHash near-dup SEARCH with the whole pipeline hash-checked —
+    the exact-oracle twin of ``dedup_simhash`` (whose xxhash64 bit-mix
+    is engine-specific), the same way ``dedup_minhash_exact`` twins I5:
+
+    token → char-poly hash mod P → 48 universal-hash sign bits, votes
+    weighted by in-doc term frequency → packed 48-bit fingerprint →
+    pigeonhole banding (6 × 8 bits: hamming ≤ 5 ⇒ some band equal, so
+    the band-bucket join is EXACTLY brute force at the ham ≤ 3 cut) →
+    per-candidate hamming via xor+bit_count.
+
+    100 TB posture: fingerprints are one groupBy(doc) shuffle with 48
+    map-side-combined vote aggregates (de-exploded — the corpus is
+    never multiplied by the bit count); candidates come only from the
+    band-bucket equi-join.  Production deployments widen to 64-bit
+    fingerprints and 16-bit bands (Manku et al., WWW'07) — identical
+    shape, coarser here only so the toy corpus collides non-vacuously.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    planted = d.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 1, F.lit(1))
+            ),
+            " ",
+        ).alias("text"),
+    )
+    everything = d.unionByName(planted)
+    tok = (
+        everything.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    codes = F.filter(
+        F.transform(F.split("token", ""), lambda c: F.ascii(c).cast("long")), lambda x: x > 0
+    )
+    h = F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % _P)
+    th = tok.select("doc_id", "w", h.alias("h"))
+    votes = [
+        F.sum(
+            F.col("w")
+            * (F.lit(2) * (((F.lit(a) * F.col("h") + F.lit(b)) % _P) % 2) - F.lit(1))
+        ).alias(f"v{i}")
+        for i, (a, b) in enumerate(SIMHASH_PERMS)
+    ]
+    vw = th.groupBy("doc_id").agg(*votes)
+    fp = vw.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+                for i in range(len(SIMHASH_PERMS))
+            ],
+            F.lit(0).cast("long"),
+        ).alias("f"),
+    )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = fp.select(
+        "doc_id",
+        "f",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("f"), SIMHASH_BAND_BITS * b).bitwiseAND(F.lit(mask))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.f").alias("fa"),
+            F.col("b.f").alias("fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
+    return (
+        cand.select("id_a", "id_b", ham.alias("ham"))
+        .where(F.col("ham") <= SIMHASH_HAM_MAX)
+    )

@@ -94,6 +94,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "stream_foreachbatch_sink",
     "dedup_embedding_cosine",
     "scan_dpp_partitioned",
+    "dedup_simhash_exact",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",

@@ -279,3 +279,61 @@ def test_embed_dedup_recall_and_precision_on_planted_pairs(spark):
     assert len(planted) >= int(0.97 * n_vec)  # OR-amplified 3-band recall
     assert len(planted) == len(rows)  # zero false positives at this τ
     assert all(r["sim"] >= EMBED_DUP_TAU for r in rows)
+
+
+def test_simhash_exact_banding_equals_brute_force(spark):
+    """Pigeonhole guarantee: 6×8-bit banding at the ham ≤ 3 cut must
+    return EXACTLY the brute-force pair set (hamming ≤ 5 forces a
+    shared band, so no qualifying pair can be missed) — verified
+    against an unbanded all-pairs computation in DuckDB, and planted
+    drop-one-word copies must dominate the matches."""
+    import duckdb
+
+    from etl_builder_spark.llm.dedup import (
+        PLANT_OFFSET,
+        SIMHASH_PERMS,
+        _P,
+        dedup_simhash_exact,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {(r["id_a"], r["id_b"], r["ham"]) for r in dedup_simhash_exact(spark, SF_DIR).collect()}
+
+    perm_vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(SIMHASH_PERMS))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    brute = con.sql(f"""
+        WITH base AS (SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 200),
+        planted AS (
+            SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+                   array_to_string(string_split(text,' ')[1:greatest(len(string_split(text,' '))-1,1)], ' ') AS text
+            FROM base),
+        everything AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        tok AS (
+            SELECT doc_id, t AS token, COUNT(*) AS w
+            FROM everything, unnest(string_split(text, ' ')) AS u(t)
+            WHERE t <> '' GROUP BY doc_id, t),
+        th AS (
+            SELECT doc_id, w,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(list_filter(string_split_regex(token, ''), c -> c <> ''),
+                                      c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % {_P}) AS h
+            FROM tok),
+        perms(i, a, b) AS (VALUES {perm_vals}),
+        votes AS (
+            SELECT doc_id, i, SUM(w * (2 * (((a * h + b) % {_P}) % 2) - 1)) AS v
+            FROM th CROSS JOIN perms GROUP BY doc_id, i),
+        fp AS (
+            SELECT doc_id, SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS f
+            FROM votes GROUP BY doc_id)
+        SELECT a.doc_id, b.doc_id, CAST(bit_count(xor(a.f, b.f)) AS BIGINT)
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= 3
+    """).fetchall()
+    assert rows == set(map(tuple, brute))
+    planted_pairs = [r for r in rows if r[1] == r[0] + PLANT_OFFSET]
+    assert len(planted_pairs) >= 150  # drop-one-word copies at ham ≤ 3
+    assert len(planted_pairs) >= len(rows) * 0.6
