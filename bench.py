@@ -38,6 +38,9 @@ HEADLINE = [
     "pipeline_training_data",# I   end-to-end curation pipeline
     "ts_hourly_gapfill",     # TS  spine gap-fill
     "sim_knn_ivf_exact",     # I7  pinned-quantizer IVF (r4)
+    "dedup_embedding_cosine",# I   sign-LSH banded embedding near-dup (r4)
+    "dedup_simhash_exact",   # I   48-bit simhash pigeonhole search (r4)
+    "scan_dpp_partitioned",  # A   dynamic partition pruning (r4)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched

@@ -15,9 +15,9 @@ Shape (the only one that survives 100 TB):
 3. Verify: exact cosine only on candidate pairs, threshold at
    ``EMBED_DUP_TAU``.
 
-At fixture scale 4 bits/band keeps buckets coarse (16/band); at real
-scale bits-per-band grows with log n so bucket occupancy stays bounded
-— the banding JOIN shape is unchanged.  The hyperplanes here are
+8 bits/band = 256 buckets/band here; at real scale bits-per-band grows
+with log n so bucket occupancy stays bounded — the banding JOIN shape
+is unchanged.  The hyperplanes here are
 pinned corpus vectors (ids HYP_LO..) exactly like the IVF exact twin's
 centroids, so the whole pipeline — bucketing, banding, candidate join,
 verification — is engine-independent and hash-checked against the
@@ -43,9 +43,11 @@ from etl_builder_spark.session import load_table
 VEC_OFFSET = 100_000
 PERTURB_DELTA = 0.015625
 
-#: sign-LSH geometry: 3 bands × 4 bits from 12 pinned corpus vectors
-N_BANDS = 3
-BITS_PER_BAND = 4
+#: sign-LSH geometry: 4 bands × 8 bits from 32 pinned corpus vectors
+#: (8-bit bands: 256 buckets/band → ~9× fewer candidate pairs than
+#: 4-bit bands at sf0.1 for the same ≥99% planted recall)
+N_BANDS = 4
+BITS_PER_BAND = 8
 HYP_LO = 200
 
 #: near-duplicate cosine threshold (standard semantic-dedup setting)
@@ -110,10 +112,10 @@ def _oracle() -> str:
 @register("dedup_embedding_cosine", oracle=_oracle(), tags=("I-dedup-embed",))
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs over corpus ∪ planted copies:
-    sign-LSH banded candidates (band-bucket equi-join, 3 bands × 4
-    bits, pinned hyperplanes), exact cosine ≥ τ verification on
-    candidates only.  Rounded 6 dp like every similarity in this repo
-    (policy §7.2)."""
+    sign-LSH banded candidates (band-bucket equi-join, ``N_BANDS`` ×
+    ``BITS_PER_BAND`` pinned hyperplanes), exact cosine ≥ τ
+    verification on candidates only.  Rounded 6 dp like every
+    similarity in this repo (policy §7.2)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
     planted = e.select(
         (F.col("vec_id") + VEC_OFFSET).alias("vec_id"),
@@ -124,8 +126,8 @@ def dedup_embedding_cosine(spark, sf_dir):
     hyp = e.where(F.col("vec_id").between(HYP_LO, HYP_LO + _N_HYP - 1)).select(
         (F.col("vec_id") - HYP_LO).alias("j"), F.col("v").alias("h")
     )
-    # one wide row (h0..h11) — the de-exploded form: the corpus is never
-    # multiplied by the hyperplane count
+    # one wide row (h0..h{_N_HYP-1}) — the de-exploded form: the corpus
+    # is never multiplied by the hyperplane count
     hw = hyp.groupBy().agg(
         *[F.max(F.when(F.col("j") == i, F.col("h"))).alias(f"h{i}") for i in range(_N_HYP)]
     )
