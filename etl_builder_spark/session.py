@@ -65,9 +65,35 @@ def _pin_runtime_confs(spark: SparkSession) -> None:
     are runtime-settable so every query helper re-pins them.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
-    # rejects by default; read as raw nanos and convert below.
+    # Corpus generations that carry events.ts as TIMESTAMP(NANOS) are
+    # rejected by Spark's reader by default; read those as raw nanos
+    # and let normalize_events_ts convert. Harmless for µs corpora.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to session-UTC TimestampType across corpus
+    generations.
+
+    The driver has shipped events.ts both as parquet TIMESTAMP(NANOS)
+    (arrives as ns-epoch LongType under nanosAsLong) and as
+    TIMESTAMP(MICROS) without UTC adjustment (arrives as
+    TIMESTAMP_NTZ).  Both normalize to identical TimestampType values:
+    integer ``div`` for the ns case (ns magnitudes overflow double
+    precision, and the corpus is µs-precision so the truncation is
+    lossless — measured, FIXTURES.md), a plain cast for the NTZ case
+    (the UTC session timezone makes the wall-clock reinterpretation
+    value-preserving).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -76,12 +102,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _pin_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ns-epoch LongType → TimestampType. Integer `div` — ns values
-        # overflow double precision, and the corpus is µs-precision so
-        # the truncation is lossless (measured, FIXTURES.md).
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

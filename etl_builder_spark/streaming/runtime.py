@@ -24,7 +24,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: raw schema of events.parquet (ts is ns-epoch long under nanosAsLong)
+#: raw schema of a ns-generation events.parquet (ts is ns-epoch long
+#: under nanosAsLong); kept for reference — stream_events probes the
+#: actual footer schema instead of assuming a corpus generation.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -38,15 +40,22 @@ EVENTS_RAW_SCHEMA = StructType(
 
 
 def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
-    """events as a stream: file source over parquet, schema pinned from
-    the batch read (file streams cannot infer), ns→µs ts conversion."""
+    """events as a stream: file source over parquet.  File streams
+    cannot infer schemas, so pin it from a batch footer probe of the
+    same directory (one metadata read, no data scan) — this keeps the
+    stream working across corpus generations where ts was TIMESTAMP
+    (NANOS) (ns-long under nanosAsLong) vs TIMESTAMP(MICROS) (NTZ);
+    normalize_events_ts converts either to session-UTC TimestampType."""
+    from etl_builder_spark.session import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(df)
 
 
 def run_to_memory(sdf: DataFrame, mode: str = "complete", timeout_s: int = 120) -> DataFrame:

@@ -196,7 +196,15 @@ def test_watermark_drops_exact_late_row_count(spark, tmp_path):
         os.utime(d / f, (1_000_000 * (i + 1),) * 2)
 
     HOUR_US = 3_600_000_000
-    us = lambda tbl: pd.Series(tbl.column("ts").to_pandas()).astype("int64") // 1_000
+    # normalize to ns first: the corpus has shipped ts as both
+    # timestamp[ns] and timestamp[us]; a bare astype(int64) would give
+    # unit-dependent epochs
+    us = (
+        lambda tbl: pd.Series(tbl.column("ts").to_pandas())
+        .astype("datetime64[ns]")
+        .astype("int64")
+        // 1_000
+    )
     new_us, old_us = us(newest), us(oldest)
     # watermark from the new half (ms granularity, 1h delay); bridge and
     # old file cannot raise it, so this is also the final watermark
