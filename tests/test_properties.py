@@ -337,3 +337,63 @@ def test_simhash_exact_banding_equals_brute_force(spark):
     planted_pairs = [r for r in rows if r[1] == r[0] + PLANT_OFFSET]
     assert len(planted_pairs) >= 150  # drop-one-word copies at ham ≤ 3
     assert len(planted_pairs) >= len(rows) * 0.6
+
+
+def test_substring_windows_planted_coverage(spark):
+    """Exact substring-window dedup: every planted prefix-injected copy
+    whose original has ≥ WINDOW_W tokens must pair with its original,
+    sharing exactly the original's distinct interior windows (the
+    5-token marker prefix is shorter than a window, so every original
+    window survives verbatim in the plant)."""
+    import pyarrow.parquet as pq
+
+    from etl_builder_spark.llm.substring import (
+        SUB_PLANT_OFFSET,
+        WINDOW_W,
+        dedup_substring_windows,
+    )
+    from tests.conftest import SF_DIR
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+        if r["doc_id"] < 60
+    }
+    expected = {}
+    for doc_id, text in texts.items():
+        t = text.split(" ")
+        if len(t) >= WINDOW_W:
+            expected[doc_id] = len(
+                {" ".join(t[i : i + WINDOW_W]) for i in range(len(t) - WINDOW_W + 1)}
+            )
+
+    rows = dedup_substring_windows(spark, SF_DIR).collect()
+    planted = {
+        r["doc_a"]: r["n_shared"]
+        for r in rows
+        if r["doc_b"] == r["doc_a"] + SUB_PLANT_OFFSET
+    }
+    assert planted == expected  # every long-enough plant found, exact counts
+    assert all(r["n_shared"] >= 1 for r in rows)
+
+
+def test_semantic_centroids_recall_and_precision(spark):
+    """SemDeDup-style centroid-blocked dedup: ≥85% of planted perturbed
+    copies are recovered within-cluster (the ~12% loss is plants tipped
+    across a cluster boundary — centroid blocking's documented recall
+    tradeoff), every emitted pair is planted (natural max cosine ~0.74
+    << τ), and sims sit above τ."""
+    from etl_builder_spark.llm.embed_dedup import (
+        EMBED_DUP_TAU,
+        VEC_OFFSET,
+        dedup_semantic_centroids,
+    )
+    from etl_builder_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    n_vec = load_table(spark, SF_DIR, "embeddings").count()
+    rows = dedup_semantic_centroids(spark, SF_DIR).collect()
+    planted = [r for r in rows if r["drop_id"] == r["keep_id"] + VEC_OFFSET]
+    assert len(planted) >= int(0.85 * n_vec)
+    assert len(planted) == len(rows)  # zero false positives at this τ
+    assert all(r["sim"] >= EMBED_DUP_TAU for r in rows)
