@@ -162,9 +162,17 @@ def dedup_embedding_cosine(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
-    va = all_vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = all_vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    # L2 norms once per VECTOR (4k array-aggregates), not per PAIR
+    # (2×|candidates| of them): sqrt(dot(v,v)) is computed on the same
+    # doubles either way, so sim is bit-identical to the oracle's
+    # per-pair formula — this just deduplicates 2/3 of the
+    # higher-order-function work on the candidate fan-out, the
+    # operator's hot loop. At scale norms would be stored with the
+    # vectors (the standard layout) and this join disappears.
+    norms = all_vecs.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    va = norms.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = norms.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -270,9 +278,17 @@ def dedup_semantic_centroids(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("vec_id", "v", "cluster_id")
     )
-    x = asg.select("cluster_id", F.col("vec_id").alias("keep_id"), F.col("v").alias("xv"))
-    y = asg.select("cluster_id", F.col("vec_id").alias("drop_id"), F.col("v").alias("yv"))
-    sim = F.round(cosine(F.col("xv"), F.col("yv")), 6)
+    # same per-vector norm precompute as dedup_embedding_cosine: the
+    # within-cluster pair fan-out is the hot loop, so only dot(x,y)
+    # remains a per-pair array aggregate
+    asg = asg.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    x = asg.select(
+        "cluster_id", F.col("vec_id").alias("keep_id"), F.col("v").alias("xv"), F.col("nrm").alias("nx")
+    )
+    y = asg.select(
+        "cluster_id", F.col("vec_id").alias("drop_id"), F.col("v").alias("yv"), F.col("nrm").alias("ny")
+    )
+    sim = F.round(dot(F.col("xv"), F.col("yv")) / (F.col("nx") * F.col("ny")), 6)
     return (
         x.join(y, "cluster_id")
         .where(F.col("keep_id") < F.col("drop_id"))
