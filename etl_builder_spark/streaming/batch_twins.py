@@ -78,6 +78,87 @@ def stream_sliding_1h_15m(spark, sf_dir):
 
 
 @register(
+    "stream_sliding_1h_15m_live",
+    oracle="""
+        WITH expanded AS (
+            SELECT date_trunc('hour', ts)
+                     + ((minute(ts) // 15) * 15) * INTERVAL 1 MINUTE
+                     - k * INTERVAL 15 MINUTE AS ws,
+                   value
+            FROM events
+            CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)
+        )
+        SELECT ws,
+               ws + INTERVAL 1 HOUR AS we,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM expanded
+        GROUP BY ws
+    """,
+    tags=("J2", "live-stream"),
+)
+def stream_sliding_1h_15m_live(spark, sf_dir):
+    """J2 as an ACTUAL Structured Streaming run (readStream →
+    overlapping 1h/15m windows → availableNow → memory sink).
+    Complete-mode output over a full replay equals the batch slide
+    lattice, so `stream_sliding_1h_15m`'s exact oracle carries over —
+    this closes the live-streaming family: tumbling, sliding, session,
+    and interval join all execute the real streaming runtime under the
+    t2 hash check."""
+    from etl_builder_spark.streaming.runtime import run_to_memory, stream_events
+
+    events = stream_events(spark, _staged_events_dir(sf_dir))
+    agg = (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(money("value")).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n", "total_value")
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+@register(
+    "stream_session_gap_30m_live",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    tags=("J3", "live-stream"),
+)
+def stream_session_gap_30m_live(spark, sf_dir):
+    """J3 as an ACTUAL Structured Streaming run: session_window state
+    merges across micro-batches (complete mode permits sessions
+    without a watermark), and a full single-pass replay converges to
+    the batch gaps-and-islands result — the real test of streaming
+    session-state merge, hash-checked."""
+    from etl_builder_spark.streaming.runtime import run_to_memory, stream_events
+
+    events = stream_events(spark, _staged_events_dir(sf_dir))
+    agg = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+@register(
     "stream_tumbling_1h_live",
     oracle="""
         SELECT date_trunc('hour', ts) AS ws,
