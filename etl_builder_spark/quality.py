@@ -125,3 +125,100 @@ def dq_orphans_lineitem(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     return check_referential(l, "l_orderkey", o, "o_orderkey")
+
+
+#: PSI drift-monitor config: fixed equal-width value bins (engine-
+#: independent edges) and add-one Laplace smoothing so empty bins
+#: contribute finite terms
+PSI_BIN_WIDTH = 50_000
+PSI_N_BINS = 10
+
+
+@register(
+    "dq_distribution_drift",
+    oracle=f"""
+        WITH bins AS (SELECT unnest(generate_series(0, {PSI_N_BINS - 1})) AS bin),
+        ref AS (
+            SELECT LEAST(CAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}) AS BIGINT),
+                         {PSI_N_BINS - 1}) AS bin,
+                   COUNT(*) AS n
+            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+        ),
+        cur AS (
+            SELECT LEAST(CAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}) AS BIGINT),
+                         {PSI_N_BINS - 1}) AS bin,
+                   COUNT(*) AS n
+            FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+        ),
+        tot AS (
+            SELECT (SELECT SUM(n) FROM ref) AS nr, (SELECT SUM(n) FROM cur) AS nc
+        )
+        SELECT b.bin,
+               COALESCE(r.n, 0) AS n_ref,
+               COALESCE(c.n, 0) AS n_cur,
+               ROUND((COALESCE(r.n, 0) + 1.0) / (t.nr + {PSI_N_BINS}.0), 6) AS p_ref,
+               ROUND((COALESCE(c.n, 0) + 1.0) / (t.nc + {PSI_N_BINS}.0), 6) AS p_cur,
+               ROUND(((COALESCE(c.n, 0) + 1.0) / (t.nc + {PSI_N_BINS}.0)
+                      - (COALESCE(r.n, 0) + 1.0) / (t.nr + {PSI_N_BINS}.0))
+                     * ln(((COALESCE(c.n, 0) + 1.0) / (t.nc + {PSI_N_BINS}.0))
+                          / ((COALESCE(r.n, 0) + 1.0) / (t.nr + {PSI_N_BINS}.0))), 6)
+                   AS psi_term
+        FROM bins b
+        LEFT JOIN ref r ON r.bin = b.bin
+        LEFT JOIN cur c ON c.bin = b.bin
+        CROSS JOIN tot t
+    """,
+    tags=("DQ",),
+)
+def dq_distribution_drift(spark, sf_dir):
+    """Population-stability-index drift monitor: compare o_totalprice's
+    distribution between a reference period (1995) and a current
+    period (1996) over fixed equal-width bins; per-bin PSI terms
+    (sum > 0.25 is the classic retrain-the-model alarm).
+
+    The pipeline-monitoring primitive for detecting data drift between
+    ETL runs: fixed engine-independent bin edges (never data-dependent
+    quantiles, which would make the monitor drift with the data it
+    monitors), add-one Laplace smoothing so empty bins stay finite,
+    and one conditional-aggregate scan per period.  100 TB posture:
+    each period's histogram is a 10-row aggregate (map-side combined);
+    the join/PSI math runs on 10-row frames — cost is the two scans,
+    which at scale read only the monitored column + partition-pruned
+    date range."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / PSI_BIN_WIDTH).cast("long"),
+        F.lit(PSI_N_BINS - 1),
+    )
+
+    def hist(year: int, n_name: str):
+        return (
+            o.where(F.year("o_orderdate") == year)
+            .groupBy(bin_col.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    bins = spark.range(PSI_N_BINS).select(F.col("id").alias("bin"))
+    ref, cur = hist(1995, "n_ref"), hist(1996, "n_cur")
+    joined = (
+        bins.join(F.broadcast(ref), "bin", "left")
+        .join(F.broadcast(cur), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("tr") + float(PSI_N_BINS))
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("tc") + float(PSI_N_BINS))
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )

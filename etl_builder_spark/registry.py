@@ -99,6 +99,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "dedup_semantic_centroids",
     "stream_sliding_1h_15m_live",
     "stream_session_gap_30m_live",
+    "dq_distribution_drift",
+    "dedup_minhash_incremental",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",

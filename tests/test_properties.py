@@ -397,3 +397,29 @@ def test_semantic_centroids_recall_and_precision(spark):
     assert len(planted) >= int(0.85 * n_vec)
     assert len(planted) == len(rows)  # zero false positives at this τ
     assert all(r["sim"] >= EMBED_DUP_TAU for r in rows)
+
+
+def test_minhash_incremental_never_pairs_corpus_with_itself(spark):
+    """Incremental dedup's contract: every emitted pair involves a NEW
+    doc (the corpus is already deduplicated — old×old pairs must never
+    be generated), planted corpus-trims are recovered as cross_corpus
+    pairs, and the flag equals id_a's corpus membership."""
+    from etl_builder_spark.llm.dedup import (
+        INC_OLD_MAX,
+        PLANT_OFFSET,
+        dedup_minhash_incremental,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = dedup_minhash_incremental(spark, SF_DIR).collect()
+    assert rows, "fixture must produce pairs"
+    for r in rows:
+        # id_b is always the higher id; a pair of two corpus docs would
+        # have id_b < INC_OLD_MAX — forbidden by construction
+        assert r["id_b"] >= INC_OLD_MAX
+        assert r["cross_corpus"] == (r["id_a"] < INC_OLD_MAX)
+    planted_cross = [
+        r for r in rows if r["cross_corpus"] and r["id_b"] == r["id_a"] + PLANT_OFFSET
+    ]
+    # drop-two-word trims collide in ≥1 of 4 bands for most corpus docs
+    assert len(planted_cross) >= int(0.8 * INC_OLD_MAX)
