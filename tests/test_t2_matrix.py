@@ -22,3 +22,16 @@ def test_query_matches_oracle(spark, oracle, name):
     spec = REGISTRY[name]
     status, detail, _ = check_query_parity(spark, oracle, name, spec, SF_DIR)
     assert status in ("OK", "ROWS-ONLY"), f"{name}: {status} — {detail}"
+
+
+def test_grading_priority_names_resolve():
+    """_ordered_items silently skips priority entries missing from the
+    registry (`if k in REGISTRY`), so a typo'd key would quietly lose
+    its front-of-sample slot — catch that here. Duplicates would
+    double-sample a key; forbid them too."""
+    from etl_builder_spark.registry import _GRADING_PRIORITY, _ensure_loaded
+
+    _ensure_loaded()
+    missing = [k for k in _GRADING_PRIORITY if k not in REGISTRY]
+    assert not missing, f"priority entries not in registry: {missing}"
+    assert len(set(_GRADING_PRIORITY)) == len(_GRADING_PRIORITY)
