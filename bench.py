@@ -41,6 +41,10 @@ HEADLINE = [
     "dedup_embedding_cosine",# I   sign-LSH banded embedding near-dup (r4)
     "dedup_simhash_exact",   # I   48-bit simhash pigeonhole search (r4)
     "scan_dpp_partitioned",  # A   dynamic partition pruning (r4)
+    "dedup_substring_windows",   # I  exact substring-window dedup (r4b)
+    "dedup_minhash_incremental", # I  batch-vs-corpus incremental dedup (r4b)
+    "dedup_semantic_centroids",  # I  SemDeDup centroid blocking (r4b)
+    "dq_distribution_drift",     # DQ PSI drift monitor (r4b)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched

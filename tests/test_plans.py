@@ -325,3 +325,43 @@ def test_dpp_partitioned_scan_prunes_dynamically(spark):
     # fact side reads just the measure — partition column comes from
     # the directory structure, every other column is pruned
     assert "struct<o_totalprice:double>" in p
+
+
+def test_substring_windows_no_cartesian_and_guard_is_broadcast(spark):
+    """The substring-window pair stage must be an equi-join on the
+    window key with the hot-window guard applied as a broadcast
+    anti-join — no cartesian products anywhere in the plan."""
+    import contextlib
+    import io
+
+    from etl_builder_spark.llm.substring import dedup_substring_windows
+
+    df = dedup_substring_windows(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p  # the hot-window ceiling guard
+
+
+def test_semantic_centroids_broadcasts_only_centroids(spark):
+    """SemDeDup centroid blocking: the only nested-loop join is the
+    16-row centroid broadcast against the corpus; the pair stage is an
+    equi-join on cluster_id."""
+    import contextlib
+    import io
+    import re
+
+    from etl_builder_spark.llm.embed_dedup import dedup_semantic_centroids
+
+    df = dedup_semantic_centroids(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    # centroid broadcast appears once per self-join branch (2 nodes max)
+    bnlj = re.findall(r"\(\d+\)\s+BroadcastNestedLoopJoin", p)
+    assert len(bnlj) <= 2
