@@ -1,10 +1,17 @@
-"""End-to-end training-data curation pipeline — the composition the
-engine exists for: quality gate → language filter → exact dedup →
-token accounting, as ONE Catalyst plan (filters fuse and push into the
-scan; the dedup shuffle is the only wide stage).
+"""End-to-end training-data curation pipelines — the compositions the
+engine exists for:
 
-Declared exactly: every stage is relational, so the full composition
-has a faithful SQL oracle — the strongest end-to-end check available.
+- ``pipeline_training_data``: quality gate → language filter → exact
+  dedup → token accounting, as ONE Catalyst plan (filters fuse and
+  push into the scan; the dedup shuffle is the only wide stage).
+- ``pipeline_dedup_cascade``: the canonical three-stage dedup cascade
+  (exact-normalized → MinHash near-dup → embedding semantic) with
+  per-stage drop accounting — each stage catches what the previous
+  one structurally cannot.
+
+Declared exactly: every stage is relational/deterministic, so the full
+compositions have faithful SQL oracles — the strongest end-to-end
+check available.
 """
 
 from __future__ import annotations
@@ -71,4 +78,303 @@ def pipeline_training_data(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         F.countDistinct("source").alias("n_sources"),
+    )
+
+
+#: cascade fixture geometry: originals < 200; three disjoint plant
+#: families exercise the three stages
+CASCADE_SLICE = 200
+CASCADE_EXACT_OFF = 10_000   # mangled copies of docs 0-49   → stage 1
+CASCADE_NEAR_OFF = 20_000    # drop-2-word copies of 50-99   → stage 2
+CASCADE_SEM_OFF = 30_000     # token-REVERSED copies of 100-149 with
+#                              perturbed embeddings           → stage 3
+#: MinHash component-match threshold for a stage-2 drop (of 16)
+CASCADE_MIN_EQ = 8
+
+
+def _cascade_oracle() -> str:
+    from etl_builder_spark.llm.dedup import MINHASH_PERMS, _P
+    from etl_builder_spark.llm.embed_dedup import (
+        EMBED_DUP_TAU,
+        PERTURB_DELTA,
+        SEM_CENT_LO,
+        SEM_N_CENT,
+    )
+
+    perm_vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS))
+    cos = (
+        "ROUND(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < {CASCADE_SLICE}
+        ),
+        everything AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + {CASCADE_EXACT_OFF}, '  ' || upper(text) || ' '
+            FROM base WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id + {CASCADE_NEAR_OFF},
+                   array_to_string(
+                       string_split(text, ' ')[1:greatest(len(string_split(text,' '))-2,1)],
+                       ' ')
+            FROM base WHERE doc_id BETWEEN 50 AND 99
+            UNION ALL
+            SELECT doc_id + {CASCADE_SEM_OFF},
+                   array_to_string(list_reverse(string_split(text, ' ')), ' ')
+            FROM base WHERE doc_id BETWEEN 100 AND 149
+        ),
+        normed AS (
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS text
+            FROM everything
+        ),
+        surv1 AS (
+            SELECT doc_id, text FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM normed
+            ) WHERE rn = 1
+        ),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM surv1),
+        shingles AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS sh
+            FROM toks, unnest(generate_series(0, len(toks)-3)) AS g(i)
+            WHERE len(toks) >= 3
+        ),
+        sh_hash AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split_regex(sh, ''), c -> c <> ''),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % {_P}) AS h
+            FROM shingles
+        ),
+        perms(i, a, b) AS (VALUES {perm_vals}),
+        sig AS (
+            SELECT doc_id, i, MIN((a * h + b) % {_P}) AS minh
+            FROM sh_hash CROSS JOIN perms GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   SUM((minh * CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                                          WHEN 2 THEN 961 ELSE 29791 END) % {_P})
+                       % {_P} AS bh
+            FROM sig GROUP BY doc_id, band
+        ),
+        cand2 AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ),
+        drops2 AS (
+            SELECT DISTINCT id_b FROM (
+                SELECT c.id_a, c.id_b
+                FROM cand2 c
+                JOIN sig sa ON sa.doc_id = c.id_a
+                JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                GROUP BY c.id_a, c.id_b
+                HAVING SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END)
+                       >= {CASCADE_MIN_EQ}
+            )
+        ),
+        surv2 AS (
+            SELECT doc_id FROM surv1 WHERE doc_id NOT IN (SELECT id_b FROM drops2)
+        ),
+        vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id < {CASCADE_SLICE}
+        ),
+        all_embs AS (
+            SELECT vec_id, v FROM vecs
+            UNION ALL
+            SELECT vec_id + {CASCADE_SEM_OFF},
+                   list_transform(v, x -> x + {PERTURB_DELTA})
+            FROM vecs WHERE vec_id BETWEEN 100 AND 149
+        ),
+        cent AS (
+            SELECT vec_id - {SEM_CENT_LO} AS cluster_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings
+            WHERE vec_id BETWEEN {SEM_CENT_LO} AND {SEM_CENT_LO + SEM_N_CENT - 1}
+        ),
+        evec AS (
+            SELECT s.doc_id, e.v FROM surv2 s JOIN all_embs e ON e.vec_id = s.doc_id
+        ),
+        asg AS (
+            SELECT doc_id, v, cluster_id FROM (
+                SELECT x.doc_id, x.v, c.cluster_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY x.doc_id
+                           ORDER BY {cos.format(a="x.v", b="c.cv")} DESC, c.cluster_id
+                       ) AS rn
+                FROM evec x CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        drops3 AS (
+            SELECT DISTINCT y.doc_id AS id_b
+            FROM asg x JOIN asg y
+              ON x.cluster_id = y.cluster_id AND x.doc_id < y.doc_id
+            WHERE {cos.format(a="x.v", b="y.v")} >= {EMBED_DUP_TAU}
+        ),
+        surv3 AS (
+            SELECT doc_id FROM surv2 WHERE doc_id NOT IN (SELECT id_b FROM drops3)
+        ),
+        counts AS (
+            SELECT (SELECT COUNT(*) FROM everything) AS n0,
+                   (SELECT COUNT(*) FROM surv1) AS n1,
+                   (SELECT COUNT(*) FROM surv2) AS n2,
+                   (SELECT COUNT(*) FROM surv3) AS n3
+        )
+        SELECT '1_exact' AS stage, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM counts
+        UNION ALL
+        SELECT '2_minhash', n1, n1 - n2, n2 FROM counts
+        UNION ALL
+        SELECT '3_semantic', n2, n2 - n3, n3 FROM counts
+    """
+
+
+@register(
+    "pipeline_dedup_cascade",
+    oracle=_cascade_oracle(),
+    tags=("I-pipeline", "I-dedup-cascade"),
+)
+def pipeline_dedup_cascade(spark, sf_dir):
+    """The canonical three-stage dedup cascade with per-stage drop
+    accounting — each stage catches what the previous one structurally
+    cannot:
+
+    1. **exact** (normalized text hash): byte-near copies — case,
+       whitespace.  One hash shuffle.
+    2. **minhash** (banded signatures, ≥``CASCADE_MIN_EQ``/16 matching
+       components): edited copies sharing most shingles.  Band-bucket
+       candidates only.
+    3. **semantic** (pinned-centroid blocks, cosine ≥ τ): rewordings —
+       the fixture's token-REVERSED texts share no 3-gram shingles
+       (invisible to stages 1-2) but keep near-identical embeddings.
+       Broadcast-centroid assignment, within-cluster pairs only.
+
+    Drop policy per stage: the higher doc_id of every qualifying pair
+    is dropped (deterministic, set-based — no iterative clustering).
+    Fixture: three disjoint plant families target one stage each, so
+    the accounting rows separate the stages' contributions.  100 TB
+    posture: stages run cheapest-first so each pass shrinks the input
+    of the costlier next pass; every stage is the already-bounded
+    primitive (hash shuffle / band buckets / centroid blocks)."""
+    from etl_builder_spark.llm.dedup import _minhash_sig_bands
+    from etl_builder_spark.llm.embed_dedup import (
+        EMBED_DUP_TAU,
+        PERTURB_DELTA,
+        SEM_CENT_LO,
+        SEM_N_CENT,
+    )
+    from etl_builder_spark.llm.similarity import _dbl, cosine
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < CASCADE_SLICE).select(
+        "doc_id", "text"
+    )
+    toks = F.split("text", " ")
+    plants_exact = d.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + CASCADE_EXACT_OFF).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+    )
+    plants_near = d.where(F.col("doc_id").between(50, 99)).select(
+        (F.col("doc_id") + CASCADE_NEAR_OFF).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
+        ).alias("text"),
+    )
+    plants_sem = d.where(F.col("doc_id").between(100, 149)).select(
+        (F.col("doc_id") + CASCADE_SEM_OFF).alias("doc_id"),
+        F.array_join(F.reverse(toks), " ").alias("text"),
+    )
+    everything = d.unionByName(plants_exact).unionByName(plants_near).unionByName(plants_sem)
+
+    # stage 1: exact on normalized text, keep min doc_id
+    normed = everything.select(
+        "doc_id", F.lower(F.trim(F.regexp_replace("text", " +", " "))).alias("text")
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    surv1 = normed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+        "doc_id", "text"
+    )
+
+    # stage 2: banded MinHash, drop higher id of pairs with >= CASCADE_MIN_EQ
+    # matching signature components
+    sig, bands = _minhash_sig_bands(surv1)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand2 = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    drops2 = (
+        cand2.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("id_b")) & (F.col("sb.i") == F.col("sa.i")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.when(F.col("sa.minh") == F.col("sb.minh"), 1).otherwise(0)).alias("n_eq"))
+        .where(F.col("n_eq") >= CASCADE_MIN_EQ)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    surv2 = surv1.select("doc_id").join(drops2, "doc_id", "left_anti")
+
+    # stage 3: pinned-centroid semantic blocks, drop higher id of
+    # within-cluster pairs with cosine >= tau
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < CASCADE_SLICE).select(
+        "vec_id", _dbl().alias("v")
+    )
+    all_embs = e.unionByName(
+        e.where(F.col("vec_id").between(100, 149)).select(
+            (F.col("vec_id") + CASCADE_SEM_OFF).alias("vec_id"),
+            F.transform("v", lambda x: x + F.lit(PERTURB_DELTA)).alias("v"),
+        )
+    )
+    cent = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id").between(SEM_CENT_LO, SEM_CENT_LO + SEM_N_CENT - 1))
+        .select((F.col("vec_id") - SEM_CENT_LO).alias("cluster_id"), _dbl().alias("cv"))
+    )
+    evec = surv2.join(all_embs, surv2["doc_id"] == all_embs["vec_id"]).select("doc_id", "v")
+    wa = Window.partitionBy("doc_id").orderBy(
+        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cluster_id")
+    )
+    asg = (
+        evec.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "v", "cluster_id")
+    )
+    x = asg.select("cluster_id", F.col("doc_id").alias("id_a"), F.col("v").alias("xv"))
+    y = asg.select("cluster_id", F.col("doc_id").alias("id_b"), F.col("v").alias("yv"))
+    drops3 = (
+        x.join(y, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("xv"), F.col("yv")), 6) >= EMBED_DUP_TAU)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    surv3 = surv2.join(drops3, "doc_id", "left_anti")
+
+    counts = (
+        everything.agg(F.count(F.lit(1)).alias("n0"))
+        .crossJoin(surv1.agg(F.count(F.lit(1)).alias("n1")))
+        .crossJoin(surv2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(surv3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    return counts.selectExpr(
+        "stack(3,"
+        " '1_exact',    n0, n0 - n1, n1,"
+        " '2_minhash',  n1, n1 - n2, n2,"
+        " '3_semantic', n2, n2 - n3, n3"
+        ") AS (stage, n_in, n_dropped, n_out)"
     )

@@ -101,6 +101,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "stream_session_gap_30m_live",
     "dq_distribution_drift",
     "dedup_minhash_incremental",
+    "pipeline_dedup_cascade",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",

@@ -423,3 +423,25 @@ def test_minhash_incremental_never_pairs_corpus_with_itself(spark):
     ]
     # drop-two-word trims collide in ≥1 of 4 bands for most corpus docs
     assert len(planted_cross) >= int(0.8 * INC_OLD_MAX)
+
+
+def test_dedup_cascade_stage_separation(spark):
+    """Cascade accounting: the chain is internally consistent and each
+    stage catches (at least) its own plant family — 50 mangled copies
+    at exact, 50 trimmed copies at minhash, ~88% of 50 token-reversed
+    copies at semantic (centroid-blocking recall). Reversed texts MUST
+    survive stages 1-2 (they share no shingles with their originals),
+    which is exactly why the semantic stage exists."""
+    from etl_builder_spark.llm.training_pipeline import pipeline_dedup_cascade
+    from tests.conftest import SF_DIR
+
+    rows = {r["stage"]: r for r in pipeline_dedup_cascade(spark, SF_DIR).collect()}
+    assert list(rows) == ["1_exact", "2_minhash", "3_semantic"]
+    for r in rows.values():
+        assert r["n_in"] - r["n_dropped"] == r["n_out"]
+    assert rows["1_exact"]["n_out"] == rows["2_minhash"]["n_in"]
+    assert rows["2_minhash"]["n_out"] == rows["3_semantic"]["n_in"]
+    assert rows["1_exact"]["n_in"] == 350  # 200 originals + 3×50 plants
+    assert rows["1_exact"]["n_dropped"] >= 50
+    assert rows["2_minhash"]["n_dropped"] >= 50
+    assert rows["3_semantic"]["n_dropped"] >= 40
