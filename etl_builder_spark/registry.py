@@ -102,6 +102,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "dq_distribution_drift",
     "dedup_minhash_incremental",
     "pipeline_dedup_cascade",
+    "join_bucketed_colocated",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",
@@ -177,6 +178,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.window_frames  # noqa: F401
     import etl_builder_spark.operators.windows  # noqa: F401
     import etl_builder_spark.quality  # noqa: F401
+    import etl_builder_spark.sources.bucketed  # noqa: F401
     import etl_builder_spark.sources.partitioned  # noqa: F401
     import etl_builder_spark.sources.roundtrip  # noqa: F401
     import etl_builder_spark.streaming.batch_twins  # noqa: F401

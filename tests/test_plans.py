@@ -365,3 +365,52 @@ def test_semantic_centroids_broadcasts_only_centroids(spark):
     # centroid broadcast appears once per self-join branch (2 nodes max)
     bnlj = re.findall(r"\(\d+\)\s+BroadcastNestedLoopJoin", p)
     assert len(bnlj) <= 2
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of bucketing: with broadcast disabled, the
+    bucketed lineitem⋈orders sort-merge join must plan ZERO exchanges
+    before the join (bucket i reads against bucket i). The final
+    aggregation exchange is the only one allowed. Values must equal
+    the unbucketed join's."""
+    import contextlib
+    import io
+    import re
+
+    from etl_builder_spark.sources.bucketed import staged_bucketed_tables
+
+    tl, to = staged_bucketed_tables(spark, SF_DIR)
+    l, o = spark.table(tl), spark.table(to)
+    joined = l.join(o, l["l_orderkey"] == o["o_orderkey"]).groupBy("o_orderdate").count()
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        # exactly one exchange: the post-join aggregation shuffle
+        assert len(re.findall(r"\(\d+\)\s+Exchange", p)) == 1
+        n = joined.count()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    from pyspark.sql import functions as F
+
+    from etl_builder_spark.session import load_table
+
+    want = (
+        load_table(spark, SF_DIR, "lineitem")
+        .join(load_table(spark, SF_DIR, "orders"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderdate")
+        .count()
+        .count()
+    )
+    assert n == want
