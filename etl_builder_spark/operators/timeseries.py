@@ -118,3 +118,77 @@ def agg_percentile_approx(spark, sf_dir):
         F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(1000)).alias("p90_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+#: truncated-EWMA geometry: 24-tap window, decay 0.7 per hour.  The
+#: tap weights are PRECOMPUTED PYTHON FLOATS injected as literals into
+#: BOTH engines, so no cross-engine pow() ulp drift can exist; the
+#: weighted sum is a fixed left-to-right chain in both.
+EWMA_DECAY = 0.7
+EWMA_TAPS = 24
+EWMA_W = [EWMA_DECAY**k for k in range(EWMA_TAPS)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE(LAG(nv, {k}) OVER w, 0.0) * {EWMA_W[k]!r}" for k in range(EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG(nv, {k}) OVER w IS NULL THEN 0.0 ELSE {EWMA_W[k]!r} END)"
+        for k in range(EWMA_TAPS)
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS nv
+            FROM events GROUP BY 1, 2
+        )
+        SELECT hour_start, event_type, CAST(nv AS BIGINT) AS n,
+               ROUND(({num}) / ({den}), 6) AS ewma24
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_start)
+    """
+
+
+@register("ts_ewma_hourly", oracle=_ewma_oracle(), tags=("TS-ewma",))
+def ts_ewma_hourly(spark, sf_dir):
+    """Truncated EWMA (24 taps, decay 0.7) of the hourly event count
+    per type — the monitoring smoother behind alerting baselines.
+
+    The truncation is the distributed formulation on purpose: exact
+    recursive EWMA (s_t = αx_t + (1-α)s_{t-1}) is inherently
+    sequential — it belongs to streaming state, not a batch window —
+    while the 24-tap form is a fixed linear combination of LAG()s that
+    any engine evaluates in one window pass, and the dropped tail
+    carries weight 0.7²⁴ < 0.2%.  Weights are head-normalized (the
+    first rows of each series renormalize over the taps that exist).
+    At 100 TB the window partitions by series key like any other
+    windowed aggregate; no state, no iteration, no skew beyond the
+    hottest single series."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("double").alias("nv"))
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    num = reduce(
+        lambda acc, k: acc
+        + F.coalesce(F.lag("nv", k).over(w), F.lit(0.0)) * F.lit(EWMA_W[k]),
+        range(1, EWMA_TAPS),
+        F.coalesce(F.lag("nv", 0).over(w), F.lit(0.0)) * F.lit(EWMA_W[0]),
+    )
+    den = reduce(
+        lambda acc, k: acc
+        + F.when(F.lag("nv", k).over(w).isNull(), F.lit(0.0)).otherwise(F.lit(EWMA_W[k])),
+        range(1, EWMA_TAPS),
+        F.when(F.lag("nv", 0).over(w).isNull(), F.lit(0.0)).otherwise(F.lit(EWMA_W[0])),
+    )
+    return hourly.select(
+        "hour_start",
+        "event_type",
+        F.col("nv").cast("bigint").alias("n"),
+        F.round(num / den, 6).alias("ewma24"),
+    )

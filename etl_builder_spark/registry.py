@@ -103,6 +103,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_incremental",
     "pipeline_dedup_cascade",
     "join_bucketed_colocated",
+    "ts_ewma_hourly",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",
