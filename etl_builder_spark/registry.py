@@ -104,6 +104,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "pipeline_dedup_cascade",
     "join_bucketed_colocated",
     "ts_ewma_hourly",
+    "cohort_weekly_retention",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",
