@@ -87,9 +87,6 @@ def funnel_signup_purchase(spark, sf_dir):
             SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
             FROM events
         ),
-        cohort_sizes AS (
-            SELECT cohort_week, COUNT(*) AS n_cohort FROM firsts GROUP BY 1
-        ),
         cells AS (
             SELECT f.cohort_week,
                    CAST(datediff('week', f.cohort_week, a.active_week) AS BIGINT)
@@ -98,22 +95,31 @@ def funnel_signup_purchase(spark, sf_dir):
             FROM firsts f JOIN activity a ON a.user_id = f.user_id
             GROUP BY 1, 2
         )
-        SELECT c.cohort_week, c.week_offset, c.n_active, s.n_cohort,
-               ROUND(CAST(c.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
-        FROM cells c JOIN cohort_sizes s ON s.cohort_week = c.cohort_week
+        SELECT cohort_week, week_offset, n_active,
+               MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week) AS n_cohort,
+               ROUND(CAST(n_active AS DOUBLE)
+                     / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                       OVER (PARTITION BY cohort_week), 6) AS retention
+        FROM cells
     """,
     tags=("funnel-cohort",),
 )
 def cohort_weekly_retention(spark, sf_dir):
     """Weekly cohort retention — the product-analytics staple: users
     grouped by their first-activity week, each later week's activity
-    expressed as a fraction of the cohort.  Three aggregates and one
-    broadcast-sized join: per-user firsts (one shuffle on user_id),
-    distinct user-weeks (same key — Catalyst reuses the partitioning),
-    and the (cohort × offset) cells, which are tiny at any corpus
-    size.  100 TB posture: everything keys on user_id until the final
-    cells aggregate; the output matrix is O(weeks²) regardless of
-    event volume."""
+    expressed as a fraction of the cohort.
+
+    The cohort size is NOT a separate aggregation: every user is by
+    definition active in their own cohort week, so n_cohort equals the
+    offset-0 cell, read back with a window over the tiny cells matrix.
+    That leaves two scans of events (per-user firsts, distinct
+    user-weeks), one user_id-keyed join, and one (cohort × offset)
+    aggregate — the plan a 100 TB run wants: everything keys on
+    user_id until the cells aggregate, and the window runs over an
+    O(weeks²) frame regardless of event volume."""
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
@@ -121,7 +127,6 @@ def cohort_weekly_retention(spark, sf_dir):
     activity = e.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
     ).distinct()
-    cohort_sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
     cells = (
         firsts.join(activity, "user_id")
         .groupBy(
@@ -136,10 +141,12 @@ def cohort_weekly_retention(spark, sf_dir):
             "n_active",
         )
     )
-    return cells.join(F.broadcast(cohort_sizes), "cohort_week").select(
+    w = Window.partitionBy("cohort_week")
+    n_cohort = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(w)
+    return cells.select(
         "cohort_week",
         "week_offset",
         "n_active",
-        "n_cohort",
-        F.round(F.col("n_active").cast("double") / F.col("n_cohort"), 6).alias("retention"),
+        n_cohort.alias("n_cohort"),
+        F.round(F.col("n_active").cast("double") / n_cohort, 6).alias("retention"),
     )
