@@ -105,6 +105,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "join_bucketed_colocated",
     "ts_ewma_hourly",
     "cohort_weekly_retention",
+    "stream_stateful_counters_live",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",

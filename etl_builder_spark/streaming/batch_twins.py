@@ -159,6 +159,37 @@ def stream_session_gap_30m_live(spark, sf_dir):
 
 
 @register(
+    "stream_stateful_counters_live",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("J6", "live-stream"),
+)
+def stream_stateful_counters_live(spark, sf_dir):
+    """J6 as a declared key: ARBITRARY stateful processing
+    (``applyInPandasWithState`` running per-user counters — real
+    GroupState rows updated by a pandas function) executed as a live
+    streaming query.  The staged directory is a single file, so the
+    availableNow replay is exactly one micro-batch and the update-mode
+    output contains each user's final counter once — equal to the
+    batch per-user count, which is the oracle.  This puts the
+    Python-state seam itself (Arrow batches in, GroupState get/update,
+    emitted frames out) under the t2 hash check; the multi-batch
+    accumulation behavior is separately pinned by
+    tests/test_streaming.py::test_stateful_user_counters."""
+    from etl_builder_spark.streaming.runtime import (
+        run_to_memory,
+        running_user_counters,
+        stream_events,
+    )
+
+    events = stream_events(spark, _staged_events_dir(sf_dir))
+    return run_to_memory(running_user_counters(events), mode="update")
+
+
+@register(
     "stream_tumbling_1h_live",
     oracle="""
         SELECT date_trunc('hour', ts) AS ws,
