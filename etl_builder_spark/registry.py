@@ -106,6 +106,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ts_ewma_hourly",
     "cohort_weekly_retention",
     "stream_stateful_counters_live",
+    "graph_reachability_paths",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",
@@ -172,6 +173,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.histogram  # noqa: F401
     import etl_builder_spark.operators.joins  # noqa: F401
     import etl_builder_spark.operators.merge  # noqa: F401
+    import etl_builder_spark.operators.recursive  # noqa: F401
     import etl_builder_spark.operators.scans  # noqa: F401
     import etl_builder_spark.operators.setops  # noqa: F401
     import etl_builder_spark.operators.sorts  # noqa: F401
