@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_minhash_incremental", # I  batch-vs-corpus incremental dedup (r4b)
     "dedup_semantic_centroids",  # I  SemDeDup centroid blocking (r4b)
     "dq_distribution_drift",     # DQ PSI drift monitor (r4b)
+    "pipeline_dedup_cascade",    # I  3-stage dedup composition (r4b)
+    "graph_reachability_paths",  # C  recursive-CTE hierarchy walk (r4b)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched
