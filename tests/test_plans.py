@@ -414,3 +414,18 @@ def test_bucketed_join_has_no_exchange(spark):
         .count()
     )
     assert n == want
+
+
+def test_recursive_cte_plans_union_loop(spark):
+    """The recursive CTE must execute as Catalyst's native recursion
+    (UnionLoop with a UnionLoopRef back-edge), not a driver-side
+    re-issue loop — and terminate at the tree's 7-level depth with one
+    row per node."""
+    p = plan(spark, "graph_reachability_paths")
+    assert "UnionLoop" in p
+    assert "UnionLoopRef" in p
+    df = REGISTRY["graph_reachability_paths"].fn(spark, SF_DIR)
+    rows = {r["node"]: r for r in df.collect()}
+    assert len(rows) == 126
+    assert max(r["depth_to_root"] for r in rows.values()) == 6
+    assert rows[11]["root_path"] == "11>5>2>0"
