@@ -192,3 +192,43 @@ def ts_ewma_hourly(spark, sf_dir):
         F.col("nv").cast("bigint").alias("n"),
         F.round(num / den, 6).alias("ewma24"),
     )
+
+
+@register(
+    "ts_forward_fill",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS sparse_value,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_value
+        FROM events
+    """,
+    tags=("TS-locf",),
+)
+def ts_forward_fill(spark, sf_dir):
+    """Forward fill (last observation carried forward): a sparse
+    per-user signal — here, the value of purchase events — propagated
+    onto every event row until the next observation.  The classic
+    sensor/price-feed densification, expressed as
+    ``last(ignorenulls)`` over a running row frame: one window pass,
+    one shuffle on the series key, no self-join, no iteration.
+    Deterministic ordering pins ties with the unique event_id."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        sparse.alias("sparse_value"),
+        F.last(sparse, ignorenulls=True).over(w).alias("filled_value"),
+    )

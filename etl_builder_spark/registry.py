@@ -107,6 +107,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "cohort_weekly_retention",
     "stream_stateful_counters_live",
     "graph_reachability_paths",
+    "ts_forward_fill",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",
