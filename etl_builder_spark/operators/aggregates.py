@@ -379,3 +379,41 @@ def agg_mode_deterministic(spark, sf_dir):
         ).alias("m")
     )
     return best.select("o_orderstatus", "m.mode_priority", "m.mode_count")
+
+
+@register(
+    "agg_robust_mad",
+    oracle="""
+        WITH med AS (
+            SELECT o_orderpriority AS p, quantile_cont(o_totalprice, 0.5) AS m
+            FROM orders GROUP BY 1
+        )
+        SELECT o.o_orderpriority,
+               ROUND(ANY_VALUE(m.m), 6) AS median_price,
+               ROUND(quantile_cont(abs(o.o_totalprice - m.m), 0.5), 6) AS mad,
+               COUNT(*) AS n
+        FROM orders o JOIN med m ON m.p = o.o_orderpriority
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("D-robust",),
+)
+def agg_robust_mad(spark, sf_dir):
+    """Median absolute deviation per group — the robust spread measure
+    outlier pipelines prefer over stddev (a single corrupt value moves
+    stddev arbitrarily, MAD not at all).  Inherently two-pass: group
+    medians first (tiny frame, broadcast back), then the median of
+    absolute deviations.  Interpolated medians match DuckDB's
+    quantile_cont exactly (the D10 parity), deviations are plain IEEE
+    subtractions, outputs rounded 6 dp."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("m")
+    )
+    joined = o.join(F.broadcast(med), o["o_orderpriority"] == med["p"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.first("m"), 6).alias("median_price"),
+        F.round(
+            F.percentile(F.abs(F.col("o_totalprice") - F.col("m")), F.lit(0.5)), 6
+        ).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )

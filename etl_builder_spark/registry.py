@@ -108,6 +108,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "stream_stateful_counters_live",
     "graph_reachability_paths",
     "ts_forward_fill",
+    "agg_robust_mad",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",
