@@ -363,3 +363,64 @@ def text_oov_rate(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t AS token
+            FROM documents, unnest(string_split(lower(text), ' ')) AS u(t)
+            WHERE t <> ''
+        ),
+        vocab AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+        tot AS (SELECT SUM(n) AS total FROM vocab),
+        surp AS (
+            SELECT t.doc_id,
+                   CAST(ROUND(-ln(CAST(v.n AS DOUBLE) / tot.total), 9)
+                        AS DECIMAL(28, 9)) AS s
+            FROM tok t JOIN vocab v ON v.token = t.token CROSS JOIN tot
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal
+        FROM surp
+        GROUP BY doc_id
+    """,
+    tags=("I-text-surprisal",),
+)
+def text_unigram_surprisal(spark, sf_dir):
+    """Per-document mean unigram surprisal −Σ ln p(token) / n — the
+    language-model-perplexity filtering proxy (CCNet-style pipelines
+    drop the highest- and lowest-perplexity tails; the unigram LM
+    stands in for the real LM, whose weights an engine benchmark can't
+    ship).  Low score ⇒ repetitive/common tokens, high ⇒ rare-token
+    soup — both discard signals.
+
+    Float discipline: per-token surprisal is rounded to 9 dp and cast
+    to DECIMAL before the per-doc sum, so the aggregation is exact and
+    ORDER-FREE (a raw double sum would vary with partition order —
+    policy §7.2); the mean is rounded 6 dp.  100 TB posture: the vocab
+    is one token shuffle with map-side combine, broadcast back for the
+    probability join; per-doc sums shuffle on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = vocab.agg(F.sum("n").alias("total"))
+    surp = (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("n").cast("double") / F.col("total")), 9)
+            .cast("decimal(28,9)")
+            .alias("s"),
+        )
+    )
+    return surp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 6).alias("mean_surprisal"),
+    )

@@ -109,6 +109,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "graph_reachability_paths",
     "ts_forward_fill",
     "agg_robust_mad",
+    "text_unigram_surprisal",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",
