@@ -110,6 +110,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ts_forward_fill",
     "agg_robust_mad",
     "text_unigram_surprisal",
+    "stream_dedup_watermark_live",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",

@@ -158,6 +158,58 @@ def stream_session_gap_30m_live(spark, sf_dir):
     return run_to_memory(agg, mode="complete")
 
 
+def _staged_events_duplicated(sf_dir):
+    """Stage events.parquet TWICE (two identical files, mtime-ordered)
+    so the file stream redelivers every event — the dedup fixture."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    stage = _os.path.join(
+        _tempfile.gettempdir(),
+        "etl_builder_spark_streamdup",
+        _os.path.basename(sf_dir.rstrip("/")),
+    )
+    src = _os.path.join(sf_dir, "events.parquet")
+    done = _os.path.join(stage, "_staged")
+    if not _os.path.exists(done) or _os.path.getmtime(done) < _os.path.getmtime(src):
+        _os.makedirs(stage, exist_ok=True)
+        _shutil.copy(src, _os.path.join(stage, "a.parquet"))
+        _shutil.copy(src, _os.path.join(stage, "b.parquet"))
+        _os.utime(_os.path.join(stage, "a.parquet"), (1_700_000_000, 1_700_000_000))
+        _os.utime(_os.path.join(stage, "b.parquet"), (1_700_000_001, 1_700_000_001))
+        with open(done, "w") as f:
+            f.write("ok")
+    return stage
+
+
+@register(
+    "stream_dedup_watermark_live",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type
+        FROM events
+    """,
+    tags=("J5", "live-stream"),
+)
+def stream_dedup_watermark_live(spark, sf_dir):
+    """J5 as a declared key: ``dropDuplicatesWithinWatermark`` running
+    live against a staged stream that redelivers every event (the
+    whole file twice) — the at-least-once-source dedup pattern.  The
+    deduplicated append output must equal the original events table
+    exactly, which is the oracle.  State holds only event_ids inside
+    the watermark horizon; the 100-day watermark here spans the
+    30-day corpus so the full replay dedups perfectly."""
+    from etl_builder_spark.streaming.runtime import run_to_memory, stream_events
+
+    events = stream_events(spark, _staged_events_duplicated(sf_dir))
+    deduped = (
+        events.withWatermark("ts", "100 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    return run_to_memory(deduped, mode="append")
+
+
 @register(
     "stream_stateful_counters_live",
     oracle="""
