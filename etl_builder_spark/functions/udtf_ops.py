@@ -58,6 +58,12 @@ def _tokenize_udtf():
     tags=("K4",),
 )
 def udtf_tokenize_pos(spark, sf_dir):
+    # Arrow-optimized UDTF evaluation (Spark 4): batches cross the
+    # Python boundary as Arrow instead of pickled rows —
+    # ArrowEvalPythonUDTF in the plan, same results, and it keeps the
+    # repo's zero-BatchEvalPython invariant (plan-swept in
+    # tests/test_plans.py).
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register("tokenize_pos", _tokenize_udtf())
     load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50).createOrReplaceTempView(
         "docs_head"

@@ -429,3 +429,34 @@ def test_recursive_cte_plans_union_loop(spark):
     assert len(rows) == 126
     assert max(r["depth_to_root"] for r in rows.values()) == 6
     assert rows[11]["root_path"] == "11>5>2>0"
+
+
+def test_registry_wide_plan_anti_patterns(spark):
+    """Sweep EVERY declared query's physical plan for the two
+    anti-patterns the 100 TB posture forbids outright:
+
+    - CartesianProduct: zero tolerance — even the declared C7 cross
+      join broadcasts its 25-row sides (BNLJ), and every 1-row
+      aggregate crossJoin is a broadcast.
+    - BatchEvalPython (row-at-a-time pickled Python): zero tolerance —
+      pandas/Arrow evaluation (ArrowEvalPython, *InPandas,
+      ArrowEvalPythonUDTF) is the only sanctioned Python seam.
+
+    Live-streaming keys are skipped (their fn executes a streaming
+    query; their batch twins cover the plan surface)."""
+    import contextlib
+    import io
+
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if "live-stream" in spec.tags or name == "stream_foreachbatch_sink":
+            continue
+        df = spec.fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        bad = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"anti-patterns found: {offenders}"
