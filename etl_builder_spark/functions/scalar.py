@@ -284,3 +284,40 @@ def fn_bitwise(spark, sf_dir):
         F.bitwise_not(k).alias("key_not"),
         F.bit_count(k).alias("key_popcount"),
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+        SELECT o_orderkey,
+               o_totalprice / NULLIF(CAST(o_orderkey % 7 AS DOUBLE), 0.0)
+                   AS price_per_bucket,
+               TRY_CAST(o_orderpriority AS INTEGER) AS prio_bad_cast,
+               TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+               CASE WHEN o_custkey = 0 THEN NULL
+                    ELSE CAST(o_orderkey AS DOUBLE) / o_custkey END
+                   AS key_ratio
+        FROM orders
+    """,
+    tags=("H-try",),
+)
+def fn_try_arithmetic(spark, sf_dir):
+    """Error-safe expression surface (ANSI-mode hardening): try_divide
+    returns NULL on division by zero instead of failing the job, and
+    try_cast returns NULL on malformed input instead of erroring —
+    the difference between a 100 TB job dying at hour 9 on one bad
+    row and a NULL that downstream quality checks count.  The oracle
+    spells the same semantics with NULLIF/TRY_CAST; results are
+    mode-independent (identical under ANSI on or off)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 7).cast("double")
+        ).alias("price_per_bucket"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_bad_cast"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
+        F.try_divide(F.col("o_orderkey").cast("double"), F.col("o_custkey")).alias(
+            "key_ratio"
+        ),
+    )

@@ -111,6 +111,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "agg_robust_mad",
     "text_unigram_surprisal",
     "stream_dedup_watermark_live",
+    "fn_try_arithmetic",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",
