@@ -417,3 +417,5 @@ def agg_robust_mad(spark, sf_dir):
         ).alias("mad"),
         F.count(F.lit(1)).alias("n"),
     )
+
+

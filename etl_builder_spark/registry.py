@@ -112,6 +112,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "text_unigram_surprisal",
     "stream_dedup_watermark_live",
     "fn_try_arithmetic",
+    "agg_mode_deterministic",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",
