@@ -187,3 +187,33 @@ def win_unpartitioned_caution(spark, sf_dir):
         .cast("double")
         .alias("running_total"),
     )
+
+
+@register(
+    "win_ntile_quartiles",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               NTILE(4) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS price_quartile
+        FROM orders
+    """,
+    tags=("E-ntile",),
+)
+def win_ntile_quartiles(spark, sf_dir):
+    """Quartile bucketing per group via NTILE — the feature-binning
+    window (equal-COUNT buckets, unlike the fixed-WIDTH bins of the
+    PSI monitor).  NTILE assigns by row position, so the ORDER BY
+    carries the unique key as tiebreaker — without it, equal prices
+    straddling a bucket boundary would land nondeterministically and
+    no two engines (or two runs) would agree."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )

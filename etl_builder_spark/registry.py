@@ -113,6 +113,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "stream_dedup_watermark_live",
     "fn_try_arithmetic",
     "agg_mode_deterministic",
+    "win_ntile_quartiles",
     # --- stalest evidence: latest grading is r1 ---
     "text_tfidf_sql",
     "text_quality_score",
