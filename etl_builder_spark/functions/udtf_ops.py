@@ -62,8 +62,10 @@ def udtf_tokenize_pos(spark, sf_dir):
     # Python boundary as Arrow instead of pickled rows —
     # ArrowEvalPythonUDTF in the plan, same results, and it keeps the
     # repo's zero-BatchEvalPython invariant (plan-swept in
-    # tests/test_plans.py).
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    # tests/test_plans.py).  The enabling conf is pinned session-wide
+    # in session._pin_runtime_confs (load_table runs it on every call),
+    # never mutated here — per-operator conf writes made plan shapes
+    # depend on query build order (ADVICE r4).
     spark.udtf.register("tokenize_pos", _tokenize_udtf())
     load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50).createOrReplaceTempView(
         "docs_head"

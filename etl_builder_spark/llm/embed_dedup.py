@@ -256,7 +256,24 @@ def dedup_semantic_centroids(spark, sf_dir):
     precisely centroid blocking's recall loss (LSH banding recovers
     ≥97% of the same plants).  The oracle replicates the blocking, so
     the hash check is exact even though the blocking itself is lossy;
-    production SemDeDup accepts this or probes the top-2 clusters."""
+    production SemDeDup accepts this or probes the top-2 clusters.
+
+    HOT-CLUSTER SKEW (the 100 TB failure mode): within-cluster pairing
+    is quadratic in cluster size, and the pair join shuffles on
+    ``cluster_id`` — so if one centroid captures 10% of a web-scale
+    corpus, that single key carries (0.1·N)² of the pair fan-out into
+    ONE reducer task: the job stalls on a straggler (or OOMs) long
+    before total work is the problem.  Mitigation is the same
+    DF-ceiling idea as substring.py's hot-window guard, applied as
+    SALTING: cap the per-task block size at a ceiling C by splitting a
+    hot cluster's members into ⌈size/C⌉ chunks and joining on
+    (cluster_id, chunk_i, chunk_j) upper-triangle block pairs —
+    ``salted_within_cluster_pairs`` below implements exactly that,
+    property-tested equal to the naive join on a deliberately hot
+    cluster.  The declared query keeps the naive shape because the
+    pinned-centroid fixture is skew-free and the oracle must mirror
+    the blocking; a production caller swaps in the salted pairing
+    (identical output, bounded per-task fan-out)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
     planted = e.select(
         (F.col("vec_id") + VEC_OFFSET).alias("vec_id"),
@@ -267,16 +284,20 @@ def dedup_semantic_centroids(spark, sf_dir):
         F.col("vec_id").between(SEM_CENT_LO, SEM_CENT_LO + SEM_N_CENT - 1)
     ).select((F.col("vec_id") - SEM_CENT_LO).alias("cluster_id"), F.col("v").alias("cv"))
 
-    from pyspark.sql import Window
-
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cluster_id")
-    )
+    # argmax as min(struct(-cos_r, cluster_id)): identical selection to
+    # the oracle's ROW_NUMBER ... ORDER BY cos DESC, cluster_id
+    # (negating the rounded double is exact), but with map-side combine
+    # instead of a row_number sort over the ×16 broadcast expansion
+    # (the pq_encode lesson, VERDICT r4 item 4).
     asg = (
         all_vecs.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(wa))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "cluster_id")
+        .withColumn("negc", -F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("negc"), F.col("cluster_id"))).alias("b"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", F.col("b.cluster_id").alias("cluster_id"))
     )
     # same per-vector norm precompute as dedup_embedding_cosine: the
     # within-cluster pair fan-out is the hot loop, so only dot(x,y)
@@ -294,4 +315,56 @@ def dedup_semantic_centroids(spark, sf_dir):
         .where(F.col("keep_id") < F.col("drop_id"))
         .select("cluster_id", "drop_id", "keep_id", sim.alias("sim"))
         .where(F.col("sim") >= EMBED_DUP_TAU)
+    )
+
+
+def salted_within_cluster_pairs(
+    members, ceiling: int, id_col: str = "vec_id"
+):
+    """All unordered within-cluster pairs (cluster_id, id_a, id_b) with
+    the per-task fan-out BOUNDED at ``ceiling²`` — the hot-cluster
+    skew guard for SemDeDup-shaped pairing (see the
+    ``dedup_semantic_centroids`` docstring).
+
+    Instead of shuffling on ``cluster_id`` alone (one reducer owns a
+    hot cluster's entire quadratic fan-out), members are ranked within
+    their cluster, chunked at ``ceiling``, and each member is
+    replicated to every upper-triangle chunk-pair block it
+    participates in; the pair join then keys on
+    ``(cluster_id, chunk_a, chunk_b)``, so no task materializes more
+    than ``ceiling²`` candidate pairs.  Replication factor is
+    ⌈size/ceiling⌉ + 1 per member — the standard fragment-replicate
+    triangle self-join: total work is unchanged (it must be — the
+    output is every pair), only its distribution changes.  Ranking by
+    id means chunk indexes are id-ordered, so cross-chunk pairs are
+    already (smaller, larger); only diagonal blocks need the id
+    filter.  Output is property-tested identical to the naive
+    cluster_id self-join on a deliberately hot cluster."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.col(id_col))
+    chunked = (
+        members.select("cluster_id", F.col(id_col))
+        .withColumn("chunk", ((F.row_number().over(w) - F.lit(1)) / F.lit(ceiling)).cast("int"))
+    )
+    n_chunks = chunked.groupBy("cluster_id").agg(
+        (F.max("chunk") + F.lit(1)).alias("n_chunks")
+    )
+    chunked = chunked.join(n_chunks, "cluster_id")
+    a_side = chunked.select(
+        "cluster_id",
+        F.col(id_col).alias("id_a"),
+        F.col("chunk").alias("chunk_a"),
+        F.explode(F.sequence("chunk", F.col("n_chunks") - F.lit(1))).alias("chunk_b"),
+    )
+    b_side = chunked.select(
+        "cluster_id",
+        F.col(id_col).alias("id_b"),
+        F.explode(F.sequence(F.lit(0), "chunk")).alias("chunk_a"),
+        F.col("chunk").alias("chunk_b"),
+    )
+    return (
+        a_side.join(b_side, ["cluster_id", "chunk_a", "chunk_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cluster_id", "id_a", "id_b")
     )

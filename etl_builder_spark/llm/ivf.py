@@ -48,14 +48,26 @@ def train_quantizer(vectors: DataFrame, vec_col: str = "v", k: int = 16, seed: i
 
 def assign_clusters(vectors: DataFrame, centroids: DataFrame, vec_col: str = "v") -> DataFrame:
     """Nearest-centroid assignment via broadcast cross join + argmin —
-    expression-only, one scan of the corpus."""
+    expression-only, one scan of the corpus.
+
+    The argmin is ``min(struct(d2r, cluster_id))`` per vector — struct
+    ordering is lexicographic, so the minimum is the smallest rounded
+    distance with the deterministic cluster_id tie-break, and the
+    aggregate gets map-side combine: the ×k broadcast expansion
+    collapses inside each map task instead of sort-shuffling k× the
+    corpus through a row_number window (the pq_encode lesson,
+    VERDICT r4 item 4).  ``vec_col`` is group-constant, so ``first``
+    is deterministic here."""
     d2 = _sq_dist(F.col(vec_col), F.col("cv"))
-    w = Window.partitionBy("vec_id").orderBy(F.round(d2, 9).asc(), F.col("cluster_id"))
     return (
         vectors.crossJoin(F.broadcast(centroids))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn", "cv")
+        .withColumn("d2r", F.round(d2, 9))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("d2r"), F.col("cluster_id"))).alias("b"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select("vec_id", vec_col, F.col("b.cluster_id").alias("cluster_id"))
     )
 
 
@@ -185,14 +197,19 @@ def sim_knn_ivf_exact(spark, sf_dir):
     centroids = e.where(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI)).select(
         (F.col("vec_id") - IVF_SEED_LO).alias("cluster_id"), F.col("v").alias("cv")
     )
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cluster_id")
-    )
+    # argmax as min(struct(-cos_r, cluster_id)): identical selection to
+    # ORDER BY cos_r DESC, cluster_id (negating the rounded double is
+    # exact), but with map-side combine instead of a row_number sort
+    # over the ×16 broadcast expansion (the pq_encode lesson).
     asg = (
         e.crossJoin(F.broadcast(centroids))
-        .withColumn("rn", F.row_number().over(wa))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "cluster_id")
+        .withColumn("negc", -F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("negc"), F.col("cluster_id"))).alias("b"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", F.col("b.cluster_id").alias("cluster_id"))
     )
     probes = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")

@@ -345,14 +345,19 @@ def pipeline_dedup_cascade(spark, sf_dir):
         .select((F.col("vec_id") - SEM_CENT_LO).alias("cluster_id"), _dbl().alias("cv"))
     )
     evec = surv2.join(all_embs, surv2["doc_id"] == all_embs["vec_id"]).select("doc_id", "v")
-    wa = Window.partitionBy("doc_id").orderBy(
-        F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("cluster_id")
-    )
+    # argmax as min(struct(-cos_r, cluster_id)) — map-side combine, no
+    # row_number sort over the ×16 broadcast expansion (same shape as
+    # dedup_semantic_centroids / sim_knn_ivf_exact; the pq_encode
+    # lesson, VERDICT r4 item 4).
     asg = (
         evec.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(wa))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "v", "cluster_id")
+        .withColumn("negc", -F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.struct(F.col("negc"), F.col("cluster_id"))).alias("b"),
+            F.first("v").alias("v"),
+        )
+        .select("doc_id", "v", F.col("b.cluster_id").alias("cluster_id"))
     )
     x = asg.select("cluster_id", F.col("doc_id").alias("id_a"), F.col("v").alias("xv"))
     y = asg.select("cluster_id", F.col("doc_id").alias("id_b"), F.col("v").alias("yv"))

@@ -52,78 +52,93 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -
 # DISCLOSED here and in README.md so the grading-driver owner can override
 # it with random/exhaustive sampling at any time (per ADVICE r3).
 #
-# Round-4 refresh (VERDICT r3 item 1): front-load the 27 keys that have no
-# CORRECTNESS row in r1-r3 (the 15 tpch_* + round-3 LLM additions + the 6
-# that sat just past r3's 50-key cutoff), then new round-4 keys, then the 9
-# keys whose latest grading is r1.  Everything r2/r3-green follows in
-# registration order.
+# Round-5 refresh (VERDICT r4 item 2): front-load (a) the canon-fixed PQ
+# trio (embed_pq_codes errored the driver's canonicalizer in r4; its two
+# dependents changed shape with the de-windowed encode), (b) the two keys
+# whose only evidence is a local judge run (win_ntile_quartiles missed the
+# r4 cutoff; agg_mode_deterministic was revised in r4 after its r2 green),
+# (c) any new round-5 keys (never graded by construction), (d) the nine
+# keys whose latest grading is round 1 (the weak legacy canon), then (e)
+# the 49 keys whose latest grading is round 2, oldest evidence first.
+# Everything r3/r4-green follows in registration order.
 _GRADING_PRIORITY: tuple[str, ...] = (
-    # --- never driver-graded: TPC-H suite (L1-L15) ---
-    "tpch_q4_priority_exists",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "tpch_q10_returned_items",
-    "tpch_q12_latency_classes",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_customers",
-    # --- never driver-graded: round-3 LLM-pipeline additions ---
-    "dedup_minhash_exact",
-    "text_oov_rate",
+    # --- (a) canon-fixed / de-windowed PQ trio ---
     "embed_pq_codes",
     "sim_topk_pq_adc",
     "sim_topk_pq_rerank",
-    "er_blocked_fuzzy_match",
-    # --- never driver-graded: missed r3's 50-key cutoff ---
-    "merge_upsert_orders",
-    "funnel_signup_purchase",
-    "agg_histogram",
-    "vocab_top_tokens",
-    "text_ngrams_trigram",
-    "text_pii_scrub",
-    # --- new round-4 keys (never graded by construction) ---
-    "tpch_q9_profit_selective",
-    "sim_knn_ivf_exact",
-    "stream_foreachbatch_sink",
-    "dedup_embedding_cosine",
-    "scan_dpp_partitioned",
-    "dedup_simhash_exact",
-    "dedup_substring_windows",
-    "dedup_semantic_centroids",
-    "stream_sliding_1h_15m_live",
-    "stream_session_gap_30m_live",
-    "dq_distribution_drift",
-    "dedup_minhash_incremental",
-    "pipeline_dedup_cascade",
-    "join_bucketed_colocated",
-    "ts_ewma_hourly",
-    "cohort_weekly_retention",
-    "stream_stateful_counters_live",
-    "graph_reachability_paths",
-    "ts_forward_fill",
-    "agg_robust_mad",
-    "text_unigram_surprisal",
-    "stream_dedup_watermark_live",
-    "fn_try_arithmetic",
-    "agg_mode_deterministic",
+    # --- (b) local-evidence-only ---
     "win_ntile_quartiles",
-    # --- stalest evidence: latest grading is r1 ---
-    "text_tfidf_sql",
-    "text_quality_score",
+    "agg_mode_deterministic",
+    # --- (c) new round-5 keys ---
+    "sim_knn_ivfpq",
+    "dedup_url_canonical",
+    "sample_train_test_split",
+    "agg_quantile_bins",
+    "sessionize_events_gap",
+    "text_minhash_containment",
+    "join_skew_salted",
+    "ts_resample_ohlc",
+    "dq_schema_contract",
+    "agg_approx_topk_freq",
+    # --- (d) stalest evidence: latest grading is r1 ---
+    "project_compute",
+    "filter_compound",
     "join_interval",
     "join_asof",
+    "text_tfidf_sql",
+    "text_quality_score",
     "cdc_snapshot_diff",
     "etl_surrogate_keys",
     "scd2_intervals",
-    "project_compute",
-    "filter_compound",
+    # --- (e) latest grading is r2 (registration order) ---
+    "agg_approx_distinct",
+    "agg_collect_sorted",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_stats",
+    "chunk_fixed_tokens",
+    "dedup_cluster_components",
+    "dedup_cluster_representative",
+    "dedup_exact_normalized",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "embed_normalize_quantize",
+    "filter_length_band",
+    "fn_array",
+    "fn_bitwise",
+    "fn_conditional",
+    "fn_datetime",
+    "fn_json",
+    "fn_json_variant",
+    "fn_map",
+    "fn_math",
+    "fn_string",
+    "multimodal_decode_meta",
+    "pack_context_windows",
+    "pivot_manual",
+    "sample_hash_deterministic",
+    "sample_stratified_seeded",
+    "sim_knn_ivf",
+    "sim_knn_lsh",
+    "sim_label_centroids",
+    "sim_topk_cosine_sql",
+    "sketch_hll_users",
+    "text_boilerplate_ngrams",
+    "text_contamination_check",
+    "text_corpus_stats",
+    "text_langid_heuristic",
+    "text_repetition_ratio",
+    "text_token_bpeish",
+    "text_tokenize_counts",
+    "udtf_tokenize_pos",
+    "unpivot_melt",
 )
 
 

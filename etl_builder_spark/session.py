@@ -69,6 +69,11 @@ def _pin_runtime_confs(spark: SparkSession) -> None:
     # rejected by Spark's reader by default; read those as raw nanos
     # and let normalize_events_ts convert. Harmless for µs corpora.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Arrow-optimized Python UDTF evaluation (Spark 4): pinned here —
+    # not inside any one operator body — so every UDTF-based plan (and
+    # the registry-wide BatchEvalPython sweep) sees the same evaluation
+    # mode regardless of query build order (ADVICE r4).
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

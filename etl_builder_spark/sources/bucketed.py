@@ -41,7 +41,17 @@ def staged_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     tl, to = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
     stage = os.path.join(tempfile.gettempdir(), "etl_builder_spark_bucketed", tag)
-    if not spark.catalog.tableExists(tl):
+
+    def _stale(marker: str, src: str) -> bool:
+        # Freshness mirrors partitioned._staged marker: the corpus is
+        # known to regenerate in place between rounds, and a catalog
+        # tableExists check alone would silently serve stale bucketed
+        # copies while the DuckDB oracle reads the fresh files
+        # (ADVICE r4).
+        return not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src)
+
+    ml = os.path.join(stage, "_staged_lineitem")
+    if not spark.catalog.tableExists(tl) or _stale(ml, os.path.join(sf_dir, "lineitem.parquet")):
         (
             load_table(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_extendedprice", "l_discount")
@@ -52,7 +62,11 @@ def staged_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .format("parquet")
             .saveAsTable(tl)
         )
-    if not spark.catalog.tableExists(to):
+        os.makedirs(stage, exist_ok=True)
+        with open(ml, "w") as f:
+            f.write("ok")
+    mo = os.path.join(stage, "_staged_orders")
+    if not spark.catalog.tableExists(to) or _stale(mo, os.path.join(sf_dir, "orders.parquet")):
         (
             load_table(spark, sf_dir, "orders")
             .select("o_orderkey", "o_orderdate")
@@ -63,6 +77,9 @@ def staged_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .format("parquet")
             .saveAsTable(to)
         )
+        os.makedirs(stage, exist_ok=True)
+        with open(mo, "w") as f:
+            f.write("ok")
     return tl, to
 
 

@@ -61,6 +61,14 @@ def check_query_parity(spark, con, name, spec, sf_dir) -> tuple[str, str, float]
     except Exception as e:  # noqa: BLE001
         return "SPARK-ERROR", f"{type(e).__name__}: {str(e)[:400]}", time.time() - t0
     if spec.oracle is None:
+        # The driver canonicalizes rows-only outputs too (CORRECTNESS_r04:
+        # embed_pq_codes crashed its pandas sort on an array<int> cell).
+        # Run the same canon here so a canon-unsafe schema fails the gate
+        # instead of slipping through to the driver.
+        try:
+            pandas_canon(spdf)
+        except Exception as e:  # noqa: BLE001
+            return "CANON-ERROR", f"{type(e).__name__}: {str(e)[:200]}", time.time() - t0
         return "ROWS-ONLY", f"{len(spdf)} rows", time.time() - t0
     try:
         opdf = con.execute(spec.oracle).df()

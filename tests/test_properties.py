@@ -445,3 +445,54 @@ def test_dedup_cascade_stage_separation(spark):
     assert rows["1_exact"]["n_dropped"] >= 50
     assert rows["2_minhash"]["n_dropped"] >= 50
     assert rows["3_semantic"]["n_dropped"] >= 40
+
+
+def test_salted_cluster_pairs_equal_naive_on_hot_cluster(spark):
+    """The hot-cluster skew guard must be a pure re-distribution: on a
+    deliberately skewed assignment (one cluster holding 60% of all
+    members — the '10% of the corpus on one centroid' failure mode,
+    exaggerated), salted_within_cluster_pairs at a small ceiling must
+    produce EXACTLY the naive cluster_id self-join's pair set, while
+    bounding every chunk block at ceiling²."""
+    from pyspark.sql import functions as F
+
+    from etl_builder_spark.llm.embed_dedup import salted_within_cluster_pairs
+
+    # 100 members: cluster 0 is hot (60), clusters 1..4 get 10 each
+    rows = [(i, 0 if i < 60 else 1 + (i - 60) // 10) for i in range(100)]
+    n_small = 4
+    members = spark.createDataFrame(rows, "vec_id int, cluster_id int")
+
+    naive = (
+        members.alias("a")
+        .join(members.alias("b"), "cluster_id")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            "cluster_id",
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+        )
+    )
+    want = sorted(map(tuple, naive.collect()))
+    assert len(want) == (60 * 59) // 2 + n_small * (10 * 9) // 2
+
+    for ceiling in (7, 16, 64):
+        got_df = salted_within_cluster_pairs(members, ceiling=ceiling)
+        got = sorted(map(tuple, got_df.collect()))
+        assert got == want, f"ceiling={ceiling}: pair set diverged"
+
+    # the guard's bound: no (cluster, chunk_a, chunk_b) block exceeds
+    # ceiling² pairs — the per-task fan-out cap that kills the skew
+    ceiling = 7
+    chunk_of = {}
+    for cid in range(5):
+        ids = sorted(r for r, c in rows if c == cid)
+        for rank, vid in enumerate(ids):
+            chunk_of[vid] = rank // ceiling
+    from collections import Counter
+
+    per_block = Counter(
+        (c, chunk_of[a], chunk_of[b])
+        for c, a, b in want
+    )
+    assert max(per_block.values()) <= ceiling * ceiling
