@@ -47,6 +47,11 @@ HEADLINE = [
     "dq_distribution_drift",     # DQ PSI drift monitor (r4b)
     "pipeline_dedup_cascade",    # I  3-stage dedup composition (r4b)
     "graph_reachability_paths",  # C  recursive-CTE hierarchy walk (r4b)
+    "sessionize_events_gap",     # TS batch gap sessionization (r5)
+    "ts_resample_ohlc",          # TS de-windowed OHLC resample (r5)
+    "sim_knn_ivfpq",             # I  IVF-PQ composed search (r5)
+    "dedup_url_canonical",       # I  URL canonicalize + group (r5)
+    "dedup_text_containment",    # I  trigram containment dedup (r5)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched

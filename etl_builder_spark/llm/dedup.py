@@ -750,3 +750,136 @@ def dedup_simhash_exact(spark, sf_dir):
         cand.select("id_a", "id_b", ham.alias("ham"))
         .where(F.col("ham") <= SIMHASH_HAM_MAX)
     )
+
+
+#: containment fixture: excerpt plants keep the first max(3, ⌊n/2⌋)
+#: tokens of each source doc plus a marker token absent from the
+#: original — so containment(excerpt ⊆ original) is (k-1)/k for k
+#: distinct excerpt tokens while Jaccard sits near 0.5, exactly the
+#: asymmetric case the symmetric measure misses.
+CONTAINMENT_TAU = 0.8
+
+
+@register(
+    "dedup_text_containment",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 100
+        ),
+        everything AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + {PLANT_OFFSET},
+                   array_to_string(
+                       list_slice(string_split(text, ' '), 1,
+                                  greatest(3, len(string_split(text, ' ')) // 2)),
+                       ' ') || ' excerptmarker'
+            FROM base
+        ),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM everything
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id, token
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t) - 1),
+                                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS token
+                  FROM toks WHERE len(t) >= 3) g
+        ),
+        keep AS (
+            SELECT token FROM shingles GROUP BY token HAVING COUNT(*) <= {DF_CEILING}
+        ),
+        kept AS (SELECT s.doc_id, s.token FROM shingles s JOIN keep USING (token)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM kept a JOIN kept b
+              ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+               ROUND(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= {CONTAINMENT_TAU}
+    """,
+    tags=("I-containment",),
+)
+def dedup_text_containment(spark, sf_dir):
+    """Containment (overlap-coefficient) near-dup: |A∩B| / min(|A|,|B|)
+    over token-TRIGRAM shingle sets — the ASYMMETRIC companion to
+    ``dedup_ngram_jaccard``.  Jaccard misses subset duplication by
+    construction: an excerpt holding half a document's tokens scores
+    J ≈ 0.5 (below any dup threshold) but containment ≈ 1.0.  Exactly
+    this measure drives quote/boilerplate/excerpt removal in corpus
+    curation, where the contained COPY (not the original) is dropped.
+
+    Fixture: excerpt plants (first half of each doc's tokens + a novel
+    marker token, doc_id+PLANT_OFFSET) — each must pair with its
+    original at containment (k-1)/k while the Jaccard key would score
+    it ≈ 0.5.  The oracle replays plant synthesis and measure in SQL,
+    so the hash check is end-to-end exact.
+
+    Scale shape is the Jaccard key's: inverted-index equi-join with
+    the DF ceiling capping per-token fan-out at DF_CEILING² — never
+    all-pairs (100 TB posture identical, see dedup_ngram_jaccard)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    base = d.select("doc_id", F.lower("text").alias("text"))
+    toks = F.split(F.col("text"), " ")
+    excerpt_text = F.concat(
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.lit(3), F.floor(F.size(toks) / 2).cast("int"))),
+            " ",
+        ),
+        F.lit(" excerptmarker"),
+    )
+    everything = base.unionByName(
+        base.select(
+            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+            excerpt_text.alias("text"),
+        )
+    )
+    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    sh = (
+        everything.where(F.size(t) >= 3)
+        .select("doc_id", F.explode(tri).alias("token"))
+        .distinct()
+    )
+    keep = (
+        sh.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= DF_CEILING)
+        .select("token")
+    )
+    sh = sh.join(F.broadcast(keep), "token")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    containment = F.col("n_common").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .where(containment >= CONTAINMENT_TAU)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+            F.round(containment, 6).alias("containment"),
+        )
+    )

@@ -60,3 +60,42 @@ def sample_stratified_seeded(spark, sf_dir):
     fractions = {"en": 0.3, "de": 0.6, "es": 0.6, "fr": 0.6, "zh": 0.6}
     sampled = d.sampleBy("lang", fractions, seed=42)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "sample_train_test_split",
+    oracle="""
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   (CAST(doc_id * 2654435761 AS BIGINT) % 4294967296) % 10000 AS bucket
+            FROM documents
+        )
+    """,
+    tags=("I-sample-split",),
+)
+def sample_train_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by KEY HASH —
+    the split discipline for training corpora: membership is a pure
+    function of doc_id (Knuth multiplicative mixer, exact 64-bit
+    integer math in any engine), so (a) re-runs, engine swaps, and
+    repartitioning never move a document across splits, (b)
+    near-duplicate leakage checks can join split labels without a
+    side-channel, and (c) the assignment is a MAP with zero shuffle —
+    at 100 TB the split column costs one projection.  rand()-based
+    splits fail all three (the documented reason
+    ``sample_stratified_seeded`` is rows-only while this key is
+    exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)), F.lit(10000)
+    )
+    split = (
+        F.when(bucket < 8000, F.lit("train"))
+        .when(bucket < 9000, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "lang", "n_chars", split.alias("split"))

@@ -232,3 +232,126 @@ def ts_forward_fill(spark, sf_dir):
         sparse.alias("sparse_value"),
         F.last(sparse, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "sessionize_events_gap",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_seq
+            FROM ordered
+        )
+        SELECT user_id,
+               CAST(session_seq AS INT) AS session_seq,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM sess
+        GROUP BY user_id, session_seq
+    """,
+    tags=("TS-sessionize",),
+)
+def sessionize_events_gap(spark, sf_dir):
+    """BATCH sessionization — assign every event to a per-user session
+    via the 30-minute-gap rule, then roll sessions up (start, end,
+    count, value).  The batch twin of the streaming session window
+    (stream_session_gap_30m): same gap semantics, but as the classic
+    two-window closed form — a LAG marks session STARTS (gap >
+    30 min or first event), a running SUM of start-flags numbers the
+    sessions — so it runs over historical corpora without a streaming
+    runtime.
+
+    100 TB posture: both windows and the final rollup share ONE
+    partitioning (user_id), so the whole operator is a single hash
+    shuffle followed by per-user sorts — no second exchange
+    (AQE-visible in the plan).  user_id is high-cardinality; a
+    pathological single-user firehose is the documented skew case
+    (salt the user with a session-day prefix if one key dominates).
+    Gap comparison is on epoch MICROSECONDS (events.ts precision) in
+    both engines — a seconds-truncated comparison would disagree with
+    the oracle on gaps within 1s of the threshold.  Ordering ties
+    break on event_id (policy §7.2)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_start = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    sess = (
+        e.select("user_id", "event_id", "ts", "value", is_start.alias("is_start"))
+        .select(
+            "user_id",
+            "ts",
+            "value",
+            F.sum("is_start")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("int")
+            .alias("session_seq"),
+        )
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(money("value")).cast("double").alias("session_value"),
+    )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour_start,
+               arg_min(value, printf('%020d%010d', epoch_us(ts), event_id)) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, printf('%020d%010d', epoch_us(ts), event_id)) AS close,
+               COUNT(*) AS volume,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("TS-ohlc",),
+)
+def ts_resample_ohlc(spark, sf_dir):
+    """OHLC resampling — the financial/metrics downsample: per
+    (event_type, hour), the first (open) and last (close) value in
+    event-time order plus high/low/volume.  One map-side-combinable
+    aggregation: open/close are min_by/max_by over an ORDERING KEY,
+    never a window sort — the same de-windowed argmin shape as
+    pq_encode, so the hourly rollup of a 100 TB stream is one
+    shuffle of (event_type, hour) partial aggregates.
+
+    The ordering key is a zero-padded '%020d%010d' string of
+    (epoch_us, event_id): fixed-width decimal strings compare
+    lexicographically exactly like the (ts, event_id) tuple, which
+    gives min_by/max_by a SCALAR key both engines order identically —
+    DuckDB's arg_min/arg_max don't accept struct keys, and a
+    same-timestamp tie without the event_id suffix would be
+    nondeterministic (policy §7.2)."""
+    e = load_table(spark, sf_dir, "events")
+    okey = F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id"))
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.min_by("value", okey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", okey).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        F.sum(money("value")).cast("double").alias("total_value"),
+    )

@@ -222,3 +222,134 @@ def dq_distribution_drift(spark, sf_dir):
         F.round(p_cur, 6).alias("p_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )
+
+
+#: The declared column contract for ``orders`` — name → canonical type.
+#: Two DELIBERATE contract violations against the shipped corpus keep
+#: the operator honest: o_totalprice is contracted as decimal(15,2)
+#: (the warehouse-grade money type; the corpus ships float64) and
+#: o_comment is contracted but absent (the corpus is trimmed).
+ORDERS_CONTRACT: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "int64"),
+    ("o_custkey", "int64"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "decimal(15,2)"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+    ("o_comment", "string"),
+)
+
+#: Spark simple-type → canonical contract type.  timestamp_ntz and
+#: timestamp unify: the contract is about logical shape, and the
+#:  corpus has shipped both parquet encodings across generations.
+_SPARK_CANON = {
+    "bigint": "int64",
+    "int": "int32",
+    "string": "string",
+    "double": "float64",
+    "float": "float32",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+}
+
+
+@register(
+    "dq_schema_contract",
+    oracle="""
+        WITH obs AS (
+            SELECT column_name,
+                   CASE WHEN column_type = 'BIGINT' THEN 'int64'
+                        WHEN column_type = 'INTEGER' THEN 'int32'
+                        WHEN column_type = 'VARCHAR' THEN 'string'
+                        WHEN column_type = 'DOUBLE' THEN 'float64'
+                        WHEN column_type = 'FLOAT' THEN 'float32'
+                        WHEN column_type = 'DATE' THEN 'date'
+                        WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+                        ELSE lower(column_type) END AS observed_type
+            FROM (DESCRIBE SELECT * FROM orders)
+        ),
+        contract(column_name, expected_type) AS (
+            VALUES ('o_orderkey', 'int64'),
+                   ('o_custkey', 'int64'),
+                   ('o_orderstatus', 'string'),
+                   ('o_totalprice', 'decimal(15,2)'),
+                   ('o_orderdate', 'timestamp'),
+                   ('o_orderpriority', 'string'),
+                   ('o_comment', 'string')
+        ),
+        wide AS (
+            SELECT COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n0,
+                   COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n1,
+                   COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS n2,
+                   COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS n3,
+                   COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS n4,
+                   COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS n5
+            FROM orders
+        ),
+        nulls AS (
+            SELECT 'o_orderkey' AS column_name, n0 AS n_nulls FROM wide
+            UNION ALL SELECT 'o_custkey', n1 FROM wide
+            UNION ALL SELECT 'o_orderstatus', n2 FROM wide
+            UNION ALL SELECT 'o_totalprice', n3 FROM wide
+            UNION ALL SELECT 'o_orderdate', n4 FROM wide
+            UNION ALL SELECT 'o_orderpriority', n5 FROM wide
+        )
+        SELECT COALESCE(c.column_name, o.column_name) AS column_name,
+               c.expected_type,
+               o.observed_type,
+               CASE WHEN c.expected_type IS NULL THEN 'unexpected'
+                    WHEN o.observed_type IS NULL THEN 'missing'
+                    WHEN c.expected_type = o.observed_type THEN 'ok'
+                    ELSE 'type_mismatch' END AS status,
+               n.n_nulls
+        FROM contract c
+        FULL JOIN obs o ON c.column_name = o.column_name
+        LEFT JOIN nulls n ON n.column_name = COALESCE(c.column_name, o.column_name)
+    """,
+    tags=("DQ-contract",),
+)
+def dq_schema_contract(spark, sf_dir):
+    """Schema-contract validation — the ingestion gate that runs BEFORE
+    any row-level audit: reconcile the observed parquet schema against
+    the declared contract (ORDERS_CONTRACT) and report, per column,
+    ok / type_mismatch / missing / unexpected plus the observed null
+    count.  On this corpus it must flag exactly two violations: the
+    contracted decimal money type (float64 shipped) and the contracted
+    o_comment column (trimmed away).
+
+    100 TB posture: the schema half is pure METADATA — parquet footers
+    via the catalog, zero data scanned; the null-count half is one
+    conditional-aggregate scan that AQE map-side-combines.  This is
+    the check that catches a corpus regeneration silently changing a
+    physical type (events.ts has done exactly that across generations
+    — FIXTURES.md) before a week of jobs consume the drift."""
+    o = load_table(spark, sf_dir, "orders")
+    observed = [(name, _SPARK_CANON.get(t, t)) for name, t in o.dtypes]
+    obs_df = spark.createDataFrame(observed, "column_name string, observed_type string")
+    con_df = spark.createDataFrame(
+        list(ORDERS_CONTRACT), "column_name string, expected_type string"
+    )
+    wide = o.agg(
+        *[
+            F.count(F.when(F.col(name).isNull(), F.lit(1))).alias(name)
+            for name, _ in o.dtypes
+        ]
+    )
+    names = [name for name, _ in o.dtypes]
+    nulls = wide.selectExpr(
+        f"stack({len(names)}, "
+        + ", ".join(f"'{n}', `{n}`" for n in names)
+        + ") as (column_name, n_nulls)"
+    )
+    status = (
+        F.when(F.col("expected_type").isNull(), F.lit("unexpected"))
+        .when(F.col("observed_type").isNull(), F.lit("missing"))
+        .when(F.col("expected_type") == F.col("observed_type"), F.lit("ok"))
+        .otherwise(F.lit("type_mismatch"))
+    )
+    return (
+        con_df.join(obs_df, "column_name", "full_outer")
+        .join(nulls, "column_name", "left")
+        .select("column_name", "expected_type", "observed_type", status.alias("status"), "n_nulls")
+    )

@@ -73,13 +73,12 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "sim_knn_ivfpq",
     "dedup_url_canonical",
     "sample_train_test_split",
-    "agg_quantile_bins",
     "sessionize_events_gap",
-    "text_minhash_containment",
+    "dedup_text_containment",
     "join_skew_salted",
     "ts_resample_ohlc",
     "dq_schema_contract",
-    "agg_approx_topk_freq",
+    "stream_tumbling_ohlc_live",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
@@ -186,6 +185,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.llm.substring  # noqa: F401
     import etl_builder_spark.llm.text  # noqa: F401
     import etl_builder_spark.llm.training_pipeline  # noqa: F401
+    import etl_builder_spark.llm.urls  # noqa: F401
     import etl_builder_spark.operators.aggregates  # noqa: F401
     import etl_builder_spark.operators.asof  # noqa: F401
     import etl_builder_spark.operators.cdc  # noqa: F401
@@ -198,6 +198,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.recursive  # noqa: F401
     import etl_builder_spark.operators.scans  # noqa: F401
     import etl_builder_spark.operators.setops  # noqa: F401
+    import etl_builder_spark.operators.skew  # noqa: F401
     import etl_builder_spark.operators.sorts  # noqa: F401
     import etl_builder_spark.operators.subqueries  # noqa: F401
     import etl_builder_spark.operators.timeseries  # noqa: F401

@@ -422,7 +422,13 @@ def stream_foreachbatch_sink(spark, sf_dir):
     runtime.foreach_batch_parquet_sink).  The sink's final content is
     batching-invariant — the union over batches of a per-batch filter
     equals the batch filter over the whole corpus — so the exact SQL
-    oracle checks the streamed sink value-for-value."""
+    oracle checks the streamed sink value-for-value.
+
+    The recovery claim is TESTED, not asserted: tests/test_streaming.py
+    ::test_foreachbatch_crash_restart_from_checkpoint kills the query
+    after a batch's sink write but before its offset commit, restarts
+    from the checkpoint, and proves the redelivered batch overwrites
+    (never appends) — final sink ≡ batch oracle, zero duplicates."""
     import tempfile as _tempfile
 
     from etl_builder_spark.policy import money as _money
@@ -439,3 +445,47 @@ def stream_foreachbatch_sink(spark, sf_dir):
     ckpt = _tempfile.mkdtemp(prefix="fb_ckpt_")
     foreach_batch_parquet_sink(purchases, sink, ckpt)
     return spark.read.parquet(sink).select("event_id", "user_id", "ts", "value_2dp")
+
+
+@register(
+    "stream_tumbling_ohlc_live",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS ws,
+               event_type,
+               arg_min(value, printf('%020d%010d', epoch_us(ts), event_id)) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, printf('%020d%010d', epoch_us(ts), event_id)) AS close,
+               COUNT(*) AS volume
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("J-ohlc", "live-stream"),
+)
+def stream_tumbling_ohlc_live(spark, sf_dir):
+    """The OHLC resample (ts_resample_ohlc) as an ACTUAL streaming
+    query: tumbling event-time window, min_by/max_by over the
+    zero-padded (epoch_us, event_id) ordering key INSIDE a streaming
+    aggregation, complete-mode availableNow replay.  min_by/max_by are
+    algebraic (order-free partial merge: keep the pair with the
+    smaller/larger key), so they stream exactly like sum/count — the
+    batch oracle carries over value-for-value, putting streaming OHLC
+    under the t2 hash.  This is the live half of the candlestick
+    pipeline: at scale the same plan runs unchanged against a Kafka
+    source with a watermark and append mode."""
+    from etl_builder_spark.streaming.runtime import run_to_memory, stream_events
+
+    events = stream_events(spark, _staged_events_dir(sf_dir))
+    okey = F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id"))
+    agg = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "open", "high", "low", "close", "volume")
+    )
+    return run_to_memory(agg, mode="complete")

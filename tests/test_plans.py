@@ -493,3 +493,25 @@ def test_registry_wide_canon_safe_schemas(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"canon-unsafe output columns: {offenders}"
+
+
+def test_sessionize_single_exchange(spark):
+    """Both sessionize windows AND the final session rollup must share
+    the user_id hash partitioning: exactly ONE Exchange in the plan.
+    A second exchange would mean the groupBy failed to reuse the
+    window's partitioning — the operator's whole 100 TB claim."""
+    p = plan(spark, "sessionize_events_gap")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Window") == 2, tree
+
+
+def test_ohlc_single_exchange_partial_agg(spark):
+    """OHLC is one aggregation: partial (map-side) aggregate below a
+    single Exchange, final above — min_by/max_by keep it window-free.
+    A Window node here would be the pq_encode regression shape."""
+    p = plan(spark, "ts_resample_ohlc")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" not in tree
+    assert "partial_min_by" in p and "partial_max_by" in p

@@ -496,3 +496,152 @@ def test_salted_cluster_pairs_equal_naive_on_hot_cluster(spark):
         for c, a, b in want
     )
     assert max(per_block.values()) <= ceiling * ceiling
+
+
+def test_containment_catches_excerpts_jaccard_misses(spark):
+    """The asymmetric-measure contract: every planted excerpt (first
+    half of a doc's tokens + marker) must pair with its original at
+    containment ≥ 0.8, while the SYMMETRIC Jaccard on the same pair
+    sits below the 0.5 dup threshold for typical docs — the reason the
+    operator exists."""
+    from etl_builder_spark.llm.dedup import PLANT_OFFSET
+    from etl_builder_spark.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = REGISTRY["dedup_text_containment"].fn(spark, SF_DIR).collect()
+    planted = {
+        (r["id_a"], r["id_b"]): r for r in rows if r["id_b"] == r["id_a"] + PLANT_OFFSET
+    }
+    # docs need ≥ 3 tokens for trigram shingles; the corpus head is
+    # prose, so nearly all 100 plants must land
+    assert len(planted) >= 90, len(planted)
+    for (ida, idb), r in planted.items():
+        assert r["containment"] >= 0.8
+        jac = r["n_common"] / (r["n_a"] + r["n_b"] - r["n_common"])
+        assert jac < r["containment"]  # asymmetry did the work
+
+
+def test_train_test_split_is_stable_and_proportional(spark):
+    """Hash-split contract: proportions near 80/10/10, and membership a
+    pure function of doc_id — the same doc_id must get the same split
+    at every scale factor (the leakage-stability property rand() can't
+    give)."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+
+    def splits(sf):
+        return {
+            r["doc_id"]: r["split"]
+            for r in REGISTRY["sample_train_test_split"].fn(spark, sf).collect()
+        }
+
+    small = splits("/root/testdata/sf0.001")
+    big = splits("/root/testdata/sf0.01")
+    for doc_id, s in small.items():
+        assert big.get(doc_id, s) == s  # same key → same split, any corpus
+    from collections import Counter
+
+    c = Counter(big.values())
+    n = sum(c.values())
+    assert 0.70 <= c["train"] / n <= 0.90
+    assert 0.04 <= c["val"] / n <= 0.16
+    assert 0.04 <= c["test"] / n <= 0.16
+
+
+def test_url_canonical_collapses_variants(spark):
+    """Case/utm/fragment/param-order variants of the same logical URL
+    must collapse: groups keyed by (source, doc_id%50, doc_id%3) — any
+    two docs agreeing on all three share one canonical URL, and no
+    canonical URL carries a utm param, fragment, uppercase host, or
+    trailing slash."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    rows = REGISTRY["dedup_url_canonical"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_variants"] for r in rows) == 500  # every doc landed
+    assert any(r["n_variants"] > 1 for r in rows)  # collapsing happened
+    for r in rows:
+        u = r["canonical_url"]
+        assert u.startswith("https://src")
+        assert "utm_" not in u and "#" not in u
+        assert "WWW" not in u and "EXAMPLE" not in u
+        assert not u.split("?")[0].endswith("/")
+
+
+def test_schema_contract_flags_exactly_the_known_violations(spark):
+    """On the shipped corpus the contract audit must report exactly:
+    o_totalprice type_mismatch (decimal contracted, float64 shipped),
+    o_comment missing (trimmed corpus), everything else ok with zero
+    nulls."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    rows = {r["column_name"]: r for r in REGISTRY["dq_schema_contract"].fn(spark, SF_DIR).collect()}
+    assert len(rows) == 7
+    assert rows["o_totalprice"]["status"] == "type_mismatch"
+    assert rows["o_comment"]["status"] == "missing"
+    assert rows["o_comment"]["n_nulls"] is None
+    for name, r in rows.items():
+        if name not in ("o_totalprice", "o_comment"):
+            assert r["status"] == "ok", (name, r)
+            assert r["n_nulls"] == 0
+
+
+def test_ohlc_open_close_event_time_order(spark):
+    """open/close must follow (ts, event_id) order, not value order —
+    pinned on a constructed frame with same-hour ties."""
+    import datetime as dt
+
+    from etl_builder_spark.operators.timeseries import ts_resample_ohlc  # noqa: F401
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base + dt.timedelta(minutes=5), "click", 30.0),
+        (2, base + dt.timedelta(minutes=1), "click", 10.0),   # open (earliest)
+        (3, base + dt.timedelta(minutes=59), "click", 20.0),  # close (latest)
+        (4, base + dt.timedelta(minutes=1), "click", 99.0),   # same ts as 2, higher id
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, event_type string, value double")
+    okey = F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id"))
+    got = (
+        df.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max_by("value", okey).alias("close"),
+        )
+        .collect()[0]
+    )
+    assert got["open"] == 10.0   # event 2 beats event 4 on the id tiebreak
+    assert got["close"] == 20.0
+
+
+def test_sessionize_gap_rule_on_constructed_user(spark):
+    """Session boundaries exactly at gap > 30min, measured in
+    MICROSECONDS: a gap of exactly 30:00 keeps the session, 30:00.000001
+    splits it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F, Window
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 7, 1.0),
+        (2, base + dt.timedelta(minutes=30), 7, 1.0),            # gap == 30:00 → same session
+        (3, base + dt.timedelta(minutes=60, microseconds=1), 7, 1.0),  # gap 30:00.000001 → new
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, value double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_start = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    seq = (
+        df.select("event_id", F.sum(is_start).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("s"))
+        .collect()
+    )
+    by_id = {r["event_id"]: r["s"] for r in seq}
+    assert by_id[1] == 1 and by_id[2] == 1 and by_id[3] == 2

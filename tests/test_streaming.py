@@ -297,3 +297,75 @@ def test_progress_complete_beyond_recent_cap(spark, tmp_path):
     assert batch_ids == list(range(len(batch_ids))), batch_ids
     assert len(batch_ids) >= 4, batch_ids
     assert sum(p.get("numInputRows", 0) for p in progress) == quarter * 4
+
+
+def test_foreachbatch_crash_restart_from_checkpoint(spark, tmp_path):
+    """Exactly-once-by-idempotence RECOVERY proof (A7): crash the query
+    mid-stream — after batch 1's sink write but before its offset
+    commit (the worst-case window: data written, progress not recorded)
+    — then restart from the same checkpoint.  The restarted query must
+    redeliver batch 1 (overwriting its own directory, not appending)
+    and finish batch 2, leaving the sink exactly equal to the batch
+    oracle with one directory per batch and zero duplicates."""
+    import glob
+
+    from etl_builder_spark.policy import money
+    from etl_builder_spark.session import load_table
+    from etl_builder_spark.streaming.batch_twins import _staged_events_3files
+    from etl_builder_spark.streaming.runtime import stream_events
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stage = _staged_events_3files(SF_DIR)
+    crash = {"armed": True}
+
+    def write_batch(batch, batch_id):
+        # write FIRST, then fail — so batch 1's data lands in the sink
+        # but its offset is never committed: a genuine torn batch
+        batch.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+        if crash["armed"] and batch_id == 1:
+            raise RuntimeError("injected crash: batch written, offset uncommitted")
+
+    def start_query():
+        events = stream_events(spark, stage, max_files_per_trigger=1)
+        purchases = events.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", money("value").cast("double").alias("value_2dp")
+        )
+        return (
+            purchases.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start_query()
+    try:
+        q1.awaitTermination(120)
+    except Exception:
+        pass
+    assert q1.exception() is not None, "query should have died on the injected crash"
+    # torn state on disk: batches 0 and 1 written, batch 2 never ran
+    dirs_after_crash = sorted(glob.glob(os.path.join(sink, "batch_id=*")))
+    assert len(dirs_after_crash) == 2, dirs_after_crash
+
+    crash["armed"] = False
+    q2 = start_query()
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    batch_dirs = sorted(glob.glob(os.path.join(sink, "batch_id=*")))
+    assert len(batch_dirs) == 3, batch_dirs
+    got = (
+        spark.read.parquet(sink)
+        .select("event_id", "user_id", "ts", "value_2dp")
+        .collect()
+    )
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", money("value").cast("double").alias("value_2dp"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # no duplicates: the redelivered batch overwrote, never appended
+    assert len({r["event_id"] for r in got}) == len(got)
