@@ -419,3 +419,80 @@ def agg_robust_mad(spark, sf_dir):
     )
 
 
+
+
+#: epoch hours of 2024-01-01 00:00 UTC — fixed regression anchor so the
+#: time regressor spans [0, ~720] instead of ~473k (keeps the closed
+#: forms numerically meaningful; identical literal in the oracle).
+_TREND_ANCHOR_H = 473_352
+
+
+@register(
+    "agg_regression_trend",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND((COUNT(*) * CAST(SUM(xh * yv) AS DOUBLE)
+                        - CAST(SUM(xh) AS DOUBLE) * CAST(SUM(yv) AS DOUBLE))
+                     / (COUNT(*) * CAST(SUM(xh * xh) AS DOUBLE)
+                        - CAST(SUM(xh) AS DOUBLE) * CAST(SUM(xh) AS DOUBLE)),
+                     6) AS slope_per_hour,
+               ROUND((CAST(SUM(yv) AS DOUBLE)
+                        - ((COUNT(*) * CAST(SUM(xh * yv) AS DOUBLE)
+                            - CAST(SUM(xh) AS DOUBLE) * CAST(SUM(yv) AS DOUBLE))
+                           / (COUNT(*) * CAST(SUM(xh * xh) AS DOUBLE)
+                              - CAST(SUM(xh) AS DOUBLE) * CAST(SUM(xh) AS DOUBLE)))
+                          * CAST(SUM(xh) AS DOUBLE))
+                     / COUNT(*), 6) AS intercept,
+               ROUND(((COUNT(*) * CAST(SUM(xh * yv) AS DOUBLE)
+                        - CAST(SUM(xh) AS DOUBLE) * CAST(SUM(yv) AS DOUBLE))
+                      * (COUNT(*) * CAST(SUM(xh * yv) AS DOUBLE)
+                         - CAST(SUM(xh) AS DOUBLE) * CAST(SUM(yv) AS DOUBLE)))
+                     / ((COUNT(*) * CAST(SUM(xh * xh) AS DOUBLE)
+                         - CAST(SUM(xh) AS DOUBLE) * CAST(SUM(xh) AS DOUBLE))
+                        * (COUNT(*) * CAST(SUM(yv * yv) AS DOUBLE)
+                           - CAST(SUM(yv) AS DOUBLE) * CAST(SUM(yv) AS DOUBLE))),
+                     6) AS r2
+        FROM (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 - {_TREND_ANCHOR_H} AS xh,
+                   CAST(value AS DECIMAL(18,2)) AS yv
+            FROM events
+        )
+        GROUP BY event_type
+    """,
+    tags=("D-regr",),
+)
+def agg_regression_trend(spark, sf_dir):
+    """Least-squares trend per event_type — value regressed on event
+    time (hours since a fixed anchor): slope, intercept, r².  The
+    metric-drift detector: 'is this KPI trending and how hard'.
+
+    Same exactness discipline as ``agg_stats``: the five sufficient
+    statistics (Σx, Σy, Σxy, Σx², Σy²) are order-free EXACT sums
+    (integer hours × decimal money), so the final double closed forms
+    are bit-identical IEEE expressions in both engines — Spark's
+    built-in ``regr_slope`` accumulates doubles in partition order and
+    could not be hash-checked.  One partial-then-final aggregation
+    around a single exchange; the anchored integer regressor keeps the
+    n·Σx² − (Σx)² cancellation well away from double precision loss
+    (x ≤ ~720 here vs ~473k unanchored)."""
+    e = load_table(spark, sf_dir, "events")
+    xh = (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long") - F.lit(_TREND_ANCHOR_H)
+    yv = money("value")
+    src = e.select("event_type", xh.alias("xh"), yv.alias("yv"))
+    n = F.count(F.lit(1))
+    sx = F.sum("xh").cast("double")
+    sy = F.sum("yv").cast("double")
+    sxy = F.sum(F.col("xh") * F.col("yv")).cast("double")
+    sxx = F.sum(F.col("xh") * F.col("xh")).cast("double")
+    syy = F.sum(F.col("yv") * F.col("yv")).cast("double")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = num / den
+    return src.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((num * num) / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    )

@@ -79,6 +79,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ts_resample_ohlc",
     "dq_schema_contract",
     "stream_tumbling_ohlc_live",
+    "agg_regression_trend",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
