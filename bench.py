@@ -100,12 +100,15 @@ def main() -> int:
     # 9.1s one hour, 50.7s the next, with range-sum tracking the same
     # factor), so the calibration value lets round-over-round
     # comparisons separate engine regressions from host weather.
-    cal = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(100_000_000).selectExpr("sum(id)").collect()
-        cal = min(cal, time.time() - t0)
-    cal = round(cal, 4)
+    def _calibrate() -> float:
+        c = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(100_000_000).selectExpr("sum(id)").collect()
+            c = min(c, time.time() - t0)
+        return round(c, 4)
+
+    cal = _calibrate()
     print(f"# calibration range-100M-sum: {cal:.3f}s", file=sys.stderr)
 
     # min-of-3: this host oscillates under sustained wide-parallelism
@@ -128,6 +131,14 @@ def main() -> int:
     for name in HEADLINE + TPCH:
         print(f"# {name}: {times[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
+    # second calibration AFTER the matrix: a start-only probe can label
+    # a run "calm" and then the host stalls mid-matrix (observed: start
+    # 0.128 with a matrix ~8% slower than a 0.142-start run).  The pair
+    # makes every committed JSON self-describing about mid-run drift —
+    # read matrix times against max(start, end).
+    cal_end = _calibrate()
+    print(f"# calibration (post-matrix): {cal_end:.3f}s", file=sys.stderr)
+
     total = round(sum(times.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -142,6 +153,7 @@ def main() -> int:
                 # probe (sum over range(100M), min-of-3) for normalizing
                 # cross-round comparisons on this oscillating host
                 "calibration_range_sum_sec": cal,
+                "calibration_end_sec": cal_end,
             }
         )
     )
