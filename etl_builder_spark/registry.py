@@ -80,6 +80,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "dq_schema_contract",
     "stream_tumbling_ohlc_live",
     "agg_regression_trend",
+    "etl_dynamic_partition_overwrite",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",

@@ -106,3 +106,71 @@ def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:
     partition spec): one directory per distinct partition tuple, the
     layout static and dynamic pruning both consume."""
     df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+@register(
+    "etl_dynamic_partition_overwrite",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("A-dpo",),
+)
+def etl_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — THE idempotent incremental-batch
+    write pattern: with ``partitionOverwriteMode=dynamic``, an INSERT
+    OVERWRITE replaces only the partitions present in the incoming
+    batch and leaves every other partition untouched, so re-running a
+    failed daily job can never clobber history.
+
+    The key proves the semantics end-to-end: (1) write the month-
+    partitioned monthly rollup, (2) OVERWRITE one month with
+    deliberately WRONG numbers (doubled totals), (3) re-run that
+    month's correct slice — the dynamic overwrite must replace exactly
+    the corrupted partition and nothing else, after which the read-back
+    equals the plain batch oracle over all months.  With STATIC
+    overwrite mode, step 3 would have DELETED every other month — the
+    failure this conf exists to prevent.
+
+    100 TB posture: this is how every date-partitioned fact table is
+    maintained — per-partition replacement keyed by the batch's own
+    partition values, no read-modify-write of the table, no distributed
+    transaction; the blast radius of a re-run is exactly the partitions
+    in the batch.  (Transactional formats layer snapshots on top; the
+    dynamic-overwrite contract is the format-agnostic floor.)"""
+    import tempfile as _tempfile
+
+    from etl_builder_spark.policy import money
+
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("o_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("month_total"),
+        )
+    )
+    sink = _tempfile.mkdtemp(prefix="dpo_sink_")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        cols = ["n_orders", "month_total", "o_month"]  # partition col last
+        monthly.select(*cols).write.mode("overwrite").partitionBy("o_month").parquet(sink)
+        target = monthly.select(F.min("o_month")).first()[0]
+        corrupt = (
+            monthly.where(F.col("o_month") == target)
+            .select(
+                "n_orders",
+                (F.col("month_total") * 2).alias("month_total"),
+                "o_month",
+            )
+        )
+        corrupt.write.mode("overwrite").partitionBy("o_month").parquet(sink)
+        repair = monthly.where(F.col("o_month") == target).select(*cols)
+        repair.write.mode("overwrite").partitionBy("o_month").parquet(sink)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    return spark.read.parquet(sink).select("o_month", "n_orders", "month_total")

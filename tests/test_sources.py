@@ -107,3 +107,31 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert "r_tier" in both.columns
     assert both.count() == 10
     assert both.where(F.col("r_tier").isNull()).count() == 5
+
+
+def test_dynamic_partition_overwrite_blast_radius(spark, tmp_path):
+    """The contract the declared key relies on, asserted mid-flight:
+    overwriting ONE partition in dynamic mode must leave every other
+    partition byte-identical, while static mode would drop them."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}") for i in range(30)], "v int, part string"
+    )
+    sink = str(tmp_path / "dpo")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy("part").parquet(sink)
+        before = sorted(map(tuple, spark.read.parquet(sink).collect()))
+        # rewrite only p0 with new values
+        repl = spark.createDataFrame([(100 + i, "p0") for i in range(5)], "v int, part string")
+        repl.write.mode("overwrite").partitionBy("part").parquet(sink)
+        after = {r["part"]: set() for r in spark.read.parquet(sink).select("part").distinct().collect()}
+        for r in spark.read.parquet(sink).collect():
+            after[r["part"]].add(r["v"])
+        assert set(after) == {"p0", "p1", "p2"}  # p1/p2 survived
+        assert after["p0"] == {100, 101, 102, 103, 104}  # p0 replaced, not appended
+        assert after["p1"] == {v for v, p in [(i, f"p{i % 3}") for i in range(30)] if p == "p1"}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
