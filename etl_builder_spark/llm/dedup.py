@@ -883,3 +883,62 @@ def dedup_text_containment(spark, sf_dir):
             F.round(containment, 6).alias("containment"),
         )
     )
+
+
+@register(
+    "dedup_token_sort",
+    oracle=f"""
+        WITH everything AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+                   array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+            FROM documents
+        ),
+        keyed AS (
+            SELECT doc_id,
+                   array_to_string(list_sort(string_split(lower(text), ' ')), ' ')
+                       AS sort_key
+            FROM everything
+        )
+        SELECT MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_copies,
+               MIN(length(sort_key)) AS key_len
+        FROM keyed
+        GROUP BY sort_key
+        HAVING COUNT(*) > 1
+    """,
+    tags=("I-dedup-tokensort",),
+)
+def dedup_token_sort(spark, sf_dir):
+    """Token-sort dedup — exact match on the multiset of tokens (sort
+    tokens within each doc, hash-group on the sorted form), catching
+    word-reordered near-duplicates that exact normalization misses and
+    MinHash only finds probabilistically.  The fixture plants a
+    token-REVERSED copy of every document; each planted pair collapses
+    onto one sorted key.  One expression-only projection (split →
+    array_sort → array_join, all JVM codegen) then a single hash
+    aggregate on the key — the same one-shuffle shape as exact dedup,
+    so it scales identically (hash the sorted key to 128 bits at real
+    scale instead of carrying the string, as with every dedup key
+    here)."""
+    d = load_table(spark, sf_dir, "documents")
+    reversed_copy = d.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+    )
+    everything = d.select("doc_id", "text").unionByName(reversed_copy)
+    keyed = everything.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.split(F.lower("text"), " ")), " ").alias("sort_key"),
+    )
+    return (
+        keyed.groupBy("sort_key")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.length("sort_key")).alias("key_len"),
+        )
+        .where(F.col("n_copies") > 1)
+        .drop("sort_key")
+    )

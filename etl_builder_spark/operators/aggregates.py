@@ -496,3 +496,33 @@ def agg_regression_trend(spark, sf_dir):
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round((num * num) / (den * (n * syy - sy * sy)), 6).alias("r2"),
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS weighted_avg_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("D-weighted",),
+)
+def agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted average price per return flag — the VWAP
+    shape (SUM(w·x)/SUM(w)), which no built-in avg expresses.  Both
+    sums run in exact decimal so the single double division at the end
+    is bit-identical cross-engine; one partial-then-final aggregate
+    around a single exchange on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.sum(money("l_extendedprice") * money("l_quantity")).cast("double")
+            / F.sum(money("l_quantity")).cast("double")
+        ).alias("weighted_avg_price"),
+        F.sum(money("l_quantity")).cast("double").alias("total_qty"),
+    )

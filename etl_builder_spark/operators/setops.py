@@ -74,3 +74,26 @@ def set_except_all(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.exceptAll(s)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+        SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL
+        SELECT o_orderpriority AS priority FROM orders WHERE o_totalprice > 100000
+    """,
+    tags=("G3b",),
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — multiset intersection (each output row appears
+    min(left_count, right_count) times), completing the set-op family.
+    Plans as a left-semi-style hash join over per-row sequence numbers;
+    one shuffle per side on the full row key, partial counts map-side."""
+    f = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    hi = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000).select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return f.intersectAll(hi)

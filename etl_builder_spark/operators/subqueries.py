@@ -78,3 +78,33 @@ def subq_scalar_uncorrelated(spark, sf_dir):
     literal into every row."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SCALAR_SUBQ_SQL.format(orders="orders"))
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM {nation} n,
+    LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM {customer} c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_acctbal DESC, c_custkey
+        LIMIT 3
+    ) t
+"""
+
+
+@register(
+    "subq_lateral_topk",
+    oracle=_LATERAL_SQL.format(nation="nation", customer="customer"),
+    tags=("C-lateral",),
+)
+def subq_lateral_topk(spark, sf_dir):
+    """LATERAL correlated subquery — top-3 customers by balance per
+    nation, written as the SQL-standard lateral form (Spark 3.2+'s
+    LateralJoin).  Catalyst rewrites the correlated ORDER BY/LIMIT
+    into a per-key window top-k (the same WindowGroupLimit shape as
+    win_topk_per_group) rather than re-running the inner query per
+    outer row; the unique-key tiebreak pins ties cross-engine."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL.format(nation="nation", customer="customer"))

@@ -355,3 +355,79 @@ def ts_resample_ohlc(spark, sf_dir):
         F.count(F.lit(1)).alias("volume"),
         F.sum(money("value")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "ts_zscore_anomaly",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT hour_start, event_type, n,
+                   COUNT(n)    OVER w AS w_cnt,
+                   SUM(n)      OVER w AS w_sum,
+                   SUM(n * n)  OVER w AS w_sumsq
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT hour_start, event_type, n,
+               ROUND(z, 6) AS zscore,
+               (abs(COALESCE(z, 0.0)) > 2.0) AS is_anomaly
+        FROM (
+            SELECT hour_start, event_type, n, w_cnt,
+                   (CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))
+                   / sqrt(NULLIF(
+                       (CAST(w_sumsq AS DOUBLE)
+                        - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))
+                       / (CAST(w_cnt AS DOUBLE) - 1.0), 0.0)) AS z
+            FROM win
+            WHERE w_cnt >= 3
+        )
+    """,
+    tags=("TS-anomaly",),
+)
+def ts_zscore_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly flags on the hourly event-count series —
+    the monitoring detector (|z| > 2 vs the trailing 24-hour window,
+    current hour excluded so a spike can't mask itself).
+
+    Bit-determinism by construction: the windowed moments are SUM(n)
+    and SUM(n²) over INTEGER counts — exact BIGINTs in any engine, any
+    summation order — and mean/variance are derived from those exact
+    integers by one fixed double expression, so the z-score is
+    bit-identical cross-engine with no rounding leaps of faith (the
+    ROUND(,6) is cosmetic).  Contrast STDDEV() OVER, whose streaming
+    accumulation order differs by engine.  One window pass partitioned
+    by series key; scales like any windowed aggregate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour_start").rowsBetween(-24, -1)
+    win = hourly.select(
+        "hour_start",
+        "event_type",
+        "n",
+        F.count("n").over(w).alias("w_cnt"),
+        F.sum("n").over(w).alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("w_sumsq"),
+    ).where(F.col("w_cnt") >= 3)
+    mean = F.col("w_sum").cast("double") / F.col("w_cnt").cast("double")
+    var = (
+        F.col("w_sumsq").cast("double")
+        - F.col("w_sum").cast("double") * F.col("w_sum").cast("double") / F.col("w_cnt").cast("double")
+    ) / (F.col("w_cnt").cast("double") - F.lit(1.0))
+    z = (F.col("n").cast("double") - mean) / F.sqrt(F.nullif(var, F.lit(0.0)))
+    return win.select(
+        "hour_start",
+        "event_type",
+        "n",
+        F.round(z, 6).alias("zscore"),
+        (F.abs(F.coalesce(z, F.lit(0.0))) > 2.0).alias("is_anomaly"),
+    )

@@ -217,3 +217,35 @@ def win_ntile_quartiles(spark, sf_dir):
         "o_orderpriority",
         F.ntile(4).over(w).alias("price_quartile"),
     )
+
+
+@register(
+    "win_percent_rank_cume",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               c_acctbal AS acctbal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("E-pctrank",),
+)
+def win_percent_rank_cume(spark, sf_dir):
+    """Relative-standing windows: PERCENT_RANK ((rank-1)/(n-1)) and
+    CUME_DIST (rows ≤ current / n) of account balance within each
+    nation — the normalized-score shape behind percentile features.
+    Both are exact rationals of integer rank/count, so the doubles are
+    bit-identical cross-engine without rounding; the unique-key
+    tiebreak pins rank order under equal balances."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.col("c_acctbal").alias("acctbal"),
+    )

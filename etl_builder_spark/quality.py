@@ -353,3 +353,69 @@ def dq_schema_contract(spark, sf_dir):
         .join(nulls, "column_name", "left")
         .select("column_name", "expected_type", "observed_type", status.alias("status"), "n_nulls")
     )
+
+
+@register(
+    "dq_null_profile",
+    oracle="""
+        WITH wide AS (
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(o_orderkey) AS nn_orderkey,
+                   COUNT(DISTINCT o_orderkey) AS nd_orderkey,
+                   COUNT(o_custkey) AS nn_custkey,
+                   COUNT(DISTINCT o_custkey) AS nd_custkey,
+                   COUNT(o_orderstatus) AS nn_orderstatus,
+                   COUNT(DISTINCT o_orderstatus) AS nd_orderstatus,
+                   COUNT(o_totalprice) AS nn_totalprice,
+                   COUNT(DISTINCT o_totalprice) AS nd_totalprice,
+                   COUNT(o_orderdate) AS nn_orderdate,
+                   COUNT(DISTINCT o_orderdate) AS nd_orderdate,
+                   COUNT(o_orderpriority) AS nn_orderpriority,
+                   COUNT(DISTINCT o_orderpriority) AS nd_orderpriority
+            FROM orders
+        )
+        SELECT 'o_orderkey' AS column_name, n_rows,
+               n_rows - nn_orderkey AS n_nulls, nd_orderkey AS n_distinct FROM wide
+        UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn_custkey, nd_custkey FROM wide
+        UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - nn_orderstatus, nd_orderstatus FROM wide
+        UNION ALL SELECT 'o_totalprice', n_rows, n_rows - nn_totalprice, nd_totalprice FROM wide
+        UNION ALL SELECT 'o_orderdate', n_rows, n_rows - nn_orderdate, nd_orderdate FROM wide
+        UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn_orderpriority, nd_orderpriority FROM wide
+    """,
+    tags=("DQ-profile",),
+)
+def dq_null_profile(spark, sf_dir):
+    """Column-profiling report (the `DESCRIBE`/profiler shape every DQ
+    tool ships): per-column row/null/exact-distinct counts computed in
+    ONE scan of the table — all counts are conditional aggregates of a
+    single pass, then the wide row is unpivoted to the long report.
+    Exact distincts cost one expand-style aggregate; at 100 TB swap
+    COUNT(DISTINCT) for approx_count_distinct per column (documented
+    tradeoff) — the scan/unpivot shape is unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    per_col = [
+        wide.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out

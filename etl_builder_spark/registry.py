@@ -81,6 +81,13 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "stream_tumbling_ohlc_live",
     "agg_regression_trend",
     "etl_dynamic_partition_overwrite",
+    "set_intersect_all",
+    "agg_weighted_avg",
+    "win_percent_rank_cume",
+    "dq_null_profile",
+    "dedup_token_sort",
+    "ts_zscore_anomaly",
+    "subq_lateral_topk",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
