@@ -321,3 +321,55 @@ def fn_try_arithmetic(spark, sf_dir):
             "key_ratio"
         ),
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'HTTP://WWW.' || upper(source) || '.EXAMPLE.COM'
+                        ELSE 'https://www.' || source || '.example.com' END
+                   || '/docs/' || CAST(doc_id % 50 AS STRING) || '/'
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN '?ref=' || CAST(doc_id % 3 AS STRING) || '&utm_source=feed'
+                           ELSE '?utm_campaign=c' || CAST(doc_id AS STRING)
+                                || '&ref=' || CAST(doc_id % 3 AS STRING) END
+                   || CASE WHEN doc_id % 3 = 0 THEN '#section-' || CAST(doc_id AS STRING)
+                           ELSE '' END AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_extract(url, '^([a-zA-Z]+)://', 1) AS protocol,
+               regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1) AS host,
+               regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query,
+               regexp_extract(url, '(^|[?&])ref=([^&#]*)', 2) AS ref_param,
+               NULLIF(regexp_extract(url, '#(.*)$', 1), '') AS fragment
+        FROM raw
+    """,
+    tags=("H-url",),
+)
+def fn_url_parse(spark, sf_dir):
+    """URL component extraction with the built-in ``parse_url`` family
+    (PROTOCOL / HOST / PATH / QUERY / per-key QUERY / REF) over the
+    same synthesized URL fixture as ``dedup_url_canonical``
+    (llm/urls.py) — JVM-side expressions, one scan, no UDF.  The
+    oracle mirrors each component with an equivalent anchored regexp,
+    which doubles as documentation of exactly what parse_url extracts
+    (query excludes the fragment; REF is NULL when no '#' is
+    present)."""
+    from etl_builder_spark.llm.urls import _URL_SQL
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.expr(_URL_SQL)
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.parse_url(url, F.lit("REF")).alias("fragment"),
+    )

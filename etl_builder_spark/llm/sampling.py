@@ -99,3 +99,39 @@ def sample_train_test_split(spark, sf_dir):
         .otherwise(F.lit("test"))
     )
     return d.select("doc_id", "lang", "n_chars", split.alias("split"))
+
+
+@register(
+    "sample_weighted_hash",
+    oracle="""
+        SELECT doc_id, lang, n_chars,
+               CAST(LEAST(10000, n_chars * 10000 // 400) AS BIGINT) AS keep_threshold
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   (CAST(doc_id * 2654435761 AS BIGINT) % 4294967296) % 10000 AS bucket
+            FROM documents
+        )
+        WHERE bucket < LEAST(10000, n_chars * 10000 // 400)
+    """,
+    tags=("I-sample-weighted",),
+)
+def sample_weighted_hash(spark, sf_dir):
+    """Deterministic WEIGHTED sampling — keep probability proportional
+    to document length (capped at 1.0 above 400 chars), the standard
+    quality-weighted downsampling move when curating a training mix.
+    Same Knuth multiplicative hash as sample_hash_deterministic for
+    the uniform variate, compared against an integer per-row threshold
+    (exact 64-bit math both sides) — membership is identical in any
+    engine at any partitioning, and re-running the pipeline yields the
+    same corpus (reproducible data lineage).  Pure expression filter:
+    pushes down to the scan, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)), F.lit(10000)
+    )
+    threshold = F.least(
+        F.lit(10000).cast("long"), (F.col("n_chars") * 10000 / 400).cast("long")
+    )
+    return d.where(bucket < threshold).select(
+        "doc_id", "lang", "n_chars", threshold.alias("keep_threshold")
+    )

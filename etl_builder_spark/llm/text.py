@@ -424,3 +424,103 @@ def text_unigram_surprisal(spark, sf_dir):
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 6).alias("mean_surprisal"),
     )
+
+
+#: Zipf fit: top-N vocabulary ranks per language entering the log-log
+#: regression
+ZIPF_TOP_N = 100
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+        WITH vocab AS (
+            SELECT lang, token, COUNT(*) AS freq
+            FROM (
+                SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY lang, token
+        ),
+        ranked AS (
+            SELECT lang, freq,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY freq DESC, token
+                   ) AS rnk
+            FROM vocab
+        ),
+        pts AS (
+            SELECT lang,
+                   ROUND(ln(rnk), 9) AS x,
+                   ROUND(ln(freq), 9) AS y
+            FROM ranked WHERE rnk <= {ZIPF_TOP_N}
+        ),
+        stats AS (
+            SELECT lang,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+            FROM pts
+            GROUP BY lang
+        )
+        SELECT lang, n,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+               ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+                   AS intercept
+        FROM stats
+    """,
+    tags=("I-zipf",),
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit per language: slope of log(freq) vs log(rank)
+    over the top-100 vocabulary — the corpus-health diagnostic (natural
+    text sits near slope −1; templated/synthetic text flattens, spam
+    steepens).
+
+    Determinism: logs are transcendental, so unlike agg_regression_trend
+    the regression inputs can't be exact — instead each log is quantized
+    to 9 dp (identical doubles in, identical doubles out; engine-libm
+    ulp disagreement would need to land within 1e-7 of a quantization
+    boundary to surface), every product is re-quantized and summed as
+    DECIMAL(28,9) — order-free — and the closed forms are single double
+    expressions of those exact sums.  Shape: one vocab aggregate, a
+    per-language top-N window (WindowGroupLimit), and a tiny final
+    aggregate — the rank window is the only sort and it runs on the
+    already-aggregated vocab, not the token stream."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), "token")
+    pts = (
+        vocab.select("lang", "freq", "token", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= ZIPF_TOP_N)
+        .select(
+            "lang",
+            F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
+            F.round(F.log(F.col("freq").cast("double")), 9).alias("y"),
+        )
+    )
+
+    def dsum(c):
+        return F.sum(F.round(c, 9).cast("decimal(28,9)")).cast("double")
+
+    n = F.count(F.lit(1))
+    sx = dsum(F.col("x"))
+    sy = dsum(F.col("y"))
+    sxy = dsum(F.col("x") * F.col("y"))
+    sxx = dsum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pts.groupBy("lang").agg(
+        n.alias("n"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )

@@ -1,0 +1,159 @@
+"""Fixed-iteration PageRank as pure DataFrame algebra — the iterative
+graph algorithm demonstrator alongside the recursive-CTE reachability
+walk (operators/recursive.py) and the dup-cluster connected components
+(llm/cluster.py:197).
+
+Graph: the customer–supplier interaction graph (an edge when a
+customer's order contains a supplier's line), symmetrized so every
+node has out-degree ≥ 1 — no dangling-mass redistribution term needed.
+
+Determinism engineering (the interesting part): a double SUM over
+in-neighbor contributions is summation-order-dependent, so naive
+PageRank can never hash-match across engines.  Here each edge
+contribution rounds to 12 dp and CASTs to DECIMAL(28,12) *before* the
+aggregate — decimal addition is exact and order-free — and the damping
+update is one fixed double expression of that exact sum.  Each
+iteration is therefore bit-identical on any engine, any partition
+order, which is also precisely what makes the result stable across
+cluster re-runs at 100 TB.
+
+Scale posture: the iteration state is (node, rank) — shuffled on the
+join key each round like every vertex-centric BSP step (Pregel's
+shape).  Three fixed rounds = three join+agg stages; the edge list
+re-partitions once and stays on its join key.  Hot vertices (a
+supplier in every order) skew the contribution aggregate — the
+standard mitigation is the same two-level salt as operators/skew.py,
+applied to the dst-grouped SUM (exactness survives: decimal partials
+re-sum exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+#: supplier node ids are offset into their own range so the two key
+#: spaces can share one BIGINT node column
+SUPP_NODE_OFFSET = 100_000
+DAMPING = 0.85
+N_ITER = 3
+
+
+def _oracle() -> str:
+    ctes = [
+        f"""
+        pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, {SUPP_NODE_OFFSET} + l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        ),
+        outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        nodes AS (SELECT src AS node FROM outdeg),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)
+        """
+    ]
+    for k in range(1, N_ITER + 1):
+        ctes.append(
+            f"""
+        i{k} AS (
+            SELECT e.dst AS node,
+                   SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(28,12))) AS in_sum
+            FROM edges e
+            JOIN r{k - 1} r ON r.node = e.src
+            JOIN outdeg d ON d.src = e.src
+            GROUP BY e.dst
+        ),
+        r{k} AS (
+            SELECT n.node,
+                   (1.0 - {DAMPING}) / nn.n
+                   + {DAMPING} * CAST(COALESCE(i.in_sum, 0) AS DOUBLE) AS rank
+            FROM nodes n CROSS JOIN nn LEFT JOIN i{k} i ON i.node = n.node
+        )
+        """
+        )
+    body = ",".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT r.node,
+               (r.node >= {SUPP_NODE_OFFSET}) AS is_supplier,
+               d.deg AS degree,
+               ROUND(r.rank * nn.n, 6) AS rank_rel
+        FROM r{N_ITER} r
+        JOIN outdeg d ON d.src = r.node
+        CROSS JOIN nn
+    """
+
+
+@register("graph_pagerank_fixed", oracle=_oracle(), tags=("GR-pagerank",))
+def graph_pagerank_fixed(spark, sf_dir):
+    """Three damped PageRank rounds over the symmetrized
+    customer–supplier graph; ranks reported relative to uniform
+    (rank × N, average 1.0).  See module docstring for the
+    order-free-decimal determinism scheme."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.lit(SUPP_NODE_OFFSET) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("deg_node"), "deg")
+    )
+    nodes = outdeg.select(F.col("deg_node").alias("node"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    rank = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(N_ITER):
+        contrib = (
+            edges.join(rank, edges.src == rank.node)
+            .join(outdeg, edges.src == outdeg.deg_node)
+            .select(
+                F.col("dst"),
+                F.round(F.col("rank") / F.col("deg"), 12)
+                .cast("decimal(28,12)")
+                .alias("contrib"),
+            )
+        )
+        in_sum = contrib.groupBy("dst").agg(F.sum("contrib").alias("in_sum"))
+        rank = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(in_sum, nodes.node == in_sum.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - DAMPING) / F.col("n")
+                    + F.lit(DAMPING)
+                    * F.coalesce(F.col("in_sum"), F.lit(0).cast("decimal(28,12)")).cast(
+                        "double"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return (
+        rank.join(outdeg, rank.node == outdeg.deg_node)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "node",
+            (F.col("node") >= SUPP_NODE_OFFSET).alias("is_supplier"),
+            F.col("deg").alias("degree"),
+            F.round(F.col("rank") * F.col("n"), 6).alias("rank_rel"),
+        )
+    )

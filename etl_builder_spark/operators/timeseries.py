@@ -431,3 +431,132 @@ def ts_zscore_anomaly(spark, sf_dir):
         F.round(z, 6).alias("zscore"),
         (F.abs(F.coalesce(z, F.lit(0.0))) > 2.0).alias("is_anomaly"),
     )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+            FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT hour_start, event_type FROM spine CROSS JOIN types),
+        actual AS (
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        joined AS (
+            SELECT g.hour_start, g.event_type, a.v,
+                   epoch_us(g.hour_start) AS us
+            FROM grid g LEFT JOIN actual a
+              ON a.hour_start = g.hour_start AND a.event_type = g.event_type
+        ),
+        ctx AS (
+            SELECT hour_start, event_type, v, us,
+                   LAST_VALUE(v IGNORE NULLS) OVER wp AS prev_v,
+                   LAST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                       OVER wp AS prev_us,
+                   FIRST_VALUE(v IGNORE NULLS) OVER wn AS next_v,
+                   FIRST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                       OVER wn AS next_us
+            FROM joined
+            WINDOW wp AS (PARTITION BY event_type ORDER BY hour_start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (PARTITION BY event_type ORDER BY hour_start
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT hour_start, event_type,
+               (v IS NULL) AS was_gap,
+               ROUND(CASE
+                   WHEN v IS NOT NULL THEN v
+                   WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                       prev_v + (next_v - prev_v)
+                       * (CAST(us - prev_us AS DOUBLE) / CAST(next_us - prev_us AS DOUBLE))
+               END, 6) AS value_interp
+        FROM ctx
+    """,
+    tags=("TS-interp",),
+)
+def ts_interpolate_linear(spark, sf_dir):
+    """Linear interpolation over the dense hourly grid — the
+    gap-filling upgrade of LOCF (`ts_forward_fill`): a missing hour
+    takes the line between its nearest observed neighbors, edges stay
+    null.  Two one-pass windows per series (last-known-before /
+    first-known-after, both IGNORE NULLS) supply the bracketing
+    points; the interpolation weight divides exact epoch-microsecond
+    BIGINTs, and observed values are exact-decimal sums, so the one
+    double expression is bit-identical cross-engine (ROUND(,6)
+    cosmetic).  Shares the spine × dims grid shape (and its broadcast
+    posture) with ts_hourly_gapfill; both windows and the grid join
+    sit on the same event_type partitioning — one shuffle total."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    actual = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(F.sum(money("value")).cast("double").alias("v"))
+    g = grid.alias("g")
+    a = actual.alias("a")
+    joined = g.join(
+        a,
+        (F.col("a.hour_start") == F.col("g.hour_start"))
+        & (F.col("a.event_type") == F.col("g.event_type")),
+        "left",
+    ).select(
+        F.col("g.hour_start").alias("hour_start"),
+        F.col("g.event_type").alias("event_type"),
+        F.col("a.v").alias("v"),
+        F.unix_micros(F.col("g.hour_start")).alias("us"),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_us = F.when(F.col("v").isNotNull(), F.col("us"))
+    ctx = joined.select(
+        "hour_start",
+        "event_type",
+        "v",
+        "us",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(known_us, ignorenulls=True).over(wp).alias("prev_us"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(known_us, ignorenulls=True).over(wn).alias("next_us"),
+    )
+    frac = (F.col("us") - F.col("prev_us")).cast("double") / (
+        F.col("next_us") - F.col("prev_us")
+    ).cast("double")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+        )
+    )
+    return ctx.select(
+        "hour_start",
+        "event_type",
+        F.col("v").isNull().alias("was_gap"),
+        F.round(interp, 6).alias("value_interp"),
+    )

@@ -88,6 +88,11 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "dedup_token_sort",
     "ts_zscore_anomaly",
     "subq_lateral_topk",
+    "ts_interpolate_linear",
+    "graph_pagerank_fixed",
+    "text_zipf_fit",
+    "fn_url_parse",
+    "sample_weighted_hash",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
@@ -204,6 +209,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.histogram  # noqa: F401
     import etl_builder_spark.operators.joins  # noqa: F401
     import etl_builder_spark.operators.merge  # noqa: F401
+    import etl_builder_spark.operators.pagerank  # noqa: F401
     import etl_builder_spark.operators.recursive  # noqa: F401
     import etl_builder_spark.operators.scans  # noqa: F401
     import etl_builder_spark.operators.setops  # noqa: F401
