@@ -645,3 +645,107 @@ def test_sessionize_gap_rule_on_constructed_user(spark):
     )
     by_id = {r["event_id"]: r["s"] for r in seq}
     assert by_id[1] == 1 and by_id[2] == 1 and by_id[3] == 2
+
+
+def test_pagerank_partition_invariant_and_sums_to_n(spark):
+    """The determinism claim of graph_pagerank_fixed: the round-then-
+    DECIMAL contribution sums make every iteration order-free, so the
+    result is bit-identical whether the edge list lives in 1 partition
+    or 32 — the property that makes the op hash-checkable AND stable
+    across cluster re-runs.  Also: with a symmetric (dangling-free)
+    graph, total rank mass stays 1 (rank_rel averages 1.0)."""
+    from etl_builder_spark.operators.pagerank import graph_pagerank_fixed
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = graph_pagerank_fixed(spark, sf_dir)
+    rows_multi = {r["node"]: r["rank_rel"] for r in base.collect()}
+
+    shuffled = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        rows_one = {r["node"]: r["rank_rel"] for r in graph_pagerank_fixed(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffled)
+
+    assert rows_multi == rows_one  # bitwise, not approx
+    n = len(rows_multi)
+    assert abs(sum(rows_multi.values()) / n - 1.0) < 1e-4
+
+
+def test_interpolate_linear_recovers_line_and_leaves_edges_null(spark):
+    """On a constructed series with interior gaps the interpolation
+    must sit exactly on the line between bracketing points, observed
+    hours must pass through unchanged, and hours before the first /
+    after the last observation stay NULL."""
+    from pyspark.sql import Row
+
+    from etl_builder_spark.operators.timeseries import ts_interpolate_linear
+    import os
+    import tempfile
+
+    base = datetime(2024, 3, 1, 0)
+    # type 'a': observed at h0 (v=10) and h4 (v=50) → h1..h3 on the line
+    # type 'b': observed only at h2 (v=7) → every other hour NULL
+    rows = [
+        Row(event_id=1, ts=base, user_id=1, event_type="a", value=10.0, props="{}"),
+        Row(event_id=2, ts=base + timedelta(hours=4), user_id=1, event_type="a", value=50.0, props="{}"),
+        Row(event_id=3, ts=base + timedelta(hours=2), user_id=1, event_type="b", value=7.0, props="{}"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows).write.parquet(os.path.join(td, "events.parquet"))
+        out = {
+            (r["event_type"], r["hour_start"].hour): (r["was_gap"], r["value_interp"])
+            for r in ts_interpolate_linear(spark, td).collect()
+        }
+    assert out[("a", 0)] == (False, 10.0)
+    assert out[("a", 1)] == (True, 20.0)
+    assert out[("a", 2)] == (True, 30.0)
+    assert out[("a", 3)] == (True, 40.0)
+    assert out[("a", 4)] == (False, 50.0)
+    assert out[("b", 2)] == (False, 7.0)
+    assert out[("b", 0)][1] is None and out[("b", 4)][1] is None
+
+
+def test_zscore_anomaly_flags_constructed_spike(spark):
+    """A flat series with one 10× spike: the spike hour (and only the
+    spike hour) must flag, and the trailing window must EXCLUDE the
+    current row (a self-masking detector would compute z from a window
+    containing the spike itself)."""
+    from pyspark.sql import Row
+
+    from etl_builder_spark.operators.timeseries import ts_zscore_anomaly
+    import os
+    import tempfile
+
+    base = datetime(2024, 3, 1, 0)
+    rows = []
+    eid = 0
+    for h in range(12):
+        # baseline: 3 events/hour, except hour 9: 30 events
+        n = 30 if h == 9 else 3
+        # tiny jitter so window variance is nonzero (2-3 alternating)
+        if h % 2 == 0 and h != 9:
+            n = 2
+        for i in range(n):
+            eid += 1
+            rows.append(
+                Row(event_id=eid, ts=base + timedelta(hours=h, minutes=i), user_id=1,
+                    event_type="x", value=1.0, props="{}")
+            )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows).write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["hour_start"].hour: r for r in ts_zscore_anomaly(spark, td).collect()}
+    flagged = {h for h, r in out.items() if r["is_anomaly"]}
+    assert flagged == {9}
+    assert out[9]["zscore"] > 2.0
+
+
+def test_token_sort_dedup_collapses_reordered_but_not_different(spark):
+    """Reordered token multisets collapse; a doc with a genuinely
+    different multiset (one word swapped) must NOT collapse."""
+    from etl_builder_spark.llm.dedup import dedup_token_sort
+
+    out = dedup_token_sort(spark, "/root/testdata/sf0.001").collect()
+    # every fixture doc gets a reversed plant → every group has ≥ 2 copies
+    assert all(r["n_copies"] >= 2 for r in out)
+    assert len(out) > 0
