@@ -262,3 +262,63 @@ def resize_meta(assets: DataFrame, max_side: int = 256) -> DataFrame:
         F.greatest((F.col("width") * scale).cast("int"), F.lit(1)).alias("target_w"),
         F.greatest((F.col("height") * scale).cast("int"), F.lit(1)).alias("target_h"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH expanded AS (
+            SELECT doc_id AS asset_id, text,
+                   unnest(generate_series(
+                       0, CAST(greatest((n_chars * 10) // 1000, 1) AS BIGINT) - 1
+                   )) AS frame_idx
+            FROM documents
+        )
+        SELECT asset_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               substr(sha256(text || '#' || CAST(frame_idx AS VARCHAR)), 1, 16)
+                   AS frame_sha
+        FROM expanded
+    """,
+    tags=("I-frames",),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling as a DECLARED, exact-hashed key: one row per
+    sampled 1-second frame of each synthetic video asset (duration =
+    n_chars×10 ms, ≥ 1 frame), fingerprinted per frame — the video →
+    relational-rows seam of a multimodal pipeline, executed as an
+    Arrow-batched ``mapInPandas`` (the real frame decoder slots into
+    the same batch loop; see sample_frames/decode_image for the codec
+    path and its UnsupportedCodecError stub policy).
+
+    The fingerprint recipe is deliberately ASCII-composable —
+    sha256(utf8(text) ‖ '#' ‖ str(idx)) — so the DuckDB oracle
+    reproduces it in SQL and the whole UDF seam (batch iteration, row
+    explosion in Python, Arrow schema) sits under the exact hash, not
+    just a rows-only count.  Row explosion happens inside the workers
+    (no driver involvement, no shuffle); output partitioning inherits
+    the input's, so a downstream per-asset groupBy is the only
+    exchange a consumer pays."""
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        "text",
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for _, row in pdf.iterrows():
+                n = max(int(row["duration_ms"]) // 1000, 1)
+                text = row["text"]
+                for i in range(n):
+                    ids.append(row["asset_id"])
+                    idxs.append(i)
+                    shas.append(
+                        hashlib.sha256(f"{text}#{i}".encode()).hexdigest()[:16]
+                    )
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_sha": shas})
+
+    return d.mapInPandas(frames, FRAME_SCHEMA)

@@ -93,6 +93,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "text_zipf_fit",
     "fn_url_parse",
     "sample_weighted_hash",
+    "stream_topk_types_live",
+    "multimodal_frame_sample",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
