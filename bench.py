@@ -52,6 +52,11 @@ HEADLINE = [
     "sim_knn_ivfpq",             # I  IVF-PQ composed search (r5)
     "dedup_url_canonical",       # I  URL canonicalize + group (r5)
     "dedup_text_containment",    # I  trigram containment dedup (r5)
+    "graph_pagerank_fixed",      # GR 3-round decimal-exact PageRank (r5b)
+    "ts_interpolate_linear",     # TS linear gap interpolation (r5b)
+    "dedup_token_sort",          # I  token-multiset dedup (r5b)
+    "text_zipf_fit",             # I  per-lang Zipf fit (r5b)
+    "multimodal_frame_sample",   # I  mapInPandas frame explosion (r5b)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched
