@@ -373,3 +373,42 @@ def fn_url_parse(spark, sf_dir):
         F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
         F.parse_url(url, F.lit("REF")).alias("fragment"),
     )
+
+
+@register(
+    "fn_hash_codec",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS text_md5,
+               sha256(text) AS text_sha256,
+               to_base64(encode(substr(text, 1, 24))) AS head_b64,
+               hex(encode(substr(text, 1, 12))) AS head_hex,
+               substr(sha256(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 16)
+                   AS stable_key
+        FROM documents
+    """,
+    tags=("H-codec",),
+)
+def fn_hash_codec(spark, sf_dir):
+    """Hashing/encoding function family — md5 / sha2-256 / base64 /
+    hex, the content-addressing toolkit (stable surrogate keys,
+    content fingerprints, payload-safe transport encoding) every ETL
+    surface ships.  All four are byte-identical across engines on
+    UTF-8 input (probed, incl. non-ASCII), so the whole family sits
+    under the exact hash; `stable_key` shows the composite-key recipe
+    (hash of a delimited column concat) that replaces fragile
+    multi-column join keys at scale.  Pure JVM expressions in one
+    codegen stage — no shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.base64(F.encode(F.substring("text", 1, 24), "utf-8")).alias("head_b64"),
+        F.hex(F.encode(F.substring("text", 1, 12), "utf-8")).alias("head_hex"),
+        F.substring(
+            F.sha2(F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string")), 256),
+            1,
+            16,
+        ).alias("stable_key"),
+    )

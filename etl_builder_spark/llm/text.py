@@ -524,3 +524,103 @@ def text_zipf_fit(spark, sf_dir):
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+#: PMI collocations: minimum pair count to enter scoring, and the
+#: report's size cap
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+@register(
+    "text_pmi_bigrams",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lower(text) AS text FROM documents
+        ),
+        unigrams AS (
+            SELECT token, COUNT(*) AS c1
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM toks)
+            WHERE token <> ''
+            GROUP BY token
+        ),
+        n_tok AS (SELECT SUM(c1) AS n FROM unigrams),
+        bigrams AS (
+            SELECT w1, w2, COUNT(*) AS c12
+            FROM (
+                SELECT t.parts[i] AS w1, t.parts[i + 1] AS w2
+                FROM (SELECT string_split(text, ' ') AS parts FROM toks) t,
+                     LATERAL (SELECT unnest(generate_series(1, len(t.parts) - 1)) AS i)
+                WHERE t.parts[i] <> '' AND t.parts[i + 1] <> ''
+            )
+            GROUP BY w1, w2
+            HAVING COUNT(*) >= {PMI_MIN_COUNT}
+        )
+        SELECT w1, w2, c12,
+               ROUND(ln(CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE)
+                        / (CAST(u1.c1 AS DOUBLE) * CAST(u2.c1 AS DOUBLE))), 6) AS pmi
+        FROM bigrams b
+        JOIN unigrams u1 ON u1.token = b.w1
+        JOIN unigrams u2 ON u2.token = b.w2
+        CROSS JOIN n_tok
+        ORDER BY pmi DESC, w1, w2
+        LIMIT {PMI_TOP_K}
+    """,
+    tags=("I-pmi",),
+)
+def text_pmi_bigrams(spark, sf_dir):
+    """Collocation extraction: top bigrams by pointwise mutual
+    information, PMI = ln(c₁₂·N / (c₁·c₂)) — the phrase-mining /
+    tokenizer-vocab-candidate pass of corpus analysis (high-PMI pairs
+    are multiword units worth a single token).
+
+    Bigrams come from zipping each doc's token array with its shift
+    (``transform(sequence)`` over the array — expression-only, no
+    UDTF); unigram totals broadcast into the scoring join.  The PMI
+    argument is a ratio of exact integer counts — one identical double
+    in both engines — so a single ln + ROUND(,6) is the only float
+    step, and ranking orders on the ROUNDED value with the bigram as
+    tiebreak (policy §7.2).  Min-count 5 prunes the long tail
+    before the join; at 100 TB that HAVING is what keeps the
+    bigram table join-able (plus hash-bucketing the bigram key)."""
+    d = load_table(spark, sf_dir, "documents").select(F.lower("text").alias("text"))
+    toks = d.select(F.split("text", " ").alias("parts"))
+    unigrams = (
+        toks.select(F.explode("parts").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n_tok = unigrams.agg(F.sum("c1").alias("n"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(parts) - 1), "
+                "i -> struct(parts[i - 1] AS w1, parts[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bigrams = (
+        pairs.where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    u1 = unigrams.select(F.col("token").alias("w1"), F.col("c1").alias("u1c"))
+    u2 = unigrams.select(F.col("token").alias("w2"), F.col("c1").alias("u2c"))
+    pmi = F.round(
+        F.log(
+            F.col("c12").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("u1c").cast("double") * F.col("u2c").cast("double"))
+        ),
+        6,
+    )
+    return (
+        bigrams.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )

@@ -526,3 +526,32 @@ def agg_weighted_avg(spark, sf_dir):
         ).alias("weighted_avg_price"),
         F.sum(money("l_quantity")).cast("double").alias("total_qty"),
     )
+
+
+@register(
+    "agg_boolean_any",
+    oracle="""
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               bool_or(o_totalprice > 300000) AS any_large,
+               bool_and(o_orderstatus = 'F') AS all_finished,
+               CAST(count_if(o_orderpriority LIKE '1-%') AS BIGINT) AS n_urgent
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    tags=("D-bool",),
+)
+def agg_boolean_any(spark, sf_dir):
+    """Boolean/conditional aggregate family — ANY/EVERY (bool_or /
+    bool_and) and count_if — the flag-rollup shape behind cohort
+    predicates ('has the customer ever…', 'are all orders…').  All
+    three are single-bit partial states with trivial map-side combine,
+    so the aggregate is one exchange on the group key with near-zero
+    shuffle payload — the cheapest rollup Spark can run."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.bool_or(F.col("o_totalprice") > 300000).alias("any_large"),
+        F.bool_and(F.col("o_orderstatus") == "F").alias("all_finished"),
+        F.count_if(F.col("o_orderpriority").like("1-%")).alias("n_urgent"),
+    )

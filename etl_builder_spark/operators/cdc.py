@@ -154,3 +154,87 @@ def scd2_intervals(spark, sf_dir):
         lead_ts.alias("valid_to"),
         lead_ts.isNull().alias("is_current"),
     )
+
+
+@register(
+    "cdc_point_in_time_join",
+    oracle="""
+        WITH states AS (
+            SELECT o_custkey, o_orderdate AS ts, o_orderpriority AS attr,
+                   o_orderkey,
+                   LAG(o_orderpriority) OVER w AS prev_attr
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        changes AS (
+            SELECT o_custkey, ts, attr, o_orderkey FROM states
+            WHERE prev_attr IS NULL OR attr <> prev_attr
+        ),
+        dim AS (
+            SELECT o_custkey, attr AS state, ts AS valid_from,
+                   LEAD(ts) OVER (PARTITION BY o_custkey ORDER BY ts, o_orderkey)
+                       AS valid_to
+            FROM changes
+        ),
+        bounds AS (
+            SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+                   date_trunc('month', MAX(o_orderdate)) AS hi
+            FROM orders
+        ),
+        probes AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS probe_month
+            FROM bounds
+        )
+        SELECT d.o_custkey, p.probe_month, d.state
+        FROM dim d JOIN probes p
+          ON p.probe_month >= d.valid_from
+         AND (d.valid_to IS NULL OR p.probe_month < d.valid_to)
+    """,
+    tags=("ETL-pit",),
+)
+def cdc_point_in_time_join(spark, sf_dir):
+    """Point-in-time dimension lookup — 'what was each customer's
+    priority state AS OF each month start' — joined against the SCD2
+    validity intervals (same construction as scd2_intervals).  This is
+    the temporal-correctness join every feature store needs: training
+    rows must see the dimension value valid AT the observation time,
+    never a later one (leakage).
+
+    Plan: the probe spine (a few dozen month starts) broadcasts and
+    the join qualifies probe ∈ [valid_from, valid_to) per customer —
+    each customer holds a handful of intervals, so the per-row
+    interval scan is O(intervals) with no self-shuffle beyond the one
+    window exchange that built the dimension.  At 100 TB, with a
+    probe table too big to broadcast, this becomes the bucketed
+    interval join of join_interval_bucketed (same predicate, bucketed
+    by key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    states = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("attr"),
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_attr"),
+    )
+    changes = states.where(
+        F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    dim = changes.select(
+        "o_custkey",
+        F.col("attr").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    probes = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("probe_month")
+    )
+    return dim.crossJoin(F.broadcast(probes)).where(
+        (F.col("probe_month") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("probe_month") < F.col("valid_to")))
+    ).select("o_custkey", "probe_month", "state")

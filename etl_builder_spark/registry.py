@@ -95,6 +95,10 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "sample_weighted_hash",
     "stream_topk_types_live",
     "multimodal_frame_sample",
+    "fn_hash_codec",
+    "agg_boolean_any",
+    "text_pmi_bigrams",
+    "cdc_point_in_time_join",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
