@@ -81,3 +81,68 @@ def pack_context_windows(spark, sf_dir):
         "lang", "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
     return pack_windows(d).select("lang", "doc_id", "n_tokens", "cum_tokens", "window_id")
+
+
+#: sliding chunker: window of 32 tokens advancing 24 (8-token overlap)
+CHUNK_W = 32
+CHUNK_S = 24
+
+
+@register(
+    "chunk_sliding_overlap",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS parts
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, parts,
+                   unnest(generate_series(
+                       0,
+                       CAST(greatest(ceil((len(parts) - {CHUNK_W})
+                                     / CAST({CHUNK_S} AS DOUBLE)), 0) AS BIGINT)
+                   )) AS chunk_idx
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(len(list_slice(parts, chunk_idx * {CHUNK_S} + 1,
+                                   chunk_idx * {CHUNK_S} + {CHUNK_W})) AS INT)
+                   AS n_tokens,
+               md5(array_to_string(
+                   list_slice(parts, chunk_idx * {CHUNK_S} + 1,
+                              chunk_idx * {CHUNK_S} + {CHUNK_W}), ' '))
+                   AS chunk_md5
+        FROM starts
+    """,
+    tags=("I-chunk-sliding",),
+)
+def chunk_sliding_overlap(spark, sf_dir):
+    """Sliding-window chunking with overlap (window 32, stride 24 →
+    8-token overlap) — the RAG/embedding chunker, where overlap keeps
+    boundary-spanning context retrievable (vs the disjoint packing of
+    chunk_fixed_tokens).  Start offsets come from ``sequence()`` per
+    doc and the chunk is one ``slice()`` — expression-only row
+    explosion, ~n/stride output rows per doc, no UDF; each chunk
+    carries its md5 (portable both engines) so content — not just
+    counts — sits under the hash.  Scales as a pure map: no shuffle at
+    all unless a downstream groupBy asks for one."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("parts"))
+    n_chunks_minus1 = F.greatest(
+        F.ceil((F.size("parts") - F.lit(CHUNK_W)) / F.lit(float(CHUNK_S))), F.lit(0)
+    ).cast("long")
+    starts = toks.select(
+        "doc_id",
+        "parts",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks_minus1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("parts"), (F.col("chunk_idx") * CHUNK_S + 1).cast("int"), CHUNK_W
+    )
+    return starts.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -231,3 +231,61 @@ def join_multiway_star(spark, sf_dir):
             .alias("revenue")
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+        WITH lo as (
+            SELECT NULLIF(o_orderstatus, 'P') AS status_key,
+                   COUNT(*) AS n_even
+            FROM orders WHERE o_orderkey % 2 = 0
+            GROUP BY 1
+        ),
+        hi AS (
+            SELECT NULLIF(o_orderstatus, 'P') AS status_key,
+                   COUNT(*) AS n_odd
+            FROM orders WHERE o_orderkey % 2 = 1
+            GROUP BY 1
+        )
+        SELECT COALESCE(lo.status_key, hi.status_key) AS status_key,
+               (lo.status_key IS NULL AND hi.status_key IS NULL) AS is_null_group,
+               lo.n_even, hi.n_odd
+        FROM lo FULL JOIN hi
+          ON lo.status_key IS NOT DISTINCT FROM hi.status_key
+    """,
+    tags=("C-nullsafe",),
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    two parity halves of orders aggregated on a NULLABLE key
+    (NULLIF collapses 'P' to NULL) and full-outer-joined null-safely —
+    the NULL groups MATCH each other instead of producing two dangling
+    rows, which is exactly the semantic difference from ``=`` (and a
+    classic silent-bug source in snapshot reconciliation).  eqNullSafe
+    keys still hash-partition like plain equality — same single
+    exchange, no plan penalty."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_key")
+    lo = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_even"))
+        .alias("lo")
+    )
+    hi = (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_odd"))
+        .alias("hi")
+    )
+    return lo.join(
+        hi, F.col("lo.status_key").eqNullSafe(F.col("hi.status_key")), "full"
+    ).select(
+        F.coalesce(F.col("lo.status_key"), F.col("hi.status_key")).alias("status_key"),
+        (F.col("lo.status_key").isNull() & F.col("hi.status_key").isNull()).alias(
+            "is_null_group"
+        ),
+        "n_even",
+        "n_odd",
+    )

@@ -249,3 +249,81 @@ def win_percent_rank_cume(spark, sf_dir):
         F.cume_dist().over(w).alias("cume"),
         F.col("c_acctbal").alias("acctbal"),
     )
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        tagged AS (
+            SELECT user_id, d,
+                   CAST(d - DATE '2024-01-01' AS BIGINT)
+                   - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island_key
+            FROM days
+        )
+        SELECT user_id,
+               MIN(d) AS island_start,
+               MAX(d) AS island_end,
+               COUNT(*) AS n_days
+        FROM tagged
+        GROUP BY user_id, island_key
+    """,
+    tags=("E-islands",),
+)
+def win_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (streak detection — the engagement/retention primitive).  The
+    classic closed form: day_number − row_number is constant within a
+    consecutive run, so one window plus one aggregate finds all
+    islands — no self-join, no iteration.  Both the window and the
+    rollup partition on user_id: a single exchange end to end."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    tagged = days.select(
+        "user_id",
+        "d",
+        (F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+         - F.row_number().over(w)).alias("island_key"),
+    )
+    return tagged.groupBy("user_id", "island_key").agg(
+        F.min("d").alias("island_start"),
+        F.max("d").alias("island_end"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).drop("island_key")
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+        SELECT event_id, user_id,
+               COUNT(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS n_types_so_far
+        FROM events
+    """,
+    tags=("E-rundistinct",),
+)
+def win_running_distinct(spark, sf_dir):
+    """Running DISTINCT count per user — 'how many distinct event
+    types has this user touched so far' (feature-breadth signal).
+    Spark has no COUNT(DISTINCT) OVER; the equivalent is
+    size(collect_set() OVER ...) — the set state is bounded by the
+    type cardinality (small), NOT the row count, so the window state
+    stays O(|types|) per user at any scale.  For high-cardinality
+    distincts swap the set for an HLL sketch column (functions/
+    sketches.py) and accept the estimate."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_so_far"),
+    )

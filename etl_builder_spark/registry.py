@@ -99,6 +99,10 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "agg_boolean_any",
     "text_pmi_bigrams",
     "cdc_point_in_time_join",
+    "join_null_safe",
+    "win_gaps_islands",
+    "chunk_sliding_overlap",
+    "win_running_distinct",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
