@@ -576,7 +576,12 @@ def text_pmi_bigrams(spark, sf_dir):
 
     Bigrams come from zipping each doc's token array with its shift
     (``transform(sequence)`` over the array — expression-only, no
-    UDTF); unigram totals broadcast into the scoring join.  The PMI
+    UDTF); unigram totals broadcast into the scoring join.  The
+    lazy plan re-derives the unigram aggregate for each of its three
+    consumers (u1, u2, N) — free at fixture scale; at 100 TB stage the
+    tokenized/aggregated vocab once (same persisted-invariant pattern
+    as operators/pagerank.py's edge cache) so the corpus is scanned
+    once, not three times.  The PMI
     argument is a ratio of exact integer counts — one identical double
     in both engines — so a single ln + ROUND(,6) is the only float
     step, and ranking orders on the ROUNDED value with the bigram as
