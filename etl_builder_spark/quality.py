@@ -419,3 +419,76 @@ def dq_null_profile(spark, sf_dir):
     for p in per_col[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "dq_quarantine_split",
+    oracle="""
+        WITH src AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 7 = 0 THEN '{{{' || props ELSE props END
+                       AS props2,
+                   CASE WHEN event_id % 11 = 0 THEN 'N/A'
+                        ELSE printf('%.2f', value) END AS value_str
+            FROM events
+        ),
+        parsed AS (
+            SELECT event_id, event_type,
+                   CASE WHEN json_valid(props2)
+                        THEN TRY_CAST(json_extract_string(props2, '$.k') AS INTEGER)
+                   END AS k_value,
+                   TRY_CAST(value_str AS DOUBLE) AS value_parsed
+            FROM src
+        )
+        SELECT event_id, event_type,
+               CASE WHEN k_value IS NULL THEN 'quarantine:bad_json'
+                    WHEN value_parsed IS NULL THEN 'quarantine:bad_value'
+                    ELSE 'ok' END AS route,
+               k_value, value_parsed
+        FROM parsed
+    """,
+    tags=("DQ-quarantine",),
+)
+def dq_quarantine_split(spark, sf_dir):
+    """Quarantine routing — the error-handling pattern of every ETL
+    builder: parse semi-structured input with TRY semantics and tag
+    each row 'ok' / 'quarantine:<reason>' in ONE pass, instead of
+    letting one malformed row kill an hours-long job (ANSI strict
+    mode) or silently dropping it.  Downstream, `route` is the
+    partition column of a dynamic-partition-overwrite sink
+    (etl_dynamic_partition_overwrite) so the quarantine lands next to
+    the good rows, replayable after a fix.
+
+    The fixture corrupts deterministically (every 7th event's JSON
+    gets a leading-garbage prefix — chosen because Spark's lenient
+    Jackson path accepts TRAILING garbage; every 11th value string
+    becomes 'N/A'), so the oracle replays both the corruption and the
+    routing exactly.  get_json_object IS Spark's try-parse (NULL on
+    malformed); value parsing is try_cast.  Pure expressions, no
+    shuffle; the route tag costs two CASE evaluations per row."""
+    e = load_table(spark, sf_dir, "events")
+    props2 = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("{{{"), F.col("props"))
+    ).otherwise(F.col("props"))
+    value_str = F.when(F.col("event_id") % 11 == 0, F.lit("N/A")).otherwise(
+        F.format_string("%.2f", F.col("value"))
+    )
+    parsed = e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object(props2, "$.k").cast("int").alias("k_value"),
+        value_str.alias("value_str"),
+    ).select(
+        "event_id",
+        "event_type",
+        "k_value",
+        F.expr("try_cast(value_str AS DOUBLE)").alias("value_parsed"),
+    )
+    route = (
+        F.when(F.col("k_value").isNull(), "quarantine:bad_json")
+        .when(F.col("value_parsed").isNull(), "quarantine:bad_value")
+        .otherwise("ok")
+    )
+    return parsed.select(
+        "event_id", "event_type", route.alias("route"), "k_value", "value_parsed"
+    )

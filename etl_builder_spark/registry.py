@@ -103,6 +103,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "win_gaps_islands",
     "chunk_sliding_overlap",
     "win_running_distinct",
+    "dq_quarantine_split",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
