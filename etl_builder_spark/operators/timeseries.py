@@ -560,3 +560,60 @@ def ts_interpolate_linear(spark, sf_dir):
         F.col("v").isNull().alias("was_gap"),
         F.round(interp, 6).alias("value_interp"),
     )
+
+
+@register(
+    "ts_calendar_dim",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS dts
+            FROM bounds
+        )
+        SELECT CAST(dts AS DATE) AS d,
+               CAST(year(dts) AS INT) AS year,
+               CAST(quarter(dts) AS INT) AS quarter,
+               CAST(month(dts) AS INT) AS month,
+               CAST(day(dts) AS INT) AS day_of_month,
+               CAST(isodow(dts) AS INT) AS iso_dow,
+               CAST(weekofyear(dts) AS INT) AS iso_week,
+               (isodow(dts) >= 6) AS is_weekend,
+               (CAST(dts AS DATE) = date_trunc('month', dts)) AS is_month_start,
+               CAST(day(last_day(CAST(dts AS DATE))) AS INT) AS days_in_month
+        FROM spine
+    """,
+    tags=("TS-caldim",),
+)
+def ts_calendar_dim(spark, sf_dir):
+    """Calendar-dimension generation — the date spine every mart join
+    hangs off (fiscal rollups, weekend flags, month boundaries),
+    generated from the observed event range with ``sequence()`` +
+    expression-derived attributes; no driver-side loop, no fixture
+    file.  Cross-engine traps handled explicitly: day-of-week is the
+    ISO numbering (Spark ``weekday()+1`` ≡ DuckDB ``isodow``; the
+    default ``dayofweek`` disagrees between engines), week is ISO
+    week-of-year on both.  A calendar dim is tiny forever (366
+    rows/year) — always broadcast it."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    return spine.select(
+        "d",
+        F.year("d").alias("year"),
+        F.quarter("d").alias("quarter"),
+        F.month("d").alias("month"),
+        F.dayofmonth("d").alias("day_of_month"),
+        (F.weekday("d") + 1).alias("iso_dow"),
+        F.weekofyear("d").alias("iso_week"),
+        (F.weekday("d") + 1 >= 6).alias("is_weekend"),
+        (F.col("d") == F.date_trunc("month", F.col("d")).cast("date")).alias(
+            "is_month_start"
+        ),
+        F.dayofmonth(F.last_day("d")).alias("days_in_month"),
+    )

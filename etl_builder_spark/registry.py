@@ -104,6 +104,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "chunk_sliding_overlap",
     "win_running_distinct",
     "dq_quarantine_split",
+    "ts_calendar_dim",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
