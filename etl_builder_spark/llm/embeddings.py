@@ -72,3 +72,83 @@ def embed_normalize_quantize(spark, sf_dir):
         "dim",
         F.array_join(q8, "|").alias("q8"),
     )
+
+
+@register(
+    "embed_centroid_drift",
+    oracle="""
+        WITH halves AS (
+            SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS half,
+                   label, embedding
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT half, label, i AS pos,
+                   COUNT(*) AS n,
+                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS c
+            FROM halves CROSS JOIN generate_series(1, 64) AS t(i)
+            GROUP BY half, label, i
+        ),
+        paired AS (
+            SELECT r.label, r.pos, r.c AS cr, u.c AS cu, r.n AS n_ref, u.n AS n_cur
+            FROM (SELECT * FROM cent WHERE half = 'ref') r
+            JOIN (SELECT * FROM cent WHERE half = 'cur') u
+              ON u.label = r.label AND u.pos = r.pos
+        )
+        SELECT label,
+               MIN(n_ref) AS n_ref,
+               MIN(n_cur) AS n_cur,
+               ROUND(SUM(cr * cu)
+                     / (sqrt(SUM(cr * cr)) * sqrt(SUM(cu * cu))), 6) AS centroid_cosine,
+               ROUND(sqrt(SUM((cr - cu) * (cr - cu))), 6) AS centroid_l2_shift
+        FROM paired
+        GROUP BY label
+    """,
+    tags=("I-embdrift",),
+)
+def embed_centroid_drift(spark, sf_dir):
+    """Embedding drift monitor: per-label centroid of a reference
+    slice vs a current slice (vec_id parity stands in for the two
+    snapshots), reported as centroid cosine and L2 shift — the check
+    that catches a silently retrained/upgraded embedding model before
+    a 100 TB re-index built on drifted vectors goes wrong.
+
+    Same distributed layout as sim_label_centroids: centroids live as
+    (label, dim) rows (never a collected vector), each centroid value
+    rounded at 6 dp before the cross-slice join, so the cosine/L2
+    reduction consumes identical doubles in both engines.  Two
+    aggregates and one (label,dim)-keyed join — all on the same
+    partitioning."""
+    e = load_table(spark, sf_dir, "embeddings")
+    halves = e.select(
+        F.when(F.col("vec_id") % 2 == 0, "ref").otherwise("cur").alias("half"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    cent = (
+        halves.select("half", "label", F.posexplode("emb").alias("pos0", "x"))
+        .groupBy("half", "label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("c"),
+        )
+    )
+    r = cent.where(F.col("half") == "ref").select(
+        "label", "pos", F.col("c").alias("cr"), F.col("n").alias("n_ref")
+    )
+    u = cent.where(F.col("half") == "cur").select(
+        "label", "pos", F.col("c").alias("cu"), F.col("n").alias("n_cur")
+    )
+    paired = r.join(u, ["label", "pos"])
+    return paired.groupBy("label").agg(
+        F.min("n_ref").alias("n_ref"),
+        F.min("n_cur").alias("n_cur"),
+        F.round(
+            F.sum(F.col("cr") * F.col("cu"))
+            / (F.sqrt(F.sum(F.col("cr") * F.col("cr"))) * F.sqrt(F.sum(F.col("cu") * F.col("cu")))),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(
+            F.sqrt(F.sum((F.col("cr") - F.col("cu")) * (F.col("cr") - F.col("cu")))), 6
+        ).alias("centroid_l2_shift"),
+    )

@@ -90,3 +90,77 @@ def er_blocked_fuzzy_match(spark, sf_dir):
             lev.cast("bigint").alias("edit_dist"),
         )
     )
+
+
+from etl_builder_spark.llm.dedup import PLANT_OFFSET as _PLANT_OFFSET
+
+
+@register(
+    "er_survivorship_merge",
+    oracle=f"""
+        WITH everything AS (
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + {_PLANT_OFFSET} AS doc_id,
+                   '  ' || upper(text) || ' ' AS text,
+                   lang, source, n_chars
+            FROM documents
+        ),
+        grouped AS (
+            SELECT lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm_text,
+                   doc_id, text, lang, source, n_chars
+            FROM everything
+        )
+        SELECT MIN(doc_id) AS survivor_id,
+               COUNT(*) AS n_merged,
+               MIN(lang) AS lang,
+               MIN(source) AS source,
+               MAX(n_chars) AS n_chars,
+               CAST(substr(MAX(printf('%010d%010d', length(text), doc_id)), 11, 10)
+                    AS BIGINT) AS longest_text_doc_id
+        FROM grouped
+        GROUP BY norm_text
+        HAVING COUNT(*) > 1
+    """,
+    tags=("ER-survivorship",),
+)
+def er_survivorship_merge(spark, sf_dir):
+    """Survivorship (golden-record merge) — after entity resolution
+    groups duplicates, per-FIELD rules pick the surviving value: MIN
+    id as the stable survivor key, MAX for completeness-style fields,
+    and 'longest text wins' as an arg-max rule.  The arg-max rides a
+    zero-padded '%010d%010d' (length, doc_id) string key — the same
+    lexicographic≡tuple-order trick as ts_resample_ohlc, because
+    DuckDB's arg_max rejects struct keys; the embedded doc_id makes
+    ties deterministic.  Groups come from the planted-duplicate exact
+    match (same fixture as dedup_exact_normalized); one hash aggregate
+    on the group key carries every rule — adding survivorship rules
+    costs expressions, not passes."""
+    from etl_builder_spark.llm.dedup import _with_planted_dups
+
+    d = load_table(spark, sf_dir, "documents")
+    everything = _with_planted_dups(d)
+    grouped = everything.select(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), " +", " "))).alias("norm_text"),
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    argmax_key = F.format_string("%010d%010d", F.length("text"), F.col("doc_id"))
+    return (
+        grouped.groupBy("norm_text")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_merged"),
+            F.min("lang").alias("lang"),
+            F.min("source").alias("source"),
+            F.max("n_chars").alias("n_chars"),
+            F.substring(F.max(argmax_key), 11, 10).cast("bigint").alias(
+                "longest_text_doc_id"
+            ),
+        )
+        .where(F.col("n_merged") > 1)
+        .drop("norm_text")
+    )

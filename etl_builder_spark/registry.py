@@ -105,6 +105,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "win_running_distinct",
     "dq_quarantine_split",
     "ts_calendar_dim",
+    "embed_centroid_drift",
+    "er_survivorship_merge",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
