@@ -107,6 +107,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ts_calendar_dim",
     "embed_centroid_drift",
     "er_survivorship_merge",
+    "stream_merge_upsert_live",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",

@@ -529,3 +529,51 @@ def stream_topk_types_live(spark, sf_dir):
         .limit(3)
     )
     return run_to_memory(ranked, mode="complete")
+
+
+@register(
+    "stream_merge_upsert_live",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MAX(ts) AS last_ts,
+               CAST(substr(MAX(printf('%020d%010d', epoch_us(ts), event_id)
+                               || printf('%.2f', value)), 31) AS DOUBLE) AS last_value
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("J-merge", "live-stream"),
+)
+def stream_merge_upsert_live(spark, sf_dir):
+    """Streaming MERGE/upsert into a keyed serving table, run live over
+    a 3-micro-batch replay (maxFilesPerTrigger=1): each batch folds
+    per-user (count, latest-event) state into the previous snapshot
+    version — the CDC-to-serving-table pattern (see
+    runtime.foreach_batch_merge_sink for the versioned-snapshot
+    idempotence argument).  The final snapshot must equal the batch
+    GROUP BY over the whole corpus — counts are associative and the
+    'latest' column rides the padded (epoch_us, event_id) max-key, so
+    the result is batching-invariant and sits under the exact hash.
+    last_ts is decoded from the key (its ts component IS max(ts))."""
+    import tempfile as _tempfile
+
+    from etl_builder_spark.streaming.runtime import (
+        foreach_batch_merge_sink,
+        stream_events,
+    )
+
+    events = stream_events(spark, _staged_events_3files(sf_dir), max_files_per_trigger=1)
+    target = _tempfile.mkdtemp(prefix="merge_sink_")
+    ckpt = _tempfile.mkdtemp(prefix="merge_ckpt_")
+    final = foreach_batch_merge_sink(
+        events.select("user_id", "ts", "event_id", "value"), target, ckpt
+    )
+    snap = spark.read.parquet(final)
+    return snap.select(
+        "user_id",
+        "n_events",
+        F.timestamp_micros(
+            F.substring("last_key", 1, 20).cast("long")
+        ).alias("last_ts"),
+        F.substring("last_key", 31, 100).cast("double").alias("last_value"),
+    )

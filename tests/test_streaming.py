@@ -369,3 +369,76 @@ def test_foreachbatch_crash_restart_from_checkpoint(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     # no duplicates: the redelivered batch overwrote, never appended
     assert len({r["event_id"] for r in got}) == len(got)
+
+
+def test_merge_sink_crash_restart_from_checkpoint(spark, tmp_path):
+    """Versioned-snapshot MERGE recovery: crash after batch 1's
+    snapshot v1 is WRITTEN but before its offset commits, restart from
+    the checkpoint.  The redelivered batch must fold v0 again (never
+    its own torn v1) and overwrite v1 identically, and the final
+    snapshot must equal the whole-corpus batch aggregate — the
+    idempotence argument of runtime.merge_snapshot_batch, proven."""
+    import glob
+
+    from etl_builder_spark.session import load_table
+    from etl_builder_spark.streaming.batch_twins import _staged_events_3files
+    from etl_builder_spark.streaming.runtime import (
+        merge_snapshot_batch,
+        stream_events,
+    )
+
+    target = str(tmp_path / "target")
+    os.makedirs(target)
+    ckpt = str(tmp_path / "ckpt")
+    stage = _staged_events_3files(SF_DIR)
+    crash = {"armed": True}
+
+    def upsert(batch, batch_id):
+        merge_snapshot_batch(batch, batch_id, target)
+        if crash["armed"] and batch_id == 1:
+            raise RuntimeError("injected crash: snapshot written, offset uncommitted")
+
+    def start_query():
+        events = stream_events(spark, stage, max_files_per_trigger=1)
+        return (
+            events.select("user_id", "ts", "event_id", "value")
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start_query()
+    try:
+        q1.awaitTermination(120)
+    except Exception:
+        pass
+    assert q1.exception() is not None
+    assert sorted(os.listdir(target)) == ["v0", "v1"]  # torn: v1 written, uncommitted
+
+    crash["armed"] = False
+    q2 = start_query()
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert sorted(os.listdir(target)) == ["v0", "v1", "v2"]
+
+    got = {
+        r["user_id"]: (r["n_events"], r["last_key"])
+        for r in spark.read.parquet(os.path.join(target, "v2")).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    want = {
+        r["user_id"]: (r["n_events"], r["last_key"])
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.concat(
+                    F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id")),
+                    F.format_string("%.2f", F.col("value")),
+                )
+            ).alias("last_key"),
+        )
+        .collect()
+    }
+    assert got == want
