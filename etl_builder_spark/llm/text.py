@@ -629,3 +629,65 @@ def text_pmi_bigrams(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(PMI_TOP_K)
     )
+
+
+@register(
+    "text_keyword_topk",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM toks WHERE token <> '' GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df
+            FROM toks WHERE token <> '' GROUP BY token
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   ROUND(tf.tf * ROUND(ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6), 6)
+                       AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, tfidf, rank
+        FROM (
+            SELECT doc_id, token, tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, token
+                   ) AS rank
+            FROM scored
+        )
+        WHERE rank <= 5
+    """,
+    tags=("I-keywords",),
+)
+def text_keyword_topk(spark, sf_dir):
+    """Keyword extraction: each document's top-5 terms by TF-IDF —
+    the per-doc summary/tagging pass built on the text_tfidf_sql
+    pipeline plus one WindowGroupLimit top-k (rank on the ROUNDED
+    score with the token as tiebreak, policy §7.2).  The ranking
+    window partitions by doc_id — same key as the TF aggregate, so
+    top-k adds no new exchange over the scoring join."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(d)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0), 6
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", F.round(F.col("tf") * idf, 6).alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return scored.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= 5)

@@ -181,3 +181,50 @@ def graph_pagerank_fixed(spark, sf_dir):
             F.round(F.col("rank") * F.col("n"), 6).alias("rank_rel"),
         )
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, {SUPP_NODE_OFFSET} + l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+        SELECT (src >= {SUPP_NODE_OFFSET}) AS is_supplier,
+               CAST(floor(ln(CAST(deg AS DOUBLE)) / ln(2.0)) AS INT) AS log2_bucket,
+               COUNT(*) AS n_nodes,
+               MIN(deg) AS min_deg,
+               MAX(deg) AS max_deg
+        FROM deg
+        GROUP BY 1, 2
+    """,
+    tags=("GR-degree",),
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree distribution of the customer–supplier graph in log₂
+    buckets, split by node class — the pre-flight skew census every
+    graph job should run BEFORE PageRank/components at scale: the max
+    bucket tells you whether a hot vertex needs salting (the same
+    check operators/skew.py automates for join keys).  Reuses the
+    persisted edge state from graph_pagerank_fixed, so in a session
+    that already ranked the graph this is one aggregate over cached
+    rows; log₂ buckets come from ln(deg)/ln(2) floored — integer in,
+    identical double expression, exact floor both engines."""
+    _, outdeg = _graph_state(spark, sf_dir)
+    bucket = F.floor(
+        F.log(F.col("deg").cast("double")) / F.log(F.lit(2.0))
+    ).cast("int")
+    return outdeg.groupBy(
+        (F.col("deg_node") >= SUPP_NODE_OFFSET).alias("is_supplier"),
+        bucket.alias("log2_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )

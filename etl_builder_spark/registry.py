@@ -108,6 +108,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "embed_centroid_drift",
     "er_survivorship_merge",
     "stream_merge_upsert_live",
+    "text_keyword_topk",
+    "graph_degree_distribution",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
