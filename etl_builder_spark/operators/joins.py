@@ -289,3 +289,61 @@ def join_null_safe(spark, sf_dir):
         "n_even",
         "n_odd",
     )
+
+
+@register(
+    "join_latest_dim_snapshot",
+    oracle="""
+        WITH latest AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, o_totalprice
+            FROM (
+                SELECT o.*,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders o
+            )
+            WHERE rn = 1
+        )
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+               l.o_orderkey AS latest_orderkey,
+               l.o_orderdate AS latest_orderdate,
+               l.o_orderpriority AS latest_priority,
+               l.o_totalprice AS latest_totalprice
+        FROM customer c
+        JOIN latest l ON l.o_custkey = c.c_custkey
+    """,
+    tags=("C-latest",),
+)
+def join_latest_dim_snapshot(spark, sf_dir):
+    """Latest-record-per-key join — the mutable-dimension staple: a
+    versioned table (here, each order as a customer-state version) is
+    reduced to its newest row per key (WindowGroupLimit top-1, ties
+    pinned on the unique key) and joined to the entity table.  This is
+    the cheap point-read twin of cdc_point_in_time_join: AS OF *now*
+    needs only the top-1 window, no interval logic.  The window and
+    the join share the customer key, so after the window's exchange
+    the join is co-partitioned (or broadcasts — the reduced dim is one
+    row per key, always the smallest it can be)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        o.select("*", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    )
+    return c.join(latest, latest.o_custkey == c.c_custkey).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_orderdate").alias("latest_orderdate"),
+        F.col("o_orderpriority").alias("latest_priority"),
+        F.col("o_totalprice").alias("latest_totalprice"),
+    )

@@ -110,6 +110,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "stream_merge_upsert_live",
     "text_keyword_topk",
     "graph_degree_distribution",
+    "join_latest_dim_snapshot",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
