@@ -298,9 +298,17 @@ def pipeline_dedup_cascade(spark, sf_dir):
         "doc_id", F.lower(F.trim(F.regexp_replace("text", " +", " "))).alias("text")
     )
     w = Window.partitionBy("text").orderBy("doc_id")
+    # Stage boundaries persist: each surv frame is referenced by the next
+    # stage AND the final accounting (and surv1 additionally by the 16
+    # minhash aggregates), so the lazy plan re-derives the full upstream
+    # chain per reference — measured 88 document scans / 73 exchanges in
+    # one executed plan at sf0.01.  Persisting the (id[, text]) stage
+    # outputs — tiny by construction, they only shrink — collapses that
+    # to one derivation per stage; at 100 TB these are the natural
+    # inter-stage checkpoint tables of a curation pipeline.
     surv1 = normed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
         "doc_id", "text"
-    )
+    ).persist()
 
     # stage 2: banded MinHash, drop higher id of pairs with >= CASCADE_MIN_EQ
     # matching signature components
@@ -326,7 +334,7 @@ def pipeline_dedup_cascade(spark, sf_dir):
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    surv2 = surv1.select("doc_id").join(drops2, "doc_id", "left_anti")
+    surv2 = surv1.select("doc_id").join(drops2, "doc_id", "left_anti").persist()
 
     # stage 3: pinned-centroid semantic blocks, drop higher id of
     # within-cluster pairs with cosine >= tau
@@ -358,7 +366,7 @@ def pipeline_dedup_cascade(spark, sf_dir):
             F.first("v").alias("v"),
         )
         .select("doc_id", "v", F.col("b.cluster_id").alias("cluster_id"))
-    )
+    ).persist()
     x = asg.select("cluster_id", F.col("doc_id").alias("id_a"), F.col("v").alias("xv"))
     y = asg.select("cluster_id", F.col("doc_id").alias("id_b"), F.col("v").alias("yv"))
     drops3 = (
@@ -368,7 +376,7 @@ def pipeline_dedup_cascade(spark, sf_dir):
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    surv3 = surv2.join(drops3, "doc_id", "left_anti")
+    surv3 = surv2.join(drops3, "doc_id", "left_anti").persist()
 
     counts = (
         everything.agg(F.count(F.lit(1)).alias("n0"))
