@@ -98,6 +98,7 @@ def _ngram_jaccard(spark, sf_dir, df_ceiling: int = DF_CEILING):
         d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .where(F.col("token") != "")
         .distinct()
+        .persist()
     )
     keep = (
         sh.groupBy("token")
@@ -105,7 +106,7 @@ def _ngram_jaccard(spark, sf_dir, df_ceiling: int = DF_CEILING):
         .where(F.col("df") <= df_ceiling)
         .select("token")
     )
-    sh = sh.join(F.broadcast(keep), "token")
+    sh = sh.join(F.broadcast(keep), "token").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -226,12 +227,16 @@ def _minhash_sig_bands(everything):
         F.posexplode(
             F.array(*[F.col(f"m{i}") for i in range(len(MINHASH_PERMS))])
         ).alias("i", "minh"),
-    ).select("doc_id", F.col("i").cast("long").alias("i"), "minh")
+    ).select("doc_id", F.col("i").cast("long").alias("i"), "minh").persist()
     pow31 = F.element_at(F.array(*[F.lit(p) for p in _POW31]), (F.col("i") % 4 + 1).cast("int"))
     bands = (
         sig.groupBy("doc_id", (F.col("i") / 4).cast("long").alias("band"))
         .agg((F.sum((F.col("minh") * pow31) % _P) % _P).alias("bh"))
+        .persist()
     )
+    # both frames are multi-referenced by every caller (bands is
+    # self-joined; sig joins once per pair side) — persisted so the
+    # shingle→hash→minima pipeline runs once, not 4-6 times
     return sig, bands
 
 
@@ -728,7 +733,7 @@ def dedup_simhash_exact(spark, sf_dir):
                 ]
             )
         ).alias("band", "bkey"),
-    )
+    ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -860,7 +865,7 @@ def dedup_text_containment(spark, sf_dir):
         .where(F.col("df") <= DF_CEILING)
         .select("token")
     )
-    sh = sh.join(F.broadcast(keep), "token")
+    sh = sh.join(F.broadcast(keep), "token").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -148,12 +148,15 @@ def dedup_embedding_cosine(spark, sf_dir):
     banded = all_vecs.crossJoin(F.broadcast(hw)).select(
         "vec_id", *[band_key(b) for b in range(N_BANDS)]
     )
+    # keys and norms are both self-joined below; persist so the
+    # 32-hyperplane signing pass and the norm pass run once, not once
+    # per join side (the lazy plan re-derives per reference)
     keys = banded.select(
         "vec_id",
         F.posexplode(F.array(*[F.col(f"k{b}") for b in range(N_BANDS)])).alias(
             "band", "block"
         ),
-    )
+    ).persist()
     a = keys.select(F.col("vec_id").alias("id_a"), "band", "block")
     b = keys.select(F.col("vec_id").alias("id_b"), "band", "block")
     cand = (
@@ -169,7 +172,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     # higher-order-function work on the candidate fan-out, the
     # operator's hot loop. At scale norms would be stored with the
     # vectors (the standard layout) and this join disappears.
-    norms = all_vecs.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    norms = all_vecs.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).persist()
     va = norms.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = norms.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
@@ -302,7 +305,9 @@ def dedup_semantic_centroids(spark, sf_dir):
     # same per-vector norm precompute as dedup_embedding_cosine: the
     # within-cluster pair fan-out is the hot loop, so only dot(x,y)
     # remains a per-pair array aggregate
-    asg = asg.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    # asg is self-joined into the pair fan-out below — persist so the
+    # 16-centroid assignment scan runs once, not once per join side
+    asg = asg.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).persist()
     x = asg.select(
         "cluster_id", F.col("vec_id").alias("keep_id"), F.col("v").alias("xv"), F.col("nrm").alias("nx")
     )

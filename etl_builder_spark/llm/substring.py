@@ -106,14 +106,17 @@ def dedup_substring_windows(spark, sf_dir):
                 f" i -> array_join(slice(t, i, {WINDOW_W}), ' '))"
             )
         ).alias("w"),
-    ).distinct()
+    ).distinct().persist()
     hot = (
         wins.groupBy("w")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > SUB_DF_CEILING)
         .select("w")
     )
-    kept = wins.join(F.broadcast(hot), "w", "left_anti")
+    # wins feeds both the hot-window census and the pairing; kept is
+    # self-joined — persist both so the window explosion runs once,
+    # not once per reference (spill-safe MEMORY_AND_DISK default)
+    kept = wins.join(F.broadcast(hot), "w", "left_anti").persist()
     a = kept.select(F.col("doc_id").alias("doc_a"), "w")
     b = kept.select(F.col("doc_id").alias("doc_b"), "w")
     return (
