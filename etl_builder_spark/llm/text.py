@@ -97,8 +97,12 @@ def text_tfidf_sql(spark, sf_dir):
     round the same double."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(d)
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # one corpus pass: DF derives from TF (TF has exactly one row per
+    # (doc, token), so COUNT per token ≡ COUNT(DISTINCT doc_id) over
+    # the raw token stream) — the persisted TF feeds both sides instead
+    # of re-exploding the corpus for the document-frequency aggregate
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.round(F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0), 6)
     return (
@@ -595,6 +599,7 @@ def text_pmi_bigrams(spark, sf_dir):
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()  # feeds u1, u2 AND the corpus total — one pass, not three
     )
     n_tok = unigrams.agg(F.sum("c1").alias("n"))
     pairs = toks.select(
@@ -676,8 +681,9 @@ def text_keyword_topk(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(d)
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # same one-pass TF→DF derivation as text_tfidf_sql
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.round(
         F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0), 6
