@@ -555,3 +555,120 @@ def agg_boolean_any(spark, sf_dir):
         F.bool_and(F.col("o_orderstatus") == "F").alias("all_finished"),
         F.count_if(F.col("o_orderpriority").like("1-%")).alias("n_urgent"),
     )
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS BIGINT)) AS s1,
+                   SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+                   SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS s3,
+                   SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               ROUND(m1, 6) AS mean,
+               ROUND(m2 - m1 * m1, 6) AS variance_pop,
+               ROUND((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+                     / pow(m2 - m1 * m1, 1.5), 6) AS skewness,
+               ROUND((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+                      - 3.0 * m1 * m1 * m1 * m1)
+                     / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3.0, 6) AS excess_kurtosis
+        FROM (
+            SELECT l_returnflag, n,
+                   CAST(s1 AS DOUBLE) / n AS m1,
+                   CAST(s2 AS DOUBLE) / n AS m2,
+                   CAST(s3 AS DOUBLE) / n AS m3,
+                   CAST(s4 AS DOUBLE) / n AS m4
+            FROM s
+        )
+    """,
+    tags=("D-moments",),
+)
+def agg_higher_moments(spark, sf_dir):
+    """Skewness and excess kurtosis per group from the raw power sums
+    — the distribution-shape profile behind outlier policies and
+    binning choices.  l_quantity is integral, so Σx..Σx⁴ are EXACT
+    BIGINTs in any summation order and the standardized moments are
+    fixed double expressions of them — bit-identical cross-engine,
+    which Spark's built-in ``skewness``/``kurtosis`` (streaming
+    central-moment accumulators, order-dependent) could never give.
+    One partial-then-final aggregate; the four power sums ride the
+    same exchange as the count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    m4 = F.col("s4").cast("double") / F.col("n")
+    var = m2 - m1 * m1
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m1, 6).alias("mean"),
+        F.round(var, 6).alias("variance_pop"),
+        F.round((m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / F.pow(var, 1.5), 6).alias(
+            "skewness"
+        ),
+        F.round(
+            (m4 - F.lit(4.0) * m1 * m3 + F.lit(6.0) * m1 * m1 * m2 - F.lit(3.0) * m1 * m1 * m1 * m1)
+            / (var * var)
+            - F.lit(3.0),
+            6,
+        ).alias("excess_kurtosis"),
+    )
+
+
+@register(
+    "agg_bitmask_flags",
+    oracle="""
+        SELECT user_id,
+               bit_or(CASE event_type
+                          WHEN 'click' THEN 1
+                          WHEN 'view' THEN 2
+                          WHEN 'purchase' THEN 4
+                          WHEN 'signup' THEN 8
+                          WHEN 'error' THEN 16
+                          ELSE 32 END) AS type_mask,
+               COUNT(DISTINCT event_type) AS n_types
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("D-bitmask",),
+)
+def agg_bitmask_flags(spark, sf_dir):
+    """Per-user capability bitmask: OR-fold each event type's flag bit
+    into one integer — the compact 'which behaviors has this user
+    shown' encoding (one BIGINT instead of a type set; membership is a
+    bitwise AND downstream).  bit_or's partial state is a single
+    integer with trivial map-side combine — like the boolean rollups
+    of agg_boolean_any but 64 flags wide.  The type→bit map is an
+    explicit pinned CASE (never a runtime dense-rank: ids must be
+    stable across corpus generations for the masks to be
+    comparable)."""
+    e = load_table(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "error", 16)
+        .otherwise(32)
+    )
+    return e.groupBy("user_id").agg(
+        F.bit_or(flag).alias("type_mask"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

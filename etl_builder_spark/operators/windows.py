@@ -327,3 +327,63 @@ def win_running_distinct(spark, sf_dir):
         "user_id",
         F.size(F.collect_set("event_type").over(w)).alias("n_types_so_far"),
     )
+
+
+@register(
+    "win_cumulative_share",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders
+            GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, revenue,
+                   ROW_NUMBER() OVER w AS rnk,
+                   SUM(revenue) OVER (
+                       w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running,
+                   SUM(revenue) OVER () AS total
+            FROM rev
+            WINDOW w AS (ORDER BY revenue DESC, o_custkey)
+        )
+        SELECT o_custkey,
+               CAST(revenue AS DOUBLE) AS revenue,
+               CAST(rnk AS INT) AS rnk,
+               ROUND(CAST(running AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+               (CAST(running AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8) AS in_top80
+        FROM ranked
+    """,
+    tags=("E-pareto",),
+)
+def win_cumulative_share(spark, sf_dir):
+    """Pareto / cumulative-share analysis: customers ranked by revenue
+    with each row's running share of the total — 'which customers make
+    up the top 80%'.  Both the running and total sums stay in EXACT
+    decimal until a single double division per row, so the shares are
+    bit-identical cross-engine with no summation-order exposure.  The
+    global ranking window runs over the AGGREGATED per-customer frame
+    (|customers| rows, not |orders|) — the same bounded-input argument
+    as vocab_top_tokens; at larger key cardinality, band the ranking
+    (range-partition by revenue) before the precise within-band
+    window."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("revenue"))
+    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    running = F.sum("revenue").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("revenue").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    share = running.cast("double") / total.cast("double")
+    return rev.select(
+        "o_custkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.row_number().over(w).alias("rnk"),
+        F.round(share, 6).alias("cum_share"),
+        (share <= 0.8).alias("in_top80"),
+    )

@@ -492,3 +492,64 @@ def dq_quarantine_split(spark, sf_dir):
     return parsed.select(
         "event_id", "event_type", route.alias("route"), "k_value", "value_parsed"
     )
+
+
+@register(
+    "dq_value_topk",
+    oracle="""
+        WITH long AS (
+            SELECT 'o_orderstatus' AS column_name, o_orderstatus AS value FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', o_orderpriority FROM orders
+        ),
+        counted AS (
+            SELECT column_name, value, COUNT(*) AS n
+            FROM long GROUP BY column_name, value
+        ),
+        tot AS (
+            SELECT column_name, SUM(n) AS n_total FROM counted GROUP BY column_name
+        )
+        SELECT c.column_name, c.value, c.n,
+               ROUND(CAST(c.n AS DOUBLE) / t.n_total, 6) AS share,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c.column_name ORDER BY c.n DESC, c.value
+               ) AS INT) AS rnk
+        FROM counted c JOIN tot t USING (column_name)
+        QUALIFY rnk <= 5
+    """,
+    tags=("DQ-values",),
+)
+def dq_value_topk(spark, sf_dir):
+    """Value-distribution profile: each categorical column's top-5
+    values with counts and shares — the profiler report next to
+    dq_null_profile's null/distinct census (catches category drift,
+    unexpected enum values, constant columns).  Columns unpivot into
+    one long (column, value) stream so a single aggregate + one
+    WindowGroupLimit serve every column — adding a column to the
+    profile adds no pass."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    long = o.select(
+        F.lit("o_orderstatus").alias("column_name"),
+        F.col("o_orderstatus").alias("value"),
+    ).unionByName(
+        o.select(
+            F.lit("o_orderpriority").alias("column_name"),
+            F.col("o_orderpriority").alias("value"),
+        )
+    )
+    counted = long.groupBy("column_name", "value").agg(F.count(F.lit(1)).alias("n"))
+    tot = counted.groupBy("column_name").agg(F.sum("n").alias("n_total"))
+    w = Window.partitionBy("column_name").orderBy(F.col("n").desc(), "value")
+    return (
+        counted.join(F.broadcast(tot), "column_name")
+        .select(
+            "column_name",
+            "value",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias("share"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 5)
+    )

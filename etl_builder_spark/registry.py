@@ -111,6 +111,10 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "text_keyword_topk",
     "graph_degree_distribution",
     "join_latest_dim_snapshot",
+    "agg_higher_moments",
+    "agg_bitmask_flags",
+    "win_cumulative_share",
+    "dq_value_topk",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
