@@ -672,3 +672,53 @@ def agg_bitmask_flags(spark, sf_dir):
         F.bit_or(flag).alias("type_mask"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "agg_entropy_profile",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, event_type, COUNT(*) AS k
+            FROM events GROUP BY user_id, event_type
+        ),
+        tot AS (
+            SELECT user_id, SUM(k) AS n FROM counts GROUP BY user_id
+        )
+        SELECT c.user_id,
+               CAST(t.n AS BIGINT) AS n_events,
+               COUNT(*) AS n_types,
+               ROUND(ln(CAST(t.n AS DOUBLE))
+                     - SUM(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE)))
+                       / CAST(t.n AS DOUBLE), 6) AS entropy_nats
+        FROM counts c JOIN tot t USING (user_id)
+        GROUP BY c.user_id, t.n
+    """,
+    tags=("D-entropy",),
+)
+def agg_entropy_profile(spark, sf_dir):
+    """Shannon entropy of each user's event-type mix — the behavioral
+    diversity feature (0 = one-note bot, ln(5) ≈ 1.61 = uniform across
+    all five types), also the standard class-balance diagnostic for a
+    training-label column.  Computed in the decomposed form
+    H = ln(n) − Σk·ln(k)/n so every term is a double of exact integer
+    counts; the Σ spans at most |types| values per user.  Two
+    aggregates sharing the user_id partitioning — the second exchange
+    disappears under AQE reuse."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    tot = counts.groupBy("user_id").agg(F.sum("k").alias("n"))
+    joined = counts.join(tot, "user_id")
+    return joined.groupBy("user_id", "n").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.sum(F.col("k").cast("double") * F.log(F.col("k").cast("double")))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("entropy_nats"),
+    ).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        "n_types",
+        "entropy_nats",
+    )

@@ -617,3 +617,128 @@ def ts_calendar_dim(spark, sf_dir):
         ),
         F.dayofmonth(F.last_day("d")).alias("days_in_month"),
     )
+
+
+#: LTTB-style decimation: 6-hour buckets over the hourly series
+LTTB_BUCKET_H = 6
+
+
+@register(
+    "ts_downsample_lttb",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(epoch_us(date_trunc('hour', ts)) AS DOUBLE) AS x,
+                   CAST(COUNT(*) AS DOUBLE) AS y
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ),
+        bucketed AS (
+            SELECT event_type, h, x, y,
+                   CAST(epoch_us(h) // (3600000000 * {LTTB_BUCKET_H}) AS BIGINT) AS b
+            FROM hourly
+        ),
+        anchors AS (
+            SELECT event_type, b,
+                   CAST(SUM(x) AS DOUBLE) / COUNT(*) AS ax,
+                   CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ay,
+                   COUNT(*) AS n_in_bucket
+            FROM bucketed GROUP BY event_type, b
+        ),
+        ctx AS (
+            SELECT event_type, b, ax, ay, n_in_bucket,
+                   LAG(ax)  OVER w AS px, LAG(ay)  OVER w AS py,
+                   LEAD(ax) OVER w AS nx, LEAD(ay) OVER w AS ny
+            FROM anchors
+            WINDOW w AS (PARTITION BY event_type ORDER BY b)
+        ),
+        scored AS (
+            SELECT p.event_type, p.b, p.h, p.y, c.n_in_bucket,
+                   ROUND(abs((c.px - c.nx) * (p.y - c.py)
+                             - (c.px - p.x) * (c.ny - c.py)), 6) AS area
+            FROM bucketed p
+            JOIN ctx c ON c.event_type = p.event_type AND c.b = p.b
+            WHERE c.px IS NOT NULL AND c.nx IS NOT NULL
+        )
+        SELECT event_type, b, n_in_bucket,
+               MIN(h) FILTER (WHERE rnk = 1) AS chosen_hour,
+               MIN(y) FILTER (WHERE rnk = 1) AS chosen_value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY event_type, b ORDER BY area DESC, h
+                   ) AS rnk
+            FROM scored
+        )
+        GROUP BY event_type, b, n_in_bucket
+    """,
+    tags=("TS-lttb",),
+)
+def ts_downsample_lttb(spark, sf_dir):
+    """Largest-Triangle-style downsampling of the hourly event-count
+    series: within each 6-hour bucket keep the point spanning the
+    biggest triangle against the NEIGHBOR BUCKETS' centroids — the
+    dashboard decimation that preserves spikes where naive averaging
+    flattens them.  Classic LTTB anchors on the previously SELECTED
+    point (inherently sequential); anchoring on bucket centroids is
+    the standard parallel reformulation — every bucket scores
+    independently, so the whole operator is two aggregates and one
+    window over the bucket-level frame (|buckets|, not |points|).
+    The triangle area is one fixed double expression of exact
+    integer/count inputs, rounded before the argmax, which ties on
+    the hour (policy §7.2).  Edge buckets (no neighbor on one side)
+    are dropped, as in the original algorithm's fixed endpoints."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    hourly = hourly.select(
+        "event_type",
+        "h",
+        F.unix_micros("h").cast("double").alias("x"),
+        "y",
+        (F.unix_micros("h") / F.lit(3_600_000_000 * LTTB_BUCKET_H))
+        .cast("long")
+        .alias("b"),
+    )
+    anchors = hourly.groupBy("event_type", "b").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("ax"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("ay"),
+        F.count(F.lit(1)).alias("n_in_bucket"),
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    ctx = anchors.select(
+        "event_type",
+        "b",
+        "n_in_bucket",
+        F.lag("ax").over(w).alias("px"),
+        F.lag("ay").over(w).alias("py"),
+        F.lead("ax").over(w).alias("nx"),
+        F.lead("ay").over(w).alias("ny"),
+    ).where(F.col("px").isNotNull() & F.col("nx").isNotNull())
+    scored = hourly.join(ctx, ["event_type", "b"]).select(
+        "event_type",
+        "b",
+        "n_in_bucket",
+        "h",
+        "y",
+        F.round(
+            F.abs(
+                (F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
+                - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+            ),
+            6,
+        ).alias("area"),
+    )
+    w2 = Window.partitionBy("event_type", "b").orderBy(F.col("area").desc(), "h")
+    return (
+        scored.select("*", F.row_number().over(w2).alias("rnk"))
+        .where(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            "b",
+            "n_in_bucket",
+            F.col("h").alias("chosen_hour"),
+            F.col("y").alias("chosen_value"),
+        )
+    )

@@ -115,6 +115,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "agg_bitmask_flags",
     "win_cumulative_share",
     "dq_value_topk",
+    "ts_downsample_lttb",
+    "agg_entropy_profile",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
