@@ -749,3 +749,86 @@ def test_token_sort_dedup_collapses_reordered_but_not_different(spark):
     # every fixture doc gets a reversed plant → every group has ≥ 2 copies
     assert all(r["n_copies"] >= 2 for r in out)
     assert len(out) > 0
+
+
+def test_lttb_keeps_the_spike(spark):
+    """Decimation must preserve extremes: in a flat series with one
+    spike hour, the spike's bucket must choose the spike hour (a
+    bucket-average downsampler would flatten it — the whole point of
+    triangle-area selection)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from etl_builder_spark.operators.timeseries import ts_downsample_lttb
+
+    base = datetime(2024, 3, 1, 0)
+    rows, eid = [], 0
+    for h in range(24):
+        n = 50 if h == 13 else (3 if h % 2 else 4)  # spike mid-bucket-2
+        for i in range(n):
+            eid += 1
+            rows.append(Row(event_id=eid, ts=base + timedelta(hours=h, minutes=i % 60),
+                            user_id=1, event_type="x", value=1.0, props="{}"))
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows).write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["b"]: r for r in ts_downsample_lttb(spark, td).collect()}
+    spike_bucket = [r for r in out.values() if r["chosen_value"] == 50.0]
+    assert len(spike_bucket) == 1
+    assert spike_bucket[0]["chosen_hour"].hour == 13
+
+
+def test_entropy_profile_bounds_and_extremes(spark):
+    """H ∈ [0, ln(n_types)]: a single-type user scores exactly 0; a
+    perfectly uniform user scores exactly ln(k) (round-6)."""
+    import math
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from etl_builder_spark.operators.aggregates import agg_entropy_profile
+
+    base = datetime(2024, 3, 1, 0)
+    rows, eid = [], 0
+    for i in range(12):  # user 1: all clicks → H = 0
+        eid += 1
+        rows.append(Row(event_id=eid, ts=base + timedelta(minutes=i), user_id=1,
+                        event_type="click", value=1.0, props="{}"))
+    for i, t in enumerate(["click", "view", "purchase", "signup"] * 3):  # user 2: uniform 4
+        eid += 1
+        rows.append(Row(event_id=eid, ts=base + timedelta(minutes=i), user_id=2,
+                        event_type=t, value=1.0, props="{}"))
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows).write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["user_id"]: r for r in agg_entropy_profile(spark, td).collect()}
+    assert out[1]["entropy_nats"] == 0.0
+    assert abs(out[2]["entropy_nats"] - round(math.log(4), 6)) < 1e-9
+    for r in out.values():
+        assert 0.0 <= r["entropy_nats"] <= round(math.log(r["n_types"]) + 1e-9, 6) + 1e-9
+
+
+def test_higher_moments_match_numpy_reference(spark):
+    """The closed-form standardized moments must equal a brute-force
+    population-moment computation on the actual corpus values."""
+    import numpy as np
+
+    from etl_builder_spark.operators.aggregates import agg_higher_moments
+    from etl_builder_spark.session import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["l_returnflag"]: r for r in agg_higher_moments(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity").collect()
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(r["l_quantity"])
+    for flag, vals in by_flag.items():
+        a = np.array(vals, dtype=float)
+        mu, var = a.mean(), a.var()
+        skew = ((a - mu) ** 3).mean() / var ** 1.5
+        kurt = ((a - mu) ** 4).mean() / var ** 2 - 3.0
+        assert abs(got[flag]["mean"] - round(mu, 6)) < 1e-6
+        assert abs(got[flag]["variance_pop"] - var) < 1e-5
+        assert abs(got[flag]["skewness"] - skew) < 1e-5
+        assert abs(got[flag]["excess_kurtosis"] - kurt) < 1e-5
