@@ -222,3 +222,69 @@ def join_asof_latest_signup(spark, sf_dir):
         F.col("asof_event_id"),
         F.col("asof_ts"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        ),
+        cand AS (
+            SELECT p.user_id, p.event_id AS purchase_id,
+                   c.event_id AS click_id,
+                   abs(epoch_us(c.ts) - epoch_us(p.ts)) AS dist_us,
+                   CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS dir
+            FROM purchases p
+            JOIN clicks c
+              ON c.user_id = p.user_id
+             AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE
+                          AND p.ts + INTERVAL 30 MINUTE
+        )
+        SELECT user_id, purchase_id,
+               CAST(substr(MIN(printf('%020d%01d%010d', dist_us, dir, click_id)),
+                           22, 10) AS BIGINT) AS nearest_click_id,
+               MIN(dist_us) AS dist_us
+        FROM cand
+        GROUP BY user_id, purchase_id
+    """,
+    tags=("C10b",),
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join: each purchase matched to its
+    closest same-user click within ±30 minutes, either side — the
+    sensor-fusion/attribution default where plain ASOF (backward-only,
+    `join_asof`) is wrong by construction for events that arrive just
+    AFTER.  Shape: a bounded interval join generates candidates (the
+    ±tolerance keeps the fan-out finite — an unbounded nearest would
+    be all-pairs), then per-left argmin on (distance, direction,
+    event_id) — a map-side-combined MIN over a zero-padded composite
+    key (DuckDB arg_min rejects struct keys; lexicographic = tuple
+    order at fixed width, ties break backward-first then by id).  No
+    window, no sort; same candidate-bounding posture as
+    join_interval_bucketed at scale."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    tol = F.expr("INTERVAL 30 MINUTES")
+    cand = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("cts") >= F.col("pts") - tol)
+        & (F.col("cts") <= F.col("pts") + tol),
+    )
+    dist = F.abs(F.unix_micros("cts") - F.unix_micros("pts"))
+    direction = F.when(F.col("cts") <= F.col("pts"), 0).otherwise(1)
+    key = F.format_string("%020d%01d%010d", dist, direction, F.col("click_id"))
+    return cand.groupBy("user_id", "purchase_id").agg(
+        F.substring(F.min(key), 22, 10).cast("bigint").alias("nearest_click_id"),
+        F.min(dist).alias("dist_us"),
+    )

@@ -117,6 +117,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "dq_value_topk",
     "ts_downsample_lttb",
     "agg_entropy_profile",
+    "join_asof_nearest",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
