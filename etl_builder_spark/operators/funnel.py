@@ -150,3 +150,68 @@ def cohort_weekly_retention(spark, sf_dir):
         n_cohort.alias("n_cohort"),
         F.round(F.col("n_active").cast("double") / n_cohort, 6).alias("retention"),
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+        WITH pairs AS (
+            SELECT s.user_id,
+                   MIN(epoch_us(p.ts) - epoch_us(s.ts)) AS delay_us
+            FROM events s
+            JOIN events p
+              ON p.user_id = s.user_id
+             AND s.event_type = 'signup'
+             AND p.event_type = 'purchase'
+             AND p.ts >= s.ts
+             AND p.ts <= s.ts + INTERVAL 7 DAY
+            GROUP BY s.user_id, s.event_id
+        )
+        SELECT COUNT(*) AS n_conversions,
+               ROUND(quantile_cont(CAST(delay_us AS DOUBLE), 0.5) / 60e6, 6) AS p50_minutes,
+               ROUND(quantile_cont(CAST(delay_us AS DOUBLE), 0.9) / 60e6, 6) AS p90_minutes,
+               ROUND(CAST(SUM(delay_us) AS DOUBLE) / COUNT(*) / 60e6, 6) AS mean_minutes
+        FROM pairs
+    """,
+    tags=("FUN-ttc",),
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: for each signup, the delay to its
+    FIRST purchase within a 7-day attribution window, summarized as
+    exact interpolated percentiles + mean — the latency half of the
+    funnel (funnel_signup_purchase counts who converts; this measures
+    how fast).  Delays are exact epoch-microsecond integers: MIN per
+    signup is order-free, the mean divides an exact BIGINT sum, and
+    the percentile interpolates between two exact values — the same
+    D10 parity contract as agg_percentile.  Bounded interval join for
+    candidates (±window, never all-pairs), one aggregate per signup,
+    one tiny global summary."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("sid"), F.col("ts").alias("sts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    pairs = (
+        s.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("pts") >= F.col("sts"))
+            & (F.col("pts") <= F.col("sts") + F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min(F.unix_micros("pts") - F.unix_micros("sts")).alias("delay_us"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.percentile(F.col("delay_us").cast("double"), F.lit(0.5)) / 60e6, 6).alias(
+            "p50_minutes"
+        ),
+        F.round(F.percentile(F.col("delay_us").cast("double"), F.lit(0.9)) / 60e6, 6).alias(
+            "p90_minutes"
+        ),
+        F.round(F.sum("delay_us").cast("double") / F.count(F.lit(1)) / 60e6, 6).alias(
+            "mean_minutes"
+        ),
+    )

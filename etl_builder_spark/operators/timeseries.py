@@ -742,3 +742,76 @@ def ts_downsample_lttb(spark, sf_dir):
             F.col("y").alias("chosen_value"),
         )
     )
+
+
+@register(
+    "ts_rolling_corr",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS cx,
+                   COUNT(*) FILTER (WHERE event_type = 'view') AS cy
+            FROM events GROUP BY 1
+        ),
+        win AS (
+            SELECT h, cx, cy,
+                   COUNT(*)      OVER w AS n,
+                   SUM(cx)       OVER w AS sx,
+                   SUM(cy)       OVER w AS sy,
+                   SUM(cx * cy)  OVER w AS sxy,
+                   SUM(cx * cx)  OVER w AS sxx,
+                   SUM(cy * cy)  OVER w AS syy
+            FROM hourly
+            WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        )
+        SELECT h, cx, cy,
+               ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt(NULLIF((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)),
+                     6) AS corr24
+        FROM win
+        WHERE n >= 24
+    """,
+    tags=("TS-rollcorr",),
+)
+def ts_rolling_corr(spark, sf_dir):
+    """Rolling 24-hour Pearson correlation between two event series
+    (hourly click vs view counts) — the co-movement monitor behind
+    'did these metrics decouple' alerts.  Same bit-determinism scheme
+    as ts_zscore_anomaly: every windowed moment (Σx, Σy, Σxy, Σx²,
+    Σy²) is an exact BIGINT sum of integer counts, and the correlation
+    is one fixed double expression of those exact integers — built-in
+    ``corr() OVER`` streams doubles in partition order and could never
+    hash-match.  One pivot-style conditional aggregate builds both
+    series in a single scan; one unpartitioned window over the HOURLY
+    frame (|hours| rows — bounded, the vocab_top_tokens argument).
+    Windows with fewer than 24 observations are suppressed (warm-up)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("cx"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("cy"),
+    )
+    w = Window.orderBy("h").rowsBetween(-23, Window.currentRow)
+    win = hourly.select(
+        "h",
+        "cx",
+        "cy",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cx").over(w).alias("sx"),
+        F.sum("cy").over(w).alias("sy"),
+        F.sum(F.col("cx") * F.col("cy")).over(w).alias("sxy"),
+        F.sum(F.col("cx") * F.col("cx")).over(w).alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).over(w).alias("syy"),
+    ).where(F.col("n") >= 24)
+    n = F.col("n")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        F.nullif(
+            (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+            * (n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")),
+            F.lit(0.0),
+        )
+    )
+    return win.select("h", "cx", "cy", F.round(num / den, 6).alias("corr24"))

@@ -118,6 +118,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ts_downsample_lttb",
     "agg_entropy_profile",
     "join_asof_nearest",
+    "ts_rolling_corr",
+    "funnel_time_to_convert",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
