@@ -238,3 +238,142 @@ def cdc_point_in_time_join(spark, sf_dir):
         (F.col("probe_month") >= F.col("valid_from"))
         & (F.col("valid_to").isNull() | (F.col("probe_month") < F.col("valid_to")))
     ).select("o_custkey", "probe_month", "state")
+
+
+#: incremental SCD2 split: history is built from orders strictly before
+#: this date; the change batch is exactly this year's orders
+SCD2_CUTOFF = "1997-01-01"
+
+
+@register(
+    "etl_scd2_merge_incremental",
+    oracle=f"""
+        WITH hist_states AS (
+            SELECT o_custkey, o_orderdate AS ts, o_orderpriority AS attr, o_orderkey,
+                   LAG(o_orderpriority) OVER w AS prev_attr
+            FROM orders WHERE o_orderdate < DATE '{SCD2_CUTOFF}'
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        dim AS (
+            SELECT o_custkey, attr AS state, ts AS valid_from,
+                   LEAD(ts) OVER (PARTITION BY o_custkey ORDER BY ts, o_orderkey)
+                       AS valid_to
+            FROM hist_states
+            WHERE prev_attr IS NULL OR attr <> prev_attr
+        ),
+        batch AS (
+            -- the incoming change batch, reduced to one state change per
+            -- (key, ts): deterministic first state by orderkey
+            SELECT o_custkey,
+                   MIN(o_orderdate) AS ts,
+                   CAST(substr(MIN(printf('%010d', o_orderkey) || o_orderpriority), 11)
+                        AS VARCHAR) AS new_state
+            FROM orders WHERE o_orderdate >= DATE '{SCD2_CUTOFF}'
+            GROUP BY o_custkey
+        ),
+        current_rows AS (SELECT * FROM dim WHERE valid_to IS NULL),
+        closed_rows  AS (SELECT * FROM dim WHERE valid_to IS NOT NULL),
+        merged AS (
+            -- history rows pass through untouched
+            SELECT o_custkey, state, valid_from, valid_to, 'history' AS row_kind
+            FROM closed_rows
+            UNION ALL
+            -- current rows: closed by the batch if the state CHANGED,
+            -- untouched otherwise
+            SELECT c.o_custkey, c.state, c.valid_from,
+                   CASE WHEN b.o_custkey IS NOT NULL AND b.new_state <> c.state
+                        THEN b.ts END AS valid_to,
+                   CASE WHEN b.o_custkey IS NOT NULL AND b.new_state <> c.state
+                        THEN 'closed_by_batch' ELSE 'still_current' END AS row_kind
+            FROM current_rows c LEFT JOIN batch b ON b.o_custkey = c.o_custkey
+            UNION ALL
+            -- new current rows opened by the batch (changed or brand-new key)
+            SELECT b.o_custkey, b.new_state, b.ts, NULL, 'opened_by_batch'
+            FROM batch b LEFT JOIN current_rows c ON c.o_custkey = b.o_custkey
+            WHERE c.o_custkey IS NULL OR b.new_state <> c.state
+        )
+        SELECT o_custkey, state, valid_from, valid_to, row_kind FROM merged
+    """,
+    tags=("ETL-scd2-merge",),
+)
+def etl_scd2_merge_incremental(spark, sf_dir):
+    """INCREMENTAL SCD2 maintenance — the nightly-merge shape: apply a
+    change batch to an EXISTING dimension without rebuilding history.
+    Closed intervals pass through untouched; each key's current row is
+    end-dated only if the batch carries a different state; changed or
+    brand-new keys open a new current row.  This is the operational
+    twin of scd2_intervals (which rebuilds from the full timeline) —
+    at 100 TB you never re-window years of history for a day's
+    changes: the merge touches |current rows| + |batch|, both
+    partitioned on the business key, history is append-only.  Batch
+    reduction picks each key's first incoming state deterministically
+    (padded orderkey argmin); `row_kind` makes the merge auditable
+    (history / still_current / closed_by_batch / opened_by_batch)."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(SCD2_CUTOFF).cast("date")
+
+    hist = o.where(F.col("o_orderdate") < cutoff)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    states = hist.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("attr"),
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_attr"),
+    )
+    changes = states.where(
+        F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    dim = changes.select(
+        "o_custkey",
+        F.col("attr").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+    batch = (
+        o.where(F.col("o_orderdate") >= cutoff)
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("ts"),
+            F.substring(
+                F.min(
+                    F.concat(
+                        F.format_string("%010d", F.col("o_orderkey")),
+                        F.col("o_orderpriority"),
+                    )
+                ),
+                11,
+                100,
+            ).alias("new_state"),
+        )
+    )
+
+    current = dim.where(F.col("valid_to").isNull()).alias("c")
+    closed = dim.where(F.col("valid_to").isNotNull())
+    b = batch.alias("b")
+
+    history = closed.select(
+        "o_custkey", "state", "valid_from", "valid_to", F.lit("history").alias("row_kind")
+    )
+    changed = F.col("b.o_custkey").isNotNull() & (F.col("b.new_state") != F.col("c.state"))
+    curr_merged = current.join(b, F.col("b.o_custkey") == F.col("c.o_custkey"), "left").select(
+        F.col("c.o_custkey").alias("o_custkey"),
+        F.col("c.state").alias("state"),
+        F.col("c.valid_from").alias("valid_from"),
+        F.when(changed, F.col("b.ts")).alias("valid_to"),
+        F.when(changed, "closed_by_batch").otherwise("still_current").alias("row_kind"),
+    )
+    opened = (
+        b.join(current, F.col("c.o_custkey") == F.col("b.o_custkey"), "left")
+        .where(F.col("c.o_custkey").isNull() | (F.col("b.new_state") != F.col("c.state")))
+        .select(
+            F.col("b.o_custkey").alias("o_custkey"),
+            F.col("b.new_state").alias("state"),
+            F.col("b.ts").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit("opened_by_batch").alias("row_kind"),
+        )
+    )
+    return history.unionByName(curr_merged).unionByName(opened)

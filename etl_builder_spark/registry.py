@@ -120,6 +120,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "join_asof_nearest",
     "ts_rolling_corr",
     "funnel_time_to_convert",
+    "etl_scd2_merge_incremental",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
