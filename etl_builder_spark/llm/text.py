@@ -697,3 +697,102 @@ def text_keyword_topk(spark, sf_dir):
     return scored.select(
         "*", F.row_number().over(w).alias("rank")
     ).where(F.col("rank") <= 5)
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        vocab_n AS (
+            SELECT COUNT(DISTINCT u.tok) AS v
+            FROM toks, unnest(t) AS u(tok)
+        ),
+        uni AS (
+            SELECT u.tok AS w1, COUNT(*) AS c1
+            FROM toks, unnest(t) AS u(tok)
+            GROUP BY u.tok
+        ),
+        bigrams AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+            WHERE len(t) >= 2
+        ),
+        bi AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+        ),
+        scored AS (
+            SELECT g.doc_id,
+                   CAST(ROUND(-ln((CAST(b.c12 AS DOUBLE) + 1.0)
+                                  / (CAST(u.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))), 9)
+                        AS DECIMAL(28, 9)) AS s
+            FROM bigrams g
+            JOIN bi b USING (w1, w2)
+            JOIN uni u USING (w1)
+            CROSS JOIN vocab_n v
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal
+        FROM scored
+        GROUP BY doc_id
+    """,
+    tags=("I-text-bigram-surprisal",),
+)
+def text_bigram_surprisal(spark, sf_dir):
+    """Per-document mean BIGRAM surprisal −Σ ln p(w₂|w₁)/n with add-one
+    smoothing — the next rung of the perplexity-proxy ladder above
+    text_unigram_surprisal: conditional probabilities punish unusual
+    token SEQUENCES (word salad, shuffled text) that unigram
+    frequencies can't see — exactly what token-reordering dedup plants
+    exploit.  Same float discipline as the unigram key: each surprisal
+    rounds at 9 dp and sums as DECIMAL (order-free), the per-doc mean
+    rounds at 6.  The bigram table is the corpus-level LM 'training'
+    (one aggregate, map-side combined); scoring joins it back
+    broadcast.  At 100 TB, threshold the bigram table by min-count
+    (text_pmi_bigrams' HAVING) and back off to unigram for the tail."""
+    d = load_table(spark, sf_dir, "documents")
+    # filter empties BEFORE pairing, exactly like the oracle's
+    # list_filter — pairing the raw split would bridge across a
+    # removed empty token differently
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("parts"),
+    )
+    tok_stream = toks.select("doc_id", F.explode("parts").alias("tok"))
+    vocab_n = tok_stream.agg(F.countDistinct("tok").alias("v"))
+    uni = tok_stream.groupBy(F.col("tok").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(parts) - 1), "
+                "i -> struct(parts[i - 1] AS w1, parts[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bigrams.join(F.broadcast(bi), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.col("c12").cast("double") + F.lit(1.0))
+                    / (F.col("c1").cast("double") + F.col("v").cast("double"))
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 6).alias("mean_surprisal"),
+    )

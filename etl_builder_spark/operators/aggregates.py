@@ -722,3 +722,49 @@ def agg_entropy_profile(spark, sf_dir):
         "n_types",
         "entropy_nats",
     )
+
+
+@register(
+    "agg_gini_revenue",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+            FROM rev
+        )
+        SELECT COUNT(*) AS n_customers,
+               CAST(SUM(x) AS DOUBLE) AS total_revenue,
+               ROUND(2.0 * CAST(SUM(i * x) AS DOUBLE)
+                     / (COUNT(*) * CAST(SUM(x) AS DOUBLE))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM ranked
+    """,
+    tags=("D-gini",),
+)
+def agg_gini_revenue(spark, sf_dir):
+    """Gini coefficient of customer revenue — the inequality scalar
+    behind win_cumulative_share's Pareto curve (0 = equal, →1 = one
+    customer is the business), also the label-imbalance metric for a
+    training mix.  Closed form over the rank-weighted sum:
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with xᵢ ascending.  Both Σx and
+    Σ(i·x) stay DECIMAL (rank × exact money = exact), so the two final
+    double casts are bit-identical cross-engine; the ranking window
+    runs over the per-customer aggregate (|customers| rows), ties
+    pinned by key."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("x"))
+    w = Window.orderBy("x", "o_custkey")
+    ranked = rev.select("x", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    six = F.sum(F.col("i") * F.col("x")).cast("double")
+    return ranked.agg(
+        n.alias("n_customers"),
+        sx.alias("total_revenue"),
+        F.round(F.lit(2.0) * six / (n * sx) - (n + F.lit(1.0)) / n, 6).alias("gini"),
+    )

@@ -121,6 +121,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ts_rolling_corr",
     "funnel_time_to_convert",
     "etl_scd2_merge_incremental",
+    "text_bigram_surprisal",
+    "agg_gini_revenue",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
