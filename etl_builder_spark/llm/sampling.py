@@ -135,3 +135,73 @@ def sample_weighted_hash(spark, sf_dir):
     return d.where(bucket < threshold).select(
         "doc_id", "lang", "n_chars", threshold.alias("keep_threshold")
     )
+
+
+@register(
+    "pipeline_training_mix",
+    oracle="""
+        WITH avail AS (
+            SELECT lang, COUNT(*) AS n_avail FROM documents GROUP BY lang
+        ),
+        target AS (
+            -- balanced mix: every language aims for the SMALLEST
+            -- language's size (downsample-only — never upsample)
+            SELECT MIN(n_avail) AS n_target FROM avail
+        ),
+        rates AS (
+            SELECT a.lang, a.n_avail, t.n_target,
+                   CAST((t.n_target * 10000) // a.n_avail AS BIGINT) AS keep_bp
+            FROM avail a CROSS JOIN target t
+        ),
+        sampled AS (
+            SELECT d.lang, COUNT(*) AS n_sampled
+            FROM documents d
+            JOIN rates r ON r.lang = d.lang
+            WHERE (CAST(d.doc_id * 2654435761 AS BIGINT) % 4294967296) % 10000
+                  < r.keep_bp
+            GROUP BY d.lang
+        )
+        SELECT r.lang, r.n_avail, r.n_target, r.keep_bp,
+               COALESCE(s.n_sampled, 0) AS n_sampled
+        FROM rates r LEFT JOIN sampled s ON s.lang = r.lang
+    """,
+    tags=("I-training-mix",),
+)
+def pipeline_training_mix(spark, sf_dir):
+    """Training-mix construction end to end: measure availability per
+    language, derive a balanced target (downsample every language to
+    the smallest one — never upsample), convert to an integer
+    basis-point keep-rate, and APPLY it with the deterministic Knuth
+    bucket — the same reproducible-membership contract as
+    sample_hash_deterministic, now with a per-GROUP data-derived rate
+    (broadcast rate join, zero-shuffle filter).  The report row per
+    language (available / target / rate / actually-sampled) is the
+    mix audit a curation run logs; realized counts differ from target
+    only by hash-bucket granularity, visibly.  At 100 TB the rate
+    table is tiny forever and membership stays a pure function of
+    (doc_id, rates) — re-runs and backfills sample identically."""
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_avail"))
+    target = avail.agg(F.min("n_avail").alias("n_target"))
+    rates = avail.crossJoin(F.broadcast(target)).select(
+        "lang",
+        "n_avail",
+        "n_target",
+        ((F.col("n_target") * 10000) / F.col("n_avail")).cast("long").alias("keep_bp"),
+    )
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)), F.lit(10000)
+    )
+    sampled = (
+        d.join(F.broadcast(rates.select("lang", "keep_bp")), "lang")
+        .where(bucket < F.col("keep_bp"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return rates.join(sampled, "lang", "left").select(
+        "lang",
+        "n_avail",
+        "n_target",
+        "keep_bp",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )

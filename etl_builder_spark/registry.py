@@ -123,6 +123,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "etl_scd2_merge_incremental",
     "text_bigram_surprisal",
     "agg_gini_revenue",
+    "pipeline_training_mix",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
