@@ -288,3 +288,75 @@ def join_asof_nearest(spark, sf_dir):
         F.substring(F.min(key), 22, 10).cast("bigint").alias("nearest_click_id"),
         F.min(dist).alias("dist_us"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        signups AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'
+        ),
+        matched AS (
+            SELECT p.user_id, p.event_id AS purchase_id,
+                   CAST(substr(MAX(printf('%020d%010d', epoch_us(s.ts), s.event_id)),
+                               21, 10) AS BIGINT) AS asof_signup_id,
+                   MAX(epoch_us(p.ts)) - MAX(epoch_us(s.ts)) AS staleness_us
+            FROM purchases p
+            JOIN signups s
+              ON s.user_id = p.user_id
+             AND s.ts <= p.ts
+             AND s.ts >= p.ts - INTERVAL 2 HOUR
+            GROUP BY p.user_id, p.event_id
+        )
+        SELECT p.user_id, p.event_id AS purchase_id,
+               m.asof_signup_id, m.staleness_us,
+               (m.asof_signup_id IS NULL) AS unmatched
+        FROM purchases p
+        LEFT JOIN matched m
+          ON m.user_id = p.user_id AND m.purchase_id = p.event_id
+    """,
+    tags=("C10c",),
+)
+def join_asof_tolerance(spark, sf_dir):
+    """LEFT as-of join with a staleness tolerance: each purchase takes
+    the latest same-user signup no older than 2 hours, and purchases
+    with nothing fresh enough KEEP their row with NULLs (pandas
+    ``merge_asof(tolerance=...)`` semantics) — the feature-join
+    guardrail that refuses stale features instead of silently joining
+    last month's value.  The tolerance bound is what makes the
+    candidate join finite (same posture as join_asof_nearest); the
+    per-left argmax rides the padded (epoch, id) MAX key — map-side
+    combined, no window — and a final left join restores unmatched
+    rows.  Contrast join_asof (inner, unbounded lookback): same
+    rewrite family, different missing-data contract."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    s = e.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("sts"),
+    )
+    cand = p.join(
+        s,
+        (F.col("s_user") == F.col("user_id"))
+        & (F.col("sts") <= F.col("pts"))
+        & (F.col("sts") >= F.col("pts") - F.expr("INTERVAL 2 HOURS")),
+    )
+    key = F.format_string("%020d%010d", F.unix_micros("sts"), F.col("signup_id"))
+    matched = cand.groupBy("user_id", "purchase_id").agg(
+        F.substring(F.max(key), 21, 10).cast("bigint").alias("asof_signup_id"),
+        (
+            F.max(F.unix_micros("pts")) - F.max(F.unix_micros("sts"))
+        ).alias("staleness_us"),
+    )
+    return p.join(matched, ["user_id", "purchase_id"], "left").select(
+        "user_id",
+        "purchase_id",
+        "asof_signup_id",
+        "staleness_us",
+        F.col("asof_signup_id").isNull().alias("unmatched"),
+    )

@@ -553,3 +553,70 @@ def dq_value_topk(spark, sf_dir):
         )
         .where(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "dq_reconcile_order_totals",
+    oracle="""
+        WITH li AS (
+            SELECT l_orderkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS computed
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        per_order AS (
+            SELECT o.o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS booked,
+                   li.computed,
+                   abs(CAST(o_totalprice AS DECIMAL(18,2)) - li.computed) AS adiff
+            FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+        )
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN adiff > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_mismatched,
+               ROUND(CAST(SUM(adiff) AS DOUBLE) / COUNT(*), 6) AS mean_abs_diff,
+               CAST(MAX(adiff) AS DOUBLE) AS max_abs_diff,
+               ROUND(CAST(SUM(CASE WHEN adiff > 0.01 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS mismatch_share
+        FROM per_order
+    """,
+    tags=("DQ-reconcile",),
+)
+def dq_reconcile_order_totals(spark, sf_dir):
+    """Cross-table reconciliation — 'do the books balance': each
+    order's booked total vs the charge recomputed from its line items
+    (price·(1−discount)·(1+tax)), reported as mismatch counts and
+    error magnitudes.  The fact-vs-fact consistency audit that
+    complements dq_orphans_lineitem's key-level integrity; on a real
+    warehouse this runs after every load and its mismatch_share is an
+    SLO.  All arithmetic and the |diff| accumulation stay in exact
+    decimal (order-free), so even the error MAGNITUDES are
+    bit-reproducible; one lineitem aggregate co-keyed with the join,
+    then a 1-row summary."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    computed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)"))
+        ).alias("computed")
+    )
+    per_order = o.join(computed, o.o_orderkey == computed.l_orderkey).select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("booked"),
+        "computed",
+        F.abs(
+            F.col("o_totalprice").cast("decimal(18,2)") - F.col("computed")
+        ).alias("adiff"),
+    )
+    mism = F.sum(F.when(F.col("adiff") > 0.01, 1).otherwise(0))
+    return per_order.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        mism.cast("bigint").alias("n_mismatched"),
+        F.round(F.sum("adiff").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_abs_diff"
+        ),
+        F.max("adiff").cast("double").alias("max_abs_diff"),
+        F.round(mism.cast("double") / F.count(F.lit(1)), 6).alias("mismatch_share"),
+    )

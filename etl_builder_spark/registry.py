@@ -124,6 +124,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "text_bigram_surprisal",
     "agg_gini_revenue",
     "pipeline_training_mix",
+    "join_asof_tolerance",
+    "dq_reconcile_order_totals",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
