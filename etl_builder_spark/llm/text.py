@@ -796,3 +796,65 @@ def text_bigram_surprisal(spark, sf_dir):
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 6).alias("mean_surprisal"),
     )
+
+
+@register(
+    "text_readability_flesch",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                       AS n_words,
+                   greatest(len(list_filter(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       s -> trim(s) <> '')), 1) AS n_sentences,
+                   len(list_filter(
+                       regexp_split_to_array(lower(text), '[^aeiouy]+'),
+                       s -> s <> '')) AS n_vowel_groups
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+               ROUND(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_vowel_groups AS DOUBLE) / n_words), 6)
+                   AS flesch_score
+        FROM base
+        WHERE n_words > 0
+    """,
+    tags=("I-readability",),
+)
+def text_readability_flesch(spark, sf_dir):
+    """Flesch reading-ease per document — the readability axis of
+    quality filtering (text_quality_score covers length/stopword
+    hygiene; this scores sentence and word complexity).  Syllables are
+    approximated by vowel-group runs (the standard cheap proxy — a
+    real syllabifier is a dictionary lookup, not an engine feature)
+    and sentences by [.!?]+ runs with blank fragments dropped; all
+    three counts are exact integers from one regexp pass, so the score
+    is a fixed double expression — bit-identical cross-engine.  Pure
+    per-row expressions: scales as a map, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
+    n_sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != ""
+            )
+        ),
+        F.lit(1),
+    )
+    n_vowel_groups = F.size(
+        F.filter(F.split(F.lower("text"), r"[^aeiouy]+"), lambda s: s != "")
+    )
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_vowel_groups.alias("n_vowel_groups"),
+    ).where(F.col("n_words") > 0)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_vowel_groups").cast("double") / F.col("n_words"))
+    )
+    return base.select("*", F.round(score, 6).alias("flesch_score"))

@@ -126,6 +126,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "pipeline_training_mix",
     "join_asof_tolerance",
     "dq_reconcile_order_totals",
+    "text_readability_flesch",
     # --- (d) stalest evidence: latest grading is r1 ---
     "project_compute",
     "filter_compound",
