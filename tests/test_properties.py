@@ -832,3 +832,41 @@ def test_higher_moments_match_numpy_reference(spark):
         assert abs(got[flag]["variance_pop"] - var) < 1e-5
         assert abs(got[flag]["skewness"] - skew) < 1e-5
         assert abs(got[flag]["excess_kurtosis"] - kurt) < 1e-5
+
+
+def test_asof_tolerance_preserves_every_left_row(spark):
+    """Left-join contract: every purchase appears EXACTLY once —
+    matched or flagged unmatched — and no staleness exceeds the 2h
+    tolerance (a row that should have aged out must come back NULL,
+    never stale-matched)."""
+    from etl_builder_spark.operators.asof import join_asof_tolerance
+    from etl_builder_spark.session import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = join_asof_tolerance(spark, sf_dir).collect()
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .where("event_type = 'purchase'")
+        .count()
+    )
+    assert len(out) == purchases
+    assert len({r["purchase_id"] for r in out}) == purchases
+    for r in out:
+        if not r["unmatched"]:
+            assert 0 <= r["staleness_us"] <= 2 * 3600 * 1_000_000
+
+
+def test_training_mix_downsamples_only_and_balances(spark):
+    """Mix contract: never upsample (rate ≤ 100%, sampled ≤ available),
+    the smallest language keeps everything, and realized counts sit
+    within hash-bucket granularity of the target."""
+    from etl_builder_spark.llm.sampling import pipeline_training_mix
+
+    rows = pipeline_training_mix(spark, "/root/testdata/sf0.001").collect()
+    smallest = min(r["n_avail"] for r in rows)
+    for r in rows:
+        assert r["keep_bp"] <= 10000
+        assert r["n_sampled"] <= r["n_avail"]
+        assert r["n_target"] == smallest
+        if r["n_avail"] == smallest:
+            assert r["keep_bp"] == 10000 and r["n_sampled"] == r["n_avail"]
