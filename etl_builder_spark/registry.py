@@ -81,6 +81,18 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "stream_tumbling_ohlc_live",
     "agg_regression_trend",
     "etl_dynamic_partition_overwrite",
+    # --- (d) nine r1-stale keys, PROMOTED above the second-session
+    # additions so the ~50-key sample regrades them this round
+    # (VERDICT r4 item 2) — the newest keys below can wait a round ---
+    "project_compute",
+    "filter_compound",
+    "join_interval",
+    "join_asof",
+    "text_tfidf_sql",
+    "text_quality_score",
+    "cdc_snapshot_diff",
+    "etl_surrogate_keys",
+    "scd2_intervals",
     "set_intersect_all",
     "agg_weighted_avg",
     "win_percent_rank_cume",
@@ -127,16 +139,6 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "join_asof_tolerance",
     "dq_reconcile_order_totals",
     "text_readability_flesch",
-    # --- (d) stalest evidence: latest grading is r1 ---
-    "project_compute",
-    "filter_compound",
-    "join_interval",
-    "join_asof",
-    "text_tfidf_sql",
-    "text_quality_score",
-    "cdc_snapshot_diff",
-    "etl_surrogate_keys",
-    "scd2_intervals",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
