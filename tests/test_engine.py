@@ -74,3 +74,50 @@ def test_grading_priority_order():
     assert tuple(ordered[: len(pri)]) == pri
     assert set(ordered) == set(registry.REGISTRY)
     assert set(registry.oracle_sql()) <= set(ordered)
+
+
+def test_spec_compiler_equals_fluent_on_random_op_chains(engine):
+    """Fuzz the declarative spec compiler: random filter/derive/agg/
+    sort chains must produce byte-identical results to the same chain
+    built through the fluent API — the two entry points are one
+    surface, not two engines."""
+    import random
+
+    from etl_builder_spark.plans.pipeline import Pipeline, compile_spec
+
+    rng = random.Random(42)
+    filters = ["o_totalprice > 50000", "o_orderstatus = 'F'", "o_custkey % 3 = 0"]
+    derives = [
+        {"bucket": "o_orderkey % 7"},
+        {"half_price": "o_totalprice / 2"},
+    ]
+    for trial in range(6):
+        ops = []
+        for _ in range(rng.randint(1, 3)):
+            kind = rng.choice(["filter", "derive"])
+            if kind == "filter":
+                ops.append({"op": "filter", "expr": rng.choice(filters)})
+            else:
+                ops.append({"op": "derive", "cols": rng.choice(derives)})
+        ops.append(
+            {"op": "agg", "by": ["o_orderstatus"], "aggs": {"n": "count(*)"}}
+        )
+        ops.append({"op": "sort", "by": ["n desc", "o_orderstatus"], "limit": 5})
+        spec = {"source": "orders", "ops": ops}
+
+        via_spec = compile_spec(engine.spark, engine.sf_dir, spec).collect()
+
+        p = Pipeline(engine.spark, engine.sf_dir).scan("orders")
+        for op in ops:
+            if op["op"] == "filter":
+                p = p.filter(op["expr"])
+            elif op["op"] == "derive":
+                p = p.derive(**op["cols"])
+            elif op["op"] == "agg":
+                p = p.agg(by=op["by"], **op["aggs"])
+            elif op["op"] == "sort":
+                p = p.sort(*op["by"])
+                if op.get("limit"):
+                    p = p.limit(op["limit"])
+        via_fluent = p.frame().collect()
+        assert [tuple(r) for r in via_spec] == [tuple(r) for r in via_fluent], spec
