@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_builder_spark.policy import money
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -214,4 +215,92 @@ def funnel_time_to_convert(spark, sf_dir):
         F.round(F.sum("delay_us").cast("double") / F.count(F.lit(1)) / 60e6, 6).alias(
             "mean_minutes"
         ),
+    )
+
+
+@register(
+    "cohort_revenue_ltv",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        purchases AS (
+            SELECT user_id, date_trunc('week', ts) AS wk,
+                   CAST(value AS DECIMAL(18,2)) AS v
+            FROM events WHERE event_type = 'purchase'
+        ),
+        cells AS (
+            SELECT f.cohort_week,
+                   CAST(datediff('week', f.cohort_week, p.wk) AS BIGINT)
+                       AS week_offset,
+                   SUM(p.v) AS wk_revenue
+            FROM firsts f JOIN purchases p ON p.user_id = f.user_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT cohort_week, COUNT(*) AS n_cohort
+            FROM firsts GROUP BY cohort_week
+        )
+        SELECT c.cohort_week, c.week_offset, s.n_cohort,
+               CAST(c.wk_revenue AS DOUBLE) AS wk_revenue,
+               ROUND(CAST(SUM(c.wk_revenue) OVER (
+                         PARTITION BY c.cohort_week ORDER BY c.week_offset
+                         ROWS UNBOUNDED PRECEDING
+                     ) AS DOUBLE) / s.n_cohort, 6) AS cum_ltv_per_user
+        FROM cells c JOIN sizes s USING (cohort_week)
+    """,
+    tags=("COHORT-ltv",),
+)
+def cohort_revenue_ltv(spark, sf_dir):
+    """Cohort LTV curves — cumulative purchase revenue per user by
+    weeks since the cohort's first activity: the revenue twin of
+    cohort_weekly_retention (retention says who comes back; LTV says
+    what that's worth, the payback-period input).  Revenue stays exact
+    decimal through the per-cell sums AND the running cumulative (a
+    decimal window sum is order-free), divided once per row by the
+    exact cohort headcount.  Same two-aggregate + tiny-matrix-window
+    shape as retention; everything after the per-user firsts shuffles
+    on cohort_week."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        money("value").alias("v"),
+    )
+    cells = (
+        purchases.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.datediff(F.col("wk"), F.col("cohort_week")).cast("long").alias("dd"),
+        )
+        .agg(F.sum("v").alias("wk_revenue"))
+        .select(
+            "cohort_week",
+            (F.col("dd") / 7).cast("long").alias("week_offset"),
+            "wk_revenue",
+        )
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_cohort",
+            F.col("wk_revenue").cast("double").alias("wk_revenue"),
+            F.round(
+                F.sum("wk_revenue").over(w).cast("double") / F.col("n_cohort"), 6
+            ).alias("cum_ltv_per_user"),
+        )
     )

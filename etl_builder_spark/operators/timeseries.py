@@ -815,3 +815,56 @@ def ts_rolling_corr(spark, sf_dir):
         )
     )
     return win.select("h", "cx", "cy", F.round(num / den, 6).alias("corr24"))
+
+
+@register(
+    "ts_year_over_year",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT cur.m AS month,
+               CAST(cur.revenue AS DOUBLE) AS revenue,
+               cur.n_orders,
+               CAST(prev.revenue AS DOUBLE) AS revenue_prev_year,
+               ROUND((CAST(cur.revenue AS DOUBLE) - CAST(prev.revenue AS DOUBLE))
+                     / CAST(prev.revenue AS DOUBLE), 6) AS yoy_pct
+        FROM monthly cur
+        LEFT JOIN monthly prev ON prev.m = cur.m - INTERVAL 12 MONTH
+    """,
+    tags=("TS-yoy",),
+)
+def ts_year_over_year(spark, sf_dir):
+    """Year-over-year growth per month — the reporting staple: each
+    month's revenue against the same month last year, as a join on the
+    shifted calendar key rather than LAG(12) (a gap month would
+    silently misalign a row-offset lag; the key join is correct under
+    missing months and NULLs where no prior year exists).  Revenue
+    sums stay exact decimal; the growth ratio is one double division
+    per row.  The monthly frame is |months| rows — both sides of the
+    self-join broadcast at any corpus scale."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m")).agg(
+        F.sum(money("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    cur = monthly.alias("cur")
+    prev = monthly.select(
+        F.add_months(F.col("m"), 12).cast("timestamp").alias("m_next"),
+        F.col("revenue").alias("revenue_prev"),
+    ).alias("prev")
+    return cur.join(prev, F.col("prev.m_next") == F.col("cur.m"), "left").select(
+        F.col("cur.m").alias("month"),
+        F.col("cur.revenue").cast("double").alias("revenue"),
+        F.col("cur.n_orders").alias("n_orders"),
+        F.col("revenue_prev").cast("double").alias("revenue_prev_year"),
+        F.round(
+            (F.col("cur.revenue").cast("double") - F.col("revenue_prev").cast("double"))
+            / F.col("revenue_prev").cast("double"),
+            6,
+        ).alias("yoy_pct"),
+    )

@@ -139,6 +139,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "join_asof_tolerance",
     "dq_reconcile_order_totals",
     "text_readability_flesch",
+    "cohort_revenue_ltv",
+    "ts_year_over_year",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
