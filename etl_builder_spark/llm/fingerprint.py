@@ -81,3 +81,72 @@ def doc_fingerprint(spark, sf_dir):
         fp.alias("fingerprint"),
         F.size(codes).alias("n_chars_hashed"),
     )
+
+
+#: Feature-hashing dimensionality (the "hashing trick" bucket count).
+HASH_DIM = 64
+
+
+@register(
+    "ml_feature_hashing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, token
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                  FROM documents) t
+            WHERE token <> ''
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   list_reduce(list_transform(
+                       list_filter(string_split_regex(substr(md5(token), 1, 8), ''),
+                                   c -> c <> ''),
+                       c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                       (a, b) -> a * 16 + b) AS code
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(code % {HASH_DIM} AS INT) AS bucket,
+               COUNT(*) AS tf,
+               CAST(SUM(CASE WHEN code % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS feat_signed
+        FROM hashed
+        GROUP BY doc_id, bucket
+    """,
+    tags=("ML-feature-hash",),
+)
+def ml_feature_hashing(spark, sf_dir):
+    """The hashing trick: fixed-dimension sparse feature vectors with
+    NO vocabulary pass — each token maps straight to bucket
+    h(token) mod D, with a second hash bit supplying the ± sign whose
+    cancellation unbiases collisions (Weinberger et al., the
+    featurization behind Vowpal-Wabbit-style linear models and
+    hashing-based n-gram classifiers).  The token hash is the first
+    32 bits of md5 (byte-identical across engines — fn_hash_codec),
+    so buckets and signs are cross-engine exact and the key carries a
+    full value oracle, unlike typical murmur-based implementations.
+
+    100 TB posture: ZERO vocabulary state — no dictionary build, no
+    broadcast, no OOV path; one explode + one hash aggregation on
+    (doc_id, bucket) with map-side combine, output bounded at
+    |docs| × D rows.  That statelessness is the point of the trick:
+    the same expression featurizes any shard of any corpus with no
+    coordination, so the operator composes with streaming ingest
+    (same expression in a streaming agg) and incremental training
+    batches."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    code = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    return (
+        toks.select("doc_id", code.alias("code"))
+        .groupBy(
+            "doc_id",
+            (F.col("code") % HASH_DIM).cast("int").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sum(F.when(F.col("code") % 2 == 0, 1).otherwise(-1)).alias("feat_signed"),
+        )
+    )

@@ -25,6 +25,7 @@ emits rows (one per frame) so downstream is ordinary relational.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -322,3 +323,73 @@ def multimodal_frame_sample(spark, sf_dir):
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_sha": shas})
 
     return d.mapInPandas(frames, FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 4000 + 100 AS n FROM documents
+        ),
+        vals AS (
+            SELECT doc_id, n,
+                   ((doc_id * 31 + i * 17) % 65536) - 32768 AS s
+            FROM base, unnest(range(0, n)) AS u(i)
+        )
+        SELECT doc_id AS asset_id,
+               n AS n_samples,
+               CAST(8000 AS INT) AS rate,
+               CAST(n AS DOUBLE) * 1000.0 / 8000.0 AS duration_ms,
+               MAX(abs(s)) AS peak,
+               sqrt(CAST(SUM(s * s) AS DOUBLE) / n) / 32768.0 AS rms
+        FROM vals
+        GROUP BY doc_id, n
+    """,
+    tags=("I-audio",),
+)
+def multimodal_audio_stats(spark, sf_dir):
+    """Audio ingest stats through a REAL PCM-16 RIFF/WAV round trip:
+    per-document payloads are synthesized from a closed-form integer
+    sample pattern (s_i = ((id·31 + i·17) mod 65536) − 32768), encoded
+    with the pure-numpy WAV writer, decoded back by the WAV parser,
+    and summarized (sample count, duration, peak, RMS).  Because the
+    pattern is integer-exact, the DuckDB oracle recomputes every
+    statistic symbolically — hash equality proves the codec round
+    trip is lossless END-TO-END, not just the arithmetic.  RMS is an
+    exact-integer sum of squares followed by identical IEEE
+    divide/sqrt on both engines, so no rounding is needed (policy
+    §7.2: floats only drift when accumulation order can differ).
+
+    100 TB posture: the same Arrow mapInPandas seam as the image path
+    (multimodal_decode_meta) — payload bytes never leave the executor,
+    Python sees columnar batches, output is flat relational rows; a
+    real audio pipeline swaps the synthesizer for object-store reads
+    and the stats for a feature extractor (audio_features) without
+    touching the Spark plumbing."""
+    from etl_builder_spark.llm.codecs import decode_wav, encode_wav
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "n_samples", "rate", "duration_ms", "peak", "rms")}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 4000 + 100
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 31 + i * 17) % 65536) - 32768
+                payload = encode_wav(s.astype(np.int16), rate=8000)
+                dec, rate = decode_wav(payload)
+                dec = dec.astype(np.int64)
+                sum_sq = int((dec * dec).sum())
+                out["asset_id"].append(did)
+                out["n_samples"].append(len(dec))
+                out["rate"].append(rate)
+                out["duration_ms"].append(float(len(dec)) * 1000.0 / rate)
+                out["peak"].append(int(np.abs(dec).max()))
+                out["rms"].append(math.sqrt(sum_sq / len(dec)) / 32768.0)
+            yield pd.DataFrame(out)
+
+    schema = "asset_id long, n_samples long, rate int, duration_ms double, peak long, rms double"
+    return d.mapInPandas(roundtrip, schema)

@@ -768,3 +768,119 @@ def agg_gini_revenue(spark, sf_dir):
         sx.alias("total_revenue"),
         F.round(F.lit(2.0) * six / (n * sx) - (n + F.lit(1.0)) / n, 6).alias("gini"),
     )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n_orders
+            FROM items a
+            JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT part_a, part_b, n_orders
+        FROM pairs
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 20
+    """,
+    tags=("D-basket",),
+)
+def market_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: the top item PAIRS bought together
+    in the same order — the counting core of association-rule mining
+    (the support table behind apriori/FP-growth's first level).  The
+    basket self-join is keyed on the order, so fan-out per order is
+    C(k,2) in BASKET size k (single-digit here, bounded by order width
+    everywhere), never corpus-quadratic.
+
+    100 TB posture: one exchange on l_orderkey co-locates each basket
+    (both join sides reuse the same persisted distinct frame and the
+    same partitioning — zero extra shuffles for the self-join), pair
+    counting gets map-side combine, and the top-20 is a
+    TakeOrderedAndProject k-row merge.  A viral SKU pair is ordinary
+    agg skew (AQE handles it); the ordering pins count ties by the
+    pair key (policy §7.2.3)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct().persist()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b").limit(20)
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+        WITH grp AS (
+            SELECT l_returnflag AS flag, l_extendedprice AS val,
+                   SUM(CAST(l_quantity AS BIGINT)) AS w
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT flag, val,
+                   SUM(w) OVER (PARTITION BY flag ORDER BY val) AS cw,
+                   SUM(w) OVER (PARTITION BY flag) AS tw
+            FROM grp
+        )
+        SELECT flag,
+               MIN(val) AS weighted_median,
+               CAST(MIN(tw) AS BIGINT) AS total_weight
+        FROM cum
+        WHERE cw * 2 >= tw
+        GROUP BY flag
+    """,
+    tags=("D-weighted-median",),
+)
+def agg_weighted_median(spark, sf_dir):
+    """Weighted median: the smallest value whose CUMULATIVE weight
+    reaches half the group's total — here price weighted by quantity,
+    the inventory-weighted "typical price" a plain median (D10)
+    mis-states when line sizes vary.  Pre-aggregating weight BY VALUE
+    first makes the cumulative walk independent of row order, and the
+    half-total test compares exact integers (cw·2 ≥ tw) — no
+    interpolation, no float rank.
+
+    100 TB posture: the value-level pre-aggregation collapses the
+    window's input to |distinct values| per group (map-side combined),
+    so the per-group sort — the unavoidable cost of any exact
+    quantile, same as D10 — runs on the compressed frame; both
+    windows and the final min share one flag partitioning.  The
+    approx path for wide groups remains agg_percentile_approx."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    grp = (
+        l.groupBy(F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("val"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    )
+    wflag = Window.partitionBy("flag")
+    cum = grp.select(
+        "flag",
+        "val",
+        F.sum("w").over(wflag.orderBy("val")).alias("cw"),
+        F.sum("w").over(wflag).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("val").alias("weighted_median"),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
+    )

@@ -304,3 +304,60 @@ def cohort_revenue_ltv(spark, sf_dir):
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+@register(
+    "seq_pattern_strict",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_type,
+                   LEAD(event_type, 1) OVER w AS nxt1,
+                   LEAD(event_type, 2) OVER w AS nxt2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        hits AS (
+            SELECT user_id, ts
+            FROM seq
+            WHERE event_type = 'view' AND nxt1 = 'click' AND nxt2 = 'purchase'
+        )
+        SELECT user_id, COUNT(*) AS n_matches, MIN(ts) AS first_match_ts
+        FROM hits GROUP BY user_id
+    """,
+    tags=("seq-pattern",),
+)
+def seq_pattern_strict(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite: detect the STRICTLY CONSECUTIVE event
+    sequence view → click → purchase per user (no intervening events
+    allowed — the adjacency distinguishes this from the funnel keys,
+    which allow arbitrary gaps between stages).  The standard SQL
+    closed form: LEAD(type, 1) / LEAD(type, 2) over the per-user
+    event order turns "next three rows match the pattern" into a
+    single-row predicate — one window pass, no self-joins, no
+    pattern-automaton state.
+
+    100 TB posture: one hash shuffle on user_id shared by the window
+    and the rollup; per-user sort is the only per-key cost, and the
+    pattern predicate evaluates rows independently after the leads
+    are materialized.  Fixed-length strict patterns stay closed-form
+    (k-1 LEADs); variable-length patterns (A B* C) are the stateful
+    escape hatch (applyInPandasWithState — streaming/batch_twins).
+    Ordering ties pin on event_id (policy §7.2)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    hits = seq.where(
+        (F.col("event_type") == "view") & (F.col("nxt1") == "click") & (F.col("nxt2") == "purchase")
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("ts").alias("first_match_ts"),
+    )

@@ -97,3 +97,59 @@ def limit_offset(spark, sf_dir):
         .offset(200)
         .limit(50)
     )
+
+
+@register(
+    "limit_keyset_page",
+    oracle="""
+        WITH b AS (
+            SELECT o_orderdate AS bd, o_orderkey AS bk
+            FROM orders
+            ORDER BY o_orderdate, o_orderkey
+            LIMIT 1 OFFSET 199
+        )
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders, b
+        WHERE o_orderdate > bd OR (o_orderdate = bd AND o_orderkey > bk)
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT 100
+    """,
+    tags=("F3-keyset",),
+)
+def limit_keyset_page(spark, sf_dir):
+    """Keyset (seek) pagination — the SCALE path for F3's OFFSET
+    hazard: page N+1 is "rows with (o_orderdate, o_orderkey) strictly
+    after the last row of page N", a pushed-down tuple-range filter +
+    top-k, not a global sort that materializes and discards OFFSET
+    rows.  Here the page-2 boundary tuple is derived in-query (max of
+    the first 200 rows under the page order — a TakeOrderedAndProject
+    k-row merge) so the key is self-contained; in production the
+    client carries the boundary from the previous page and the scan
+    starts at the seek predicate directly.
+
+    100 TB posture: both steps are per-partition top-k + k-row driver
+    merges (TakeOrderedAndProject — no global sort, no single-partition
+    OFFSET slice); the boundary is a broadcast 1-row frame; the seek
+    predicate reaches the scan, so with a date-sorted/partitioned
+    layout later pages PRUNE everything before the boundary instead of
+    reading and discarding it.  Ordering carries the unique o_orderkey
+    tiebreak (policy §7.2.3) — OFFSET pagination without a total order
+    would silently skip/duplicate rows between pages."""
+    o = load_table(spark, sf_dir, "orders")
+    page = o.select("o_orderkey", "o_orderdate", "o_totalprice")
+    boundary = (
+        page.orderBy("o_orderdate", "o_orderkey")
+        .limit(200)
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("b"))
+        .select(F.col("b.o_orderdate").alias("bd"), F.col("b.o_orderkey").alias("bk"))
+    )
+    after = (F.col("o_orderdate") > F.col("bd")) | (
+        (F.col("o_orderdate") == F.col("bd")) & (F.col("o_orderkey") > F.col("bk"))
+    )
+    return (
+        page.crossJoin(F.broadcast(boundary))
+        .where(after)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+    )

@@ -868,3 +868,163 @@ def ts_year_over_year(spark, sf_dir):
             6,
         ).alias("yoy_pct"),
     )
+
+
+@register(
+    "sessions_bounce_by_hour",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_seq
+            FROM ordered
+        ),
+        rollup AS (
+            SELECT user_id, session_seq,
+                   MIN(ts) AS session_start,
+                   COUNT(*) AS n_events,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+            FROM sess GROUP BY user_id, session_seq
+        )
+        SELECT CAST(hour(session_start) AS INT) AS start_hour,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+               ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS bounce_rate,
+               CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events,
+               CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_duration_s
+        FROM rollup GROUP BY 1
+    """,
+    tags=("TS-bounce",),
+)
+def sessions_bounce_by_hour(spark, sf_dir):
+    """Session-quality profile by hour of day: bounce rate (single-
+    event sessions), mean session depth, and mean duration — the
+    product-analytics rollup layered on the 30-minute-gap
+    sessionization (sessionize_events_gap's exact gap semantics,
+    re-derived here so the key is self-contained).
+
+    100 TB posture: the two sessionizing windows and the per-session
+    rollup share the user_id partitioning (one exchange + per-user
+    sort), and the final by-hour rollup reduces to 24 groups with
+    map-side partial aggregation — the second shuffle carries ≤ 24
+    rows per mapper.  Durations are exact epoch-µs integers; the only
+    doubles are final IEEE divisions identical on both engines
+    (policy §7.2)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_start = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        is_start.alias("is_start"),
+        F.col("event_id"),
+    ).select(
+        "user_id",
+        "ts",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    rollup = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    n_bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    n_sessions = F.count(F.lit(1))
+    return rollup.groupBy(F.hour("session_start").cast("int").alias("start_hour")).agg(
+        n_sessions.alias("n_sessions"),
+        n_bounce.alias("n_bounce"),
+        F.round(n_bounce.cast("double") / n_sessions, 6).alias("bounce_rate"),
+        (F.sum("n_events").cast("double") / n_sessions).alias("avg_events"),
+        (F.sum("dur_us").cast("double") / n_sessions / F.lit(1000000.0)).alias("avg_duration_s"),
+    )
+
+
+@register(
+    "ts_rolling_dau_wau",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+            FROM events
+        ),
+        mx AS (SELECT MAX(d) AS md FROM ud),
+        contrib AS (
+            SELECT DISTINCT user_id, d + CAST(i AS INT) AS day
+            FROM ud, unnest(range(0, 7)) AS u(i)
+        ),
+        wau AS (
+            SELECT day, COUNT(*) AS wau
+            FROM contrib, mx
+            WHERE day <= md
+            GROUP BY day
+        ),
+        dau AS (SELECT d AS day, COUNT(*) AS dau FROM ud GROUP BY 1)
+        SELECT w.day,
+               COALESCE(dau.dau, 0) AS dau,
+               w.wau,
+               ROUND(CAST(COALESCE(dau.dau, 0) AS DOUBLE) / w.wau, 6) AS stickiness
+        FROM wau w LEFT JOIN dau ON dau.day = w.day
+    """,
+    tags=("TS-dau-wau",),
+)
+def ts_rolling_dau_wau(spark, sf_dir):
+    """Rolling active-user counts: daily actives (DAU) and trailing-
+    7-day actives (WAU) per calendar day, plus the DAU/WAU stickiness
+    ratio.  Rolling COUNT(DISTINCT) does not decompose into a window
+    aggregate, so the scalable closed form is the CONTRIBUTION
+    EXPLODE: each distinct (user, day) activity contributes to the 7
+    target days it keeps the user "weekly active" for, and WAU(d) is
+    then a plain COUNT over distinct (user, target-day) — turning an
+    unmergeable distinct-over-window into two hash aggregations.
+
+    100 TB posture: the explode multiplies the DEDUPLICATED (user,
+    day) frame by 7 — far smaller than the raw event stream it
+    summarizes — and both distinct steps and the final count get
+    map-side partial aggregation on (user, day) / day keys; no
+    per-day sort, no state.  The same shape scales to MAU with ×30
+    (or switch to mergeable HLL sketches, D13, when exactness can be
+    traded).  Days past the corpus end are clipped against the
+    broadcast 1-row max-day frame."""
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.select(F.date_trunc("day", "ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .persist()
+    )
+    mx = ud.agg(F.max("d").alias("md"))
+    contrib = (
+        ud.select("user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d")
+        .select("user_id", F.date_add("d", F.col("i")).alias("day"))
+        .distinct()
+    )
+    wau = (
+        contrib.crossJoin(F.broadcast(mx))
+        .where(F.col("day") <= F.col("md"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    dau = ud.groupBy(F.col("d").alias("day")).agg(F.count(F.lit(1)).alias("dau"))
+    w, da = wau.alias("w"), dau.alias("da")
+    dau_n = F.coalesce(F.col("da.dau"), F.lit(0))
+    return w.join(da, F.col("da.day") == F.col("w.day"), "left").select(
+        F.col("w.day").alias("day"),
+        dau_n.alias("dau"),
+        F.col("w.wau").alias("wau"),
+        F.round(dau_n.cast("double") / F.col("w.wau"), 6).alias("stickiness"),
+    )

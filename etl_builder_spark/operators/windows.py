@@ -387,3 +387,61 @@ def win_cumulative_share(spark, sf_dir):
         F.round(share, 6).alias("cum_share"),
         (share <= 0.8).alias("in_top80"),
     )
+
+
+@register(
+    "win_running_reset",
+    oracle="""
+        WITH seg AS (
+            SELECT event_id, user_id, ts, value,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS INT) AS segment_seq
+            FROM events
+        )
+        SELECT event_id, user_id, ts, segment_seq,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                   OVER (PARTITION BY user_id, segment_seq
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS running_since_purchase
+        FROM seg
+    """,
+    tags=("E-reset",),
+)
+def win_running_reset(spark, sf_dir):
+    """Conditionally RESETTING running total: cumulative event value
+    per user that restarts after every purchase — the "spend since
+    last conversion" / counter-reset idiom.  No recursion needed: a
+    running count of purchases over STRICTLY PRECEDING rows assigns
+    each row a segment number (the purchase row itself still belongs
+    to the segment it closes), and an ordinary running sum
+    partitioned by (user, segment) is the resetting total.
+
+    100 TB posture: the segment window and the running-sum window
+    share the user_id hash partitioning, so the whole operator is one
+    exchange + one per-user sort (the second window's finer
+    partitioning is a prefix refinement — no re-shuffle).  Money sums
+    are exact DECIMAL (policy §7.2); ordering pins on event_id."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "purchase", 1)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("int")
+    tagged = e.select("event_id", "user_id", "ts", "value", seg.alias("segment_seq"))
+    w2 = (
+        Window.partitionBy("user_id", "segment_seq")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "segment_seq",
+        F.sum(money("value")).over(w2).cast("double").alias("running_since_purchase"),
+    )

@@ -620,3 +620,52 @@ def dq_reconcile_order_totals(spark, sf_dir):
         F.max("adiff").cast("double").alias("max_abs_diff"),
         F.round(mism.cast("double") / F.count(F.lit(1)), 6).alias("mismatch_share"),
     )
+
+
+@register(
+    "dq_freshness_sla",
+    oracle="""
+        WITH ref AS (SELECT MAX(ts) AS ref_ts FROM events),
+        per AS (
+            SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        )
+        SELECT p.event_type, p.last_ts, r.ref_ts, p.n_events,
+               CAST(epoch_us(r.ref_ts) - epoch_us(p.last_ts) AS DOUBLE)
+                   / 60000000.0 AS lag_minutes,
+               (epoch_us(r.ref_ts) - epoch_us(p.last_ts) <= 7200000000)
+                   AS within_sla
+        FROM per p CROSS JOIN ref r
+    """,
+    tags=("DQ-freshness",),
+)
+def dq_freshness_sla(spark, sf_dir):
+    """Pipeline freshness audit: per event stream, how stale is the
+    newest record relative to the corpus high-water mark, and does it
+    meet a 2-hour SLA — the monitoring query every ingest DAG runs
+    after each batch (a silent upstream stall shows up as one
+    stream's lag growing while the others advance).
+
+    100 TB posture: a single MAX aggregation per type with map-side
+    combine (each mapper emits one row per type), the global
+    high-water mark a broadcast 1-row frame; on a date-partitioned
+    layout the scan prunes to recent partitions since older ones
+    cannot contain the max.  Lag arithmetic is exact epoch-µs
+    integers; the only double is one final IEEE division (policy
+    §7.2).  In production ref_ts is the wall clock — derived here
+    from the corpus so the oracle can mirror it."""
+    e = load_table(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("ref_ts"))
+    per = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    lag_us = F.unix_micros(F.col("ref_ts")) - F.unix_micros(F.col("last_ts"))
+    return per.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        "last_ts",
+        "ref_ts",
+        "n_events",
+        (lag_us.cast("double") / F.lit(60000000.0)).alias("lag_minutes"),
+        (lag_us <= 120 * 60000000).alias("within_sla"),
+    )

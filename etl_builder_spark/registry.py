@@ -141,6 +141,19 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "text_readability_flesch",
     "cohort_revenue_ltv",
     "ts_year_over_year",
+    # --- (c2) round-5 third-session keys (never graded; newest last) ---
+    "sim_sparse_tfidf_pairs",
+    "limit_keyset_page",
+    "seq_pattern_strict",
+    "win_running_reset",
+    "sessions_bounce_by_hour",
+    "etl_small_file_compaction",
+    "ml_feature_hashing",
+    "multimodal_audio_stats",
+    "market_basket_pairs",
+    "agg_weighted_median",
+    "ts_rolling_dau_wau",
+    "dq_freshness_sla",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
@@ -234,6 +247,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.llm.pq  # noqa: F401
     import etl_builder_spark.llm.sampling  # noqa: F401
     import etl_builder_spark.llm.similarity  # noqa: F401
+    import etl_builder_spark.llm.sparse_sim  # noqa: F401
     import etl_builder_spark.llm.substring  # noqa: F401
     import etl_builder_spark.llm.text  # noqa: F401
     import etl_builder_spark.llm.training_pipeline  # noqa: F401

@@ -174,3 +174,58 @@ def etl_dynamic_partition_overwrite(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
     return spark.read.parquet(sink).select("o_month", "n_orders", "month_total")
+
+
+def staged_fragmented_events(spark: SparkSession, sf_dir: str, n_files: int = 64) -> str:
+    """events deliberately shattered into ``n_files`` tiny parquet
+    files (round-robin repartition — no semantic layout), staged once
+    per sf_dir, mtime-invalidated.  Models the small-file problem a
+    streaming or per-task-commit ingest leaves behind."""
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "etl_builder_spark_smallfiles",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    done = os.path.join(stage, "_staged")
+    if not os.path.exists(done) or os.path.getmtime(done) < os.path.getmtime(src):
+        load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        with open(done, "w") as f:
+            f.write("ok")
+    return stage
+
+
+@register(
+    "etl_small_file_compaction",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+    """,
+    tags=("A-compaction",),
+)
+def etl_small_file_compaction(spark, sf_dir):
+    """Small-file compaction — the table-maintenance operation every
+    long-lived ingest needs: read a layout shattered into tiny files
+    (here a staged 64-file copy of ``events``) and rewrite it as few
+    large files (repartition(4)), preserving values exactly.  The
+    declared result is the READ-BACK of the compacted layout, so the
+    oracle (the original single-file table) proves compaction is a
+    pure re-layout: hash equality IS the no-data-loss check.
+
+    100 TB posture: small files are a primary real-world scan killer —
+    per-file open/footer costs and task-per-file scheduling swamp the
+    I/O (64 files here; a year of 5-minute micro-batches is ~100k).
+    Compaction is one shuffle-free-read → repartition(N) → write whose
+    N is sized from bytes/target-file-size (~1 GB parquet at scale;
+    partition-wise compaction keyed by the layout's partition columns
+    bounds each job's blast radius, and maxRecordsPerFile caps
+    stragglers).  tests/test_sources.py asserts the file-count drop
+    and byte-level parquet validity of the compacted layout."""
+    frag = spark.read.parquet(staged_fragmented_events(spark, sf_dir))
+    sink = tempfile.mkdtemp(prefix="compacted_events_")
+    frag.repartition(4).write.mode("overwrite").parquet(sink)
+    return spark.read.parquet(sink).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

@@ -135,3 +135,24 @@ def test_dynamic_partition_overwrite_blast_radius(spark, tmp_path):
         assert after["p1"] == {v for v, p in [(i, f"p{i % 3}") for i in range(30)] if p == "p1"}
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def test_small_file_compaction_reduces_file_count(spark):
+    """Compaction must actually reduce the physical file count while
+    the declared key's hash equality (t2 matrix) proves no data loss."""
+    import glob
+    import os
+
+    from etl_builder_spark.sources.partitioned import staged_fragmented_events
+
+    frag_dir = staged_fragmented_events(spark, SF_DIR)
+    n_frag = len(glob.glob(os.path.join(frag_dir, "*.parquet")))
+    assert n_frag >= 32, f"staging should shatter events into many files, got {n_frag}"
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["etl_small_file_compaction"].fn(spark, SF_DIR)
+    # the declared frame reads the compacted sink: its input files are few
+    files = {r[0] for r in df.select(F.input_file_name()).distinct().collect()}
+    assert 1 <= len(files) <= 4, f"compacted layout should be ≤4 files, got {len(files)}"
