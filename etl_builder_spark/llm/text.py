@@ -408,11 +408,15 @@ def text_unigram_surprisal(spark, sf_dir):
     is one token shuffle with map-side combine, broadcast back for the
     probability join; per-doc sums shuffle on doc_id."""
     d = load_table(spark, sf_dir, "documents")
+    # persisted: the token stream feeds the vocab build AND the
+    # probability join — lazy eval would re-explode the corpus per
+    # consumer (round-5 multi-scan plan audit)
     tok = (
         d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .where(F.col("token") != "")
+        .persist()
     )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")).persist()
     tot = vocab.agg(F.sum("n").alias("total"))
     surp = (
         tok.join(F.broadcast(vocab), "token")
@@ -758,13 +762,23 @@ def text_bigram_surprisal(spark, sf_dir):
     # filter empties BEFORE pairing, exactly like the oracle's
     # list_filter — pairing the raw split would bridge across a
     # removed empty token differently
+    # persisted: the tokenized corpus feeds both the unigram build and
+    # the bigram pairing; the bigram stream feeds both its count table
+    # and the scoring join — unpersisted, each reference re-explodes
+    # the corpus (4 scans; round-5 multi-scan plan audit)
     toks = d.select(
         "doc_id",
         F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("parts"),
+    ).persist()
+    uni = (
+        toks.select(F.explode("parts").alias("tok"))
+        .groupBy(F.col("tok").alias("w1"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()
     )
-    tok_stream = toks.select("doc_id", F.explode("parts").alias("tok"))
-    vocab_n = tok_stream.agg(F.countDistinct("tok").alias("v"))
-    uni = tok_stream.groupBy(F.col("tok").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    # |vocab| derives from the unigram table (one row per distinct
+    # token) — no second pass over the token stream
+    vocab_n = uni.agg(F.count(F.lit(1)).alias("v"))
     bigrams = toks.select(
         "doc_id",
         F.explode(
@@ -773,7 +787,7 @@ def text_bigram_surprisal(spark, sf_dir):
                 "i -> struct(parts[i - 1] AS w1, parts[i] AS w2))"
             )
         ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")).persist()
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     scored = (
         bigrams.join(F.broadcast(bi), ["w1", "w2"])

@@ -325,12 +325,16 @@ def etl_scd2_merge_incremental(spark, sf_dir):
         F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))
     )
     w2 = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    # persisted: three consumers (history, current-merge, opened-rows)
+    # would each re-derive the full lag/lead window pipeline over the
+    # history scan (5 source scans — round-5 multi-scan plan audit);
+    # at scale this is the existing dimension table read once
     dim = changes.select(
         "o_custkey",
         F.col("attr").alias("state"),
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w2).alias("valid_to"),
-    )
+    ).persist()
 
     batch = (
         o.where(F.col("o_orderdate") >= cutoff)
@@ -348,6 +352,7 @@ def etl_scd2_merge_incremental(spark, sf_dir):
                 100,
             ).alias("new_state"),
         )
+        .persist()  # joined against current twice (close + open legs)
     )
 
     current = dim.where(F.col("valid_to").isNull()).alias("c")

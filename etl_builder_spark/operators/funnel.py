@@ -265,8 +265,13 @@ def cohort_revenue_ltv(spark, sf_dir):
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    firsts = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    # persisted: feeds both the revenue-cell join and the cohort
+    # headcounts — lazy eval would re-derive the per-user MIN over the
+    # full event scan per consumer (round-5 multi-scan audit)
+    firsts = (
+        e.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+        .persist()
     )
     purchases = e.where(F.col("event_type") == "purchase").select(
         "user_id",
@@ -360,4 +365,60 @@ def seq_pattern_strict(spark, sf_dir):
     return hits.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("ts").alias("first_match_ts"),
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+        WITH touched AS (
+            SELECT event_type, value,
+                   LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS touch
+            FROM events
+        )
+        SELECT COALESCE(touch, 'direct') AS channel,
+               COUNT(*) AS n_conversions,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        FROM touched
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    tags=("funnel-attribution",),
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: every purchase is credited to the most
+    recent PRECEDING non-purchase event of the same user (the
+    marketing-analytics baseline model; purchases with no prior touch
+    fall into 'direct').  The closed form is a single
+    last(ignorenulls) over the strictly-preceding row frame — no
+    as-of self-join, no per-conversion scan-back.
+
+    100 TB posture: one hash exchange on user_id + per-user sort
+    (shared with every other per-user window in the engine), then a
+    5-group rollup with map-side combine; revenue sums are exact
+    DECIMAL (policy §7.2).  Multi-touch models (linear / time-decay)
+    are the same frame with a weight expression instead of LAST_VALUE."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True
+    ).over(w)
+    return (
+        e.select("event_type", "value", touch.alias("touch"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(money("value")).cast("double").alias("attributed_value"),
+        )
     )

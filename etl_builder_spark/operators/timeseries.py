@@ -1028,3 +1028,141 @@ def ts_rolling_dau_wau(spark, sf_dir):
         F.col("w.wau").alias("wau"),
         F.round(dau_n.cast("double") / F.col("w.wau"), 6).alias("stickiness"),
     )
+
+
+@register(
+    "path_topk_sessions",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, event_id, ts, event_type,
+                   SUM(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_seq
+            FROM ordered
+        ),
+        paths AS (
+            SELECT user_id, session_seq,
+                   array_to_string(
+                       list_slice(list(event_type ORDER BY ts, event_id), 1, 3),
+                       '>') AS path
+            FROM sess GROUP BY user_id, session_seq
+        )
+        SELECT path, COUNT(*) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 10
+    """,
+    tags=("TS-paths",),
+)
+def path_topk_sessions(spark, sf_dir):
+    """Top user-journey openings: the most common first-three-event
+    paths per session (30-minute-gap sessionization, same µs-exact
+    rule as sessionize_events_gap) — the product-analytics "how do
+    sessions start" report.  Ordered per-session paths come from
+    collect_list over (ts, event_id, type) structs sorted AFTER
+    collection (array_sort on the struct is deterministic; bare
+    collect_list order is not — policy §7.2.4), truncated to the
+    first three hops.
+
+    100 TB posture: sessionizing windows and the per-session path
+    aggregation share one user_id exchange; per-session state is
+    bounded by the 3-hop slice interest (collect_list holds a session,
+    not a user history), and the final path census is a low-cardinality
+    hash agg with map-side combine + TakeOrderedAndProject top-10.
+    Ties rank by path string (policy §7.2.3)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_start = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(is_start)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    path = F.array_join(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            1,
+            3,
+        ),
+        ">",
+    )
+    paths = sess.groupBy("user_id", "session_seq").agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
+
+
+@register(
+    "ts_new_vs_returning",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+            FROM events
+        ),
+        first_day AS (SELECT user_id, MIN(d) AS fd FROM ud GROUP BY user_id)
+        SELECT d AS day,
+               CAST(SUM(CASE WHEN d = fd THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+               CAST(SUM(CASE WHEN d > fd THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+               ROUND(CAST(SUM(CASE WHEN d = fd THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS new_share
+        FROM ud JOIN first_day USING (user_id)
+        GROUP BY d
+    """,
+    tags=("TS-new-returning",),
+)
+def ts_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning user split: a user is NEW on their
+    first-ever active day and RETURNING after — the growth-accounting
+    decomposition every activation dashboard starts from.  Two hash
+    aggregations over the deduplicated (user, day) activity frame
+    (persisted: both the first-day build and the daily rollup consume
+    it), joined on user_id.
+
+    100 TB posture: the (user, day) distinct collapses the raw event
+    stream before anything else touches it; first-day is a map-side-
+    combined MIN per user; the join is user_id-keyed (same hash
+    partitioning as the distinct — no extra exchange) and the final
+    rollup carries ≤ |days| rows per mapper.  No windows, no state —
+    this shape is incrementally maintainable by merging yesterday's
+    first-day table with today's batch (the production form)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.select(F.date_trunc("day", "ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .persist()
+    )
+    first_day = ud.groupBy("user_id").agg(F.min("d").alias("fd"))
+    is_new = F.sum(F.when(F.col("d") == F.col("fd"), 1).otherwise(0))
+    is_ret = F.sum(F.when(F.col("d") > F.col("fd"), 1).otherwise(0))
+    return (
+        ud.join(first_day, "user_id")
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            is_new.alias("new_users"),
+            is_ret.alias("returning_users"),
+            F.round(is_new.cast("double") / F.count(F.lit(1)), 6).alias("new_share"),
+        )
+    )

@@ -208,6 +208,10 @@ def dq_distribution_drift(spark, sf_dir):
             F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
+        # persisted (10 rows): the totals aggregate and the final PSI
+        # projection both consume it — unpersisted, each re-runs BOTH
+        # period scans (4 source scans; round-5 multi-scan plan audit)
+        .persist()
     )
     tot = joined.agg(
         F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
@@ -406,19 +410,17 @@ def dq_null_profile(spark, sf_dir):
         aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
         aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
     wide = o.agg(*aggs)
-    per_col = [
-        wide.select(
-            F.lit(c).alias("column_name"),
-            F.col("n_rows"),
-            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
-            F.col(f"nd_{c}").alias("n_distinct"),
-        )
-        for c in cols
-    ]
-    out = per_col[0]
-    for p in per_col[1:]:
-        out = out.unionByName(p)
-    return out
+    # one plan branch: stack() unpivots the single wide row — a
+    # union of per-column projections would RE-DERIVE the scan and
+    # the multi-distinct aggregate once per column (6 scans; caught
+    # by the round-5 multi-scan plan audit)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) as (column_name, n_nulls, n_distinct)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
 
 
 @register(
@@ -540,15 +542,18 @@ def dq_value_topk(spark, sf_dir):
         )
     )
     counted = long.groupBy("column_name", "value").agg(F.count(F.lit(1)).alias("n"))
-    tot = counted.groupBy("column_name").agg(F.sum("n").alias("n_total"))
+    # column totals as a window sum over the counted frame — a
+    # groupBy + self-join would re-derive the two-scan union per
+    # consumer (round-5 multi-scan audit); the window shares the
+    # ranking window's column_name partitioning, so no extra exchange
     w = Window.partitionBy("column_name").orderBy(F.col("n").desc(), "value")
+    n_total = F.sum("n").over(Window.partitionBy("column_name"))
     return (
-        counted.join(F.broadcast(tot), "column_name")
-        .select(
+        counted.select(
             "column_name",
             "value",
             "n",
-            F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias("share"),
+            F.round(F.col("n").cast("double") / n_total, 6).alias("share"),
             F.row_number().over(w).alias("rnk"),
         )
         .where(F.col("rnk") <= 5)
@@ -655,11 +660,13 @@ def dq_freshness_sla(spark, sf_dir):
     §7.2).  In production ref_ts is the wall clock — derived here
     from the corpus so the oracle can mirror it."""
     e = load_table(spark, sf_dir, "events")
-    ref = e.agg(F.max("ts").alias("ref_ts"))
     per = e.groupBy("event_type").agg(
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("n_events"),
-    )
+    ).persist()
+    # the high-water mark is the max of the per-type maxes — derived
+    # from the persisted rollup, not a second source scan
+    ref = per.agg(F.max("last_ts").alias("ref_ts"))
     lag_us = F.unix_micros(F.col("ref_ts")) - F.unix_micros(F.col("last_ts"))
     return per.crossJoin(F.broadcast(ref)).select(
         "event_type",
@@ -668,4 +675,83 @@ def dq_freshness_sla(spark, sf_dir):
         "n_events",
         (lag_us.cast("double") / F.lit(60000000.0)).alias("lag_minutes"),
         (lag_us <= 120 * 60000000).alias("within_sla"),
+    )
+
+
+#: Benford first-digit expectations log10(1 + 1/d), precomputed Python
+#: floats injected as LITERALS into both engines (no cross-engine
+#: log() evaluation — the ts_ewma_hourly literal-injection pattern).
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in BENFORD_P.items()
+) + " END"
+
+
+@register(
+    "dq_benford_deviation",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                        AS INT) AS digit
+            FROM orders
+        ),
+        obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs)
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / t AS observed_p,
+               {_BENFORD_CASE} AS benford_p,
+               ROUND(abs(CAST(n AS DOUBLE) / t - ({_BENFORD_CASE})), 6) AS abs_dev
+        FROM obs CROSS JOIN tot
+    """,
+    tags=("DQ-benford",),
+)
+def dq_benford_deviation(spark, sf_dir):
+    """Benford's-law conformance audit on order totals: the observed
+    first-significant-digit distribution vs log10(1+1/d) — the
+    classic fabricated-data / fraud screen for financial measures.
+    The first digit is taken from the DECIMAL(18,2) string form
+    (exact, and rendered identically by both engines — double
+    formatting would go scientific past 1e7), expectations are
+    injected as precomputed literals so no cross-engine log() runs,
+    and the only floats are identical IEEE divisions of exact counts.
+
+    100 TB posture: a 9-group hash aggregation with map-side combine
+    (each mapper emits ≤ 9 rows) plus a broadcast 1-row total — the
+    cheapest possible full-table audit shape; digit extraction is
+    expression-only inside whole-stage codegen.  Sensible deviation
+    thresholds (chi-square or MAD-based) are a consumer policy on top
+    of the per-digit abs_dev this emits."""
+    from etl_builder_spark.policy import money
+
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(money("o_totalprice").cast("string"), 1, 1).cast("int")
+    obs = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # 9 rows; feeds the total AND the final projection
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
+    benford = F.col("digit")
+    expr = None
+    for d, p in BENFORD_P.items():
+        expr = F.when(benford == d, F.lit(p)) if expr is None else expr.when(benford == d, F.lit(p))
+    observed = F.col("n").cast("double") / F.col("t")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        observed.alias("observed_p"),
+        expr.alias("benford_p"),
+        F.round(F.abs(observed - expr), 6).alias("abs_dev"),
     )

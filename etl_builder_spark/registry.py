@@ -154,6 +154,10 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "agg_weighted_median",
     "ts_rolling_dau_wau",
     "dq_freshness_sla",
+    "attribution_last_touch",
+    "path_topk_sessions",
+    "ts_new_vs_returning",
+    "dq_benford_deviation",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
