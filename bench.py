@@ -57,6 +57,11 @@ HEADLINE = [
     "dedup_token_sort",          # I  token-multiset dedup (r5b)
     "text_zipf_fit",             # I  per-lang Zipf fit (r5b)
     "multimodal_frame_sample",   # I  mapInPandas frame explosion (r5b)
+    "sim_sparse_tfidf_pairs",    # I  sparse TF-IDF cosine pair ranking (r5c)
+    "market_basket_pairs",       # D  co-purchase pair census (r5c)
+    "ts_rolling_dau_wau",        # TS contribution-explode WAU (r5c)
+    "ml_feature_hashing",        # ML hashing-trick featurizer (r5c)
+    "path_topk_sessions",        # TS session journey paths (r5c)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched

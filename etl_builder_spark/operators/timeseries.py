@@ -1166,3 +1166,63 @@ def ts_new_vs_returning(spark, sf_dir):
             F.round(is_new.cast("double") / F.count(F.lit(1)), 6).alias("new_share"),
         )
     )
+
+
+@register(
+    "ts_seasonal_profile",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(isodow(ts) AS INT) AS dow,
+                   CAST(hour(ts) AS INT) AS hour_of_day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM cells)
+        SELECT dow, hour_of_day, n_events, total_value,
+               ROUND(CAST(n_events AS DOUBLE) / t, 6) AS traffic_share
+        FROM cells CROSS JOIN tot
+    """,
+    tags=("TS-seasonal",),
+)
+def ts_seasonal_profile(spark, sf_dir):
+    """Weekly seasonality heatmap: event volume and value by (ISO day
+    of week × hour of day) with each cell's share of total traffic —
+    the load-profile input to capacity planning, anomaly baselines
+    (pair with ts_zscore_anomaly), and send-time optimization.
+
+    100 TB posture: one hash aggregation onto ≤ 168 cells with
+    map-side combine (each mapper emits at most a week-heatmap), the
+    grand total derived from the persisted cell frame rather than a
+    second source scan; money sums are exact DECIMAL (policy §7.2).
+    ISO day-of-week (Monday=1) is pinned on both engines — Spark's
+    default dayofweek() is Sunday-first, a classic cross-engine
+    off-by-one."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            F.dayofweek(F.col("ts")).alias("_dow_sun1"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        # Sunday-first (1..7) → ISO (Mon=1..Sun=7)
+        .select(
+            (((F.col("_dow_sun1") + 5) % 7) + 1).cast("int").alias("dow"),
+            "hour_of_day",
+            "n_events",
+            "total_value",
+        )
+        .persist()
+    )
+    tot = cells.agg(F.sum("n_events").cast("bigint").alias("t"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour_of_day",
+        "n_events",
+        "total_value",
+        F.round(F.col("n_events").cast("double") / F.col("t"), 6).alias("traffic_share"),
+    )

@@ -158,6 +158,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "path_topk_sessions",
     "ts_new_vs_returning",
     "dq_benford_deviation",
+    "geo_grid_radius_join",
+    "ts_seasonal_profile",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
@@ -271,6 +273,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.setops  # noqa: F401
     import etl_builder_spark.operators.skew  # noqa: F401
     import etl_builder_spark.operators.sorts  # noqa: F401
+    import etl_builder_spark.operators.spatial  # noqa: F401
     import etl_builder_spark.operators.subqueries  # noqa: F401
     import etl_builder_spark.operators.timeseries  # noqa: F401
     import etl_builder_spark.operators.tpch  # noqa: F401

@@ -515,3 +515,54 @@ def test_ohlc_single_exchange_partial_agg(spark):
     assert tree.count("Exchange") == 1, tree
     assert "Window" not in tree
     assert "partial_min_by" in p and "partial_max_by" in p
+
+
+def test_keyset_page_plans_topk_merges(spark):
+    """Keyset pagination must plan BOTH steps as TakeOrderedAndProject
+    (per-partition top-k + k-row merge) — no global Sort, no
+    single-partition OFFSET slice anywhere in the plan."""
+    p = plan(spark, "limit_keyset_page")
+    assert p.count("TakeOrderedAndProject") >= 2, p
+    assert "GlobalLimit" not in p
+
+
+def test_market_basket_reuses_persisted_items(spark):
+    """The basket self-join must consume the persisted distinct
+    (order, part) frame on both sides (InMemoryTableScan ×2) — not
+    re-derive the distinct from two lineitem scans — and end in the
+    top-20 TakeOrderedAndProject merge."""
+    p = plan(spark, "market_basket_pairs")
+    assert p.count("InMemoryTableScan") >= 2, p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_grid_radius_join_is_broadcast_equi_join(spark):
+    """The spatial radius join must be a broadcast EQUI-join on the
+    grid cell keys — the brute-force shape (BroadcastNestedLoopJoin /
+    CartesianProduct on the distance predicate) is what the grid
+    exists to avoid."""
+    p = plan(spark, "geo_grid_radius_join")
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_sparse_tfidf_pairs_no_cartesian_and_cached_weights(spark):
+    """The sparse similarity join must pair documents through the
+    inverted shingle index (equi-join) with the weight frame persisted
+    for its three consumers; a cartesian pairing or a re-derived
+    shingle pipeline would be the 100 TB killer."""
+    p = plan(spark, "sim_sparse_tfidf_pairs")
+    assert "CartesianProduct" not in p
+    assert p.count("InMemoryTableScan") >= 2, p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_null_profile_single_scan_stack(spark):
+    """The column profiler must be ONE scan + ONE aggregate + a stack
+    unpivot — the per-column-union shape re-reads the table once per
+    column (6 scans, caught by the round-5 multi-scan audit)."""
+    import re
+
+    p = plan(spark, "dq_null_profile")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p

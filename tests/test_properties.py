@@ -870,3 +870,131 @@ def test_training_mix_downsamples_only_and_balances(spark):
         assert r["n_target"] == smallest
         if r["n_avail"] == smallest:
             assert r["keep_bp"] == 10000 and r["n_sampled"] == r["n_avail"]
+
+
+# ---------------------------------------------------------------- round-5c ops
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=1, max_size=25
+    ),
+    pois=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=1, max_size=8
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grid_radius_join_equals_bruteforce(spark, pts, pois):
+    """Grid-bucketed candidate generation must lose NO pair vs the
+    brute-force cross join — including points exactly on cell
+    boundaries and at distance exactly = radius (quarter-unit grid
+    offsets hit both edges)."""
+    from pyspark.sql import functions as F
+
+    radius, cell = 5.0, 5.0
+    p = spark.createDataFrame(
+        [(i, a / 4.0, b / 4.0) for i, (a, b) in enumerate(pts)], "pid long, x double, y double"
+    )
+    q = spark.createDataFrame(
+        [(j, a / 4.0, b / 4.0) for j, (a, b) in enumerate(pois)], "qid long, px double, py double"
+    )
+    d2 = (F.col("x") - F.col("px")) * (F.col("x") - F.col("px")) + (
+        F.col("y") - F.col("py")
+    ) * (F.col("y") - F.col("py"))
+    brute = {
+        (r.pid, r.qid)
+        for r in p.crossJoin(q).where(d2 <= radius * radius).select("pid", "qid").collect()
+    }
+    cellc = lambda c: F.floor(c / F.lit(cell)).cast("long")  # noqa: E731
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    pc = p.select("pid", "x", "y", cellc(F.col("x")).alias("cx"), cellc(F.col("y")).alias("cy"))
+    qn = (
+        q.select("qid", "px", "py", cellc(F.col("px")).alias("qcx"), cellc(F.col("py")).alias("qcy"))
+        .select("qid", "px", "py", "qcx", "qcy", off.alias("dx"))
+        .select("qid", "px", "py", (F.col("qcx") + F.col("dx")).alias("cx"), "qcy", off.alias("dy"))
+        .select("qid", "px", "py", "cx", (F.col("qcy") + F.col("dy")).alias("cy"))
+    )
+    grid = {
+        (r.pid, r.qid)
+        for r in pc.join(qn, ["cx", "cy"])
+        .where(d2 <= radius * radius)
+        .select("pid", "qid")
+        .distinct()
+        .collect()
+    }
+    assert grid == brute
+
+
+def test_weighted_median_matches_numpy_definition(spark):
+    """agg_weighted_median's cumulative-weight definition must equal
+    the classic expanded-multiset median (repeat each value w times,
+    take the lower median) on a fixture with ties and skewed weights."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    rows = [
+        ("a", 10.0, 1), ("a", 20.0, 3), ("a", 30.0, 1),
+        ("b", 5.0, 10), ("b", 100.0, 1),
+        ("c", 7.0, 2), ("c", 7.0, 3), ("c", 9.0, 5),  # value tie + exact half split
+    ]
+    df = spark.createDataFrame(rows, "flag string, val double, w int")
+    grp = df.groupBy("flag", "val").agg(F.sum(F.col("w").cast("bigint")).alias("w"))
+    wf = Window.partitionBy("flag")
+    cum = grp.select(
+        "flag", "val",
+        F.sum("w").over(wf.orderBy("val")).alias("cw"),
+        F.sum("w").over(wf).alias("tw"),
+    )
+    got = {
+        r.flag: r.wm
+        for r in cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("val").alias("wm"))
+        .collect()
+    }
+    for flag in ("a", "b", "c"):
+        expanded = np.repeat(
+            [v for f, v, w in rows if f == flag], [w for f, v, w in rows if f == flag]
+        )
+        expanded.sort()
+        lower_median = expanded[(len(expanded) - 1) // 2]
+        assert got[flag] == lower_median, (flag, got[flag], lower_median)
+
+
+def test_rolling_wau_contribution_explode_equals_window_bruteforce(spark):
+    """The contribution-explode WAU must equal the brute-force 'distinct
+    users with activity in [d-6, d]' definition on a fixture with gap
+    days, repeat actives, and single-day users."""
+    from datetime import date, timedelta
+
+    from pyspark.sql import functions as F
+
+    acts = [
+        (1, date(2024, 1, 1)), (1, date(2024, 1, 1)), (1, date(2024, 1, 9)),
+        (2, date(2024, 1, 2)), (2, date(2024, 1, 8)),
+        (3, date(2024, 1, 5)),
+    ]
+    df = spark.createDataFrame(acts, "user_id long, d date")
+    ud = df.distinct()
+    mx = ud.agg(F.max("d").alias("md"))
+    contrib = (
+        ud.select("user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d")
+        .select("user_id", F.date_add("d", F.col("i")).alias("day"))
+        .distinct()
+    )
+    wau = {
+        r.day: r.wau
+        for r in contrib.crossJoin(F.broadcast(mx))
+        .where(F.col("day") <= F.col("md"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .collect()
+    }
+    # brute force in Python
+    days = {d for _, d in acts}
+    lo, hi = min(days), max(days)
+    cur = lo
+    while cur <= hi + timedelta(days=0):
+        expect = len({u for u, d in acts if cur - timedelta(days=6) <= d <= cur})
+        if expect:
+            assert wau.get(cur, 0) == expect, (cur, wau.get(cur), expect)
+        cur += timedelta(days=1)
