@@ -1,0 +1,217 @@
+"""Model-evaluation metrics as distributed relational ops — the
+scoring half of an ML data pipeline: nearest-centroid classification
+and its confusion matrix, computed without ever collecting vectors or
+predictions to the driver.
+
+Determinism contract (policy §7.2): centroids are ROUND(mean, 6) per
+(label, dimension) — the same construction the declared
+sim_label_centroids key hash-verifies; per-vector squared distances
+are a SEQUENTIAL LEFT FOLD over dimensions (F.aggregate ↔ DuckDB
+list_reduce with the same 0.0 seed), so float accumulation order is
+pinned on both engines; distances are rounded to 9 dp and argmin
+ties break on the candidate label (min(struct) — the de-windowed
+map-side-combine form, VERDICT r4 item 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.llm.similarity import _dbl
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+EMB_DIM = 64
+
+
+@register(
+    "ml_confusion_matrix",
+    oracle=f"""
+        WITH cent AS (
+            SELECT label AS cand, i AS pos,
+                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cv
+            FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
+            GROUP BY label, i
+        ),
+        clist AS (SELECT cand, list(cv ORDER BY pos) AS c FROM cent GROUP BY cand),
+        scored AS (
+            SELECT e.vec_id, e.label AS true_label, cl.cand,
+                   ROUND(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, {EMB_DIM + 1}),
+                               i -> (CAST(e.embedding[i] AS DOUBLE) - cl.c[i])
+                                    * (CAST(e.embedding[i] AS DOUBLE) - cl.c[i]))),
+                       (a, b) -> a + b), 9) AS d9
+            FROM embeddings e CROSS JOIN clist cl
+        ),
+        pred AS (
+            SELECT vec_id, true_label, cand AS pred_label
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                               ORDER BY d9, cand) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        ),
+        conf AS (
+            SELECT true_label, pred_label, COUNT(*) AS n
+            FROM pred GROUP BY 1, 2
+        )
+        SELECT true_label, pred_label, n,
+               ROUND(CAST(n AS DOUBLE)
+                     / SUM(n) OVER (PARTITION BY true_label), 6) AS class_share
+        FROM conf
+    """,
+    tags=("ML-eval",),
+)
+def ml_confusion_matrix(spark, sf_dir):
+    """Nearest-centroid classifier confusion matrix: assign every
+    vector to its closest per-label mean embedding, cross-tabulate
+    against the true label, and emit each cell's share of its true
+    class (the diagonal shares are per-class recall).  The evaluation
+    loop of embedding-space labeling — duplicate-domain tagging,
+    quality-tier routing, weak supervision — expressed as two
+    aggregations and one broadcast join.
+
+    100 TB posture: pass 1 reduces the corpus to a 10×{EMB_DIM}
+    centroid table (map-side combined, broadcast back); pass 2 scores
+    each vector against all 10 centroids expression-side (fold over
+    the array — whole-stage codegen, no UDF) and argmins via
+    min(struct) with map-side combine — no window over the ×10
+    expansion, no driver collect; the confusion rollup is a ≤100-row
+    aggregate.  The class-share window runs on the 100-row result."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.select("label", F.posexplode(_dbl()).alias("pos0", "x"))
+        .groupBy("label", "pos0")
+        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("cv"))
+    )
+    cent = cent_rows.groupBy(F.col("label").alias("cand")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda s: s["cv"]
+        ).alias("c")
+    )
+    scored = e.select("vec_id", F.col("label").alias("true_label"), _dbl().alias("v")).crossJoin(
+        F.broadcast(cent)
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pred = (
+        scored.select("vec_id", "true_label", "cand", F.round(d2, 9).alias("d9"))
+        .groupBy("vec_id", "true_label")
+        .agg(F.min(F.struct("d9", "cand")).alias("m"))
+        .select("true_label", F.col("m.cand").alias("pred_label"))
+    )
+    conf = pred.groupBy("true_label", "pred_label").agg(F.count(F.lit(1)).alias("n"))
+    share = F.round(
+        F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("true_label")), 6
+    )
+    return conf.select("true_label", "pred_label", "n", share.alias("class_share"))
+
+
+@register(
+    "ml_auc_one_vs_rest",
+    oracle=f"""
+        WITH cent AS (
+            SELECT label AS cand, i AS pos,
+                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cv
+            FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
+            GROUP BY label, i
+        ),
+        clist AS (SELECT cand, list(cv ORDER BY pos) AS c FROM cent GROUP BY cand),
+        scored AS (
+            SELECT e.vec_id, e.label AS true_label, cl.cand,
+                   ROUND(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, {EMB_DIM + 1}),
+                               i -> (CAST(e.embedding[i] AS DOUBLE) - cl.c[i])
+                                    * (CAST(e.embedding[i] AS DOUBLE) - cl.c[i]))),
+                       (a, b) -> a + b), 9) AS d9
+            FROM embeddings e CROSS JOIN clist cl
+        ),
+        ranked AS (
+            SELECT cand, true_label, d9,
+                   RANK() OVER (PARTITION BY cand ORDER BY d9 DESC) AS rmin,
+                   COUNT(*) OVER (PARTITION BY cand, d9) AS cties
+            FROM scored
+        ),
+        stats AS (
+            SELECT cand AS label,
+                   CAST(SUM(CASE WHEN true_label = cand THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                   CAST(SUM(CASE WHEN true_label = cand THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_neg,
+                   SUM(CASE WHEN true_label = cand
+                            THEN rmin + (cties - 1) / 2.0 ELSE 0.0 END) AS rpos
+            FROM ranked GROUP BY cand
+        )
+        SELECT label, n_pos, n_neg,
+               ROUND((rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+        FROM stats
+    """,
+    tags=("ML-eval",),
+)
+def ml_auc_one_vs_rest(spark, sf_dir):
+    """Exact ROC-AUC per class, one-vs-rest, for the nearest-centroid
+    scorer: AUC computed by the Mann–Whitney rank-sum identity —
+    AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋) with average ranks for ties —
+    so the metric needs ONE sort per class, never the O(n²)
+    pos×neg comparison or a thresholds sweep.  Scores are negated
+    centroid distances (rank ascending by −d ≡ rank descending by d);
+    ranks are exact integers, tie-averaged ranks are exact halves
+    (no float accumulation error below 2⁵³), and the one division is
+    identical IEEE on both engines.
+
+    100 TB posture: rank-sum is THE distributed AUC — one shuffle on
+    the class key, a per-class sort (the unavoidable cost of exact
+    AUC; trade for a binned approximation when classes are huge), and
+    a map-side-combined rollup; the ×|classes| scoring expansion
+    stays expression-side against broadcast centroids, as in
+    ml_confusion_matrix."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.select("label", F.posexplode(_dbl()).alias("pos0", "x"))
+        .groupBy("label", "pos0")
+        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("cv"))
+    )
+    cent = cent_rows.groupBy(F.col("label").alias("cand")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda s: s["cv"]
+        ).alias("c")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        e.select("vec_id", F.col("label").alias("true_label"), _dbl().alias("v"))
+        .crossJoin(F.broadcast(cent))
+        .select("true_label", "cand", F.round(d2, 9).alias("d9"))
+    )
+    ranked = scored.select(
+        "cand",
+        "true_label",
+        F.rank().over(Window.partitionBy("cand").orderBy(F.col("d9").desc())).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("cand", "d9")).alias("cties"),
+    )
+    is_pos = F.col("true_label") == F.col("cand")
+    n_pos = F.sum(F.when(is_pos, 1).otherwise(0)).cast("bigint")
+    n_neg = F.sum(F.when(is_pos, 0).otherwise(1)).cast("bigint")
+    rpos = F.sum(
+        F.when(is_pos, F.col("rmin") + (F.col("cties") - 1) / F.lit(2.0)).otherwise(0.0)
+    )
+    stats = ranked.groupBy(F.col("cand").alias("label")).agg(
+        n_pos.alias("n_pos"), n_neg.alias("n_neg"), rpos.alias("rpos")
+    )
+    auc = F.round(
+        (F.col("rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0))
+        / (F.col("n_pos") * F.col("n_neg")),
+        6,
+    )
+    return stats.select("label", "n_pos", "n_neg", auc.alias("auc"))

@@ -160,6 +160,10 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "dq_benford_deviation",
     "geo_grid_radius_join",
     "ts_seasonal_profile",
+    "ml_confusion_matrix",
+    "ml_auc_one_vs_rest",
+    "stats_poisson_bootstrap_ci",
+    "scan_csv_corrupt_permissive",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
@@ -245,6 +249,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.llm.dedup  # noqa: F401
     import etl_builder_spark.llm.embed_dedup  # noqa: F401
     import etl_builder_spark.llm.embeddings  # noqa: F401
+    import etl_builder_spark.llm.eval_metrics  # noqa: F401
     import etl_builder_spark.llm.fingerprint  # noqa: F401
     import etl_builder_spark.llm.ivf  # noqa: F401
     import etl_builder_spark.llm.langid  # noqa: F401
@@ -274,6 +279,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.skew  # noqa: F401
     import etl_builder_spark.operators.sorts  # noqa: F401
     import etl_builder_spark.operators.spatial  # noqa: F401
+    import etl_builder_spark.operators.stats  # noqa: F401
     import etl_builder_spark.operators.subqueries  # noqa: F401
     import etl_builder_spark.operators.timeseries  # noqa: F401
     import etl_builder_spark.operators.tpch  # noqa: F401

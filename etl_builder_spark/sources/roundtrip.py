@@ -157,3 +157,77 @@ def roundtrip_orc(spark, sf_dir):
     )
     base.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@register(
+    "scan_csv_corrupt_permissive",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_totalprice END
+                   AS o_totalprice,
+               (o_orderkey % 13 = 0) AS is_corrupt
+        FROM orders WHERE o_orderkey < 5000
+    """,
+    tags=("A3-corrupt",),
+)
+def scan_csv_corrupt_permissive(spark, sf_dir):
+    """Malformed-input ingest — the PERMISSIVE contract every raw-file
+    pipeline depends on: a CSV with deliberately corrupted rows (every
+    13th key's price replaced by an unparseable token) is read with an
+    explicit schema + ``columnNameOfCorruptRecord``; unparseable
+    FIELDS become NULL, parseable fields of the same row survive, and
+    the raw line lands in the corrupt-record column for quarantine —
+    one bad cell never kills the job (FAILFAST) or silently drops the
+    row (DROPMALFORMED).  The oracle predicts the exact surviving
+    values from the injection rule, so the hash check pins the
+    permissive semantics themselves.
+
+    100 TB posture: corruption handling must be row-local — PERMISSIVE
+    parsing is embarrassingly parallel, needs no repair pass, and the
+    is_corrupt flag routes rows to quarantine in the SAME scan
+    (dq_quarantine_split is the downstream half).  An explicit schema
+    is non-negotiable at scale: inferSchema is a full extra read, and
+    a drifting inferred type silently corrupts every later batch."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    corrupt_price = F.when(
+        F.col("o_orderkey") % 13 == 0,
+        F.concat(F.lit("corrupt#"), F.col("o_orderkey").cast("string")),
+    ).otherwise(F.col("o_totalprice").cast("string"))
+    lines = base.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            corrupt_price,
+        ).alias("value")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "etl_builder_spark_corruptcsv",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    lines.write.mode("overwrite").text(root)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(root)
+    )
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
