@@ -1226,3 +1226,122 @@ def ts_seasonal_profile(spark, sf_dir):
         "total_value",
         F.round(F.col("n_events").cast("double") / F.col("t"), 6).alias("traffic_share"),
     )
+
+
+@register(
+    "ts_twap_hourly",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, value, ts,
+                   LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id) AS next_us,
+                   epoch_us(ts) AS us
+            FROM events
+        ),
+        spans AS (
+            SELECT event_type,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS vc,
+                   next_us - us AS w
+            FROM seq WHERE next_us IS NOT NULL AND next_us > us
+        )
+        SELECT event_type,
+               COUNT(*) AS n_spans,
+               ROUND(CAST(SUM(vc * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0, 6)
+                   AS twap,
+               CAST(SUM(w) AS BIGINT) AS total_us
+        FROM spans GROUP BY event_type
+    """,
+    tags=("TS-twap",),
+)
+def ts_twap_hourly(spark, sf_dir):
+    """Time-weighted average value (TWAP) per event series: each
+    observation holds until the next one, so its weight is the exact
+    µs span to the successor (zero-length spans and the open last
+    observation are excluded) — the standard correction when readings
+    arrive irregularly and a plain AVG over-weights bursts.  Weights
+    are exact integers and values exact decimals, so SUM(v·w) is an
+    order-free exact decimal and the single division is identical
+    IEEE on both engines (policy §7.2).
+
+    100 TB posture: one LEAD window and the rollup share the series-
+    key partitioning — one exchange + per-series sort, then map-side-
+    combined aggregation; the same shape computes time-in-state /
+    uptime weighting (weight by span per state).  A hot series is the
+    usual window-skew case (split by calendar bucket if one series
+    dominates)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = e.select(
+        "event_type",
+        # value in exact integer CENTS: keeps every sum at DECIMAL
+        # scale 0, where both engines' decimal→double casts are a
+        # single correctly-rounded conversion (a DECIMAL(38,2) sum
+        # past 2^53 casts differently — DuckDB divides after an
+        # integer→double rounding)
+        (money("value") * 100).cast("decimal(38,0)").alias("vc"),
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    )
+    spans = seq.where(F.col("next_us").isNotNull() & (F.col("next_us") > F.col("us"))).select(
+        "event_type", "vc", (F.col("next_us") - F.col("us")).alias("w")
+    )
+    return spans.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.round(
+            F.sum(F.col("vc") * F.col("w")).cast("double")
+            / F.sum("w").cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("twap"),
+        F.sum("w").cast("bigint").alias("total_us"),
+    )
+
+
+@register(
+    "ts_gap_outages",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, ts,
+                   LEAD(ts) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS next_ts
+            FROM events
+        )
+        SELECT event_type,
+               ts AS gap_start,
+               next_ts AS gap_end,
+               CAST(epoch_us(next_ts) - epoch_us(ts) AS DOUBLE) / 60000000.0
+                   AS gap_minutes
+        FROM seq
+        WHERE next_ts IS NOT NULL
+          AND epoch_us(next_ts) - epoch_us(ts) > 7200000000
+    """,
+    tags=("TS-outage",),
+)
+def ts_gap_outages(spark, sf_dir):
+    """Dead-feed detector: silent windows longer than 2 hours inside
+    each event stream, reported as (start, end, duration) — the
+    HISTORICAL outage census that complements dq_freshness_sla's
+    is-it-stale-now check (a feed can be fresh today yet have dropped
+    hours last week; backfill planning needs the windows themselves).
+    One LEAD over the per-series order turns gap detection into a
+    row-local predicate; the threshold compares exact epoch-µs.
+
+    100 TB posture: one exchange on the series key + per-series sort,
+    no state, no self-join; on a date-partitioned layout the scan
+    prunes to the audit window.  Per-series outage lists are tiny by
+    construction (they are failures, not traffic)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select("event_type", "ts", F.lead("ts").over(w).alias("next_ts"))
+    gap_us = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    return seq.where(F.col("next_ts").isNotNull() & (gap_us > 7_200_000_000)).select(
+        "event_type",
+        F.col("ts").alias("gap_start"),
+        F.col("next_ts").alias("gap_end"),
+        (gap_us.cast("double") / F.lit(60000000.0)).alias("gap_minutes"),
+    )

@@ -164,6 +164,9 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ml_auc_one_vs_rest",
     "stats_poisson_bootstrap_ci",
     "scan_csv_corrupt_permissive",
+    "udf_map_in_arrow",
+    "ts_twap_hourly",
+    "ts_gap_outages",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",

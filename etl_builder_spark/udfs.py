@@ -118,3 +118,56 @@ def udf_grouped_map(spark, sf_dir):
     return e.groupBy("user_id").applyInPandas(
         _normalize_group, "event_id bigint, user_id bigint, z_value double"
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+        SELECT doc_id,
+               length(text) AS n_chars_utf8,
+               strlen(text) AS n_bytes,
+               upper(substr(text, 1, 8)) AS head_upper
+        FROM documents
+    """,
+    tags=("K-arrow",),
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """The Arrow-NATIVE UDF seam: ``mapInArrow`` hands Python raw
+    ``pyarrow.RecordBatch``es — no pandas materialization, no
+    object-dtype conversion — and takes RecordBatches back.  This is
+    the lowest-overhead Python hook the engine exposes (pandas UDFs
+    add a to_pandas/from_pandas hop on top of it), the right seam for
+    libraries that already speak Arrow (tokenizers, polars,
+    DuckDB-in-executor, model runtimes with Arrow inputs).  The body
+    runs entirely in pyarrow.compute kernels (C++, zero-copy).
+
+    100 TB posture: identical to every *InPandas seam — Arrow batches
+    stream per partition, Python parallelism = executor cores, no
+    driver involvement; schema is declared up front so Catalyst plans
+    around an opaque but typed map.  The oracle recomputes the
+    kernels' semantics (UTF-8 char vs byte length, ASCII upper) in
+    SQL, putting the Arrow round trip itself under the hash check."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def arrow_stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.utf8_upper(pc.utf8_slice_codeunits(text, 0, 8)),
+                ],
+                names=["doc_id", "n_chars_utf8", "n_bytes", "head_upper"],
+            )
+
+    return d.mapInArrow(
+        arrow_stats, "doc_id long, n_chars_utf8 long, n_bytes long, head_upper string"
+    )
