@@ -393,3 +393,69 @@ def multimodal_audio_stats(spark, sf_dir):
 
     schema = "asset_id long, n_samples long, rate int, duration_ms double, peak long, rms double"
     return d.mapInPandas(roundtrip, schema)
+
+
+@register(
+    "multimodal_bmp_decode",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               CAST(doc_id % 8 + 1 AS INT) AS width,
+               CAST(doc_id % 4 + 1 AS INT) AS height,
+               CAST(doc_id * 11 % 256 AS BIGINT) AS mean_r,
+               CAST(doc_id * 17 % 256 AS BIGINT) AS mean_g,
+               CAST(doc_id * 23 % 256 AS BIGINT) AS mean_b,
+               CAST((doc_id % 8 + 1) * (doc_id % 4 + 1) * 3 + 54
+                    + ((4 - ((doc_id % 8 + 1) * 3) % 4) % 4) * (doc_id % 4 + 1)
+                    AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    tags=("I-bmp",),
+)
+def multimodal_bmp_decode(spark, sf_dir):
+    """24-bit BMP round trip — the second real image codec (the PPM
+    path is multimodal_decode_meta): constant-color payloads with
+    dims/channels closed-form in doc_id are ENCODED by the pure-numpy
+    BMP writer (BITMAPINFOHEADER, bottom-up rows, BGR order, 4-byte
+    row padding) and DECODED back inside mapInPandas; the emitted
+    stats — dims, exact per-channel means, and the container byte
+    size INCLUDING the header and row padding — are all predicted
+    symbolically by the oracle, so hash equality proves the format
+    round trip (padding math and channel order included) is lossless.
+
+    100 TB posture: identical Arrow seam as the other codecs —
+    payloads never leave executors, Python sees columnar batches; the
+    padding-size check matters operationally (it is the on-disk
+    bytes-per-asset a capacity plan multiplies out)."""
+    from etl_builder_spark.llm.codecs import decode_bmp, encode_bmp
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("asset_id", "width", "height", "mean_r", "mean_g", "mean_b", "n_bytes")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 8 + 1, did % 4 + 1
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = (did * 11) % 256
+                px[:, :, 1] = (did * 17) % 256
+                px[:, :, 2] = (did * 23) % 256
+                payload = encode_bmp(px)
+                dec = decode_bmp(payload).astype(np.int64)
+                n = dec.shape[0] * dec.shape[1]
+                out["asset_id"].append(did)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["mean_r"].append(int(dec[:, :, 0].sum()) // n)
+                out["mean_g"].append(int(dec[:, :, 1].sum()) // n)
+                out["mean_b"].append(int(dec[:, :, 2].sum()) // n)
+                out["n_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "asset_id long, width int, height int, "
+        "mean_r long, mean_g long, mean_b long, n_bytes long"
+    )
+    return d.mapInPandas(roundtrip, schema)

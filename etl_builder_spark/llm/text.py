@@ -872,3 +872,59 @@ def text_readability_flesch(spark, sf_dir):
         - F.lit(84.6) * (F.col("n_vowel_groups").cast("double") / F.col("n_words"))
     )
     return base.select("*", F.round(score, 6).alias("flesch_score"))
+
+
+@register(
+    "text_html_strip",
+    oracle="""
+        WITH wrapped AS (
+            SELECT doc_id, text,
+                   '<p id="d' || CAST(doc_id AS VARCHAR) || '"><b>'
+                       || regexp_replace(text, ' ', '</b> <b>', 'g')
+                       || '</b></p>' AS html
+            FROM documents
+        )
+        SELECT doc_id,
+               strlen(html) AS n_html_bytes,
+               trim(regexp_replace(regexp_replace(html, '<[^>]*>', '', 'g'),
+                    ' +', ' ', 'g')) AS cleaned,
+               (trim(regexp_replace(regexp_replace(html, '<[^>]*>', '', 'g'),
+                    ' +', ' ', 'g')) = text) AS roundtrip_ok
+        FROM wrapped
+    """,
+    tags=("I-html-strip",),
+)
+def text_html_strip(spark, sf_dir):
+    """HTML boilerplate stripping — the first operator every web-crawl
+    curation pipeline runs: markup is removed with the tag regexp
+    (``<[^>]*>``), whitespace re-collapsed, and the result compared
+    against the pre-markup ground truth.  The corpus has no HTML, so
+    both engines WRAP each document in deterministic markup first
+    (a div/bold structure derived from the doc itself) — making the
+    strip verifiable: ``roundtrip_ok`` must be universally true, and
+    the oracle checks the cleaned TEXT value byte-for-byte, not just
+    a length.
+
+    100 TB posture: expression-only regexp work inside whole-stage
+    codegen — embarrassingly parallel, no UDF, no DOM parse (a real
+    HTML5 parser is the Arrow-UDF escape hatch when crawl data needs
+    entity/script handling; the regexp tier is the cheap first pass
+    that handles the bulk)."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<p id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><b>'),
+        F.regexp_replace("text", " ", "</b> <b>"),
+        F.lit("</b></p>"),
+    )
+    wrapped = d.select("doc_id", "text", html.alias("html"))
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace("html", "<[^>]*>", ""), " +", " ")
+    )
+    return wrapped.select(
+        "doc_id",
+        F.octet_length("html").alias("n_html_bytes"),
+        cleaned.alias("cleaned"),
+        (cleaned == F.col("text")).alias("roundtrip_ok"),
+    )

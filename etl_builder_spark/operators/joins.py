@@ -347,3 +347,113 @@ def join_latest_dim_snapshot(spark, sf_dir):
         F.col("o_orderpriority").alias("latest_priority"),
         F.col("o_totalprice").alias("latest_totalprice"),
     )
+
+
+@register(
+    "join_temporal_overlap_pairs",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events WHERE user_id < 50
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS seq
+            FROM ordered
+        ),
+        iv AS (
+            SELECT user_id, seq,
+                   epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+            FROM sess GROUP BY user_id, seq
+        )
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               COUNT(*) AS n_overlaps
+        FROM iv a JOIN iv b
+          ON a.user_id < b.user_id
+         AND a.s_us < b.e_us AND b.s_us < a.e_us
+        GROUP BY 1, 2
+    """,
+    tags=("C-overlap",),
+)
+def join_temporal_overlap_pairs(spark, sf_dir):
+    """Interval-OVERLAP join: pairs of sessions (different users) that
+    were live at the same time — concurrency analysis, co-presence
+    detection, double-billing audits.  Distinct from the
+    point-in-interval family (C9): BOTH sides are intervals and the
+    predicate is symmetric overlap (a.start < b.end ∧ b.start <
+    a.end), which no equi-join expresses directly.  The scale shape:
+    explode each interval into the HOUR buckets it spans, equi-join
+    on the bucket, dedup pair candidates, verify exact overlap — the
+    same bucket-then-verify contract as join_interval_bucketed and
+    the grid spatial join, with candidates bounded by per-bucket
+    concurrency instead of |A|·|B|.  The oracle runs the quadratic
+    brute force on a bounded user slice, so hash equality proves the
+    bucketed rewrite loses no pair (zero-length single-event sessions
+    overlap nothing under the strict inequalities — deterministic on
+    both engines).
+
+    100 TB posture: one sessionize pass (user-key window), one
+    explode bounded by session length / bucket width, one equi-join
+    shuffle on the bucket key; a pathological always-on session spans
+    many buckets — cap session length or widen buckets (the classic
+    interval-join granularity tradeoff, documented at
+    operators/asof.py)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_start = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        is_start.alias("is_start"),
+    ).select(
+        "user_id",
+        "ts",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("seq"),
+    )
+    iv = (
+        sess.groupBy("user_id", "seq")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+        .persist()  # both sides of the bucketed self-join
+    )
+    hour_us = 3_600_000_000
+    buck = iv.select(
+        "user_id",
+        "seq",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(F.floor(F.col("s_us") / hour_us), F.floor(F.col("e_us") / hour_us))
+        ).alias("bucket"),
+    )
+    a, b = buck.alias("a"), buck.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .where((F.col("a.s_us") < F.col("b.e_us")) & (F.col("b.s_us") < F.col("a.e_us")))
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.seq").alias("seq_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.seq").alias("seq_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("user_a", "user_b").agg(F.count(F.lit(1)).alias("n_overlaps"))

@@ -1345,3 +1345,74 @@ def ts_gap_outages(spark, sf_dir):
         F.col("next_ts").alias("gap_end"),
         (gap_us.cast("double") / F.lit(60000000.0)).alias("gap_minutes"),
     )
+
+
+@register(
+    "ts_weekly_churn",
+    oracle="""
+        WITH uw AS (
+            SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk, user_id
+            FROM events
+        ),
+        mx AS (SELECT MAX(wk) AS mw FROM uw),
+        paired AS (
+            SELECT a.wk, a.user_id, (b.user_id IS NOT NULL) AS retained
+            FROM uw a
+            LEFT JOIN uw b
+              ON b.user_id = a.user_id
+             AND b.wk = CAST(a.wk + INTERVAL 7 DAY AS DATE)
+        )
+        SELECT p.wk,
+               COUNT(*) AS n_active,
+               CAST(SUM(CASE WHEN retained THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(COUNT(*) - SUM(CASE WHEN retained THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_churned,
+               ROUND(CAST(COUNT(*) - SUM(CASE WHEN retained THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS churn_rate
+        FROM paired p CROSS JOIN mx
+        WHERE p.wk < mx.mw
+        GROUP BY p.wk
+    """,
+    tags=("TS-churn",),
+)
+def ts_weekly_churn(spark, sf_dir):
+    """Calendar-period churn: of the users active in week W, how many
+    are absent in week W+1 — the period-over-period complement of
+    cohort retention (cohort_weekly_retention follows a signup class
+    forever; churn compares ADJACENT calendar periods over whoever
+    was active).  A self-join of the deduplicated (user, week) frame
+    against itself shifted one week answers membership; the final
+    week is excluded (its successor is unobserved, not churned).
+
+    100 TB posture: the (user, week) distinct collapses the stream
+    first; the shifted self-join is user-keyed (both sides from ONE
+    persisted frame — same partitioning, no second derivation), and
+    the rollup carries ≤ |weeks| rows per mapper.  Incremental form:
+    yesterday's frame + today's batch, same join."""
+    e = load_table(spark, sf_dir, "events")
+    uw = (
+        e.select(F.date_trunc("week", "ts").cast("date").alias("wk"), "user_id")
+        .distinct()
+        .persist()
+    )
+    mx = uw.agg(F.max("wk").alias("mw"))
+    a, b = uw.alias("a"), uw.alias("b")
+    paired = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.wk") == F.date_add(F.col("a.wk"), 7)),
+        "left",
+    ).select(F.col("a.wk").alias("wk"), F.col("b.user_id").isNotNull().alias("retained"))
+    n_ret = F.sum(F.when(F.col("retained"), 1).otherwise(0))
+    n_act = F.count(F.lit(1))
+    return (
+        paired.crossJoin(F.broadcast(mx))
+        .where(F.col("wk") < F.col("mw"))
+        .groupBy("wk")
+        .agg(
+            n_act.alias("n_active"),
+            n_ret.cast("bigint").alias("n_retained"),
+            (n_act - n_ret).cast("bigint").alias("n_churned"),
+            F.round((n_act - n_ret).cast("double") / n_act, 6).alias("churn_rate"),
+        )
+    )

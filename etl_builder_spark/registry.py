@@ -167,6 +167,10 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "udf_map_in_arrow",
     "ts_twap_hourly",
     "ts_gap_outages",
+    "text_html_strip",
+    "ts_weekly_churn",
+    "join_temporal_overlap_pairs",
+    "multimodal_bmp_decode",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",

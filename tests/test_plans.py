@@ -566,3 +566,30 @@ def test_null_profile_single_scan_stack(spark):
 
     p = plan(spark, "dq_null_profile")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_plan_digest_counts_real_scans_not_cache_reprints(spark):
+    """plans/audit.py: the digest must count actual scan NODES —
+    dq_null_profile is exactly one scan; market_basket_pairs reads
+    lineitem once and reuses the cached distinct twice; and the
+    forbidden-node detector must fire on a genuine cartesian."""
+    from etl_builder_spark.plans.audit import assert_scan_budget, plan_digest
+
+    d1 = assert_scan_budget(
+        REGISTRY["dq_null_profile"].fn(spark, SF_DIR), max_scans_per_source=1
+    )
+    assert d1["scans"] == {"orders.parquet": 1}, d1
+
+    d2 = plan_digest(REGISTRY["market_basket_pairs"].fn(spark, SF_DIR))
+    assert d2["scans"].get("lineitem.parquet", 0) <= 1, d2
+    assert d2["n_cached_reads"] >= 2, d2
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny ranges broadcast by default (BNLJ); disabling broadcast
+        # forces the genuine CartesianProduct the detector must flag
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        naughty = spark.range(3).crossJoin(spark.range(3, 6))
+        assert plan_digest(naughty)["forbidden"] == ["CartesianProduct"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
