@@ -215,3 +215,76 @@ def ml_auc_one_vs_rest(spark, sf_dir):
         6,
     )
     return stats.select("label", "n_pos", "n_neg", auc.alias("auc"))
+
+
+@register(
+    "ml_user_features_asof",
+    oracle="""
+        WITH ref AS (SELECT MAX(ts) AS cutoff FROM events),
+        feats AS (
+            SELECT user_id,
+                   COUNT(*) AS n_events_total,
+                   CAST(COUNT(*) FILTER (WHERE epoch_us(cutoff) - epoch_us(ts)
+                                               < 7 * 86400000000) AS BIGINT)
+                       AS n_events_7d,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (
+                        WHERE event_type = 'purchase'
+                          AND epoch_us(cutoff) - epoch_us(ts) < 7 * 86400000000)
+                        AS DOUBLE) AS spend_7d,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (
+                        WHERE event_type = 'purchase'
+                          AND epoch_us(cutoff) - epoch_us(ts) < 28 * 86400000000)
+                        AS DOUBLE) AS spend_28d,
+                   CAST(MIN(epoch_us(cutoff) - epoch_us(ts)) AS DOUBLE)
+                       / 86400000000.0 AS days_since_last
+            FROM events CROSS JOIN ref
+            GROUP BY user_id
+        )
+        SELECT user_id, n_events_total, n_events_7d,
+               COALESCE(spend_7d, 0.0) AS spend_7d,
+               COALESCE(spend_28d, 0.0) AS spend_28d,
+               days_since_last
+        FROM feats
+    """,
+    tags=("ML-features",),
+)
+def ml_user_features_asof(spark, sf_dir):
+    """Point-in-time feature building — the feature-store batch job:
+    per-user trailing-window aggregates (7-day activity, 7/28-day
+    purchase spend, recency) AS OF a training cutoff, all windows
+    anchored to the same cutoff so no feature leaks future data (the
+    temporal-correctness rule cdc_point_in_time_join enforces for
+    dimension attributes, applied to aggregates).  Every trailing
+    window is a conditional aggregate against the broadcast cutoff —
+    ONE scan produces the whole feature matrix, however many windows
+    are attached (same one-pass contract as quality.py's audit).
+
+    100 TB posture: one hash aggregation on user_id with map-side
+    combine; window predicates are exact µs arithmetic pushed inside
+    the aggregate, so adding features never adds scans; recency is a
+    MIN, spends exact DECIMAL (policy §7.2).  The cutoff is the
+    corpus high-water mark so the oracle can mirror it; production
+    passes the training-run timestamp."""
+    e = load_table(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("cutoff"))
+    age_us = F.unix_micros(F.col("cutoff")) - F.unix_micros(F.col("ts"))
+    day_us = 86_400_000_000
+    is_purchase = F.col("event_type") == "purchase"
+    from etl_builder_spark.policy import money
+
+    spend = lambda days: F.coalesce(  # noqa: E731
+        F.sum(F.when(is_purchase & (age_us < days * day_us), money("value")))
+        .cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_total"),
+            F.count(F.when(age_us < 7 * day_us, F.lit(1))).alias("n_events_7d"),
+            spend(7).alias("spend_7d"),
+            spend(28).alias("spend_28d"),
+            (F.min(age_us).cast("double") / F.lit(86400000000.0)).alias("days_since_last"),
+        )
+    )

@@ -205,3 +205,49 @@ def pipeline_training_mix(spark, sf_dir):
         "keep_bp",
         F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
     )
+
+
+@register(
+    "sample_negative_pairs",
+    oracle="""
+        WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        pairs AS (
+            SELECT d.doc_id AS anchor_id,
+                   (d.doc_id * 2654435761 + k * 40503) % n.n_docs AS neg_id,
+                   CAST(k AS INT) AS k
+            FROM documents d
+            CROSS JOIN n
+            CROSS JOIN unnest(range(0, 4)) AS t(k)
+        )
+        SELECT anchor_id, k, neg_id
+        FROM pairs
+        WHERE neg_id <> anchor_id
+    """,
+    tags=("I-negatives",),
+)
+def sample_negative_pairs(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each
+    anchor document gets 4 pseudo-random negatives via multiplicative
+    hashing over the id space (Knuth/LCG constants), self-pairs
+    dropped — the (anchor, negative) pair table a contrastive or
+    reranker trainer consumes.  Hash-based negatives are the
+    production form: reproducible across runs and engines (the
+    oracle replays the arithmetic exactly), no sampling pass, no
+    state, and resampling epoch e is just adding e to the hash input.
+
+    100 TB posture: ZERO shuffles — a ×k expression explode and a
+    modular multiply per row; the id-space modulus comes from a
+    broadcast 1-row count.  (By-id negatives assume a dense id space;
+    with sparse keys, hash into a row-number index first — one extra
+    zipWithIndex-style pass.)"""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    k = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
+    pairs = d.crossJoin(F.broadcast(n)).select(
+        F.col("doc_id").alias("anchor_id"), F.col("n_docs"), k
+    )
+    neg = (F.col("anchor_id") * F.lit(2654435761) + F.col("k") * F.lit(40503)) % F.col("n_docs")
+    return (
+        pairs.select("anchor_id", F.col("k").cast("int").alias("k"), neg.alias("neg_id"))
+        .where(F.col("neg_id") != F.col("anchor_id"))
+    )

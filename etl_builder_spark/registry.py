@@ -171,6 +171,9 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ts_weekly_churn",
     "join_temporal_overlap_pairs",
     "multimodal_bmp_decode",
+    "agg_bucketed_no_shuffle",
+    "sample_negative_pairs",
+    "ml_user_features_asof",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",

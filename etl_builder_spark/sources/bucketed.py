@@ -116,3 +116,44 @@ def join_bucketed_colocated(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "agg_bucketed_no_shuffle",
+    oracle="""
+        SELECT l_orderkey,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS total_revenue
+        FROM lineitem
+        GROUP BY l_orderkey
+    """,
+    tags=("A-bucketed-agg",),
+)
+def agg_bucketed_no_shuffle(spark, sf_dir):
+    """Aggregation WITHOUT a shuffle: grouping the bucketed lineitem
+    table on its bucket key — the layout already hash-distributes
+    rows by l_orderkey, so Catalyst recognizes the required
+    distribution is satisfied and plans a single-phase HashAggregate
+    with ZERO exchanges (plan-asserted in tests/test_plans.py, the
+    aggregation twin of join_bucketed_colocated's exchange-free SMJ).
+
+    100 TB posture: this is THE reason fact tables get bucketed by
+    their natural aggregation/join key — every per-order rollup and
+    every orderkey join skips its exchange forever, paid for by one
+    shuffle at write time.  Values are layout-invariant, so the
+    oracle aggregates the plain single-file table."""
+    tl, _ = staged_bucketed_tables(spark, sf_dir)
+    return (
+        spark.table(tl)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(money("l_extendedprice")).cast("double").alias("total_price"),
+            F.sum(money("l_extendedprice") * (F.lit(1) - money("l_discount")))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+    )

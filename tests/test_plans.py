@@ -593,3 +593,13 @@ def test_plan_digest_counts_real_scans_not_cache_reprints(spark):
         assert plan_digest(naughty)["forbidden"] == ["CartesianProduct"]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_bucketed_agg_plans_zero_exchanges(spark):
+    """agg_bucketed_no_shuffle: grouping the bucketed table on its
+    bucket key must satisfy the aggregate's required distribution from
+    the LAYOUT — zero Exchange nodes anywhere in the plan."""
+    from etl_builder_spark.plans.audit import plan_digest
+
+    d = plan_digest(REGISTRY["agg_bucketed_no_shuffle"].fn(spark, SF_DIR))
+    assert d["n_exchanges"] == 0, d
