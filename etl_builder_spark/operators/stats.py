@@ -154,3 +154,180 @@ def stats_poisson_bootstrap_ci(spark, sf_dir):
         F.round(F.col("est") - 1.96 * se, 6).alias("ci_lo"),
         F.round(F.col("est") + 1.96 * se, 6).alias("ci_hi"),
     )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+        WITH vals AS (
+            SELECT o_totalprice AS v,
+                   CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END AS is_a
+            FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        ),
+        per_val AS (
+            SELECT v,
+                   CAST(SUM(is_a) AS BIGINT) AS na,
+                   CAST(SUM(1 - is_a) AS BIGINT) AS nb
+            FROM vals GROUP BY v
+        ),
+        cum AS (
+            SELECT v,
+                   SUM(na) OVER (ORDER BY v) AS ca,
+                   SUM(nb) OVER (ORDER BY v) AS cb
+            FROM per_val
+        ),
+        tot AS (
+            SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+            FROM per_val
+        ),
+        diffs AS (
+            SELECT v, abs(ca * tb - cb * ta) AS dnum
+            FROM cum CROSS JOIN tot
+        ),
+        m AS (SELECT MAX(dnum) AS md FROM diffs)
+        SELECT t.ta AS n_a, t.tb AS n_b,
+               CAST(m.md AS DOUBLE) / (t.ta * t.tb) AS d_stat,
+               (SELECT MIN(v) FROM diffs WHERE dnum = m.md) AS d_location
+        FROM tot t CROSS JOIN m
+    """,
+    tags=("STATS-ks",),
+)
+def stats_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic between the 1995 and
+    1996 order-total distributions — the standard nonparametric
+    did-the-distribution-shift test (the hypothesis-testing companion
+    to dq_distribution_drift's PSI monitor).  EXACT by construction:
+    ECDF differences are compared as INTEGER cross-products
+    (|ca·n_b − cb·n_a|), so the supremum and its location involve no
+    float comparison at all; the single division at the end is
+    identical IEEE on both engines.
+
+    100 TB posture: one hash aggregation onto distinct values (ties
+    merged — this also makes the ECDF step function well-defined),
+    one global sort of the DISTINCT-value frame for the running sums
+    (|values|, not |rows| — same bounded-window argument as
+    vocab_top_tokens), then 1-row reductions over the persisted diff
+    frame (max + argmin location — two consumers, one derivation)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.year("o_orderdate").isin(1995, 1996))
+    is_a = F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)
+    per_val = (
+        o.select(F.col("o_totalprice").alias("v"), is_a.alias("is_a"))
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").cast("bigint").alias("na"),
+            F.sum(1 - F.col("is_a")).cast("bigint").alias("nb"),
+        )
+        .persist()
+    )
+    tot = per_val.agg(
+        F.sum("na").cast("bigint").alias("ta"), F.sum("nb").cast("bigint").alias("tb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_val.select(
+        "v", F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    )
+    diffs = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")).alias("dnum"),
+            "ta",
+            "tb",
+        )
+        .persist()
+    )
+    m = diffs.agg(F.max("dnum").alias("md"))
+    loc = (
+        diffs.join(F.broadcast(m), F.col("dnum") == F.col("md"))
+        .agg(F.min("v").alias("d_location"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(loc))
+        .select(
+            F.col("ta").alias("n_a"),
+            F.col("tb").alias("n_b"),
+            (F.col("md").cast("double") / (F.col("ta") * F.col("tb"))).alias("d_stat"),
+            "d_location",
+        )
+    )
+
+
+@register(
+    "stats_chi_square_independence",
+    oracle="""
+        WITH cells AS (
+            SELECT o_orderpriority AS r, o_orderstatus AS c,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        rt AS (SELECT r, CAST(SUM(n) AS BIGINT) AS nr FROM cells GROUP BY r),
+        ct AS (SELECT c, CAST(SUM(n) AS BIGINT) AS nc FROM cells GROUP BY c),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells),
+        terms AS (
+            SELECT cells.n, rt.nr, ct.nc, tot.nt,
+                   CAST(ROUND(
+                       (cells.n - CAST(rt.nr AS DOUBLE) * ct.nc / tot.nt)
+                       * (cells.n - CAST(rt.nr AS DOUBLE) * ct.nc / tot.nt)
+                       / (CAST(rt.nr AS DOUBLE) * ct.nc / tot.nt), 9)
+                       AS DECIMAL(28,9)) AS term
+            FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+        )
+        SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+               (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM rt)
+                   * (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM ct) AS dof,
+               COUNT(*) AS n_cells,
+               MIN(nt) AS n_total
+        FROM terms
+    """,
+    tags=("STATS-chi2",),
+)
+def stats_chi_square_independence(spark, sf_dir):
+    """Chi-square test of independence over the (order priority ×
+    order status) contingency table — the categorical-association
+    screen (are priorities assigned independently of status?).
+    Expected counts are exact-integer products divided once in
+    double; per-cell terms are rounded to 9 dp and summed as DECIMAL
+    so the statistic is order-free (policy §7.2).
+
+    100 TB posture: the contingency table is ONE hash aggregation
+    (map-side combined, ≤ |R|·|C| rows); margins derive from the
+    persisted cell frame — no second source scan — and everything
+    after is arithmetic on a tiny frame.  This is the audit shape
+    for any pair of low-cardinality columns."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    rt = cells.groupBy("r").agg(F.sum("n").cast("bigint").alias("nr"))
+    ct = cells.groupBy("c").agg(F.sum("n").cast("bigint").alias("nc"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nt"))
+    e = F.col("nr").cast("double") * F.col("nc") / F.col("nt")
+    term = F.round((F.col("n") - e) * (F.col("n") - e) / e, 9).cast("decimal(28,9)")
+    terms = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term"), "nt")
+    )
+    nr_cnt = rt.agg(F.count(F.lit(1)).alias("n_r"))
+    nc_cnt = ct.agg(F.count(F.lit(1)).alias("n_c"))
+    return (
+        terms.agg(
+            F.round(F.sum("term").cast("double"), 6).alias("chi2"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min("nt").alias("n_total"),
+        )
+        .crossJoin(F.broadcast(nr_cnt))
+        .crossJoin(F.broadcast(nc_cnt))
+        .select(
+            "chi2",
+            ((F.col("n_r") - 1) * (F.col("n_c") - 1)).cast("bigint").alias("dof"),
+            "n_cells",
+            "n_total",
+        )
+    )

@@ -755,3 +755,118 @@ def dq_benford_deviation(spark, sf_dir):
         expr.alias("benford_p"),
         F.round(F.abs(observed - expr), 6).alias("abs_dev"),
     )
+
+
+@register(
+    "dq_referential_coverage",
+    oracle="""
+        WITH li AS (
+            SELECT COUNT(*) AS n_child,
+                   COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS orph_ord,
+                   COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS orph_part,
+                   COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS orph_supp
+            FROM lineitem l
+            LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+            LEFT JOIN part p ON p.p_partkey = l.l_partkey
+            LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        ),
+        oc AS (
+            SELECT COUNT(*) AS n_child,
+                   COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS orph
+            FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        )
+        SELECT 'lineitem.l_orderkey->orders' AS fk, n_child,
+               CAST(orph_ord AS BIGINT) AS n_orphans,
+               ROUND(1.0 - CAST(orph_ord AS DOUBLE) / n_child, 6) AS coverage
+        FROM li
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part', n_child,
+               CAST(orph_part AS BIGINT),
+               ROUND(1.0 - CAST(orph_part AS DOUBLE) / n_child, 6) FROM li
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier', n_child,
+               CAST(orph_supp AS BIGINT),
+               ROUND(1.0 - CAST(orph_supp AS DOUBLE) / n_child, 6) FROM li
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', n_child,
+               CAST(orph AS BIGINT),
+               ROUND(1.0 - CAST(orph AS DOUBLE) / n_child, 6) FROM oc
+    """,
+    tags=("DQ-referential",),
+)
+def dq_referential_coverage(spark, sf_dir):
+    """Referential-coverage matrix: every foreign key in the star
+    audited at once — child rows, orphan rows, coverage fraction —
+    the one-report answer to "is the warehouse internally
+    consistent?" (dq_orphans_lineitem lists one FK's offenders; this
+    is the summary across all FKs a publish gate thresholds on).
+
+    One pass per CHILD table regardless of FK count: all of
+    lineitem's parents attach as left joins to the same scan and each
+    FK's orphan count is a conditional aggregate (the quality.py
+    one-scan audit contract); the wide row unpivots via stack — not
+    a per-FK union re-scanning the child (the anti-pattern the
+    round-5 multi-scan audit hunts).
+
+    100 TB posture: parents join broadcast where they fit
+    (part/supplier/customer dims) and shuffle otherwise
+    (orders←lineitem — the unavoidable fact-fact check, bucketable by
+    orderkey per A4c); orphan counting adds nothing beyond the joins
+    themselves."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li = (
+        l.join(
+            o.select(F.col("o_orderkey").alias("po")),
+            F.col("po") == F.col("l_orderkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("pp"))
+            ),
+            F.col("pp") == F.col("l_partkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("ps"))
+            ),
+            F.col("ps") == F.col("l_suppkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.count(F.when(F.col("po").isNull(), 1)).alias("orph_ord"),
+            F.count(F.when(F.col("pp").isNull(), 1)).alias("orph_part"),
+            F.count(F.when(F.col("ps").isNull(), 1)).alias("orph_supp"),
+        )
+    )
+    oc = (
+        o.join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("pc"))
+            ),
+            F.col("pc") == F.col("o_custkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.count(F.when(F.col("pc").isNull(), 1)).alias("orph"),
+        )
+    )
+    li_long = li.selectExpr(
+        "n_child",
+        "stack(3, 'lineitem.l_orderkey->orders', orph_ord, "
+        "'lineitem.l_partkey->part', orph_part, "
+        "'lineitem.l_suppkey->supplier', orph_supp) as (fk, n_orphans)",
+    )
+    oc_long = oc.select(
+        "n_child",
+        F.lit("orders.o_custkey->customer").alias("fk"),
+        F.col("orph").alias("n_orphans"),
+    )
+    cov = F.round(F.lit(1.0) - F.col("n_orphans").cast("double") / F.col("n_child"), 6)
+    return li_long.unionByName(oc_long).select(
+        "fk", "n_child", "n_orphans", cov.alias("coverage")
+    )

@@ -174,6 +174,9 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "agg_bucketed_no_shuffle",
     "sample_negative_pairs",
     "ml_user_features_asof",
+    "stats_ks_two_sample",
+    "stats_chi_square_independence",
+    "dq_referential_coverage",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
