@@ -288,3 +288,115 @@ def ml_user_features_asof(spark, sf_dir):
             (F.min(age_us).cast("double") / F.lit(86400000000.0)).alias("days_since_last"),
         )
     )
+
+
+@register(
+    "ml_lift_gain_deciles",
+    oracle=f"""
+        WITH cent AS (
+            SELECT i AS pos,
+                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cv
+            FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
+            WHERE label = 3
+            GROUP BY i
+        ),
+        clist AS (SELECT list(cv ORDER BY pos) AS c FROM cent),
+        scored AS (
+            SELECT e.vec_id, (e.label = 3) AS is_pos,
+                   ROUND(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, {EMB_DIM + 1}),
+                               i -> (CAST(e.embedding[i] AS DOUBLE) - cl.c[i])
+                                    * (CAST(e.embedding[i] AS DOUBLE) - cl.c[i]))),
+                       (a, b) -> a + b), 9) AS d9
+            FROM embeddings e CROSS JOIN clist cl
+        ),
+        ranked AS (
+            SELECT is_pos, NTILE(10) OVER (ORDER BY d9, vec_id) AS decile
+            FROM scored
+        ),
+        per AS (
+            SELECT CAST(decile AS INT) AS decile,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+            FROM ranked GROUP BY decile
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n_pos) AS BIGINT) AS pt
+            FROM per
+        )
+        SELECT decile, n, n_pos,
+               ROUND(CAST(n_pos AS DOUBLE) / n
+                     / (CAST(pt AS DOUBLE) / nt), 6) AS lift,
+               ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE) / pt, 6)
+                   AS cum_capture
+        FROM per CROSS JOIN tot
+    """,
+    tags=("ML-eval",),
+)
+def ml_lift_gain_deciles(spark, sf_dir):
+    """Decile lift & cumulative-gain table for the nearest-centroid
+    scorer (class 3 one-vs-rest): rank the population by score, cut
+    into 10 equal deciles, and report each decile's lift over the
+    base rate plus the cumulative share of positives captured — the
+    model-evaluation table behind every targeting/campaign decision
+    ("mail the top 2 deciles").  NTILE ties break on vec_id
+    (policy §7.2.3), counts are exact integers, and the only floats
+    are ratio divisions of exact counts rounded once.
+
+    100 TB posture: the scoring pass is expression-only against one
+    broadcast centroid; the global NTILE runs on (score, id) pairs —
+    at extreme scale swap it for bucketing on approx-quantile score
+    edges (D3/D10-approx tradeoff), same downstream table; the decile
+    rollup and the 10-row cumulative window are negligible."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.where(F.col("label") == 3)
+        .select(F.posexplode(_dbl()).alias("pos0", "x"))
+        .groupBy("pos0")
+        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("cv"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda s: s["cv"]
+            ).alias("c")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        e.select("vec_id", (F.col("label") == 3).alias("is_pos"), _dbl().alias("v"))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "is_pos", F.round(d2, 9).alias("d9"))
+    )
+    ranked = scored.select(
+        "is_pos", F.ntile(10).over(Window.orderBy("d9", "vec_id")).alias("decile")
+    )
+    per = ranked.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+    ).persist()
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("nt"), F.sum("n_pos").cast("bigint").alias("pt")
+    )
+    cum = F.sum("n_pos").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("pt").cast("double") / F.col("nt")),
+                6,
+            ).alias("lift"),
+            F.round(cum.cast("double") / F.col("pt"), 6).alias("cum_capture"),
+        )
+    )

@@ -459,3 +459,107 @@ def multimodal_bmp_decode(spark, sf_dir):
         "mean_r long, mean_g long, mean_b long, n_bytes long"
     )
     return d.mapInPandas(roundtrip, schema)
+
+
+@register(
+    "dedup_frame_fingerprints",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, text, n_chars * 10 AS duration_ms
+            FROM documents WHERE doc_id < 100
+        ),
+        assets AS (
+            SELECT doc_id AS asset_id, text, duration_ms FROM base
+            UNION ALL
+            SELECT doc_id + 1000000, text, duration_ms // 2 FROM base
+        ),
+        frames AS (
+            SELECT asset_id,
+                   substr(sha256(text || '#' || CAST(i AS VARCHAR)), 1, 16) AS fp
+            FROM assets,
+                 unnest(generate_series(
+                     0, CAST(greatest(duration_ms // 1000, 1) AS BIGINT) - 1)) AS t(i)
+        ),
+        sizes AS (SELECT asset_id, COUNT(*) AS nf FROM frames GROUP BY asset_id),
+        pairs AS (
+            SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+                   COUNT(*) AS n_shared
+            FROM frames a JOIN frames b
+              ON a.fp = b.fp AND a.asset_id < b.asset_id
+            GROUP BY 1, 2
+        )
+        SELECT asset_a, asset_b, n_shared,
+               ROUND(CAST(n_shared AS DOUBLE) / least(sa.nf, sb.nf), 6)
+                   AS overlap_frac
+        FROM pairs
+        JOIN sizes sa ON sa.asset_id = asset_a
+        JOIN sizes sb ON sb.asset_id = asset_b
+        WHERE CAST(n_shared AS DOUBLE) / least(sa.nf, sb.nf) >= 0.5
+    """,
+    tags=("I-frame-dedup",),
+)
+def dedup_frame_fingerprints(spark, sf_dir):
+    """Video-style near-duplicate detection by FRAME fingerprints: two
+    assets are near-dups when they share ≥50% of the shorter asset's
+    sampled-frame hashes — the standard re-upload / clipped-copy
+    detector (whole-file hashing misses a truncated re-encode; frame
+    overlap catches it).  The fixture plants a half-duration clip of
+    every asset (same content, duration halved), which must pair with
+    its original at overlap 1.0 of the shorter side.
+
+    Scale shape: the frame table is an inverted fingerprint index —
+    candidates come from an EQUI-join on the hash, bounded per
+    fingerprint by its asset-frequency (a boilerplate intro frame
+    shared by thousands of assets is the df-ceiling case,
+    llm/dedup.DF_CEILING applies verbatim) — never an asset×asset
+    comparison.  Frames explode inside mapInPandas (the real decoder
+    seam, multimodal_frame_sample); everything after is two hash
+    joins on the persisted frame/size frames."""
+    from etl_builder_spark.session import load_table
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            "text",
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        )
+    )
+    assets = base.unionByName(
+        base.select(
+            (F.col("asset_id") + 1_000_000).alias("asset_id"),
+            "text",
+            (F.col("duration_ms") / 2).cast("long").alias("duration_ms"),
+        )
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for _, row in pdf.iterrows():
+                n = max(int(row["duration_ms"]) // 1000, 1)
+                text = row["text"]
+                for i in range(n):
+                    ids.append(row["asset_id"])
+                    fps.append(hashlib.sha256(f"{text}#{i}".encode()).hexdigest()[:16])
+            yield pd.DataFrame({"asset_id": ids, "fp": fps})
+
+    fr = assets.mapInPandas(frames, "asset_id long, fp string").persist()
+    sizes = fr.groupBy("asset_id").agg(F.count(F.lit(1)).alias("nf"))
+    a, b = fr.alias("a"), fr.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.asset_id") < F.col("b.asset_id")))
+        .groupBy(
+            F.col("a.asset_id").alias("asset_a"), F.col("b.asset_id").alias("asset_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    frac = F.col("n_shared").cast("double") / F.least(F.col("sa.nf"), F.col("sb.nf"))
+    return (
+        pairs.join(sa, F.col("sa.asset_id") == F.col("asset_a"))
+        .join(sb, F.col("sb.asset_id") == F.col("asset_b"))
+        .where(frac >= 0.5)
+        .select("asset_a", "asset_b", "n_shared", F.round(frac, 6).alias("overlap_frac"))
+    )

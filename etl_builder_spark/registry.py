@@ -177,6 +177,9 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "stats_ks_two_sample",
     "stats_chi_square_independence",
     "dq_referential_coverage",
+    "dedup_frame_fingerprints",
+    "ml_lift_gain_deciles",
+    "scan_glob_paths",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",

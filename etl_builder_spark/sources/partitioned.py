@@ -229,3 +229,44 @@ def etl_small_file_compaction(spark, sf_dir):
     return spark.read.parquet(sink).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+@register(
+    "scan_glob_paths",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE year(o_orderdate) = 1995
+        GROUP BY 1
+    """,
+    tags=("A-glob",),
+)
+def scan_glob_paths(spark, sf_dir):
+    """Path-glob scanning: read ONLY the 1995 partition directories of
+    the month-partitioned layout via the glob ``o_month=1995-*`` —
+    directory-name pruning that happens at FILE LISTING time, before
+    any footer is opened (static partition pruning's blunter cousin,
+    and the idiom backfills and external orchestrators actually use:
+    "process s3://…/date=2024-01-*").  ``basePath`` keeps the
+    partition column alive in the schema even though the glob starts
+    below it.  Values are layout-invariant — the oracle filters the
+    plain table by year.
+
+    100 TB posture: listing-time pruning touches only the matched
+    directories' metadata — on an object store with millions of
+    files, the listing itself is the cost a glob avoids; prefer
+    partition-filter predicates (A4b) for query-shaped pruning and
+    globs for job-shaped slicing."""
+    stage = staged_orders_by_month(spark, sf_dir)
+    df = (
+        spark.read.option("basePath", stage)
+        .parquet(os.path.join(stage, "o_month=1995-*"))
+    )
+    from etl_builder_spark.policy import money
+
+    return df.groupBy("o_month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(money("o_totalprice")).cast("double").alias("sum_price"),
+    )
