@@ -928,3 +928,64 @@ def text_html_strip(spark, sf_dir):
         cleaned.alias("cleaned"),
         (cleaned == F.col("text")).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle="""
+        WITH counts AS (
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+                  FROM documents) t
+            WHERE token <> ''
+            GROUP BY token
+        ),
+        ranked AS (
+            SELECT token, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk,
+                   SUM(n) OVER (ORDER BY n DESC, token
+                                ROWS UNBOUNDED PRECEDING) AS cum_n,
+                   SUM(n) OVER () AS total_n
+            FROM counts
+        )
+        SELECT CAST(rnk AS INT) AS vocab_size,
+               token AS last_token,
+               CAST(cum_n AS BIGINT) AS tokens_covered,
+               ROUND(CAST(cum_n AS DOUBLE) / total_n, 6) AS coverage
+        FROM ranked
+        WHERE rnk <= 50
+    """,
+    tags=("I-vocab-coverage",),
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve: what fraction of all corpus tokens
+    the top-k vocabulary explains, for each k — the tokenizer-design
+    chart that sets vocab size (the knee of this curve) and predicts
+    the OOV rate any truncated vocabulary buys (text_oov_rate is one
+    point on it).  A running sum over the frequency-ranked vocab
+    turns the whole curve into one window pass; rank ties pin on the
+    token (policy §7.2.3).
+
+    100 TB posture: identical bound to vocab_top_tokens — the global
+    ranking window runs on the AGGREGATED count table (|vocabulary|
+    rows, not |corpus|), so the single-partition window is bounded by
+    vocab size at any corpus scale; the token-count aggregation
+    beneath it gets map-side combine."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = tokens(d).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), "token")
+    ranked = counts.select(
+        "token",
+        "n",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum_n"),
+        F.sum("n").over(Window.partitionBy()).alias("total_n"),
+    )
+    return ranked.where(F.col("rnk") <= 50).select(
+        F.col("rnk").cast("int").alias("vocab_size"),
+        F.col("token").alias("last_token"),
+        F.col("cum_n").cast("bigint").alias("tokens_covered"),
+        F.round(F.col("cum_n").cast("double") / F.col("total_n"), 6).alias("coverage"),
+    )

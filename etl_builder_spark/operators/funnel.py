@@ -422,3 +422,74 @@ def attribution_last_touch(spark, sf_dir):
             F.sum(money("value")).cast("double").alias("attributed_value"),
         )
     )
+
+
+@register(
+    "funnel_within_24h",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   LAST_VALUE(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_signup_us
+            FROM events
+        ),
+        conv AS (
+            SELECT user_id, ts,
+                   epoch_us(ts) - last_signup_us AS delay_us
+            FROM tagged
+            WHERE event_type = 'purchase'
+              AND last_signup_us IS NOT NULL
+              AND epoch_us(ts) - last_signup_us <= 86400000000
+        )
+        SELECT user_id,
+               COUNT(*) AS n_conversions,
+               MIN(ts) AS first_conversion_ts,
+               CAST(MIN(delay_us) AS DOUBLE) / 60000000.0 AS min_delay_minutes
+        FROM conv GROUP BY user_id
+    """,
+    tags=("funnel-windowed",),
+)
+def funnel_within_24h(spark, sf_dir):
+    """TIME-BOUNDED funnel (the windowFunnel shape): a purchase counts
+    as a conversion only when it lands within 24 hours of the user's
+    most recent signup — the attribution-window rule every
+    trial-to-paid and campaign funnel applies, which the unbounded
+    funnel (funnel_signup_purchase) cannot express.  The closed form
+    carries the last signup time forward with last(ignorenulls) over
+    the strictly-preceding frame (exactly the attribution_last_touch
+    machinery) and turns the window rule into a row-local µs
+    predicate — no per-conversion scan-back, no range self-join.
+
+    100 TB posture: one exchange on user_id shared by the carry
+    window and the rollup; delays are exact epoch-µs integers
+    (policy §7.2 — a seconds-truncated comparison would disagree with
+    the oracle within 1s of the 24h boundary)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.unix_micros(F.col("ts"))),
+        ignorenulls=True,
+    ).over(w)
+    tagged = e.select(
+        "user_id", "ts", "event_type", last_signup.alias("last_signup_us")
+    )
+    delay = F.unix_micros(F.col("ts")) - F.col("last_signup_us")
+    conv = tagged.where(
+        (F.col("event_type") == "purchase")
+        & F.col("last_signup_us").isNotNull()
+        & (delay <= 86_400_000_000)
+    ).select("user_id", "ts", delay.alias("delay_us"))
+    return conv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.min("ts").alias("first_conversion_ts"),
+        (F.min("delay_us").cast("double") / F.lit(60000000.0)).alias("min_delay_minutes"),
+    )

@@ -331,3 +331,84 @@ def stats_chi_square_independence(spark, sf_dir):
             "n_total",
         )
     )
+
+
+@register(
+    "stats_two_proportion_z",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY user_id
+        ),
+        per AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_conv
+            FROM per_user GROUP BY grp
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN grp = 'A' THEN n_users END) AS na,
+                MAX(CASE WHEN grp = 'A' THEN n_conv END) AS xa,
+                MAX(CASE WHEN grp = 'B' THEN n_users END) AS nb,
+                MAX(CASE WHEN grp = 'B' THEN n_conv END) AS xb
+            FROM per
+        )
+        SELECT na, xa, nb, xb,
+               CAST(xa AS DOUBLE) / na AS p_a,
+               CAST(xb AS DOUBLE) / nb AS p_b,
+               CASE WHEN xa + xb = 0 OR xa + xb = na + nb THEN 0.0
+                    ELSE ROUND((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                         / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                                * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                                * (1.0 / na + 1.0 / nb)), 6) END AS z_stat
+        FROM wide
+    """,
+    tags=("STATS-ab",),
+)
+def stats_two_proportion_z(spark, sf_dir):
+    """Two-proportion z-test — the A/B-test readout: the USER-level
+    conversion rate (did the user ever purchase) in arm A (even user
+    ids) vs arm B (odd), pooled-variance z statistic.  Completes the
+    experimentation trio with the bootstrap CI (means) and KS
+    (distributions).  Converters are a subset of users by
+    construction, so the pooled proportion is always in [0,1]; the
+    statistic is a fixed chain of IEEE ops on exact counts —
+    identical on both engines, rounded once.
+
+    100 TB posture: one user-level aggregation (map-side combined on
+    user_id) then a 2-row rollup — experiment readouts at any scale
+    are this shape; the deterministic hash arm assignment (id parity
+    here; ml_feature_hashing's md5 bucket in production) means the
+    assignment itself needs no stored table."""
+    e = load_table(spark, sf_dir, "events")
+    grp = F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+    ).select(grp.alias("grp"), "converted")
+    per = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    wide = per.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("grp") == "A", F.col("n_conv"))).alias("xa"),
+        F.max(F.when(F.col("grp") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("grp") == "B", F.col("n_conv"))).alias("xb"),
+    )
+    pa = F.col("xa").cast("double") / F.col("na")
+    pb = F.col("xb").cast("double") / F.col("nb")
+    pp = (F.col("xa") + F.col("xb")).cast("double") / (F.col("na") + F.col("nb"))
+    degenerate = ((F.col("xa") + F.col("xb")) == 0) | (
+        (F.col("xa") + F.col("xb")) == (F.col("na") + F.col("nb"))
+    )
+    z = (pa - pb) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    # degenerate pooled rate (0 or 1): zero variance — define z = 0
+    # rather than divide by zero (both engines agree by construction)
+    z_safe = F.when(degenerate, F.lit(0.0)).otherwise(F.round(z, 6))
+    return wide.select(
+        "na", "xa", "nb", "xb", pa.alias("p_a"), pb.alias("p_b"), z_safe.alias("z_stat")
+    )

@@ -180,6 +180,11 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "dedup_frame_fingerprints",
     "ml_lift_gain_deciles",
     "scan_glob_paths",
+    "stats_two_proportion_z",
+    "etl_union_schema_drift",
+    "funnel_within_24h",
+    "vocab_coverage_curve",
+    "etl_rollup_reaggregation",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",

@@ -270,3 +270,81 @@ def scan_glob_paths(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(money("o_totalprice")).cast("double").alias("sum_price"),
     )
+
+
+def staged_daily_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized daily summary of events — (day, type, count, exact
+    DECIMAL value sum) — staged once per sf_dir, mtime-invalidated.
+    The summary table an aggregate-navigator routes to."""
+    from etl_builder_spark.policy import money
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "etl_builder_spark_rollup",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    done = os.path.join(stage, "_staged")
+    if not os.path.exists(done) or os.path.getmtime(done) < os.path.getmtime(src):
+        (
+            load_table(spark, sf_dir, "events")
+            .groupBy(
+                F.date_trunc("day", "ts").cast("date").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(money("value")).alias("value_sum"),  # exact DECIMAL partial
+            )
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return stage
+
+
+@register(
+    "etl_rollup_reaggregation",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m') AS month, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("A-rollup-reagg",),
+)
+def etl_rollup_reaggregation(spark, sf_dir):
+    """Summary-table routing (the materialized-view / aggregate-
+    navigator pattern): the MONTHLY report is answered from the
+    staged DAILY rollup — re-aggregating partial counts and exact
+    DECIMAL partial sums — while the oracle computes the same report
+    from the raw events.  Hash equality is the algebraic-correctness
+    proof that the rollup's partials COMPOSE: counts add, decimal
+    sums add order-free, and the average is reconstructed from
+    composed sums (never averaged averages — the classic summary-
+    table bug).
+
+    100 TB posture: this is the central OLAP economy — the daily
+    rollup is ~10⁵× smaller than the event stream, every dashboard
+    period-query re-aggregates it instead of the raw data, and it
+    maintains incrementally (each new day appends one partition;
+    etl_dynamic_partition_overwrite is the repair path).  Only
+    ALGEBRAIC aggregates route this way (sum/count/min/max and
+    anything derived from them); exact percentiles need the raw data
+    or mergeable sketches (D13)."""
+    daily = spark.read.parquet(staged_daily_rollup(spark, sf_dir))
+    return (
+        daily.groupBy(
+            F.date_format("day", "yyyy-MM").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("value_sum").cast("double").alias("total_value"),
+            (F.sum("value_sum").cast("double") / F.sum("n")).alias("avg_value"),
+        )
+    )

@@ -231,3 +231,64 @@ def scan_csv_corrupt_permissive(spark, sf_dir):
         "o_totalprice",
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
     )
+
+
+@register(
+    "etl_union_schema_drift",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_channel,
+               'v1' AS batch_ver
+        FROM orders WHERE o_orderkey < 2000
+        UNION ALL
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END,
+               'v2'
+        FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+    """,
+    tags=("A-schema-drift",),
+)
+def etl_union_schema_drift(spark, sf_dir):
+    """Schema-drift union — the multi-batch reality of any long-lived
+    feed: an old batch written BEFORE a column existed (v1, no
+    o_channel) must union with a new batch that has it (v2), the
+    missing column null-filled, without rewriting history.  Staged as
+    two real parquet layouts with different physical schemas, read
+    back independently, and combined with
+    ``unionByName(allowMissingColumns=True)`` — the engine-level
+    contract (mergeSchema on the reader is the scan-level twin,
+    covered by roundtrip_schema_evolution).  The oracle predicts the
+    aligned result from the injection rule.
+
+    100 TB posture: schema evolution must never require rewriting old
+    partitions — alignment happens at READ time per batch, each scan
+    still prunes to its own physical columns, and the null-fill is a
+    zero-cost projection.  Additive drift only: renames/retypes need
+    an explicit mapping layer (dq_schema_contract is the audit that
+    catches them before they corrupt a union)."""
+    base = load_table(spark, sf_dir, "orders")
+    v1 = (
+        base.where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    v2 = (
+        base.where((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 4000))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 3 == 0, "web").otherwise("store").alias("o_channel"),
+        )
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "etl_builder_spark_schemadrift",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    p1, p2 = os.path.join(root, "v1"), os.path.join(root, "v2")
+    v1.write.mode("overwrite").parquet(p1)
+    v2.write.mode("overwrite").parquet(p2)
+    r1 = spark.read.parquet(p1).withColumn("batch_ver", F.lit("v1"))
+    r2 = spark.read.parquet(p2).withColumn("batch_ver", F.lit("v2"))
+    return r1.unionByName(r2, allowMissingColumns=True).select(
+        "o_orderkey", "o_totalprice", "o_channel", "batch_ver"
+    )
