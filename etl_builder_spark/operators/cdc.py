@@ -382,3 +382,75 @@ def etl_scd2_merge_incremental(spark, sf_dir):
         )
     )
     return history.unionByName(curr_merged).unionByName(opened)
+
+
+#: bitemporal fixture: the valid-time point query date
+BITEMPORAL_V = "1996-06-30"
+
+
+@register(
+    "scd2_bitemporal_asof",
+    oracle=f"""
+        WITH txs AS (SELECT unnest(range(1, 3)) AS tx_version),
+        visible AS (
+            SELECT t.tx_version, o.o_custkey, o.o_orderdate, o.o_orderkey,
+                   o.o_orderpriority AS state
+            FROM orders o CROSS JOIN txs t
+            WHERE (o.o_orderkey % 2 = 0 OR t.tx_version = 2)
+              AND o.o_orderdate <= DATE '{BITEMPORAL_V}'
+        ),
+        ranked AS (
+            SELECT tx_version, o_custkey, state, o_orderdate,
+                   ROW_NUMBER() OVER (PARTITION BY tx_version, o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC)
+                       AS rn
+            FROM visible
+        )
+        SELECT CAST(tx_version AS INT) AS tx_version, o_custkey,
+               state, o_orderdate AS state_since
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("CDC-bitemporal",),
+)
+def scd2_bitemporal_asof(spark, sf_dir):
+    """BITEMPORAL point query — two independent time axes: "what was
+    each customer's state AS OF valid time V (=1996-06-30), AS
+    KNOWN AT transaction version T" for T ∈ {1, 2}.  Transaction 1
+    loaded only the even orderkeys; transaction 2 backfilled the
+    rest — so the SAME valid-time question gets DIFFERENT answers per
+    tx version wherever the backfill revealed a later order.  This is
+    the reproducibility contract regulated reporting and ML training
+    need: re-running a report "as we knew it then" must ignore data
+    that arrived later, which a single-axis SCD2 (scd2_intervals)
+    cannot express.
+
+    The per-(tx, key) latest visible state is a de-windowed
+    max(struct(valid_ts, unique_key, state)) — map-side combine, no
+    sort of the ×|tx| expansion (VERDICT r4 item 4 shape).
+
+    100 TB posture: tx visibility is a PREDICATE on an append-only
+    batch-id column — no data rewritten per version, the ×|versions|
+    expansion only materializes queried versions, and everything
+    shuffles once on (tx, key).  Production keeps batch_id in the
+    layout (partition column) so one version's query prunes to its
+    batches."""
+    o = load_table(spark, sf_dir, "orders")
+    txs = spark.range(1, 3).select(F.col("id").cast("int").alias("tx_version"))
+    visible = (
+        o.crossJoin(F.broadcast(txs))
+        .where(
+            ((F.col("o_orderkey") % 2 == 0) | (F.col("tx_version") == 2))
+            & (F.col("o_orderdate") <= F.lit(BITEMPORAL_V).cast("timestamp"))
+        )
+        .select("tx_version", "o_custkey", "o_orderdate", "o_orderkey", F.col("o_orderpriority").alias("state"))
+    )
+    latest = (
+        visible.groupBy("tx_version", "o_custkey")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey", "state")).alias("m"))
+    )
+    return latest.select(
+        "tx_version",
+        "o_custkey",
+        F.col("m.state").alias("state"),
+        F.col("m.o_orderdate").alias("state_since"),
+    )

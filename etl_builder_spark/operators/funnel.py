@@ -493,3 +493,65 @@ def funnel_within_24h(spark, sf_dir):
         F.min("ts").alias("first_conversion_ts"),
         (F.min("delay_us").cast("double") / F.lit(60000000.0)).alias("min_delay_minutes"),
     )
+
+
+@register(
+    "seq_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events
+        ),
+        cells AS (
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rowtot AS (
+            SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n FROM cells GROUP BY 1
+        )
+        SELECT c.from_type, c.to_type, c.n,
+               ROUND(CAST(c.n AS DOUBLE) / r.row_n, 6) AS p_transition
+        FROM cells c JOIN rowtot r USING (from_type)
+    """,
+    tags=("seq-markov",),
+)
+def seq_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over the per-user event
+    stream: for every (from → to) pair of CONSECUTIVE events, the
+    count and the row-normalized transition probability — the
+    next-event model behind journey prediction, anomaly scoring
+    (improbable transitions), and the stationary-flow analysis
+    product teams read as "where do users go from X".  One LEAD pass
+    turns sequence pairing into a row-local tuple; the 5×5 matrix
+    aggregates with map-side combine; row totals derive from the
+    persisted cell frame (no second pass).
+
+    100 TB posture: one exchange on user_id + per-user sort (the
+    shared sequence-analytics partitioning), then a |types|²-row
+    aggregate — higher-order chains are the same shape with LEAD(k)
+    composite keys; probabilities are single IEEE divisions of exact
+    counts (policy §7.2)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    cells = (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    rowtot = cells.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("row_n"))
+    return cells.join(F.broadcast(rowtot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p_transition"),
+    )

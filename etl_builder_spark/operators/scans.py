@@ -44,3 +44,48 @@ def scan_parquet_pruned(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         & (F.col("l_quantity") < 10)
     )
+
+
+@register(
+    "sql_star_join_via_views",
+    oracle="""
+        SELECT r_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY r_name
+    """,
+    tags=("SQL-api",),
+)
+def sql_star_join_via_views(spark, sf_dir):
+    """The SQL-string API surface: the same star-join rollup every
+    DataFrame key expresses, but submitted as ANSI SQL over the
+    catalog views ``register_views`` installs — proving the engine's
+    second front door (BI tools, notebook users, dbt-style SQL
+    pipelines) reaches the identical Catalyst plan and identical
+    values (the oracle runs the very same SQL text on DuckDB).
+    Exact-decimal money discipline applies in SQL exactly as in the
+    DataFrame API (policy §7.2).
+
+    100 TB posture: identical to the DataFrame star join (C11) by
+    construction — SQL and DataFrame compile to the same logical
+    plan, so dims broadcast and the fact aggregates map-side; there
+    is no "SQL tax"."""
+    from etl_builder_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY r_name
+        """
+    )

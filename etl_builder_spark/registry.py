@@ -185,6 +185,9 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "funnel_within_24h",
     "vocab_coverage_curve",
     "etl_rollup_reaggregation",
+    "seq_transition_matrix",
+    "sql_star_join_via_views",
+    "scd2_bitemporal_asof",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
