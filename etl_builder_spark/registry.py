@@ -188,6 +188,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "seq_transition_matrix",
     "sql_star_join_via_views",
     "scd2_bitemporal_asof",
+    "stream_freshness_live",
+    "stream_rollup_daily_live",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",

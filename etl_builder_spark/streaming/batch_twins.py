@@ -577,3 +577,70 @@ def stream_merge_upsert_live(spark, sf_dir):
         ).alias("last_ts"),
         F.substring("last_key", 31, 100).cast("double").alias("last_value"),
     )
+
+
+@register(
+    "stream_freshness_live",
+    oracle="""
+        SELECT event_type,
+               MAX(ts) AS last_ts,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("J-freshness", "live-stream"),
+)
+def stream_freshness_live(spark, sf_dir):
+    """The freshness monitor as a LIVE streaming query: per-stream
+    high-water mark and volume maintained by a running streaming
+    aggregation (complete mode) — the always-on twin of the batch
+    dq_freshness_sla audit, giving the lag alarm continuously instead
+    of per batch run.  MAX/COUNT are algebraic, so state is one tiny
+    row per event type regardless of volume; the availableNow replay
+    over the staged corpus must equal the batch aggregate exactly —
+    which is the oracle."""
+    from etl_builder_spark.streaming.runtime import run_to_memory, stream_events
+
+    events = stream_events(spark, _staged_events_dir(sf_dir))
+    agg = events.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+@register(
+    "stream_rollup_daily_live",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("J-rollup", "live-stream"),
+)
+def stream_rollup_daily_live(spark, sf_dir):
+    """Streaming MAINTENANCE of the daily summary table: the same
+    (day, type, count, exact-decimal sum) rollup that
+    etl_rollup_reaggregation routes monthly reports to, kept current
+    by a streaming aggregation instead of a nightly batch — the
+    incremental-materialized-view half of the summary-table economy.
+    Algebraic partials make the state mergeable (one row per day ×
+    type); in production the complete-mode snapshot lands via
+    foreachBatch idempotent overwrite (stream_foreachbatch_sink
+    proves that sink contract, incl. crash recovery).  The
+    availableNow replay must reproduce the batch rollup exactly —
+    the oracle."""
+    from etl_builder_spark.streaming.runtime import run_to_memory, stream_events
+
+    events = stream_events(spark, _staged_events_dir(sf_dir))
+    agg = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(money("value")).cast("double").alias("value_sum"),
+    )
+    return run_to_memory(agg, mode="complete")
