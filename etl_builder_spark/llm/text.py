@@ -989,3 +989,72 @@ def vocab_coverage_curve(spark, sf_dir):
         F.col("cum_n").cast("bigint").alias("tokens_covered"),
         F.round(F.col("cum_n").cast("double") / F.col("total_n"), 6).alias("coverage"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        tris AS (
+            SELECT DISTINCT doc_id, token
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t) - 1),
+                                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS token
+                  FROM toks WHERE len(t) >= 3) g
+        ),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tris GROUP BY token)
+        SELECT t.doc_id,
+               COUNT(*) AS n_trigrams,
+               CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel,
+               ROUND(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS novelty_rate
+        FROM tris t JOIN dfreq d USING (token)
+        GROUP BY t.doc_id
+    """,
+    tags=("I-novelty",),
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct trigrams that appear in NO other document (df = 1) —
+    high novelty marks original content worth keeping; low novelty
+    marks template/boilerplate documents even when no single pair
+    crosses a dedup threshold (the corpus-level complement of the
+    pairwise dedup family, and the diversity metric data-mixture
+    tuning reads).  The trigram document frequencies are ONE shingle
+    pass (persisted — the same frame feeds the df aggregate and the
+    per-doc scoring join).
+
+    100 TB posture: two hash aggregations + one equi-join on the
+    shingle key with map-side combine everywhere; no pair joins at
+    all, so no DF ceiling is even needed — cost is linear in corpus
+    shingle volume."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    tris = (
+        d.where(F.size(t) >= 3)
+        .select("doc_id", F.explode(tri).alias("token"))
+        .distinct()
+        .persist()
+    )
+    dfreq = tris.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        tris.join(F.broadcast(dfreq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty_rate"),
+        )
+    )

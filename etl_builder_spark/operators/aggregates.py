@@ -884,3 +884,125 @@ def agg_weighted_median(spark, sf_dir):
             F.min("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@register(
+    "agg_grouping_id_labels",
+    oracle="""
+        SELECT CASE WHEN GROUPING(o_orderpriority) = 0
+                     AND GROUPING(o_orderstatus) = 0 THEN 'cell'
+                    WHEN GROUPING(o_orderstatus) = 1
+                     AND GROUPING(o_orderpriority) = 0 THEN 'priority_total'
+                    WHEN GROUPING(o_orderpriority) = 1
+                     AND GROUPING(o_orderstatus) = 0 THEN 'status_total'
+                    ELSE 'grand_total' END AS level_label,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+                   AS gid,
+               o_orderpriority, o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+    """,
+    tags=("D-grouping-id",),
+)
+def agg_grouping_id_labels(spark, sf_dir):
+    """GROUPING()/grouping_id disambiguation — the part of the
+    grouping-sets surface D4 leaves implicit: a NULL in a grouping-
+    sets result is ambiguous (real NULL data vs "aggregated over"),
+    and GROUPING() is the standard's answer — here driving both a
+    human-readable level label and the canonical gid bitmask.
+    Consumers route on the label (cells to the dashboard, totals to
+    the scorecard) without re-deriving levels from NULL patterns.
+
+    100 TB posture: identical to D4 — one Expand (×|sets|) feeding a
+    map-side-combined aggregate; the labeling is free projection.
+    Spark's grouping_id() bit order is implementation-defined, so the
+    portable form composes GROUPING() per column exactly as here."""
+    o = load_table(spark, sf_dir, "orders")
+    grouped = o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    gp = F.grouping("o_orderpriority")
+    gs = F.grouping("o_orderstatus")
+    label = (
+        F.when((gp == 0) & (gs == 0), "cell")
+        .when((gs == 1) & (gp == 0), "priority_total")
+        .when((gp == 1) & (gs == 0), "status_total")
+        .otherwise("grand_total")
+    )
+    return grouped.agg(
+        label.alias("level_label"),
+        (gp * 2 + gs).cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+    ).select(
+        "level_label", "gid", "o_orderpriority", "o_orderstatus", "n", "revenue"
+    )
+
+
+@register(
+    "agg_share_of_hierarchy",
+    oracle="""
+        WITH nat AS (
+            SELECT r_name, n_name,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY r_name, n_name
+        )
+        SELECT r_name, n_name, n_orders, revenue,
+               ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name), 6)
+                   AS share_of_region,
+               ROUND(revenue / SUM(revenue) OVER (), 6) AS share_of_total
+        FROM nat
+    """,
+    tags=("D-hierarchy-share",),
+)
+def agg_share_of_hierarchy(spark, sf_dir):
+    """Nested percent-of-parent: each nation's revenue as a share of
+    its region AND of the world — the two-level drill-down ratio
+    every BI hierarchy renders.  Both denominators are window sums
+    over the AGGREGATED nation frame (≤ |nations| rows), so the
+    unpartitioned grand-total window is bounded by dimension
+    cardinality, not data volume (the vocab_top_tokens argument);
+    numerators and denominators are the same exact-decimal-derived
+    doubles, divided once and rounded once.
+
+    100 TB posture: one star join (dims broadcast) + one aggregate
+    with map-side combine; the share windows add no exchange beyond
+    the r_name hash the region window needs."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+    return nat.select(
+        "r_name",
+        "n_name",
+        "n_orders",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(Window.partitionBy("r_name")), 6
+        ).alias("share_of_region"),
+        F.round(F.col("revenue") / F.sum("revenue").over(Window.partitionBy()), 6).alias(
+            "share_of_total"
+        ),
+    )

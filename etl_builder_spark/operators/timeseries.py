@@ -1416,3 +1416,79 @@ def ts_weekly_churn(spark, sf_dir):
             F.round((n_act - n_ret).cast("double") / n_act, 6).alias("churn_rate"),
         )
     )
+
+
+@register(
+    "ts_control_chart_xmr",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour_start,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        mr AS (
+            SELECT hour_start, x,
+                   abs(x - LAG(x) OVER (ORDER BY hour_start)) AS moving_range
+            FROM hourly
+        ),
+        limits AS (
+            SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS xbar,
+                   CAST(SUM(moving_range) AS DOUBLE) / COUNT(moving_range) AS mrbar
+            FROM mr
+        )
+        SELECT m.hour_start, m.x, m.moving_range,
+               ROUND(l.xbar, 6) AS center,
+               ROUND(l.xbar + 2.66 * l.mrbar, 6) AS ucl,
+               ROUND(greatest(l.xbar - 2.66 * l.mrbar, 0.0), 6) AS lcl,
+               (m.x > l.xbar + 2.66 * l.mrbar
+                OR m.x < greatest(l.xbar - 2.66 * l.mrbar, 0.0)) AS out_of_control
+        FROM mr m CROSS JOIN limits l
+    """,
+    tags=("TS-spc",),
+)
+def ts_control_chart_xmr(spark, sf_dir):
+    """XmR (individuals / moving-range) control chart over the hourly
+    purchase rate — Shewhart statistical process control, the
+    principled version of "alert at mean ± kσ": control limits are
+    x̄ ± 2.66·(mean moving range), with 2.66 the standard d2-derived
+    constant injected as a literal (no cross-engine table lookup),
+    and the moving range |x_t − x_{t−1}| estimating short-term
+    variation robustly against trends.  All inputs are exact integer
+    counts; limits involve two divisions and one multiply — identical
+    IEEE — and comparisons happen on the unrounded doubles in both
+    engines.
+
+    100 TB posture: the chart runs on the HOURLY aggregate (bounded
+    by the calendar, not data volume — the single-series global-order
+    window is |hours| rows); limits are a broadcast 1-row frame
+    derived from the persisted series, so the source is scanned
+    once."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    mr = hourly.select(
+        "hour_start",
+        "x",
+        F.abs(F.col("x") - F.lag("x").over(Window.orderBy("hour_start"))).alias(
+            "moving_range"
+        ),
+    ).persist()
+    limits = mr.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("xbar"),
+        (F.sum("moving_range").cast("double") / F.count("moving_range")).alias("mrbar"),
+    )
+    ucl = F.col("xbar") + 2.66 * F.col("mrbar")
+    lcl = F.greatest(F.col("xbar") - 2.66 * F.col("mrbar"), F.lit(0.0))
+    return mr.crossJoin(F.broadcast(limits)).select(
+        "hour_start",
+        "x",
+        "moving_range",
+        F.round(F.col("xbar"), 6).alias("center"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        ((F.col("x") > ucl) | (F.col("x") < lcl)).alias("out_of_control"),
+    )

@@ -190,6 +190,10 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "scd2_bitemporal_asof",
     "stream_freshness_live",
     "stream_rollup_daily_live",
+    "agg_grouping_id_labels",
+    "agg_share_of_hierarchy",
+    "ts_control_chart_xmr",
+    "text_ngram_novelty",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
