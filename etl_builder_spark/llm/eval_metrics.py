@@ -400,3 +400,156 @@ def ml_lift_gain_deciles(spark, sf_dir):
             F.round(cum.cast("double") / F.col("pt"), 6).alias("cum_capture"),
         )
     )
+
+
+#: power-iteration settings for the PCA component key
+PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    head = f"""
+        WITH mu AS (
+            SELECT i AS pos,
+                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS m
+            FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
+            GROUP BY i
+        ),
+        mul AS (SELECT list(m ORDER BY pos) AS ml FROM mu),
+        xc AS (
+            SELECT vec_id,
+                   list_transform(range(1, {EMB_DIM + 1}),
+                                  i -> CAST(embedding[i] AS DOUBLE) - ml[i]) AS x
+            FROM embeddings CROSS JOIN mul
+        ),
+        v0 AS (
+            SELECT list_transform(range(1, {EMB_DIM + 1}),
+                                  i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v
+        )"""
+    blocks = []
+    for k in range(1, PCA_ITERS + 1):
+        prev = f"v{k - 1}"
+        blocks.append(f"""
+        s{k} AS (
+            SELECT vec_id, x,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, {EMB_DIM + 1}), i -> x[i] * v[i])),
+                       (a, b) -> a + b) AS s
+            FROM xc CROSS JOIN {prev}
+        ),
+        u{k} AS (
+            SELECT i AS pos,
+                   SUM(CAST(ROUND(s * x[i], 9) AS DECIMAL(38,12))) AS u
+            FROM s{k} CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
+            GROUP BY i
+        ),
+        n{k} AS (
+            SELECT SUM(CAST(ROUND(CAST(u AS DOUBLE) * CAST(u AS DOUBLE), 9)
+                            AS DECIMAL(38,12))) AS nn
+            FROM u{k}
+        ),
+        v{k} AS (
+            SELECT list(ROUND(CAST(u AS DOUBLE) / sqrt(CAST(nn AS DOUBLE)), 9)
+                        ORDER BY pos) AS v
+            FROM u{k} CROSS JOIN n{k}
+        )""")
+    last = PCA_ITERS
+    tail = f"""
+        SELECT CAST(pos AS INT) AS pos,
+               ROUND(CAST(u AS DOUBLE) / sqrt(CAST(nn AS DOUBLE)), 9) AS loading,
+               ROUND(sqrt(CAST(nn AS DOUBLE)), 6) AS component_norm
+        FROM u{last} CROSS JOIN n{last}"""
+    return head + "," + ",".join(blocks) + tail
+
+
+@register("ml_pca_power_component", oracle=_pca_oracle(), tags=("ML-pca",))
+def ml_pca_power_component(spark, sf_dir):
+    """Top principal direction of the (mean-centered) embedding cloud
+    by DISTRIBUTED POWER ITERATION — {PCA_ITERS} fixed iterations of
+    v ← normalize(Xᵀ(Xv)) starting from e₁ — the linear-algebra
+    workhorse behind PCA whitening, spectral embedding-drift
+    monitors, and ABTT-style dominant-direction removal, computed
+    WITHOUT materializing the 64×64 covariance or collecting vectors:
+    each iteration is one broadcast of the 64-float v, one fold per
+    row for the projection s = x·v, and one per-dimension aggregation
+    for u = Σ s·x — all map-side combinable.
+
+    Determinism (policy §7.2): centered vectors use the rounded mean
+    (the centroid contract); every cross-row accumulation sums
+    ROUND(·,9) terms as DECIMAL; every fold is fixed left-to-right;
+    normalization divides identically-derived doubles; the iterate is
+    re-rounded each step so both engines walk the SAME trajectory.
+    Fixed iteration count keeps the plan static (the
+    graph_pagerank_fixed contract) — convergence-tested variants
+    belong in driver loops with localCheckpoint (llm/cluster.py).
+
+    100 TB posture: per iteration the data is read once (the centered
+    frame is persisted across all iterations), shuffle traffic is 64
+    partial sums per mapper, and v never exceeds a broadcast row —
+    this is exactly how large-scale PCA/embedding-whitening runs."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mu = (
+        e.select(F.posexplode(_dbl()).alias("pos0", "xx"))
+        .groupBy("pos0")
+        .agg(F.round(F.sum("xx") / F.count(F.lit(1)), 6).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "m"))), lambda s: s["m"]
+            ).alias("ml")
+        )
+    )
+    xc = (
+        e.select("vec_id", _dbl().alias("raw"))
+        .crossJoin(F.broadcast(mu))
+        .select(
+            "vec_id",
+            F.zip_with(F.col("raw"), F.col("ml"), lambda a, b: a - b).alias("x"),
+        )
+        .persist()
+    )
+    v_frame = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: F.when(i == 1, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("v")
+    )
+    u = n2 = None
+    for _ in range(PCA_ITERS):
+        s = xc.crossJoin(F.broadcast(v_frame)).select(
+            "x",
+            F.aggregate(
+                F.zip_with(F.col("x"), F.col("v"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("s"),
+        )
+        u = (
+            s.select(F.posexplode("x").alias("pos0", "xij"), "s")
+            .groupBy((F.col("pos0") + 1).alias("pos"))
+            .agg(
+                F.sum(F.round(F.col("s") * F.col("xij"), 9).cast("decimal(38,12)")).alias("u")
+            )
+            .persist()  # feeds the norm AND the next iterate / output
+        )
+        ud = F.col("u").cast("double")
+        n2 = u.agg(
+            F.sum(F.round(ud * ud, 9).cast("decimal(38,12)")).alias("nn")
+        )
+        vj = F.round(ud / F.sqrt(F.col("nn").cast("double")), 9)
+        v_frame = (
+            u.crossJoin(F.broadcast(n2))
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", vj.alias("vj")))),
+                    lambda st: st["vj"],
+                ).alias("v")
+            )
+        )
+    ud = F.col("u").cast("double")
+    return u.crossJoin(F.broadcast(n2)).select(
+        F.col("pos").cast("int").alias("pos"),
+        F.round(ud / F.sqrt(F.col("nn").cast("double")), 9).alias("loading"),
+        F.round(F.sqrt(F.col("nn").cast("double")), 6).alias("component_norm"),
+    )

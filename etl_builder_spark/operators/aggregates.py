@@ -1006,3 +1006,70 @@ def agg_share_of_hierarchy(spark, sf_dir):
             "share_of_total"
         ),
     )
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag AS flag,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice, l_orderkey,
+                                               l_linenumber) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        )
+        SELECT flag,
+               CAST(MIN(n) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN rn > n * 5 // 100 AND rn <= n - n * 5 // 100
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN rn > n * 5 // 100 AND rn <= n - n * 5 // 100
+                             THEN v END) AS DOUBLE)
+                   / SUM(CASE WHEN rn > n * 5 // 100 AND rn <= n - n * 5 // 100
+                              THEN 1 ELSE 0 END) AS trimmed_mean,
+               CAST(SUM(v) AS DOUBLE) / MIN(n) AS plain_mean
+        FROM ranked
+        GROUP BY flag
+    """,
+    tags=("D-trimmed-mean",),
+)
+def agg_trimmed_mean(spark, sf_dir):
+    """5% two-sided trimmed mean per group — the robust location
+    estimate that survives fat tails and data errors a plain mean
+    amplifies (and reports both so the gap itself is the outlier
+    signal).  Trim boundaries are INTEGER rank arithmetic
+    (n·5/100 with integer division — identical floor semantics on
+    both engines), ranks pin ties with the unique line key, and the
+    kept-range sum stays exact DECIMAL (policy §7.2).
+
+    100 TB posture: one rank window per group (the unavoidable exact-
+    order-statistic sort, same cost class as D10) feeding a map-side-
+    combined conditional aggregate; for approximate trimming at
+    extreme scale, bound the range with approx percentiles
+    (agg_percentile_approx) and keep the same conditional-sum
+    shape."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = l.select(
+        F.col("l_returnflag").alias("flag"),
+        money("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    lo = (F.col("n") * 5 / 100).cast("long")
+    hi = F.col("n") - (F.col("n") * 5 / 100).cast("long")
+    kept = (F.col("rn") > lo) & (F.col("rn") <= hi)
+    return ranked.groupBy("flag").agg(
+        F.min("n").cast("bigint").alias("n_rows"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        (
+            F.sum(F.when(kept, F.col("v"))).cast("double")
+            / F.sum(F.when(kept, 1).otherwise(0))
+        ).alias("trimmed_mean"),
+        (F.sum("v").cast("double") / F.min("n")).alias("plain_mean"),
+    )

@@ -194,6 +194,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "agg_share_of_hierarchy",
     "ts_control_chart_xmr",
     "text_ngram_novelty",
+    "agg_trimmed_mean",
+    "ml_pca_power_component",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
