@@ -998,3 +998,41 @@ def test_rolling_wau_contribution_explode_equals_window_bruteforce(spark):
         if expect:
             assert wau.get(cur, 0) == expect, (cur, wau.get(cur), expect)
         cur += timedelta(days=1)
+
+
+def test_pca_power_component_matches_numpy_power_iteration(spark):
+    """ml_pca_power_component must track the SAME trajectory as a
+    numpy implementation of 3-step power iteration from e1 on the
+    mean-centered cloud (rounding differences ≤ 1e-6 per step), and
+    the emitted loading must be unit-norm."""
+    import duckdb
+    import numpy as np
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    got = {
+        r.pos: (r.loading, r.component_norm)
+        for r in REGISTRY["ml_pca_power_component"].fn(spark, SF_DIR).collect()
+    }
+    v_spark = np.array([got[p][0] for p in sorted(got)])
+    assert abs(np.linalg.norm(v_spark) - 1.0) < 1e-6
+
+    X = np.array(
+        duckdb.sql(
+            f"SELECT embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchnumpy()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    mu = np.round(X.mean(axis=0), 6)
+    Xc = X - mu
+    v = np.zeros(X.shape[1])
+    v[0] = 1.0
+    for _ in range(3):
+        u = Xc.T @ (Xc @ v)
+        v = np.round(u / np.linalg.norm(u), 9)
+    align = abs(float(v_spark @ v))
+    assert align > 0.999, align
+    # the norm estimate approximates the top eigenvalue scale: positive
+    assert got[1][1] > 0
