@@ -62,6 +62,9 @@ HEADLINE = [
     "ts_rolling_dau_wau",        # TS contribution-explode WAU (r5c)
     "ml_feature_hashing",        # ML hashing-trick featurizer (r5c)
     "path_topk_sessions",        # TS session journey paths (r5c)
+    "ml_pca_power_component",    # ML distributed power iteration (r5c)
+    "stats_poisson_bootstrap_ci",# STATS hash-weighted bootstrap (r5c)
+    "dedup_frame_fingerprints",  # I  frame-fingerprint near-dup (r5c)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched

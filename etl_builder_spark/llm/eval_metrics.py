@@ -553,3 +553,135 @@ def ml_pca_power_component(spark, sf_dir):
         F.round(ud / F.sqrt(F.col("nn").cast("double")), 9).alias("loading"),
         F.round(F.sqrt(F.col("nn").cast("double")), 6).alias("component_norm"),
     )
+
+
+#: Lloyd-iteration settings for the exact k-means key
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _kmeans_oracle() -> str:
+    dist = (
+        "ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (x.v[i] - {cent}.c[i]) * (x.v[i] - {cent}.c[i]))), "
+        "(a, b) -> a + b), 9)"
+    )
+    head = f"""
+        WITH x AS (
+            SELECT vec_id,
+                   list_transform(range(1, {EMB_DIM + 1}),
+                                  i -> CAST(embedding[i] AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        c0 AS (SELECT vec_id AS cid, v AS c FROM x WHERE vec_id < {KMEANS_K})"""
+    blocks = []
+    for k in range(1, KMEANS_ITERS + 1):
+        prev = f"c{k - 1}"
+        d = dist.format(cent=prev)
+        blocks.append(f"""
+        s{k} AS (
+            SELECT x.vec_id, {prev}.cid, {d} AS d9
+            FROM x CROSS JOIN {prev}
+        ),
+        a{k} AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d9, cid) AS rn
+                FROM s{k}
+            ) WHERE rn = 1
+        ),
+        m{k} AS (
+            SELECT a{k}.cid, i AS pos,
+                   ROUND(SUM(x.v[i]) / COUNT(*), 6) AS cv
+            FROM a{k} JOIN x USING (vec_id)
+            CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
+            GROUP BY a{k}.cid, i
+        ),
+        c{k} AS (SELECT cid, list(cv ORDER BY pos) AS c FROM m{k} GROUP BY cid)""")
+    last = f"c{KMEANS_ITERS}"
+    d = dist.format(cent=last)
+    tail = f""",
+        sf AS (
+            SELECT x.vec_id, {last}.cid, {d} AS d9
+            FROM x CROSS JOIN {last}
+        ),
+        af AS (
+            SELECT vec_id, cid, d9 FROM (
+                SELECT vec_id, cid, d9,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d9, cid) AS rn
+                FROM sf
+            ) WHERE rn = 1
+        )
+        SELECT cid AS cluster_id,
+               COUNT(*) AS n_points,
+               ROUND(CAST(SUM(CAST(d9 AS DECIMAL(38,9))) AS DOUBLE), 6) AS inertia
+        FROM af GROUP BY cid"""
+    return head + "," + ",".join(blocks) + tail
+
+
+@register("ml_kmeans_lloyd_exact", oracle=_kmeans_oracle(), tags=("ML-kmeans",))
+def ml_kmeans_lloyd_exact(spark, sf_dir):
+    """K-means with the FULL Lloyd loop under the exact hash: k=8
+    centroids initialized at pinned corpus points (vec_id < 8 — the
+    sim_knn_ivf_exact convention), 2 assign→recompute iterations,
+    then the final assignment's cluster sizes and exact inertia.
+    This upgrades the exact-twin coverage from IVF's single
+    assignment step to the ITERATIVE training dynamics themselves:
+    both engines must walk the same trajectory — same argmins
+    (rounded distances, cid tiebreak), same recomputed centroids
+    (rounded per-dim means), same inertia sums (decimal) — so the
+    hash check pins the whole algorithm, not one pass.
+
+    100 TB posture: each iteration is one broadcast of the k×64
+    centroid table, one expression-fold scoring pass, a map-side-
+    combined argmin (min(struct) — never a window over the ×k
+    expansion, VERDICT r4 item 4), and a (k×dim)-cell mean; the
+    vector frame is persisted across iterations (read once).  Clusters
+    that lose all points drop out on both engines by the same rule.
+    Fixed iteration count keeps the plan static (graph_pagerank_fixed
+    contract); production k-means adds convergence checks driver-side
+    with localCheckpoint lineage cuts (llm/cluster.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select("vec_id", _dbl().alias("v")).persist()
+    cent = x.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+    def assign(centroids):
+        scored = x.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", F.col("cid"), F.round(d2, 9).alias("d9")
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d9", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d9").alias("d9"))
+        )
+
+    for _ in range(KMEANS_ITERS):
+        a = assign(cent)
+        cent = (
+            a.join(x, "vec_id")
+            .select("cid", F.posexplode("v").alias("pos0", "xx"))
+            .groupBy("cid", "pos0")
+            .agg(F.round(F.sum("xx") / F.count(F.lit(1)), 6).alias("cv"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c")
+            )
+        )
+    final = assign(cent)
+    return final.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum(F.col("d9").cast("decimal(38,9)")).cast("double"), 6).alias("inertia"),
+    )

@@ -1492,3 +1492,107 @@ def ts_control_chart_xmr(spark, sf_dir):
         F.round(lcl, 6).alias("lcl"),
         ((F.col("x") > ucl) | (F.col("x") < lcl)).alias("out_of_control"),
     )
+
+
+#: cos/sin table for the 24-hour fundamental, precomputed Python
+#: floats injected as LITERALS into both engines (the ts_ewma_hourly
+#: pattern — no cross-engine trig evaluation anywhere).
+import math as _math
+
+DFT_COS24 = tuple(_math.cos(2 * _math.pi * h / 24) for h in range(24))
+DFT_SIN24 = tuple(_math.sin(2 * _math.pi * h / 24) for h in range(24))
+
+_COS_CASE = "CASE hod " + " ".join(
+    f"WHEN {h} THEN {c!r}" for h, c in enumerate(DFT_COS24)
+) + " END"
+_SIN_CASE = "CASE hod " + " ".join(
+    f"WHEN {h} THEN {s!r}" for h, s in enumerate(DFT_SIN24)
+) + " END"
+
+
+@register(
+    "ts_seasonality_strength_dft",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hs,
+                   CAST(hour(ts) AS INT) AS hod,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2, 3
+        ),
+        proj AS (
+            SELECT event_type,
+                   COUNT(*) AS n_hours,
+                   CAST(SUM(x) AS BIGINT) AS total,
+                   CAST(SUM(CAST(ROUND(x * ({_COS_CASE}), 9) AS DECIMAL(28,9)))
+                        AS DOUBLE) AS a_cos,
+                   CAST(SUM(CAST(ROUND(x * ({_SIN_CASE}), 9) AS DECIMAL(28,9)))
+                        AS DOUBLE) AS a_sin
+            FROM hourly GROUP BY event_type
+        )
+        SELECT event_type, n_hours, total,
+               ROUND(a_cos, 6) AS a_cos,
+               ROUND(a_sin, 6) AS a_sin,
+               ROUND(2.0 * sqrt(a_cos * a_cos + a_sin * a_sin) / n_hours, 6)
+                   AS daily_amplitude,
+               ROUND((2.0 * sqrt(a_cos * a_cos + a_sin * a_sin) / n_hours)
+                     / (CAST(total AS DOUBLE) / n_hours), 6) AS seasonality_strength
+        FROM proj
+    """,
+    tags=("TS-dft",),
+)
+def ts_seasonality_strength_dft(spark, sf_dir):
+    """Daily-cycle seasonality strength by single-bin DFT: project
+    each series' hourly counts onto the 24-hour fundamental
+    (cos/sin at the hour-of-day phase), recover the cycle's amplitude
+    (2|F|/N) and its size relative to the mean level — the one-number
+    answer to "is this stream diurnal", feeding forecasting-model
+    choice and anomaly-baseline shape (pair with ts_seasonal_profile,
+    which shows the cycle; this SCORES it).  The 24 phase weights are
+    precomputed literals (no cross-engine trig); projections sum
+    ROUND(x·w, 9) terms as DECIMAL — order-free exact — and only
+    identical IEEE sqrt/divides follow (policy §7.2).
+
+    100 TB posture: one hash aggregation to hourly cells, one more to
+    per-series projections — both map-side combined; an arbitrary
+    frequency grid is the same shape with one (cos, sin) column pair
+    per bin.  No window, no sort, no state."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hs"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    cosw = F.col("hod")
+    cexpr = None
+    sexpr = None
+    for h in range(24):
+        cexpr = (
+            F.when(cosw == h, F.lit(DFT_COS24[h]))
+            if cexpr is None
+            else cexpr.when(cosw == h, F.lit(DFT_COS24[h]))
+        )
+        sexpr = (
+            F.when(cosw == h, F.lit(DFT_SIN24[h]))
+            if sexpr is None
+            else sexpr.when(cosw == h, F.lit(DFT_SIN24[h]))
+        )
+    t9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    proj = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("x").cast("bigint").alias("total"),
+        F.sum(t9(F.col("x") * cexpr)).cast("double").alias("a_cos"),
+        F.sum(t9(F.col("x") * sexpr)).cast("double").alias("a_sin"),
+    )
+    amp = 2.0 * F.sqrt(F.col("a_cos") * F.col("a_cos") + F.col("a_sin") * F.col("a_sin")) / F.col(
+        "n_hours"
+    )
+    mean_level = F.col("total").cast("double") / F.col("n_hours")
+    return proj.select(
+        "event_type",
+        "n_hours",
+        "total",
+        F.round(F.col("a_cos"), 6).alias("a_cos"),
+        F.round(F.col("a_sin"), 6).alias("a_sin"),
+        F.round(amp, 6).alias("daily_amplitude"),
+        F.round(amp / mean_level, 6).alias("seasonality_strength"),
+    )

@@ -196,6 +196,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "text_ngram_novelty",
     "agg_trimmed_mean",
     "ml_pca_power_component",
+    "ts_seasonality_strength_dft",
+    "ml_kmeans_lloyd_exact",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
