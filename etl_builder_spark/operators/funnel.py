@@ -555,3 +555,111 @@ def seq_transition_matrix(spark, sf_dir):
         "n",
         F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p_transition"),
     )
+
+
+@register(
+    "funnel_three_stage",
+    oracle="""
+        WITH t1 AS (
+            SELECT user_id, MIN(ts) AS ts1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, MIN(e.ts) AS ts2
+            FROM events e JOIN t1 ON t1.user_id = e.user_id
+            WHERE e.event_type = 'view' AND e.ts > t1.ts1
+            GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, MIN(e.ts) AS ts3
+            FROM events e JOIN t2 ON t2.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+            GROUP BY e.user_id
+        ),
+        stages AS (
+            SELECT 1 AS stage_no, 'signup' AS stage, COUNT(*) AS n_users FROM t1
+            UNION ALL SELECT 2, 'view_after_signup', COUNT(*) FROM t2
+            UNION ALL SELECT 3, 'purchase_after_view', COUNT(*) FROM t3
+        )
+        SELECT stage_no, stage, n_users,
+               ROUND(CAST(n_users AS DOUBLE)
+                     / LAG(n_users, 1, n_users) OVER (ORDER BY stage_no), 6)
+                   AS conversion_from_prev,
+               ROUND(CAST(n_users AS DOUBLE)
+                     / FIRST_VALUE(n_users) OVER (ORDER BY stage_no), 6)
+                   AS conversion_from_top
+        FROM stages
+    """,
+    tags=("funnel-staged",),
+)
+def funnel_three_stage(spark, sf_dir):
+    """Staged SEQUENTIAL funnel: signup → (any later) view → (any
+    later) purchase, with per-stage reach and drop-off — the ordered
+    multi-step funnel where each stage's anchor is the PREVIOUS
+    stage's first completion, not the raw event stream (a view before
+    the signup does not count; a purchase before the qualifying view
+    does not count).  Each stage is one MIN aggregate over events
+    joined to the previous stage's anchors — k stages = k user-keyed
+    aggregate-join rounds, all sharing the user_id partitioning, never
+    a k-way self-join explosion.  The stage summary windows run on a
+    3-row frame.
+
+    100 TB posture: per stage, the event scan prunes to one event
+    type and the join side is the shrinking anchor set (broadcast
+    once it fits); conversion ratios are single IEEE divisions of
+    exact counts (policy §7.2).  seq_pattern_strict is the ADJACENT
+    variant; funnel_within_24h bounds the gap; this one orders
+    unbounded stages."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    t1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+        .persist()
+    )
+    t2 = (
+        e.where(F.col("event_type") == "view")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+        .persist()
+    )
+    t3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    stages = (
+        t1.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("stage_no"), F.lit("signup").alias("stage"), "n_users")
+        .unionByName(
+            t2.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("stage_no"), F.lit("view_after_signup").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            t3.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("stage_no"),
+                F.lit("purchase_after_view").alias("stage"),
+                "n_users",
+            )
+        )
+    )
+    w = Window.orderBy("stage_no")
+    prev = F.lag("n_users", 1).over(w)
+    return stages.select(
+        "stage_no",
+        "stage",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.coalesce(prev, F.col("n_users")), 6
+        ).alias("conversion_from_prev"),
+        F.round(
+            F.col("n_users").cast("double") / F.first("n_users").over(w), 6
+        ).alias("conversion_from_top"),
+    )

@@ -198,6 +198,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ml_pca_power_component",
     "ts_seasonality_strength_dft",
     "ml_kmeans_lloyd_exact",
+    "funnel_three_stage",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",

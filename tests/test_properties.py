@@ -1036,3 +1036,47 @@ def test_pca_power_component_matches_numpy_power_iteration(spark):
     assert align > 0.999, align
     # the norm estimate approximates the top eigenvalue scale: positive
     assert got[1][1] > 0
+
+
+def test_kmeans_lloyd_exact_matches_numpy_trajectory(spark):
+    """ml_kmeans_lloyd_exact must reproduce a numpy Lloyd loop run
+    with the same rounding discipline: same final cluster sizes and
+    inertia (to the declared 6 dp)."""
+    import duckdb
+    import numpy as np
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    got = {
+        r.cluster_id: (r.n_points, r.inertia)
+        for r in REGISTRY["ml_kmeans_lloyd_exact"].fn(spark, SF_DIR).collect()
+    }
+    tbl = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchnumpy()
+    X = np.array(tbl["embedding"].tolist(), dtype=np.float64)
+    ids = tbl["vec_id"]
+    cent = {int(i): X[np.where(ids == i)[0][0]].copy() for i in range(8)}
+
+    def assign(cent):
+        cids = sorted(cent)
+        D = np.stack([np.round(((X - cent[c]) ** 2).sum(axis=1), 9) for c in cids], axis=1)
+        pick = D.argmin(axis=1)  # ties: lowest index = lowest cid, matches struct min
+        return np.array([cids[p] for p in pick]), D[np.arange(len(X)), pick]
+
+    for _ in range(2):
+        a, _ = assign(cent)
+        cent = {
+            c: np.round(X[a == c].mean(axis=0), 6) for c in sorted(set(a.tolist()))
+        }
+    a, d9 = assign(cent)
+    expect = {
+        c: (int((a == c).sum()), round(float(d9[a == c].sum()), 6))
+        for c in sorted(set(a.tolist()))
+    }
+    assert set(got) == set(expect)
+    for c in expect:
+        assert got[c][0] == expect[c][0], (c, got[c], expect[c])
+        assert abs(got[c][1] - expect[c][1]) < 1e-5, (c, got[c], expect[c])
