@@ -199,6 +199,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ts_seasonality_strength_dft",
     "ml_kmeans_lloyd_exact",
     "funnel_three_stage",
+    "sql_udf_registered",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",

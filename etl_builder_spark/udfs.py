@@ -171,3 +171,45 @@ def udf_map_in_arrow(spark, sf_dir):
     return d.mapInArrow(
         arrow_stats, "doc_id long, n_chars_utf8 long, n_bytes long, head_upper string"
     )
+
+
+@register(
+    "sql_udf_registered",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               floor(CAST(o_totalprice AS DECIMAL(18,2)) * 7) / 100.0 AS tax
+        FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("K-sql-udf",),
+)
+def sql_udf_registered(spark, sf_dir):
+    """Python UDFs reachable from SQL TEXT: a vectorized (Arrow
+    batched) pandas UDF registered into the session catalog with
+    ``spark.udf.register`` and invoked from a plain SQL string — the
+    surface that lets SQL-only consumers (BI layers, dbt models) call
+    the engine's Python extensions.  The UDF body is integer-exact
+    (floor of an exact-decimal-derived product), so the SQL oracle
+    reproduces the values and the whole registration+dispatch path
+    sits under the hash, not just a smoke test.
+
+    100 TB posture: registration changes DISPATCH, not execution —
+    the plan shows the same ArrowEvalPython stage a DataFrame-side
+    pandas UDF gets (the registry-wide sweep still forbids
+    row-pickled BatchEvalPython); Arrow batches stream per partition
+    exactly as in K1."""
+    from etl_builder_spark.session import register_views
+
+    @pandas_udf(DoubleType())
+    def tax7(price: pd.Series) -> pd.Series:
+        import numpy as np_
+
+        return np_.floor(price * 7) / 100.0
+
+    spark.udf.register("tax7", tax7)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice, tax7(o_totalprice) AS tax
+        FROM orders WHERE o_orderkey < 2000
+        """
+    )
