@@ -1073,3 +1073,117 @@ def agg_trimmed_mean(spark, sf_dir):
         ).alias("trimmed_mean"),
         (F.sum("v").cast("double") / F.min("n")).alias("plain_mean"),
     )
+
+
+@register(
+    "agg_skyline_frontier",
+    oracle="""
+        WITH pts AS (
+            SELECT l_returnflag AS flag, l_extendedprice AS price,
+                   MAX(l_quantity) AS qty
+            FROM lineitem
+            GROUP BY 1, 2
+        ),
+        staged AS (
+            SELECT flag, price, qty,
+                   MAX(qty) OVER (PARTITION BY flag ORDER BY price DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS best_qty_above
+            FROM pts
+        )
+        SELECT flag, price, qty
+        FROM staged
+        WHERE best_qty_above IS NULL OR qty > best_qty_above
+    """,
+    tags=("D-skyline",),
+)
+def agg_skyline_frontier(spark, sf_dir):
+    """SKYLINE (Pareto-frontier) operator: per group, the line items
+    not dominated on (price, quantity) — a point survives when no
+    other point is at least as good on BOTH axes and strictly better
+    on one; the classic multi-criteria shortlist (best price/volume
+    trades, supplier offers, hotel price-vs-rating).  The scalable
+    closed form is the sort-and-sweep staircase: pre-aggregate the
+    best qty per price, sort by price descending, and keep a point
+    iff its qty beats the running max over STRICTLY higher prices —
+    one window pass, never the O(n²) dominance self-join.
+
+    100 TB posture: the price-level pre-aggregation collapses the
+    window's input to |distinct prices| per group (map-side
+    combined); the sweep is one per-group sort (the order statistics
+    cost class, D10).  Higher dimensions block-partition then merge
+    frontiers — the same sweep per block, frontiers union-swept
+    again (frontier size is the bound, not data size)."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    pts = l.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("price")
+    ).agg(F.max("l_quantity").alias("qty"))
+    w = (
+        Window.partitionBy("flag")
+        .orderBy(F.col("price").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = pts.select("flag", "price", "qty", F.max("qty").over(w).alias("best_qty_above"))
+    return staged.where(
+        F.col("best_qty_above").isNull() | (F.col("qty") > F.col("best_qty_above"))
+    ).select("flag", "price", "qty")
+
+
+@register(
+    "pivot_dynamic_discovered",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_F,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_O,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_P,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS revenue_F,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS revenue_O,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS revenue_P
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("D-pivot-dynamic",),
+)
+def pivot_dynamic_discovered(spark, sf_dir):
+    """DYNAMIC pivot: the spread columns are DISCOVERED from the data
+    (distinct statuses, sorted) rather than hard-coded
+    (pivot_manual's fixed list breaks silently when a new status
+    appears; this one grows a column).  Two-phase query generation —
+    a tiny distinct-values pass (a model artifact, like the PQ
+    codebook memo: ≤ |statuses| rows to the driver), then the pivot
+    compiled WITH the explicit value list so Spark still plans the
+    single-pass conditional aggregate rather than its own hidden
+    discovery job.
+
+    100 TB posture: the discovery pass is a column-pruned distinct
+    (map-side combined, broadcastable result); the pivot itself is
+    ONE scan with |statuses|×2 conditional aggregates, identical to
+    the static form.  Dimension blow-up is the governed risk: cap
+    discovered values (and bucket the tail as 'other') before
+    pivoting by a high-cardinality column."""
+    o = load_table(spark, sf_dir, "orders")
+    statuses = sorted(
+        r[0] for r in o.select("o_orderstatus").distinct().collect()
+    )
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("rev"),
+        )
+    )
+    cols = [F.col("o_orderpriority")]
+    for s in statuses:
+        cols.append(F.col(f"{s}_n").cast("bigint").alias(f"status_{s}"))
+    for s in statuses:
+        cols.append(F.col(f"{s}_rev").alias(f"revenue_{s}"))
+    return pivoted.select(*cols)

@@ -200,6 +200,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ml_kmeans_lloyd_exact",
     "funnel_three_stage",
     "sql_udf_registered",
+    "agg_skyline_frontier",
+    "pivot_dynamic_discovered",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
