@@ -685,3 +685,98 @@ def ml_kmeans_lloyd_exact(spark, sf_dir):
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.sum(F.col("d9").cast("decimal(38,9)")).cast("double"), 6).alias("inertia"),
     )
+
+
+@register(
+    "ml_rfm_segmentation",
+    oracle="""
+        WITH ref AS (SELECT MAX(ts) AS cutoff FROM events),
+        base AS (
+            SELECT user_id,
+                   CAST(MIN(epoch_us(cutoff) - epoch_us(ts)) AS BIGINT) AS recency_us,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                       AS frequency,
+                   CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (
+                        WHERE event_type = 'purchase'), 0) AS DOUBLE) AS monetary
+            FROM events CROSS JOIN ref
+            GROUP BY user_id
+        ),
+        scored AS (
+            SELECT user_id, recency_us, frequency, monetary,
+                   CAST(NTILE(5) OVER (ORDER BY recency_us DESC, user_id) AS INT)
+                       AS r_score,
+                   CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_score,
+                   CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS INT) AS m_score
+            FROM base
+        )
+        SELECT user_id, recency_us, frequency, monetary,
+               r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS rfm_segment,
+               CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+                    WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_promising'
+                    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                    ELSE 'regular' END AS lifecycle
+        FROM scored
+    """,
+    tags=("ML-rfm",),
+)
+def ml_rfm_segmentation(spark, sf_dir):
+    """RFM segmentation — the marketing-analytics classic: each user
+    scored 1–5 by Recency (lower age ⇒ higher score), Frequency, and
+    Monetary quintiles, concatenated into the 555-style segment code
+    and mapped to lifecycle labels (champion / at-risk / hibernating
+    …).  Quintiles are NTILE(5) with the user_id tiebreak
+    (policy §7.2.3 — bare NTILE over tied monetary values would be
+    nondeterministic); recency is exact µs against the corpus
+    high-water mark (the ml_user_features_asof cutoff discipline),
+    monetary exact decimal.
+
+    100 TB posture: one user-level aggregation (map-side combined),
+    then three rank windows over the per-USER frame (|users|, not
+    |events|); at extreme user counts swap NTILE for bucketing on
+    approx-quantile edges — the downstream segment logic is
+    unchanged."""
+    from pyspark.sql import Window
+
+    from etl_builder_spark.policy import money
+
+    e = load_table(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("cutoff"))
+    age = F.unix_micros(F.col("cutoff")) - F.unix_micros(F.col("ts"))
+    is_p = F.col("event_type") == "purchase"
+    base = (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.min(age).cast("bigint").alias("recency_us"),
+            F.count(F.when(is_p, 1)).cast("bigint").alias("frequency"),
+            F.coalesce(F.sum(F.when(is_p, money("value"))).cast("double"), F.lit(0.0)).alias(
+                "monetary"
+            ),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_us").desc(), "user_id")).cast("int")
+    f = F.ntile(5).over(Window.orderBy("frequency", "user_id")).cast("int")
+    m = F.ntile(5).over(Window.orderBy("monetary", "user_id")).cast("int")
+    scored = base.select(
+        "user_id", "recency_us", "frequency", "monetary",
+        r.alias("r_score"), f.alias("f_score"), m.alias("m_score"),
+    )
+    lifecycle = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new_or_promising")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "*",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_segment"),
+        lifecycle.alias("lifecycle"),
+    )

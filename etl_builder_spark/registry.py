@@ -202,6 +202,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "sql_udf_registered",
     "agg_skyline_frontier",
     "pivot_dynamic_discovered",
+    "ml_rfm_segmentation",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
