@@ -1596,3 +1596,88 @@ def ts_seasonality_strength_dft(spark, sf_dir):
         F.round(amp, 6).alias("daily_amplitude"),
         F.round(amp / mean_level, 6).alias("seasonality_strength"),
     )
+
+
+@register(
+    "ts_trend_decompose_ma",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hs,
+                   CAST(hour(ts) AS INT) AS hod,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2, 3
+        ),
+        trended AS (
+            SELECT event_type, hs, hod, x,
+                   CASE WHEN COUNT(*) OVER w = 25
+                        THEN CAST(SUM(x) OVER w AS DOUBLE) / 25 END AS trend
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hs
+                         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ),
+        detr AS (
+            SELECT *, CAST(ROUND(x - trend, 9) AS DECIMAL(28,9)) AS d9
+            FROM trended WHERE trend IS NOT NULL
+        ),
+        seasonal AS (
+            SELECT event_type, hod,
+                   ROUND(CAST(SUM(d9) AS DOUBLE) / COUNT(*), 6) AS s
+            FROM detr GROUP BY event_type, hod
+        )
+        SELECT d.event_type, d.hs, d.x,
+               ROUND(d.trend, 6) AS trend,
+               se.s AS seasonal,
+               ROUND(CAST(d.d9 AS DOUBLE) - se.s, 6) AS residual
+        FROM detr d
+        JOIN seasonal se ON se.event_type = d.event_type AND se.hod = d.hod
+    """,
+    tags=("TS-decompose",),
+)
+def ts_trend_decompose_ma(spark, sf_dir):
+    """Classical additive decomposition of each hourly series:
+    TREND = centered 25-hour moving average (full windows only — the
+    edges where the window is truncated are excluded rather than
+    biased), SEASONAL = mean detrended value per hour-of-day,
+    RESIDUAL = the rest — the STL-lite separation feeding anomaly
+    detection (alert on residual, not raw), capacity planning (trend)
+    and the seasonality scorers (ts_seasonality_strength_dft measures
+    what this extracts).  Detrended values are rounded-then-DECIMAL
+    before the seasonal mean so the cross-row accumulation is
+    order-free (policy §7.2); trend is an exact integer sum divided
+    once.
+
+    100 TB posture: one exchange on the series key for the centered
+    window (|hours| rows per series), one (type × 24) aggregation,
+    one broadcast-size join back — the decomposition costs two
+    aggregates more than the hourly rollup itself."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hs"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("hs").rowsBetween(-12, 12)
+    trend = F.when(
+        F.count(F.lit(1)).over(w) == 25, F.sum("x").over(w).cast("double") / 25
+    )
+    detr = (
+        hourly.select("event_type", "hs", "hod", "x", trend.alias("trend"))
+        .where(F.col("trend").isNotNull())
+        .select(
+            "*", F.round(F.col("x") - F.col("trend"), 9).cast("decimal(28,9)").alias("d9")
+        )
+        .persist()  # feeds the seasonal mean AND the residual join
+    )
+    seasonal = detr.groupBy("event_type", "hod").agg(
+        F.round(F.sum("d9").cast("double") / F.count(F.lit(1)), 6).alias("s")
+    )
+    return detr.join(F.broadcast(seasonal), ["event_type", "hod"]).select(
+        "event_type",
+        "hs",
+        "x",
+        F.round(F.col("trend"), 6).alias("trend"),
+        F.col("s").alias("seasonal"),
+        F.round(F.col("d9").cast("double") - F.col("s"), 6).alias("residual"),
+    )

@@ -203,6 +203,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "agg_skyline_frontier",
     "pivot_dynamic_discovered",
     "ml_rfm_segmentation",
+    "ts_trend_decompose_ma",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
