@@ -164,3 +164,146 @@ def er_survivorship_merge(spark, sf_dir):
         .where(F.col("n_merged") > 1)
         .drop("norm_text")
     )
+
+
+#: Fellegi–Sunter-style field agreement weights (log₂ m/u odds),
+#: precomputed literals injected into both engines.  Values are
+#: representative survey numbers, not fitted — the operator's shape,
+#: not the calibration, is what scales.
+FS_W_NAME_EXACT = 6.0
+FS_W_NAME_CLOSE = 3.5   # edit distance 1-2
+FS_W_NAME_FAR = -4.0
+FS_W_NATION_AGREE = 1.5
+FS_W_NATION_DISAGREE = -2.0
+FS_W_BAL_AGREE = 2.0    # same acctbal band (floor /1000)
+FS_W_BAL_DISAGREE = -0.5
+FS_MATCH_T = 7.0
+FS_POSSIBLE_T = 3.0
+
+
+@register(
+    "er_weighted_linkage",
+    oracle=f"""
+        WITH everything AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+            FROM customer
+            UNION ALL
+            SELECT c_custkey + {ER_OFFSET},
+                   substr(c_name, 1, length(c_name) - 1) || 'X',
+                   c_nationkey,
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+            FROM customer
+        ),
+        blocked AS (
+            SELECT *, substr(c_name, 10, 7) AS block_key FROM everything
+        ),
+        pairs AS (
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS ed,
+                   (a.c_nationkey = b.c_nationkey) AS nation_agree,
+                   (a.bal_band = b.bal_band) AS bal_agree
+            FROM blocked a JOIN blocked b
+              ON a.block_key = b.block_key AND a.c_custkey < b.c_custkey
+        ),
+        scored AS (
+            SELECT id_a, id_b, ed, nation_agree, bal_agree,
+                   (CASE WHEN ed = 0 THEN {FS_W_NAME_EXACT!r}
+                         WHEN ed <= 2 THEN {FS_W_NAME_CLOSE!r}
+                         ELSE {FS_W_NAME_FAR!r} END
+                    + CASE WHEN nation_agree THEN {FS_W_NATION_AGREE!r}
+                           ELSE {FS_W_NATION_DISAGREE!r} END
+                    + CASE WHEN bal_agree THEN {FS_W_BAL_AGREE!r}
+                           ELSE {FS_W_BAL_DISAGREE!r} END) AS score
+            FROM pairs
+        )
+        SELECT id_a, id_b, ed, nation_agree, bal_agree,
+               ROUND(score, 6) AS score,
+               CASE WHEN score >= {FS_MATCH_T!r} THEN 'match'
+                    WHEN score >= {FS_POSSIBLE_T!r} THEN 'possible'
+                    ELSE 'non_match' END AS decision
+        FROM scored
+        WHERE score >= {FS_POSSIBLE_T!r}
+    """,
+    tags=("ER-linkage",),
+)
+def er_weighted_linkage(spark, sf_dir):
+    """Probabilistic record linkage, Fellegi–Sunter shape: candidate
+    pairs from name-block joins are scored by SUMMED per-field
+    log-odds agreement weights (exact/close/far name distance, nation
+    agreement, account-balance band) and routed into
+    match / possible / non-match decisions — the weighted-evidence
+    upgrade over the single-field threshold matcher
+    (er_blocked_fuzzy_match), which is how production linkage actually
+    decides (one strong field can outvote one weak disagreement).
+    Weights are injected literals (EM-fitting them is a driver-side
+    loop over exactly this scored table); score arithmetic is a fixed
+    chain of literal additions — identical IEEE on both engines.
+
+    100 TB posture: identical candidate bound to the fuzzy matcher
+    (block join, never all-pairs — note the deliberately WIDER blocks
+    here: no nation equality in the block key, since nation is now
+    evidence rather than a prefilter); scoring is expression-only on
+    candidates; JVM levenshtein."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    )
+    dirty = base.select(
+        (F.col("c_custkey") + ER_OFFSET).alias("c_custkey"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, F.length("c_name") - 1).cast("string"),
+            F.lit("X"),
+        ).alias("c_name"),
+        "c_nationkey",
+        "bal_band",
+    )
+    blocked = (
+        base.unionByName(dirty)
+        .select("*", F.substring("c_name", 10, 7).alias("block_key"))
+        .persist()
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("id_a"),
+        F.col("b.c_custkey").alias("id_b"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).cast("bigint").alias("ed"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey")).alias("nation_agree"),
+        (F.col("a.bal_band") == F.col("b.bal_band")).alias("bal_agree"),
+    )
+    name_w = (
+        F.when(F.col("ed") == 0, F.lit(FS_W_NAME_EXACT))
+        .when(F.col("ed") <= 2, F.lit(FS_W_NAME_CLOSE))
+        .otherwise(F.lit(FS_W_NAME_FAR))
+    )
+    nation_w = F.when(F.col("nation_agree"), F.lit(FS_W_NATION_AGREE)).otherwise(
+        F.lit(FS_W_NATION_DISAGREE)
+    )
+    bal_w = F.when(F.col("bal_agree"), F.lit(FS_W_BAL_AGREE)).otherwise(
+        F.lit(FS_W_BAL_DISAGREE)
+    )
+    score = name_w + nation_w + bal_w
+    decision = (
+        F.when(score >= FS_MATCH_T, "match")
+        .when(score >= FS_POSSIBLE_T, "possible")
+        .otherwise("non_match")
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "ed",
+            "nation_agree",
+            "bal_agree",
+            F.round(score, 6).alias("score"),
+            decision.alias("decision"),
+        )
+        .where(F.col("score") >= FS_POSSIBLE_T)
+    )

@@ -1681,3 +1681,67 @@ def ts_trend_decompose_ma(spark, sf_dir):
         F.col("s").alias("seasonal"),
         F.round(F.col("d9").cast("double") - F.col("s"), 6).alias("residual"),
     )
+
+
+#: 4-4-5 fiscal calendar anchor: fiscal weeks count from this Monday.
+FISCAL_ANCHOR = "1994-01-03"
+
+
+@register(
+    "ts_fiscal_calendar_445",
+    oracle=f"""
+        WITH dates AS (
+            SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+        ),
+        wk AS (
+            SELECT d,
+                   CAST(datediff('day', DATE '{FISCAL_ANCHOR}', d) AS BIGINT) // 7
+                       AS fweek
+            FROM dates
+            WHERE d >= DATE '{FISCAL_ANCHOR}'
+        )
+        SELECT d AS cal_date,
+               CAST(1994 + fweek // 52 AS INT) AS fiscal_year,
+               CAST((fweek % 52) // 13 + 1 AS INT) AS fiscal_quarter,
+               CAST((fweek % 52) // 13 * 3
+                    + CASE WHEN (fweek % 52) % 13 < 4 THEN 1
+                           WHEN (fweek % 52) % 13 < 8 THEN 2
+                           ELSE 3 END AS INT) AS fiscal_period,
+               CAST(fweek % 52 + 1 AS INT) AS fiscal_week
+        FROM wk
+    """,
+    tags=("TS-fiscal",),
+)
+def ts_fiscal_calendar_445(spark, sf_dir):
+    """4-4-5 fiscal calendar mapping — the retail-standard reporting
+    calendar where every quarter is exactly 13 weeks (two 4-week
+    periods + one 5-week period), so period-over-period comparisons
+    always align on whole weeks and weekday mix.  Every field derives
+    from ONE integer — whole weeks since the fiscal anchor Monday —
+    by pure integer division/modulo (both engines floor identically
+    on non-negatives), making the mapping exact, expression-only, and
+    joinable as a dimension onto any fact (ts_calendar_dim is the
+    Gregorian twin).  The 53rd-week leap handling (this simple form
+    assigns trailing weeks to week 52+ of later years as pure
+    week-count arithmetic) is the documented simplification —
+    NRF-style restatement rules are a literal lookup table on top.
+
+    100 TB posture: zero shuffles beyond the distinct (and in
+    production this materializes ONCE as a tiny dimension and
+    broadcasts forever)."""
+    o = load_table(spark, sf_dir, "orders")
+    dates = o.select(F.col("o_orderdate").cast("date").alias("d")).distinct()
+    anchor = F.lit(FISCAL_ANCHOR).cast("date")
+    fweek = (F.datediff(F.col("d"), anchor).cast("bigint") / 7).cast("bigint")
+    wk = dates.where(F.col("d") >= anchor).select("d", fweek.alias("fweek"))
+    wy = F.col("fweek") % 52
+    period = (wy / 13).cast("int") * 3 + (
+        F.when(wy % 13 < 4, 1).when(wy % 13 < 8, 2).otherwise(3)
+    )
+    return wk.select(
+        F.col("d").alias("cal_date"),
+        (F.lit(1994) + (F.col("fweek") / 52).cast("int")).cast("int").alias("fiscal_year"),
+        ((wy / 13).cast("int") + 1).cast("int").alias("fiscal_quarter"),
+        period.cast("int").alias("fiscal_period"),
+        (wy + 1).cast("int").alias("fiscal_week"),
+    )

@@ -204,6 +204,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "pivot_dynamic_discovered",
     "ml_rfm_segmentation",
     "ts_trend_decompose_ma",
+    "er_weighted_linkage",
+    "ts_fiscal_calendar_445",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
