@@ -65,6 +65,10 @@ HEADLINE = [
     "ml_pca_power_component",    # ML distributed power iteration (r5c)
     "stats_poisson_bootstrap_ci",# STATS hash-weighted bootstrap (r5c)
     "dedup_frame_fingerprints",  # I  frame-fingerprint near-dup (r5c)
+    "ml_kmeans_lloyd_exact",     # ML exact-trajectory Lloyd loop (r5c)
+    "geo_grid_radius_join",      # GEO grid-bucketed spatial join (r5c)
+    "ts_seasonality_strength_dft",  # TS single-bin DFT scoring (r5c)
+    "er_weighted_linkage",       # ER weighted-evidence linkage (r5c)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched
