@@ -421,3 +421,99 @@ def stats_two_proportion_z(spark, sf_dir):
     return wide.select(
         "na", "xa", "nb", "xb", pa.alias("p_a"), pb.alias("p_b"), z_safe.alias("z_stat")
     )
+
+
+@register(
+    "stats_survival_km",
+    oracle="""
+        WITH ref AS (SELECT MAX(ts) AS corpus_end FROM events),
+        users AS (
+            SELECT user_id,
+                   CAST(datediff('day', MIN(ts), MAX(ts)) AS BIGINT) AS lifetime_d,
+                   (datediff('day', MAX(ts), corpus_end) > 3) AS died
+            FROM events CROSS JOIN ref
+            GROUP BY user_id, corpus_end
+        ),
+        risk AS (
+            SELECT lifetime_d AS t,
+                   CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS ending_here
+            FROM users GROUP BY lifetime_d
+        ),
+        cum AS (
+            SELECT t, d,
+                   CAST(SUM(ending_here) OVER (ORDER BY t DESC
+                                               ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS n_at_risk
+            FROM risk
+        ),
+        terms AS (
+            SELECT t, d, n_at_risk,
+                   CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk), 9)
+                        AS DECIMAL(28,9)) AS lterm
+            FROM cum WHERE d < n_at_risk
+        )
+        SELECT t AS lifetime_days, d AS n_events, n_at_risk,
+               ROUND(exp(CAST(SUM(lterm) OVER (ORDER BY t
+                                               ROWS UNBOUNDED PRECEDING)
+                              AS DOUBLE)), 6) AS survival
+        FROM terms
+    """,
+    tags=("STATS-survival",),
+)
+def stats_survival_km(spark, sf_dir):
+    """Kaplan–Meier survival curve of user LIFETIMES (days between
+    first and last activity), with right-censoring: users still
+    active within 3 days of the corpus end are censored, not deaths —
+    the survival-analysis estimator behind churn forecasting and
+    LTV horizon choices, which a naive "average lifetime" biases
+    badly by counting the still-alive as finished.  The product-limit
+    estimator Π(1 − dᵢ/nᵢ) distributes as a CUMULATIVE SUM of
+    per-time log terms (rounded-then-DECIMAL — order-free, policy
+    §7.2) re-exponentiated once per row; the at-risk counts come from
+    a descending running sum over the per-lifetime aggregate.  Times
+    where every remaining subject dies (d = n) are excluded from the
+    log domain (survival there is 0 by convention — the curve's
+    terminal point, reported implicitly by its absence).
+
+    100 TB posture: one user-level aggregation collapses the event
+    stream; every window runs over the |distinct lifetimes| frame
+    (bounded by the calendar) — the same aggregated-frame window
+    argument as vocab_top_tokens; ln/exp evaluate on identical
+    doubles in both engines and the result is rounded once."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("corpus_end"))
+    users = (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id", "corpus_end")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .select(
+            F.datediff("last_ts", "first_ts").cast("bigint").alias("lifetime_d"),
+            (F.datediff("corpus_end", "last_ts") > 3).alias("died"),
+        )
+    )
+    risk = users.groupBy(F.col("lifetime_d").alias("t")).agg(
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("ending_here"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = risk.select(
+        "t", "d", F.sum("ending_here").over(w_desc).alias("n_at_risk")
+    )
+    lterm = F.round(
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")), 9
+    ).cast("decimal(28,9)")
+    terms = cum.where(F.col("d") < F.col("n_at_risk")).select(
+        "t", "d", "n_at_risk", lterm.alias("lterm")
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return terms.select(
+        F.col("t").alias("lifetime_days"),
+        F.col("d").alias("n_events"),
+        "n_at_risk",
+        F.round(F.exp(F.sum("lterm").over(w_asc).cast("double")), 6).alias("survival"),
+    )

@@ -206,6 +206,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ts_trend_decompose_ma",
     "er_weighted_linkage",
     "ts_fiscal_calendar_445",
+    "stats_survival_km",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
