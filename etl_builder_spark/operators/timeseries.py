@@ -1745,3 +1745,88 @@ def ts_fiscal_calendar_445(spark, sf_dir):
         period.cast("int").alias("fiscal_period"),
         (wy + 1).cast("int").alias("fiscal_week"),
     )
+
+
+@register(
+    "ts_autocorr_lag24",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hs,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, x,
+                   LAG(x, 24) OVER (PARTITION BY event_type ORDER BY hs) AS y
+            FROM hourly
+        ),
+        pairs AS (SELECT event_type, x, y FROM lagged WHERE y IS NOT NULL),
+        mom AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pairs GROUP BY event_type
+        )
+        SELECT event_type, n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS autocorr_24h
+        FROM mom
+        WHERE n * sxx > sx * sx AND n * syy > sy * sy
+    """,
+    tags=("TS-autocorr",),
+)
+def ts_autocorr_lag24(spark, sf_dir):
+    """Lag-24 autocorrelation of each hourly series — the classic
+    diurnal-seasonality DIAGNOSTIC (high r at the daily lag confirms
+    what ts_seasonality_strength_dft scores and
+    ts_trend_decompose_ma extracts; in an ACF sweep this is one lag
+    of the correlogram, and the same shape evaluates any lag list in
+    one pass with one moment-set per lag).  Pearson r over
+    (x_t, x_{t−24}) pairs computed entirely from EXACT INTEGER
+    moments — counts and their products summed as BIGINTs — so the
+    only floats are one identical IEEE expression per series, rounded
+    once (the ts_rolling_corr contract, applied serially).
+    Zero-variance series are excluded (r undefined).
+
+    100 TB posture: one exchange on the series key for the LAG
+    window over the hourly aggregate (|hours| rows per series), then
+    a map-side-combined moment rollup — adding lags adds columns,
+    not passes."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hs")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("hs")
+    pairs = hourly.select(
+        "event_type", "x", F.lag("x", 24).over(w).alias("y")
+    ).where(F.col("y").isNotNull())
+    mom = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        mom.where(
+            (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(num / F.sqrt(vx * vy), 6).alias("autocorr_24h"),
+        )
+    )

@@ -207,6 +207,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "er_weighted_linkage",
     "ts_fiscal_calendar_445",
     "stats_survival_km",
+    "ts_autocorr_lag24",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
