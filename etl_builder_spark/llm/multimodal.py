@@ -563,3 +563,84 @@ def dedup_frame_fingerprints(spark, sf_dir):
         .where(frac >= 0.5)
         .select("asset_a", "asset_b", "n_shared", F.round(frac, 6).alias("overlap_frac"))
     )
+
+
+@register(
+    "multimodal_resize_halve",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   (doc_id % 6 + 2) * 2 AS w,
+                   (doc_id % 3 + 1) * 2 AS h
+            FROM documents WHERE doc_id < 200
+        ),
+        cells AS (
+            SELECT doc_id, w, h, r2.i AS r2, c2.i AS c2, ch.i AS ch,
+                   ((doc_id * 7 + (r2.i * 2) * 31 + (c2.i * 2) * 13 + ch.i * 97) % 256
+                    + (doc_id * 7 + (r2.i * 2) * 31 + (c2.i * 2 + 1) * 13 + ch.i * 97) % 256
+                    + (doc_id * 7 + (r2.i * 2 + 1) * 31 + (c2.i * 2) * 13 + ch.i * 97) % 256
+                    + (doc_id * 7 + (r2.i * 2 + 1) * 31 + (c2.i * 2 + 1) * 13 + ch.i * 97) % 256
+                   ) // 4 AS v
+            FROM base,
+                 unnest(range(0, h // 2)) AS r2(i),
+                 unnest(range(0, w // 2)) AS c2(i),
+                 unnest(range(0, 3)) AS ch(i)
+        )
+        SELECT doc_id AS asset_id,
+               CAST(MIN(w) // 2 AS INT) AS out_w,
+               CAST(MIN(h) // 2 AS INT) AS out_h,
+               CAST(SUM(v) AS BIGINT) AS pixel_sum,
+               CAST(MAX(CASE WHEN r2 = 0 AND c2 = 0 AND ch = 0 THEN v END)
+                    AS BIGINT) AS corner_r
+        FROM cells GROUP BY doc_id
+    """,
+    tags=("I-resize",),
+)
+def multimodal_resize_halve(spark, sf_dir):
+    """REAL image resizing — 2× downsample by exact 2×2 block-mean
+    (floor) — run through the ACTUAL codec path: a gradient test
+    pattern (pixel = (id·7 + r·31 + c·13 + ch·97) mod 256, so every
+    pixel differs) is PPM-ENCODED, DECODED back, resized in numpy,
+    and summarized (output dims, exact pixel sum, corner value); the
+    oracle recomputes the resized pixels symbolically, so hash
+    equality proves encode → decode → block-mean arithmetic
+    end-to-end on non-trivial pixel data.  This replaces the survey's
+    resize-as-metadata stub (resize_meta) with the computation
+    itself — integer-exact, so no codec-library float resampling
+    semantics are smuggled in.
+
+    100 TB posture: the same Arrow mapInPandas seam as every codec
+    operator; resize is embarrassingly parallel per asset, pixels
+    never leave the executor, and the relational output is the typed
+    summary a curation pipeline actually stores (thumbnails
+    themselves would be written back as binary columns through the
+    identical seam)."""
+    from etl_builder_spark.llm.codecs import decode_ppm, encode_ppm
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("asset_id", "out_w", "out_h", "pixel_sum", "corner_r")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = (did % 6 + 2) * 2, (did % 3 + 1) * 2
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                px = ((did * 7 + r * 31 + c * 13 + ch * 97) % 256).astype(np.uint8)
+                dec = decode_ppm(encode_ppm(px)).astype(np.int64)
+                blocks = dec.reshape(h // 2, 2, w // 2, 2, 3)
+                resized = blocks.sum(axis=(1, 3)) // 4
+                out["asset_id"].append(did)
+                out["out_w"].append(w // 2)
+                out["out_h"].append(h // 2)
+                out["pixel_sum"].append(int(resized.sum()))
+                out["corner_r"].append(int(resized[0, 0, 0]))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        work, "asset_id long, out_w int, out_h int, pixel_sum long, corner_r long"
+    )

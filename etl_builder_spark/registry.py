@@ -208,6 +208,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ts_fiscal_calendar_445",
     "stats_survival_km",
     "ts_autocorr_lag24",
+    "multimodal_resize_halve",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
