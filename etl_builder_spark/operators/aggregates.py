@@ -1187,3 +1187,81 @@ def pivot_dynamic_discovered(spark, sf_dir):
     for s in statuses:
         cols.append(F.col(f"{s}_rev").alias(f"revenue_{s}"))
     return pivoted.select(*cols)
+
+
+@register(
+    "agg_abc_classification",
+    oracle="""
+        WITH parts AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT l_partkey, rev,
+                   CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       AS cum_rev,
+                   CAST(SUM(rev) OVER () AS DOUBLE) AS tot_rev
+            FROM parts
+        ),
+        classed AS (
+            SELECT l_partkey, rev,
+                   CASE WHEN cum_rev / tot_rev <= 0.8 THEN 'A'
+                        WHEN cum_rev / tot_rev <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   tot_rev
+            FROM ranked
+        )
+        SELECT abc_class,
+               COUNT(*) AS n_parts,
+               CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+               ROUND(CAST(SUM(rev) AS DOUBLE) / MIN(tot_rev), 6) AS revenue_share
+        FROM classed GROUP BY abc_class
+    """,
+    tags=("D-abc",),
+)
+def agg_abc_classification(spark, sf_dir):
+    """ABC (Pareto) classification — the supply-chain staple: parts
+    ranked by revenue, classed A while cumulative share ≤ 80%, B to
+    95%, C after, then rolled up per class — the inventory-policy
+    input ("count A items weekly, C items yearly") and the managed
+    form of win_cumulative_share's raw Pareto curve.  The cumulative
+    window runs over the AGGREGATED per-part frame (|parts| rows)
+    with the part key as tiebreak; revenues derive from exact decimal
+    sums, and the class boundaries compare identically-derived
+    doubles on both engines.
+
+    100 TB posture: per-part revenue aggregates map-side; the global
+    ranking window is bounded by catalog size, not fact volume (the
+    vocab_top_tokens argument — part catalogs are millions, not
+    trillions); the final rollup is three rows."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    # all accumulations stay DECIMAL (order-free) until the final
+    # double casts — an unordered SUM of doubles for the grand total
+    # would be last-ulp order-dependent across engines
+    parts = l.groupBy("l_partkey").agg(
+        F.sum(money("l_extendedprice")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = parts.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(w).cast("double").alias("cum_rev"),
+        F.sum("rev").over(Window.partitionBy()).cast("double").alias("tot_rev"),
+    )
+    share = F.col("cum_rev") / F.col("tot_rev")
+    classed = ranked.select(
+        "rev",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+        "tot_rev",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("double").alias("class_revenue"),
+        F.round(F.sum("rev").cast("double") / F.min("tot_rev"), 6).alias("revenue_share"),
+    )

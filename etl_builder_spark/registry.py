@@ -209,6 +209,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "stats_survival_km",
     "ts_autocorr_lag24",
     "multimodal_resize_halve",
+    "agg_abc_classification",
     # --- (e) latest grading is r2 (registration order) ---
     "agg_approx_distinct",
     "agg_collect_sorted",
