@@ -158,22 +158,38 @@ def main() -> int:
 
     total = round(sum(times.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_matrix_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-                # extra key, ignored by strict readers: fixed-work host-speed
-                # probe (sum over range(100M), min-of-3) for normalizing
-                # cross-round comparisons on this oscillating host
-                "calibration_range_sum_sec": cal,
-                "calibration_end_sec": cal_end,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_matrix_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        # extra key, ignored by strict readers: fixed-work host-speed
+        # probe (sum over range(100M), min-of-3) for normalizing
+        # cross-round comparisons on this oscillating host
+        "calibration_range_sum_sec": cal,
+        "calibration_end_sec": cal_end,
+        "n_queries": len(times),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+
+    # Full-precision per-query detail goes to a committed sidecar — the
+    # driver's stdout capture keeps only the LAST ~2000 chars, and the r5
+    # 62-query line was ~2.9 KB so the captured JSON never parsed
+    # (BENCH_r05.json parsed: null; VERDICT r5 item 3).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump({**payload, "queries": times, "rows": rows}, f, indent=1)
+
+    # The stdout line self-truncates to fit the capture window: drop
+    # per-query entries from the END (TPC-H last; every dropped query is
+    # still in the sidecar and on stderr) until the encoded line fits.
+    budget = 1900
+    keep = list(times)
+    while len(json.dumps(payload, separators=(",", ":"))) > budget and keep:
+        keep.pop()
+        payload["queries"] = {k: round(times[k], 2) for k in keep}
+        payload["queries_omitted"] = len(times) - len(keep)
+    print(json.dumps(payload, separators=(",", ":")))
     return 0
 
 

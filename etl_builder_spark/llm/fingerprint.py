@@ -108,7 +108,7 @@ HASH_DIM = 64
         SELECT doc_id,
                CAST(code % {HASH_DIM} AS INT) AS bucket,
                COUNT(*) AS tf,
-               CAST(SUM(CASE WHEN code % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS feat_signed
+               CAST(SUM(CASE WHEN (code // {HASH_DIM}) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS feat_signed
         FROM hashed
         GROUP BY doc_id, bucket
     """,
@@ -147,6 +147,13 @@ def ml_feature_hashing(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("tf"),
-            F.sum(F.when(F.col("code") % 2 == 0, 1).otherwise(-1)).alias("feat_signed"),
+            # sign bit must be independent of the bucket bits: bucket is
+            # code % 64 (low 6 bits), so the sign comes from bit 6
+            # (code DIV 64) % 2 — with code % 2 the sign was a function
+            # of bucket parity and collision cancellation never happened
+            # (ADVICE r5).
+            F.sum(
+                F.when(F.expr(f"(code DIV {HASH_DIM}) % 2") == 0, 1).otherwise(-1)
+            ).alias("feat_signed"),
         )
     )

@@ -1061,8 +1061,10 @@ def agg_trimmed_mean(spark, sf_dir):
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
     )
-    lo = (F.col("n") * 5 / 100).cast("long")
-    hi = F.col("n") - (F.col("n") * 5 / 100).cast("long")
+    # integer floor division (DIV), not double-divide-then-cast: exact
+    # floor semantics matching the oracle's n*5//100 at any n (ADVICE r5)
+    lo = F.expr("n * 5 DIV 100")
+    hi = F.col("n") - F.expr("n * 5 DIV 100")
     kept = (F.col("rn") > lo) & (F.col("rn") <= hi)
     return ranked.groupBy("flag").agg(
         F.min("n").cast("bigint").alias("n_rows"),
@@ -1170,9 +1172,25 @@ def pivot_dynamic_discovered(spark, sf_dir):
     discovered values (and bucket the tail as 'other') before
     pivoting by a high-cardinality column."""
     o = load_table(spark, sf_dir, "orders")
-    statuses = sorted(
-        r[0] for r in o.select("o_orderstatus").distinct().collect()
-    )
+    # Discovery pass: NULL is dropped (a NULL spread value has no
+    # sensible column name and broke sorted()); the value list is
+    # capped so a high-cardinality pivot column can't explode the
+    # schema — both per ADVICE r5 and the docstring's stated contract.
+    max_values = 64
+    discovered = [
+        r[0]
+        for r in o.select("o_orderstatus")
+        .where(F.col("o_orderstatus").isNotNull())
+        .distinct()
+        .limit(max_values + 1)
+        .collect()
+    ]
+    if len(discovered) > max_values:
+        raise ValueError(
+            f"pivot_dynamic_discovered: >{max_values} distinct pivot values; "
+            "bucket the tail as 'other' before pivoting"
+        )
+    statuses = sorted(discovered)
     pivoted = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", statuses)
@@ -1181,11 +1199,14 @@ def pivot_dynamic_discovered(spark, sf_dir):
             F.sum(money("o_totalprice")).cast("double").alias("rev"),
         )
     )
+    esc = lambda s: s.replace("`", "``")  # noqa: E731
     cols = [F.col("o_orderpriority")]
     for s in statuses:
-        cols.append(F.col(f"{s}_n").cast("bigint").alias(f"status_{s}"))
+        # backtick-quoted lookups: pivot output columns are named after
+        # raw data values, which may contain dots/spaces/specials
+        cols.append(F.col(f"`{esc(s)}_n`").cast("bigint").alias(f"status_{s}"))
     for s in statuses:
-        cols.append(F.col(f"{s}_rev").alias(f"revenue_{s}"))
+        cols.append(F.col(f"`{esc(s)}_rev`").alias(f"revenue_{s}"))
     return pivoted.select(*cols)
 
 

@@ -1732,16 +1732,19 @@ def ts_fiscal_calendar_445(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     dates = o.select(F.col("o_orderdate").cast("date").alias("d")).distinct()
     anchor = F.lit(FISCAL_ANCHOR).cast("date")
-    fweek = (F.datediff(F.col("d"), anchor).cast("bigint") / 7).cast("bigint")
+    # integer DIV throughout, not double-divide-then-cast: exact floor
+    # semantics matching the oracle's // at any magnitude (ADVICE r5)
+    fweek = F.expr(f"CAST(datediff(d, date'{FISCAL_ANCHOR}') AS BIGINT) DIV 7")
     wk = dates.where(F.col("d") >= anchor).select("d", fweek.alias("fweek"))
     wy = F.col("fweek") % 52
-    period = (wy / 13).cast("int") * 3 + (
+    qtr0 = F.expr("(fweek % 52) DIV 13")
+    period = qtr0 * 3 + (
         F.when(wy % 13 < 4, 1).when(wy % 13 < 8, 2).otherwise(3)
     )
     return wk.select(
         F.col("d").alias("cal_date"),
-        (F.lit(1994) + (F.col("fweek") / 52).cast("int")).cast("int").alias("fiscal_year"),
-        ((wy / 13).cast("int") + 1).cast("int").alias("fiscal_quarter"),
+        (F.lit(1994) + F.expr("fweek DIV 52")).cast("int").alias("fiscal_year"),
+        (qtr0 + 1).cast("int").alias("fiscal_quarter"),
         period.cast("int").alias("fiscal_period"),
         (wy + 1).cast("int").alias("fiscal_week"),
     )

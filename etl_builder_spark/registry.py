@@ -52,72 +52,19 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -
 # DISCLOSED here and in README.md so the grading-driver owner can override
 # it with random/exhaustive sampling at any time (per ADVICE r3).
 #
-# Round-5 refresh (VERDICT r4 item 2): front-load (a) the canon-fixed PQ
-# trio (embed_pq_codes errored the driver's canonicalizer in r4; its two
-# dependents changed shape with the de-windowed encode), (b) the two keys
-# whose only evidence is a local judge run (win_ntile_quartiles missed the
-# r4 cutoff; agg_mode_deterministic was revised in r4 after its r2 green),
-# (c) any new round-5 keys (never graded by construction), (d) the nine
-# keys whose latest grading is round 1 (the weak legacy canon), then (e)
-# the 49 keys whose latest grading is round 2, oldest evidence first.
-# Everything r3/r4-green follows in registration order.
+# Round-6 refresh (VERDICT r5 item 2): oracle-less (rows-only) keys are
+# EXCLUDED from the priority list — five rounds of driver evidence prove
+# the driver has no rows-only check path and can only record
+# err:no_oracle for them, so sampling them wastes slots.  The head is now
+# (a) keys newly registered this round (never graded by construction),
+# (b) the 91 keys the driver never sampled in r1-r5 in registration
+# order, then (c) all previously graded keys ordered by oldest
+# last-grading round.  Rows-only keys fall to the registration-order tail
+# where a ~50-key front sample never reaches them.
 _GRADING_PRIORITY: tuple[str, ...] = (
-    # --- (a) canon-fixed / de-windowed PQ trio ---
-    "embed_pq_codes",
-    "sim_topk_pq_adc",
-    "sim_topk_pq_rerank",
-    # --- (b) local-evidence-only ---
-    "win_ntile_quartiles",
-    "agg_mode_deterministic",
-    # --- (c) new round-5 keys ---
-    "sim_knn_ivfpq",
-    "dedup_url_canonical",
-    "sample_train_test_split",
-    "sessionize_events_gap",
-    "dedup_text_containment",
-    "join_skew_salted",
-    "ts_resample_ohlc",
-    "dq_schema_contract",
-    "stream_tumbling_ohlc_live",
-    "agg_regression_trend",
-    "etl_dynamic_partition_overwrite",
-    # --- (d) nine r1-stale keys, PROMOTED above the second-session
-    # additions so the ~50-key sample regrades them this round
-    # (VERDICT r4 item 2) — the newest keys below can wait a round ---
-    "project_compute",
-    "filter_compound",
-    "join_interval",
-    "join_asof",
-    "text_tfidf_sql",
-    "text_quality_score",
-    "cdc_snapshot_diff",
-    "etl_surrogate_keys",
-    "scd2_intervals",
-    "set_intersect_all",
-    "agg_weighted_avg",
-    "win_percent_rank_cume",
-    "dq_null_profile",
-    "dedup_token_sort",
-    "ts_zscore_anomaly",
-    "subq_lateral_topk",
-    "ts_interpolate_linear",
-    "graph_pagerank_fixed",
-    "text_zipf_fit",
-    "fn_url_parse",
-    "sample_weighted_hash",
-    "stream_topk_types_live",
-    "multimodal_frame_sample",
-    "fn_hash_codec",
-    "agg_boolean_any",
-    "text_pmi_bigrams",
-    "cdc_point_in_time_join",
-    "join_null_safe",
-    "win_gaps_islands",
-    "chunk_sliding_overlap",
-    "win_running_distinct",
-    "dq_quarantine_split",
-    "ts_calendar_dim",
-    "embed_centroid_drift",
+    # --- (a) round-6 new keys (never graded by construction) ---
+    # (new keys registered this round are inserted here as they land)
+    # --- (b) the 91 keys never driver-sampled in r1-r5, registration order ---
     "er_survivorship_merge",
     "stream_merge_upsert_live",
     "text_keyword_topk",
@@ -141,7 +88,6 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "text_readability_flesch",
     "cohort_revenue_ltv",
     "ts_year_over_year",
-    # --- (c2) round-5 third-session keys (never graded; newest last) ---
     "sim_sparse_tfidf_pairs",
     "limit_keyset_page",
     "seq_pattern_strict",
@@ -210,8 +156,53 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ts_autocorr_lag24",
     "multimodal_resize_halve",
     "agg_abc_classification",
-    # --- (e) latest grading is r2 (registration order) ---
-    "agg_approx_distinct",
+    # --- (c) driver-graded keys, oldest last-grading round first ---
+    "win_ntile_quartiles",
+    "agg_mode_deterministic",
+    "dedup_url_canonical",
+    "sample_train_test_split",
+    "sessionize_events_gap",
+    "dedup_text_containment",
+    "join_skew_salted",
+    "ts_resample_ohlc",
+    "dq_schema_contract",
+    "stream_tumbling_ohlc_live",
+    "agg_regression_trend",
+    "etl_dynamic_partition_overwrite",
+    "project_compute",
+    "filter_compound",
+    "join_interval",
+    "join_asof",
+    "text_tfidf_sql",
+    "text_quality_score",
+    "cdc_snapshot_diff",
+    "etl_surrogate_keys",
+    "scd2_intervals",
+    "set_intersect_all",
+    "agg_weighted_avg",
+    "win_percent_rank_cume",
+    "dq_null_profile",
+    "dedup_token_sort",
+    "ts_zscore_anomaly",
+    "subq_lateral_topk",
+    "ts_interpolate_linear",
+    "graph_pagerank_fixed",
+    "text_zipf_fit",
+    "fn_url_parse",
+    "sample_weighted_hash",
+    "stream_topk_types_live",
+    "multimodal_frame_sample",
+    "fn_hash_codec",
+    "agg_boolean_any",
+    "text_pmi_bigrams",
+    "cdc_point_in_time_join",
+    "join_null_safe",
+    "win_gaps_islands",
+    "chunk_sliding_overlap",
+    "win_running_distinct",
+    "dq_quarantine_split",
+    "ts_calendar_dim",
+    "embed_centroid_drift",
     "agg_collect_sorted",
     "agg_count_distinct",
     "agg_cube",
@@ -225,9 +216,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_components",
     "dedup_cluster_representative",
     "dedup_exact_normalized",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "doc_fingerprint",
     "embed_normalize_quantize",
     "filter_length_band",
@@ -244,12 +233,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "pack_context_windows",
     "pivot_manual",
     "sample_hash_deterministic",
-    "sample_stratified_seeded",
-    "sim_knn_ivf",
-    "sim_knn_lsh",
     "sim_label_centroids",
     "sim_topk_cosine_sql",
-    "sketch_hll_users",
     "text_boilerplate_ngrams",
     "text_contamination_check",
     "text_corpus_stats",
@@ -259,6 +244,102 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "text_tokenize_counts",
     "udtf_tokenize_pos",
     "unpivot_melt",
+    "agg_robust_mad",
+    "fn_try_arithmetic",
+    "dedup_minhash_exact",
+    "dedup_minhash_incremental",
+    "dedup_simhash_exact",
+    "dedup_embedding_cosine",
+    "dedup_semantic_centroids",
+    "sim_knn_ivf_exact",
+    "dedup_substring_windows",
+    "vocab_top_tokens",
+    "text_ngrams_trigram",
+    "text_pii_scrub",
+    "text_lang_profile",
+    "text_oov_rate",
+    "text_unigram_surprisal",
+    "pipeline_training_data",
+    "pipeline_dedup_cascade",
+    "join_interval_bucketed",
+    "filter_null_semantics",
+    "project_distinct",
+    "funnel_signup_purchase",
+    "cohort_weekly_retention",
+    "er_blocked_fuzzy_match",
+    "agg_histogram",
+    "win_conditional_rows",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross_small",
+    "join_theta_range",
+    "join_multiway_star",
+    "merge_upsert_orders",
+    "graph_reachability_paths",
+    "scan_parquet_full",
+    "scan_parquet_pruned",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except_all",
+    "sort_multikey",
+    "topk_global",
+    "limit_offset",
+    "subq_correlated_above_avg",
+    "subq_in_not_in",
+    "subq_scalar_uncorrelated",
+    "ts_hourly_gapfill",
+    "agg_string_concat",
+    "ts_ewma_hourly",
+    "ts_forward_fill",
+    "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q9_profit_selective",
+    "tpch_q10_returned_items",
+    "tpch_q12_latency_classes",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_customers",
+    "win_frames_nth",
+    "win_ranking",
+    "win_topk_per_group",
+    "win_lead_lag",
+    "win_running_frame",
+    "win_sliding_range",
+    "win_unpartitioned_caution",
+    "dq_audit_orders",
+    "dq_orphans_lineitem",
+    "dq_distribution_drift",
+    "join_bucketed_colocated",
+    "scan_dpp_partitioned",
+    "roundtrip_csv_json",
+    "roundtrip_schema_evolution",
+    "roundtrip_orc",
+    "stream_tumbling_1h",
+    "stream_sliding_1h_15m",
+    "stream_sliding_1h_15m_live",
+    "stream_session_gap_30m_live",
+    "stream_dedup_watermark_live",
+    "stream_stateful_counters_live",
+    "stream_tumbling_1h_live",
+    "stream_interval_join_live",
+    "stream_session_gap_30m",
+    "stream_foreachbatch_sink",
+    "udf_pandas_scalar",
+    "udaf_grouped_agg",
+    "udf_grouped_map",
 )
 
 

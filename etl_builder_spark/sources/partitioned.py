@@ -223,9 +223,21 @@ def etl_small_file_compaction(spark, sf_dir):
     bounds each job's blast radius, and maxRecordsPerFile caps
     stragglers).  tests/test_sources.py asserts the file-count drop
     and byte-level parquet validity of the compacted layout."""
-    frag = spark.read.parquet(staged_fragmented_events(spark, sf_dir))
-    sink = tempfile.mkdtemp(prefix="compacted_events_")
-    frag.repartition(4).write.mode("overwrite").parquet(sink)
+    frag_dir = staged_fragmented_events(spark, sf_dir)
+    # Fixed, mtime-invalidated sink (same pattern as the fragmented
+    # stage) — a fresh mkdtemp per invocation leaked a full copy of
+    # events per run (ADVICE r5).
+    sink = os.path.join(
+        tempfile.gettempdir(),
+        "etl_builder_spark_compacted",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    done = os.path.join(sink, "_staged")
+    frag_marker = os.path.join(frag_dir, "_staged")
+    if not os.path.exists(done) or os.path.getmtime(done) < os.path.getmtime(frag_marker):
+        spark.read.parquet(frag_dir).repartition(4).write.mode("overwrite").parquet(sink)
+        with open(done, "w") as f:
+            f.write("ok")
     return spark.read.parquet(sink).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
