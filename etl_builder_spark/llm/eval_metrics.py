@@ -780,3 +780,159 @@ def ml_rfm_segmentation(spark, sf_dir):
         ).alias("rfm_segment"),
         lifecycle.alias("lifecycle"),
     )
+
+
+#: quantile fractions for the 5-way RFM bucketing twin
+_RFM_QS = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+
+
+@register(
+    "ml_rfm_segmentation_bucketed",
+    oracle="""
+        WITH ref AS (SELECT MAX(ts) AS cutoff FROM events),
+        base AS (
+            SELECT user_id,
+                   CAST(MIN(epoch_us(cutoff) - epoch_us(ts)) AS BIGINT) AS recency_us,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                       AS frequency,
+                   CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (
+                        WHERE event_type = 'purchase'), 0) AS DOUBLE) AS monetary
+            FROM events CROSS JOIN ref
+            GROUP BY user_id
+        ),
+        edges AS (
+            SELECT ROUND(quantile_cont(recency_us, 0.2), 6) AS r20,
+                   ROUND(quantile_cont(recency_us, 0.4), 6) AS r40,
+                   ROUND(quantile_cont(recency_us, 0.6), 6) AS r60,
+                   ROUND(quantile_cont(recency_us, 0.8), 6) AS r80,
+                   ROUND(quantile_cont(frequency, 0.2), 6) AS f20,
+                   ROUND(quantile_cont(frequency, 0.4), 6) AS f40,
+                   ROUND(quantile_cont(frequency, 0.6), 6) AS f60,
+                   ROUND(quantile_cont(frequency, 0.8), 6) AS f80,
+                   ROUND(quantile_cont(monetary, 0.2), 6) AS m20,
+                   ROUND(quantile_cont(monetary, 0.4), 6) AS m40,
+                   ROUND(quantile_cont(monetary, 0.6), 6) AS m60,
+                   ROUND(quantile_cont(monetary, 0.8), 6) AS m80
+            FROM base
+        ),
+        scored AS (
+            SELECT user_id, recency_us, frequency, monetary,
+                   CAST(1 + CAST(recency_us < r80 AS INT) + CAST(recency_us < r60 AS INT)
+                          + CAST(recency_us < r40 AS INT) + CAST(recency_us < r20 AS INT)
+                        AS INT) AS r_score,
+                   CAST(1 + CAST(frequency > f20 AS INT) + CAST(frequency > f40 AS INT)
+                          + CAST(frequency > f60 AS INT) + CAST(frequency > f80 AS INT)
+                        AS INT) AS f_score,
+                   CAST(1 + CAST(monetary > m20 AS INT) + CAST(monetary > m40 AS INT)
+                          + CAST(monetary > m60 AS INT) + CAST(monetary > m80 AS INT)
+                        AS INT) AS m_score
+            FROM base CROSS JOIN edges
+        )
+        SELECT user_id, recency_us, frequency, monetary,
+               r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS rfm_segment,
+               CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+                    WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_promising'
+                    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                    ELSE 'regular' END AS lifecycle
+        FROM scored
+    """,
+    tags=("ML-rfm-bucketed",),
+)
+def ml_rfm_segmentation_bucketed(spark, sf_dir):
+    """``ml_rfm_segmentation`` re-scored WITHOUT the unpartitioned
+    NTILE windows — the documented 100 TB swap, now proven under the
+    exact hash (VERDICT r5 item 4): quintile EDGES come from one tiny
+    global aggregation (a 1-row model artifact, broadcast), and every
+    user is scored by comparing against the four edges in a plain
+    projection.  No global sort anywhere: the scoring pass is
+    embarrassingly parallel at any user count, which is what the
+    NTILE form cannot be (a billion-user frame through one partition).
+
+    Semantics vs the NTILE parent: tied metric values land in ONE
+    bucket here (edge comparison) instead of being split to equalize
+    bucket sizes — the usual, and arguably more honest, production
+    behavior.  Edges are exact interpolated percentiles
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, verified
+    bit-equal on this corpus), rounded 6 dp before comparison so both
+    engines bucket against identical constants; at extreme scale swap
+    in ``approx_percentile`` with the same downstream CASE logic.
+
+    The same two-pass shape generalizes to the other global-window
+    rankers flagged in VERDICT r5 (lift/gain deciles,
+    cumulative-share, KS)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from etl_builder_spark.policy import money
+
+    e = load_table(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("cutoff"))
+    age = F.unix_micros(F.col("cutoff")) - F.unix_micros(F.col("ts"))
+    is_p = F.col("event_type") == "purchase"
+    base = (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.min(age).cast("bigint").alias("recency_us"),
+            F.count(F.when(is_p, 1)).cast("bigint").alias("frequency"),
+            F.coalesce(F.sum(F.when(is_p, money("value"))).cast("double"), F.lit(0.0)).alias(
+                "monetary"
+            ),
+        )
+    )
+    edges = (
+        base.agg(
+            F.expr(f"percentile(recency_us, {_RFM_QS})").alias("re"),
+            F.expr(f"percentile(frequency, {_RFM_QS})").alias("fe"),
+            F.expr(f"percentile(monetary, {_RFM_QS})").alias("me"),
+        )
+        .select(
+            *[F.round(F.col("re")[i], 6).alias(f"r{20 * (i + 1)}") for i in range(4)],
+            *[F.round(F.col("fe")[i], 6).alias(f"f{20 * (i + 1)}") for i in range(4)],
+            *[F.round(F.col("me")[i], 6).alias(f"m{20 * (i + 1)}") for i in range(4)],
+        )
+    )
+    b = lambda c: c.cast("int")  # noqa: E731
+    r_score = (
+        F.lit(1)
+        + b(F.col("recency_us") < F.col("r80"))
+        + b(F.col("recency_us") < F.col("r60"))
+        + b(F.col("recency_us") < F.col("r40"))
+        + b(F.col("recency_us") < F.col("r20"))
+    ).cast("int")
+    f_score = (
+        F.lit(1)
+        + b(F.col("frequency") > F.col("f20"))
+        + b(F.col("frequency") > F.col("f40"))
+        + b(F.col("frequency") > F.col("f60"))
+        + b(F.col("frequency") > F.col("f80"))
+    ).cast("int")
+    m_score = (
+        F.lit(1)
+        + b(F.col("monetary") > F.col("m20"))
+        + b(F.col("monetary") > F.col("m40"))
+        + b(F.col("monetary") > F.col("m60"))
+        + b(F.col("monetary") > F.col("m80"))
+    ).cast("int")
+    scored = base.crossJoin(F.broadcast(edges)).select(
+        "user_id", "recency_us", "frequency", "monetary",
+        r_score.alias("r_score"), f_score.alias("f_score"), m_score.alias("m_score"),
+    )
+    lifecycle = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new_or_promising")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "*",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_segment"),
+        lifecycle.alias("lifecycle"),
+    )

@@ -94,6 +94,35 @@ def corpus_codebook(
     )
 
 
+#: Pinned-codebook seeds: 16 fixed corpus vectors whose subspace slices
+#: ARE the codebooks — the ``sim_knn_ivf_exact`` technique applied to PQ
+#: (VERDICT r5 item 1).  Freezing the engine-specific k-means at shared,
+#: data-derived constants makes encode/ADC/rerank/IVF-PQ hash-checkable
+#: end-to-end; the trained path keeps the better codebooks, this path
+#: carries the evidence that the pipeline MATH is right.
+PQ_SEED_LO, PQ_SEED_HI = 200, 215
+
+
+def pinned_codebook(spark: SparkSession, sf_dir: str, m: int = M_SUBSPACES) -> DataFrame:
+    """(subspace, code, cv): codebook c of subspace s = the s-th
+    D/m-dim slice of corpus vector PQ_SEED_LO + c.  Same schema as
+    ``train_pq_codebooks`` so every PQ helper accepts either."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
+    return (
+        e.where(F.col("vec_id").between(PQ_SEED_LO, PQ_SEED_HI))
+        .select(
+            (F.col("vec_id") - PQ_SEED_LO).cast("int").alias("code"),
+            "v",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
+        )
+        .select(
+            "subspace",
+            "code",
+            F.expr(f"slice(v, subspace * (size(v) DIV {m}) + 1, size(v) DIV {m})").alias("cv"),
+        )
+    )
+
+
 def _sq_dist(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x - y), F.lit(0.0), lambda acc, x: acc + x * x
@@ -133,18 +162,23 @@ def pq_encode(vectors: DataFrame, codebook: DataFrame, vec_col: str = "v") -> Da
                 F.struct(
                     F.round(F.col("d2"), 9).alias("d2r"),
                     F.col("code").alias("code"),
-                    F.col("d2").alias("d2"),
                 )
             ).alias("best")
         )
     )
+    # recon_err sums the ROUNDED per-subspace errors as DECIMAL so the
+    # m-way sum is order-free (policy §7.2) — a raw double sum over the
+    # nondeterministically-ordered groupBy would wobble in the last bit
+    # and break the exact-twin hash.
     return (
         best.groupBy("vec_id")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("subspace"), F.col("best.code").alias("code")))
             ).alias("sc"),
-            F.round(F.sum("best.d2"), 6).alias("recon_err"),
+            F.round(
+                F.sum(F.col("best.d2r").cast("decimal(20,9)")).cast("double"), 6
+            ).alias("recon_err"),
         )
         .select(
             "vec_id",
@@ -165,14 +199,18 @@ def _adc_scored(codes: DataFrame, codebook: DataFrame, probes: DataFrame) -> Dat
             "probe_id",
             "subspace",
             "code",
-            _sq_dist(_subvec("pv"), F.col("cv")).alias("pd2"),
+            # rounded-then-DECIMAL partial distances: the m-way sum below
+            # must be order-free for the exact-twin hash (policy §7.2)
+            F.round(_sq_dist(_subvec("pv"), F.col("cv")), 9)
+            .cast("decimal(20,9)")
+            .alias("pd2"),
         )
     )
     return (
         codes.join(F.broadcast(tables), ["subspace", "code"])
         .where(F.col("vec_id") != F.col("probe_id"))
         .groupBy("probe_id", "vec_id")
-        .agg(F.round(F.sum("pd2"), 6).alias("adc_dist"))
+        .agg(F.round(F.sum("pd2").cast("double"), 6).alias("adc_dist"))
     )
 
 
@@ -287,8 +325,16 @@ def sim_knn_ivfpq(spark, sf_dir):
 
     Deterministic given the seeds (pinned coarse centroids, seeded
     codebook k-means), but rows-only: k-means boundaries have no SQL
-    twin.  Recall floor vs exact cosine is pinned in
+    twin — ``sim_knn_ivfpq_exact`` is the hash-checkable twin with the
+    codebook pinned too.  Recall floor vs exact cosine is pinned in
     tests/test_pq.py::test_ivfpq_recall_vs_exact."""
+    return _ivfpq_topk(spark, sf_dir, corpus_codebook(spark, sf_dir))
+
+
+def _ivfpq_topk(spark: SparkSession, sf_dir: str, cb: DataFrame) -> DataFrame:
+    """IVF-PQ search shared by the trained-codebook (rows-only) and
+    pinned-codebook (exact-oracle) declared keys — the codebook is the
+    ONLY difference between them, so one body carries both."""
     from etl_builder_spark.llm.ivf import IVF_SEED_LO, IVF_SEED_HI
     from etl_builder_spark.llm.similarity import cosine
 
@@ -305,7 +351,6 @@ def sim_knn_ivfpq(spark, sf_dir):
         .agg(F.min(F.struct(F.col("negc"), F.col("cluster_id"))).alias("b"))
         .select("vec_id", F.col("b.cluster_id").alias("cluster_id"))
     )
-    cb = corpus_codebook(spark, sf_dir)
     codes = (
         pq_encode(e, cb)
         .select("vec_id", F.posexplode("codes").alias("subspace", "code"))
@@ -325,9 +370,14 @@ def sim_knn_ivfpq(spark, sf_dir):
         .select("probe_id", "cluster_id")
     )
     # ADC distance tables: (probe, subspace, code) → partial d², m·k
-    # rows per probe, broadcast to the candidate scoring join
+    # rows per probe, broadcast to the candidate scoring join.  The
+    # partials are rounded-then-DECIMAL so the m-way sum is order-free
+    # (the exact twin hashes this value; policy §7.2).
     tables = probes.crossJoin(F.broadcast(cb)).select(
-        "probe_id", "subspace", "code", _sq_dist(_subvec("pv"), F.col("cv")).alias("pd2")
+        "probe_id",
+        "subspace",
+        "code",
+        F.round(_sq_dist(_subvec("pv"), F.col("cv")), 9).cast("decimal(20,9)").alias("pd2"),
     )
     # candidates = probed lists only (the IVF pruning), scored from
     # codes alone (the PQ compression)
@@ -337,7 +387,7 @@ def sim_knn_ivfpq(spark, sf_dir):
     scored = (
         cand_codes.join(F.broadcast(tables), ["probe_id", "subspace", "code"])
         .groupBy("probe_id", "vec_id")
-        .agg(F.round(F.sum("pd2"), 6).alias("adc_dist"))
+        .agg(F.round(F.sum("pd2").cast("double"), 6).alias("adc_dist"))
     )
     ws = Window.partitionBy("probe_id").orderBy(F.col("adc_dist").asc(), "vec_id")
     short = scored.withColumn("r", F.row_number().over(ws)).where(F.col("r") <= shortlist_k)
@@ -357,3 +407,259 @@ def sim_knn_ivfpq(spark, sf_dir):
         .withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k_final)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-oracle twins: the pinned-codebook PQ family (VERDICT r5 item 1).
+#
+# Same pipelines as the four rows-only keys above, with the ONE
+# engine-specific ingredient — the k-means codebooks — frozen at 16 fixed
+# corpus vectors (PQ_SEED_LO..HI), exactly how ``sim_knn_ivf_exact`` pins
+# its coarse quantizer.  Encode, ADC tables, shortlist and re-rank are
+# unchanged code paths (pq_encode / _adc_scored / _ivfpq_topk), so the
+# hash-green here is evidence for the shared algorithms, not a parallel
+# implementation.
+# ---------------------------------------------------------------------------
+
+from etl_builder_spark.llm.ivf import _COS, IVF_SEED_HI, IVF_SEED_LO  # noqa: E402
+
+_M = M_SUBSPACES
+
+
+def _sql_d2(a: str, b: str) -> str:
+    """DuckDB twin of ``_sq_dist``: the SAME left fold over (xᵢ-yᵢ)² —
+    list_reduce starts at element 1, Spark's aggregate at 0.0+el₁,
+    identical float trajectories."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, el) -> acc + el)"
+    )
+
+
+def _sql_subv(v: str, s: str) -> str:
+    """DuckDB twin of ``_subvec``: 1-based inclusive list_slice of the
+    s-th D/m-dim subvector."""
+    return (
+        f"list_slice({v}, {s} * (len({v}) // {_M}) + 1, "
+        f"({s} + 1) * (len({v}) // {_M}))"
+    )
+
+
+#: vecs → pinned codebook → per-(vector, subspace) argmin code.  d2r is
+#: the 9-dp-rounded subspace quantization error; the argmin orders by
+#: (d2r, code), the SQL spelling of Spark's min(struct(d2r, code)).
+_SQL_PQ_ENC = f"""
+        vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        sub AS (SELECT unnest(generate_series(0, {_M - 1})) AS subspace),
+        cb AS (
+            SELECT sub.subspace, CAST(vec_id - {PQ_SEED_LO} AS INT) AS code,
+                   {_sql_subv('v', 'sub.subspace')} AS cv
+            FROM vecs CROSS JOIN sub
+            WHERE vec_id BETWEEN {PQ_SEED_LO} AND {PQ_SEED_HI}
+        ),
+        enc AS (
+            SELECT vec_id, subspace, code, d2r FROM (
+                SELECT vec_id, subspace, code, d2r,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                          ORDER BY d2r, code) AS rn
+                FROM (
+                    SELECT vecs.vec_id, cb.subspace, cb.code,
+                           ROUND({_sql_d2(_sql_subv('vecs.v', 'cb.subspace'), 'cb.cv')}, 9) AS d2r
+                    FROM vecs CROSS JOIN cb
+                )
+            ) WHERE rn = 1
+        )"""
+
+#: probes (vec_id < 5) and their ADC distance tables against the pinned
+#: codebook — partials rounded then DECIMAL so the m-way sum is
+#: order-free, mirroring _adc_scored.
+_SQL_PQ_PROBES = f"""
+        probes AS (SELECT vec_id AS probe_id, v AS pv FROM vecs WHERE vec_id < 5),
+        ptab AS (
+            SELECT probe_id, subspace, code,
+                   CAST(ROUND({_sql_d2(_sql_subv('pv', 'cb.subspace'), 'cb.cv')}, 9)
+                        AS DECIMAL(20,9)) AS pd2
+            FROM probes CROSS JOIN cb
+        )"""
+
+_SQL_PQ_SCORED_ALL = """
+        scored AS (
+            SELECT ptab.probe_id, enc.vec_id,
+                   ROUND(CAST(SUM(pd2) AS DOUBLE), 6) AS adc_dist
+            FROM enc JOIN ptab ON enc.subspace = ptab.subspace AND enc.code = ptab.code
+            WHERE enc.vec_id <> ptab.probe_id
+            GROUP BY ptab.probe_id, enc.vec_id
+        )"""
+
+#: ADC shortlist (top-50) → exact re-rank (top-10): shared tail of the
+#: rerank and IVF-PQ exact oracles.
+_SQL_PQ_RERANK_TAIL = f"""
+        short AS (
+            SELECT probe_id, vec_id FROM (
+                SELECT probe_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY adc_dist, vec_id) AS r
+                FROM scored
+            ) WHERE r <= 50
+        ),
+        rr AS (
+            SELECT short.probe_id, short.vec_id,
+                   ROUND({_sql_d2('p.pv', 'v.v')}, 6) AS exact_dist
+            FROM short
+            JOIN vecs v ON v.vec_id = short.vec_id
+            JOIN probes p ON p.probe_id = short.probe_id
+        )
+        SELECT probe_id, vec_id, exact_dist, rank FROM (
+            SELECT probe_id, vec_id, exact_dist,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY exact_dist, vec_id) AS rank
+            FROM rr
+        ) WHERE rank <= 10"""
+
+
+@register(
+    "embed_pq_codes_exact",
+    oracle=f"""
+        WITH {_SQL_PQ_ENC}
+        SELECT vec_id,
+               string_agg(CAST(code AS VARCHAR), ',' ORDER BY subspace) AS codes_csv,
+               ROUND(CAST(SUM(CAST(d2r AS DECIMAL(20,9))) AS DOUBLE), 6) AS recon_err
+        FROM enc GROUP BY vec_id
+    """,
+    tags=("I-pq-exact",),
+)
+def embed_pq_codes_exact(spark, sf_dir):
+    """``embed_pq_codes`` with the codebook pinned to corpus points —
+    the same ``pq_encode`` call (broadcast codebook, de-windowed
+    argmin, DECIMAL recon-error sum), hash-checkable end to end."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
+    return pq_encode(e, pinned_codebook(spark, sf_dir)).select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda x: x.cast("string")), ",").alias("codes_csv"),
+        "recon_err",
+    )
+
+
+@register(
+    "sim_topk_pq_adc_exact",
+    oracle=f"""
+        WITH {_SQL_PQ_ENC},
+        {_SQL_PQ_PROBES},
+        {_SQL_PQ_SCORED_ALL}
+        SELECT probe_id, vec_id, adc_dist, rank FROM (
+            SELECT probe_id, vec_id, adc_dist,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY adc_dist, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """,
+    tags=("I-pq-adc-exact",),
+)
+def sim_topk_pq_adc_exact(spark, sf_dir):
+    """``sim_topk_pq_adc`` with the codebook pinned — same
+    ``_adc_scored`` compressed-domain scoring, exact oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
+    cb = pinned_codebook(spark, sf_dir)
+    codes = pq_encode(e, cb).select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    )
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = _adc_scored(codes, cb, probes)
+    wk = Window.partitionBy("probe_id").orderBy(F.col("adc_dist").asc(), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= 10)
+
+
+@register(
+    "sim_topk_pq_rerank_exact",
+    oracle=f"""
+        WITH {_SQL_PQ_ENC},
+        {_SQL_PQ_PROBES},
+        {_SQL_PQ_SCORED_ALL},
+        {_SQL_PQ_RERANK_TAIL}
+    """,
+    tags=("I-pq-rerank-exact",),
+)
+def sim_topk_pq_rerank_exact(spark, sf_dir):
+    """``sim_topk_pq_rerank`` with the codebook pinned — ADC top-50
+    shortlist, exact-distance re-rank to top-10, hash-checkable."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
+    cb = pinned_codebook(spark, sf_dir)
+    codes = pq_encode(e, cb).select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    )
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = _adc_scored(codes, cb, probes)
+    ws = Window.partitionBy("probe_id").orderBy(F.col("adc_dist").asc(), "vec_id")
+    shortlist = scored.withColumn("r", F.row_number().over(ws)).where(F.col("r") <= 50)
+    rerank = (
+        shortlist.select("probe_id", "vec_id")
+        .join(e, "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+    )
+    exact_d2 = _sq_dist(F.col("pv"), F.col("v"))
+    wk = Window.partitionBy("probe_id").orderBy(F.col("exact_dist").asc(), "vec_id")
+    return (
+        rerank.select("probe_id", "vec_id", F.round(exact_d2, 6).alias("exact_dist"))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= 10)
+    )
+
+
+@register(
+    "sim_knn_ivfpq_exact",
+    oracle=f"""
+        WITH {_SQL_PQ_ENC},
+        {_SQL_PQ_PROBES},
+        cent AS (
+            SELECT vec_id - {IVF_SEED_LO} AS cluster_id, v AS ccv
+            FROM vecs WHERE vec_id BETWEEN {IVF_SEED_LO} AND {IVF_SEED_HI}
+        ),
+        asg AS (
+            SELECT vec_id, cluster_id FROM (
+                SELECT vecs.vec_id, cent.cluster_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vecs.vec_id
+                           ORDER BY {_COS.format(a="vecs.v", b="cent.ccv")} DESC, cluster_id
+                       ) AS rn
+                FROM vecs CROSS JOIN cent
+            ) WHERE rn = 1
+        ),
+        plists AS (
+            SELECT probe_id, cluster_id FROM (
+                SELECT p.probe_id, c.cluster_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.probe_id
+                           ORDER BY {_COS.format(a="p.pv", b="c.ccv")} DESC, c.cluster_id
+                       ) AS crn
+                FROM probes p CROSS JOIN cent c
+            ) WHERE crn <= 4
+        ),
+        scored AS (
+            SELECT ptab.probe_id, enc.vec_id,
+                   ROUND(CAST(SUM(pd2) AS DOUBLE), 6) AS adc_dist
+            FROM enc
+            JOIN asg ON asg.vec_id = enc.vec_id
+            JOIN plists ON plists.cluster_id = asg.cluster_id
+            JOIN ptab ON ptab.probe_id = plists.probe_id
+                     AND ptab.subspace = enc.subspace AND ptab.code = enc.code
+            WHERE enc.vec_id <> plists.probe_id
+            GROUP BY ptab.probe_id, enc.vec_id
+        ),
+        {_SQL_PQ_RERANK_TAIL}
+    """,
+    tags=("I-ivfpq-exact",),
+)
+def sim_knn_ivfpq_exact(spark, sf_dir):
+    """``sim_knn_ivfpq`` with the PQ codebook pinned too (the coarse
+    quantizer was already pinned): the SAME ``_ivfpq_topk`` body —
+    coarse pruning to 4/16 lists, compressed-domain ADC over probed
+    lists only, top-50 exact re-rank — now hash-checkable end to end,
+    clearing the last evidence-less component family."""
+    return _ivfpq_topk(spark, sf_dir, pinned_codebook(spark, sf_dir))

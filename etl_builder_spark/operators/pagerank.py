@@ -141,16 +141,28 @@ def graph_pagerank_fixed(spark, sf_dir):
     """Three damped PageRank rounds over the symmetrized
     customer–supplier graph; ranks reported relative to uniform
     (rank × N, average 1.0).  See module docstring for the
-    order-free-decimal determinism scheme."""
+    order-free-decimal determinism scheme.
+
+    The declared key BROADCASTS the rank vector into each iteration's
+    edge join — right for this graph's contract (|V|≈115k at sf1, a
+    few MB).  At web scale an O(V) broadcast fails; the swap is
+    ``broadcast_rank=False`` (the vertex-centric shuffled join on
+    ``src``), value-identical and plan-asserted in
+    tests/test_plans.py::test_pagerank_scale_form_shuffled_join."""
+    return _pagerank_result(spark, sf_dir, broadcast_rank=True)
+
+
+def _pagerank_result(spark, sf_dir, broadcast_rank: bool = True):
     edges, outdeg = _graph_state(spark, sf_dir)
     nodes = outdeg.select(F.col("deg_node").alias("node"))
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    hint = F.broadcast if broadcast_rank else (lambda df: df)
 
     rank = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(N_ITER):
-        contrib = edges.join(F.broadcast(rank), edges.src == rank.node).select(
+        contrib = edges.join(hint(rank), edges.src == rank.node).select(
             F.col("dst"),
             F.round(F.col("rank") / F.col("deg"), 12)
             .cast("decimal(28,12)")

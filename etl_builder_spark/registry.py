@@ -63,7 +63,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -
 # where a ~50-key front sample never reaches them.
 _GRADING_PRIORITY: tuple[str, ...] = (
     # --- (a) round-6 new keys (never graded by construction) ---
-    # (new keys registered this round are inserted here as they land)
+    "embed_pq_codes_exact",
+    "sim_topk_pq_adc_exact",
+    "sim_topk_pq_rerank_exact",
+    "sim_knn_ivfpq_exact",
+    "ml_rfm_segmentation_bucketed",
     # --- (b) the 91 keys never driver-sampled in r1-r5, registration order ---
     "er_survivorship_merge",
     "stream_merge_upsert_live",

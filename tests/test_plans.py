@@ -603,3 +603,43 @@ def test_bucketed_agg_plans_zero_exchanges(spark):
 
     d = plan_digest(REGISTRY["agg_bucketed_no_shuffle"].fn(spark, SF_DIR))
     assert d["n_exchanges"] == 0, d
+
+
+def test_rfm_bucketed_has_no_window(spark):
+    """The bucketed RFM twin exists to PROVE the documented swap for the
+    unpartitioned-NTILE rankers (VERDICT r5): quantile edges from one
+    aggregation, scoring by broadcast CASE comparison — so its plan must
+    contain no Window node at all."""
+    p = plan(spark, "ml_rfm_segmentation_bucketed")
+    assert "Window" not in p
+    # the edge row reaches the scoring join as a broadcast
+    assert "Broadcast" in p
+
+
+def test_pagerank_scale_form_shuffled_join(spark):
+    """graph_pagerank_fixed broadcasts the O(V) rank vector — right for
+    its contract, fatal at web scale.  The documented swap
+    (broadcast_rank=False → vertex-centric shuffled join on src) must
+    (a) plan as a shuffled join, not a broadcast of rank, and (b) stay
+    value-identical to the declared broadcast form."""
+    import contextlib
+    import io
+
+    from etl_builder_spark.operators.pagerank import _pagerank_result
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _pagerank_result(spark, SF_DIR, broadcast_rank=False)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        rows_scale = sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    rows_decl = sorted(
+        map(tuple, REGISTRY["graph_pagerank_fixed"].fn(spark, SF_DIR).collect())
+    )
+    assert rows_scale == rows_decl
