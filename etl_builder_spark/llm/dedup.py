@@ -11,6 +11,18 @@ Scale posture: exact dedup is one hash-shuffle on the normalized key.
 MinHash-LSH is the 100 TB path for near-dup: shingle → minhash →
 band-bucket join, candidate pairs only (never O(n²)). The brute-force
 n-gram Jaccard here is the oracle-checkable small-scale twin.
+
+Hot-bucket skew: every candidate generator in this module pairs
+documents by a bucket-keyed triangle self-join (token / band value),
+bounded first by the DF/band-width ceilings.  If a bucket still goes
+hot (a boilerplate shingle shared by millions of docs), the drop-in
+swap is ``salted_within_cluster_pairs`` (llm/embed_dedup.py) keyed by
+the bucket value: it emits the identical (bucket, id_a, id_b) rows —
+so the per-pair n_common counts downstream are unchanged — while
+bounding every task at ceiling² pairs.  Property-tested equal to the
+naive bucket self-join on deliberately hot int- and string-keyed
+buckets (tests/test_properties.py), and used in production form by
+``er_weighted_linkage`` (operators/fuzzy.py).
 """
 
 from __future__ import annotations

@@ -1080,3 +1080,40 @@ def test_kmeans_lloyd_exact_matches_numpy_trajectory(spark):
     for c in expect:
         assert got[c][0] == expect[c][0], (c, got[c], expect[c])
         assert abs(got[c][1] - expect[c][1]) < 1e-5, (c, got[c], expect[c])
+
+
+def test_salted_pairs_string_blocks_hot_block(spark):
+    """The linkage family keys the chunked-triangle guard by STRING
+    block keys (name substrings — operators/fuzzy.py), unlike
+    SemDeDup's int cluster ids.  On a deliberately hot block (one
+    8-char key owning 70% of all records, the 'common surname' failure
+    mode) the guard must still produce EXACTLY the naive block
+    theta-join's pair set at any ceiling."""
+    from pyspark.sql import functions as F
+
+    from etl_builder_spark.llm.embed_dedup import salted_within_cluster_pairs
+
+    rows = [
+        ("AAAAAAAA" if i < 70 else f"BLOCK{i % 5:03d}", i) for i in range(100)
+    ]
+    members = spark.createDataFrame(rows, "cluster_id string, c_custkey int")
+
+    naive = (
+        members.alias("a")
+        .join(members.alias("b"), "cluster_id")
+        .where(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            "cluster_id",
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+        )
+    )
+    want = sorted(map(tuple, naive.collect()))
+    assert len(want) == (70 * 69) // 2 + 5 * (6 * 5) // 2
+
+    for ceiling in (7, 64):
+        got_df = salted_within_cluster_pairs(
+            members, ceiling=ceiling, id_col="c_custkey"
+        )
+        got = sorted(map(tuple, got_df.collect()))
+        assert got == want, f"ceiling={ceiling}: pair set diverged"
