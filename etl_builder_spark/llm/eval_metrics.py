@@ -936,3 +936,235 @@ def ml_rfm_segmentation_bucketed(spark, sf_dir):
         ).alias("rfm_segment"),
         lifecycle.alias("lifecycle"),
     )
+
+
+@register(
+    "ml_lift_gain_deciles_bucketed",
+    oracle=f"""
+        WITH cent AS (
+            SELECT i AS pos,
+                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cv
+            FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
+            WHERE label = 3
+            GROUP BY i
+        ),
+        clist AS (SELECT list(cv ORDER BY pos) AS c FROM cent),
+        scored AS (
+            SELECT e.vec_id, (e.label = 3) AS is_pos,
+                   ROUND(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, {EMB_DIM + 1}),
+                               i -> (CAST(e.embedding[i] AS DOUBLE) - cl.c[i])
+                                    * (CAST(e.embedding[i] AS DOUBLE) - cl.c[i]))),
+                       (a, b) -> a + b), 9) AS d9
+            FROM embeddings e CROSS JOIN clist cl
+        ),
+        edges AS (
+            SELECT ROUND(quantile_cont(d9, 0.1), 9) AS e1,
+                   ROUND(quantile_cont(d9, 0.2), 9) AS e2,
+                   ROUND(quantile_cont(d9, 0.3), 9) AS e3,
+                   ROUND(quantile_cont(d9, 0.4), 9) AS e4,
+                   ROUND(quantile_cont(d9, 0.5), 9) AS e5,
+                   ROUND(quantile_cont(d9, 0.6), 9) AS e6,
+                   ROUND(quantile_cont(d9, 0.7), 9) AS e7,
+                   ROUND(quantile_cont(d9, 0.8), 9) AS e8,
+                   ROUND(quantile_cont(d9, 0.9), 9) AS e9
+            FROM scored
+        ),
+        bucketed AS (
+            SELECT is_pos,
+                   CAST(1 + CAST(d9 > e1 AS INT) + CAST(d9 > e2 AS INT)
+                          + CAST(d9 > e3 AS INT) + CAST(d9 > e4 AS INT)
+                          + CAST(d9 > e5 AS INT) + CAST(d9 > e6 AS INT)
+                          + CAST(d9 > e7 AS INT) + CAST(d9 > e8 AS INT)
+                          + CAST(d9 > e9 AS INT) AS INT) AS decile
+            FROM scored CROSS JOIN edges
+        ),
+        per AS (
+            SELECT decile,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+            FROM bucketed GROUP BY decile
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n_pos) AS BIGINT) AS pt
+            FROM per
+        )
+        SELECT decile, n, n_pos,
+               ROUND(CAST(n_pos AS DOUBLE) / n
+                     / (CAST(pt AS DOUBLE) / nt), 6) AS lift,
+               ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE) / pt, 6)
+                   AS cum_capture
+        FROM per CROSS JOIN tot
+    """,
+    tags=("ML-eval-bucketed",),
+)
+def ml_lift_gain_deciles_bucketed(spark, sf_dir):
+    """``ml_lift_gain_deciles`` WITHOUT the global NTILE sort — the
+    second instance of the bucketed-quantile swap
+    (``ml_rfm_segmentation_bucketed`` is the first), proving the
+    pattern generalizes across the VERDICT-flagged global-window
+    rankers: decile EDGES come from one percentile aggregation
+    (9 interpolated order statistics, a 1-row broadcast artifact),
+    every row self-assigns its decile by edge comparison in a plain
+    projection, and only the 10-row decile rollup remains.
+
+    Tie semantics: rows tied at an edge land in ONE decile (closed on
+    the left) instead of NTILE's forced equal splits, so decile sizes
+    can be uneven under heavy ties — the honest bucketed behavior.
+    Edges rounded 9 dp (the d9 score's own granularity) before
+    comparison; Spark ``percentile`` ≡ DuckDB ``quantile_cont``
+    verified bit-equal on this corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.where(F.col("label") == 3)
+        .select(F.posexplode(_dbl()).alias("pos0", "x"))
+        .groupBy("pos0")
+        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("cv"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda s: s["cv"]
+            ).alias("c")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        e.select("vec_id", (F.col("label") == 3).alias("is_pos"), _dbl().alias("v"))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "is_pos", F.round(d2, 9).alias("d9"))
+    )
+    qs = ", ".join(f"{k / 10:.1f}D" for k in range(1, 10))
+    edges = scored.agg(F.expr(f"percentile(d9, array({qs}))").alias("es")).select(
+        *[F.round(F.col("es")[i], 9).alias(f"e{i + 1}") for i in range(9)]
+    )
+    decile = F.lit(1)
+    for k in range(1, 10):
+        decile = decile + (F.col("d9") > F.col(f"e{k}")).cast("int")
+    per = (
+        scored.crossJoin(F.broadcast(edges))
+        .select("is_pos", decile.cast("int").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        )
+        .persist()
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("nt"), F.sum("n_pos").cast("bigint").alias("pt")
+    )
+    from pyspark.sql import Window
+
+    cum = F.sum("n_pos").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("pt").cast("double") / F.col("nt")),
+                6,
+            ).alias("lift"),
+            F.round(cum.cast("double") / F.col("pt"), 6).alias("cum_capture"),
+        )
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+        WITH cent AS (
+            SELECT i AS pos,
+                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cv
+            FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
+            WHERE label = 3
+            GROUP BY i
+        ),
+        clist AS (SELECT list(cv ORDER BY pos) AS c FROM cent),
+        vecs AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT (label = 3) AS is_pos,
+                   ROUND((ROUND(list_dot_product(v, cl.c)
+                                / (sqrt(list_dot_product(v, v))
+                                   * sqrt(list_dot_product(cl.c, cl.c))), 6)
+                          + 1) / 2, 9) AS p
+            FROM vecs CROSS JOIN clist cl
+        ),
+        binned AS (
+            SELECT is_pos, p,
+                   CAST(LEAST(CAST(FLOOR(p * 10) AS INT), 9) + 1 AS INT) AS bin
+            FROM scored
+        )
+        SELECT bin,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               ROUND(CAST(SUM(CAST(p AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_score,
+               ROUND(CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS pos_rate
+        FROM binned GROUP BY bin
+    """,
+    tags=("ML-calibration",),
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Calibration (reliability) table for the centroid-similarity
+    scorer: map cosine-to-class-3-centroid into a [0,1] pseudo-
+    probability, cut into 10 FIXED-WIDTH bins, and report each bin's
+    mean predicted score against its observed positive rate — the
+    table behind every reliability diagram and the production check
+    that a trained scorer's probabilities mean what they say.
+
+    Fixed-width binning (not quantiles) is the point: the bin edges
+    are constants, so the whole key is one expression-only scan plus a
+    10-group hash aggregate — no sort, no window, no second pass;
+    per-bin mean scores sum 9-dp-rounded DECIMALs so the aggregation
+    is order-free (policy §7.2).  Empty bins are absent rows (honest:
+    a reliability diagram can't say anything where there's no mass)."""
+    from etl_builder_spark.llm.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.where(F.col("label") == 3)
+        .select(F.posexplode(_dbl()).alias("pos0", "x"))
+        .groupBy("pos0")
+        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("cv"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda s: s["cv"]
+            ).alias("c")
+        )
+    )
+    p = F.round((F.round(cosine(F.col("v"), F.col("c")), 6) + 1) / 2, 9)
+    binned = (
+        e.select((F.col("label") == 3).alias("is_pos"), _dbl().alias("v"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "is_pos",
+            p.alias("p"),
+            (F.least(F.floor(p * 10).cast("int"), F.lit(9)) + 1).cast("int").alias("bin"),
+        )
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(20,9)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_score"),
+        F.round(
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pos_rate"),
+    )

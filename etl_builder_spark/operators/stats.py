@@ -517,3 +517,107 @@ def stats_survival_km(spark, sf_dir):
         "n_at_risk",
         F.round(F.exp(F.sum("lterm").over(w_asc).cast("double")), 6).alias("survival"),
     )
+
+
+@register(
+    "stats_mannwhitney_u",
+    oracle="""
+        WITH filt AS (
+            SELECT o_totalprice AS v,
+                   CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END AS is_a
+            FROM orders
+            WHERE year(o_orderdate) IN (1995, 1996)
+        ),
+        per_val AS (
+            SELECT v,
+                   CAST(SUM(is_a) AS BIGINT) AS na,
+                   CAST(SUM(1 - is_a) AS BIGINT) AS nb
+            FROM filt GROUP BY v
+        ),
+        tot AS (
+            SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+            FROM per_val
+        ),
+        cum AS (
+            SELECT na, nb,
+                   SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - nb AS cbb
+            FROM per_val
+        ),
+        s AS (
+            SELECT CAST(SUM(na * (2 * cbb + nb)) AS BIGINT) AS u2a,
+                   CAST(SUM((na + nb) * (na + nb) * (na + nb) - (na + nb)) AS BIGINT)
+                       AS s3
+            FROM cum
+        )
+        SELECT ta AS n_a, tb AS n_b,
+               CAST(u2a AS DOUBLE) / 2 AS u_a,
+               CAST(ta * tb AS DOUBLE) - CAST(u2a AS DOUBLE) / 2 AS u_b,
+               ROUND((CAST(u2a AS DOUBLE) / 2 - CAST(ta * tb AS DOUBLE) / 2)
+                     / sqrt(CAST(ta * tb AS DOUBLE) / 12
+                            * (CAST(ta + tb + 1 AS DOUBLE)
+                               - CAST(s3 AS DOUBLE)
+                                 / (CAST(ta + tb AS DOUBLE) * CAST(ta + tb - 1 AS DOUBLE)))),
+                     6) AS z_score
+        FROM tot CROSS JOIN s
+    """,
+    tags=("STATS-mwu",),
+)
+def stats_mannwhitney_u(spark, sf_dir):
+    """Mann–Whitney U (Wilcoxon rank-sum) between the 1995 and 1996
+    order-total distributions — the rank-based location-shift test
+    next to KS's shape test, sharing its fixture so the two answer the
+    same "did the distribution move?" question from complementary
+    angles.  EXACT by construction, the stats_ks_two_sample
+    discipline: U is never computed from per-row ranks at all —
+    2·U_a = Σ_v na(v)·(2·|b below v| + nb(v)) over DISTINCT values
+    (the tie term counts half), an integer identity, so U and the
+    tie-corrected normal z (σ² with the Σ(t³−t) correction) come from
+    three integer reductions and one final float expression written
+    identically in both engines.
+
+    100 TB posture: one hash aggregation onto distinct values, one
+    running sum over the |values|-sized frame (same bounded-window
+    argument as KS — swap to range-partitioned prefix sums at
+    billion-distinct-value scale), two 1-row reductions.  No per-row
+    rank window anywhere: the classic ranks-then-sum formulation
+    sorts |rows|; this one never materializes a rank."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.year("o_orderdate").isin(1995, 1996))
+    is_a = F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)
+    per_val = (
+        o.select(F.col("o_totalprice").alias("v"), is_a.alias("is_a"))
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").cast("bigint").alias("na"),
+            F.sum(1 - F.col("is_a")).cast("bigint").alias("nb"),
+        )
+        .persist()
+    )
+    tot = per_val.agg(
+        F.sum("na").cast("bigint").alias("ta"), F.sum("nb").cast("bigint").alias("tb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_val.select(
+        "na", "nb", (F.sum("nb").over(w) - F.col("nb")).alias("cbb")
+    )
+    t = F.col("na") + F.col("nb")
+    s = cum.agg(
+        F.sum(F.col("na") * (2 * F.col("cbb") + F.col("nb"))).cast("bigint").alias("u2a"),
+        F.sum(t * t * t - t).cast("bigint").alias("s3"),
+    )
+    ta, tb = F.col("ta"), F.col("tb")
+    ua = F.col("u2a").cast("double") / F.lit(2)
+    mu = (ta * tb).cast("double") / F.lit(2)
+    var = (ta * tb).cast("double") / F.lit(12) * (
+        (ta + tb + F.lit(1)).cast("double")
+        - F.col("s3").cast("double")
+        / ((ta + tb).cast("double") * (ta + tb - F.lit(1)).cast("double"))
+    )
+    return tot.crossJoin(F.broadcast(s)).select(
+        ta.alias("n_a"),
+        tb.alias("n_b"),
+        ua.alias("u_a"),
+        ((ta * tb).cast("double") - ua).alias("u_b"),
+        F.round((ua - mu) / F.sqrt(var), 6).alias("z_score"),
+    )

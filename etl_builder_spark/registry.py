@@ -68,6 +68,9 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "sim_topk_pq_rerank_exact",
     "sim_knn_ivfpq_exact",
     "ml_rfm_segmentation_bucketed",
+    "ml_lift_gain_deciles_bucketed",
+    "stats_mannwhitney_u",
+    "ml_calibration_bins",
     # --- (b) the 91 keys never driver-sampled in r1-r5, registration order ---
     "er_survivorship_merge",
     "stream_merge_upsert_live",
