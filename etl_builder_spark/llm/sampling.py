@@ -251,3 +251,42 @@ def sample_negative_pairs(spark, sf_dir):
         pairs.select("anchor_id", F.col("k").cast("int").alias("k"), neg.alias("neg_id"))
         .where(F.col("neg_id") != F.col("anchor_id"))
     )
+
+
+@register(
+    "sample_bottom_k_global",
+    oracle="""
+        SELECT doc_id, lang, n_chars, hkey FROM (
+            SELECT doc_id, lang, n_chars,
+                   md5(CAST(doc_id AS VARCHAR) || ':42') AS hkey
+            FROM documents
+        ) ORDER BY hkey LIMIT 100
+    """,
+    tags=("I-sample-bottomk",),
+)
+def sample_bottom_k_global(spark, sf_dir):
+    """EXACT fixed-size uniform sample: the k rows with the smallest
+    md5(key:seed) — the distributed answer to "give me exactly 100
+    random docs, reproducibly".  Rate-based hash sampling
+    (sample_hash_deterministic) can't promise a size; bottom-k can,
+    with the same any-engine/any-partitioning determinism (md5 is
+    byte-identical everywhere — fn_hash_codec), and changing the seed
+    string re-deals the sample.
+
+    100 TB posture: this is a global top-k on a computed key, so it
+    plans as TakeOrderedAndProject (plan-asserted with topk_global) —
+    each task keeps its local 100 smallest, the driver merges k·tasks
+    rows, nothing global is ever sorted.  That is exactly the
+    bottom-k reservoir trick streaming samplers use, expressed as one
+    declarative query."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias("hkey"),
+        )
+        .orderBy("hkey")
+        .limit(100)
+    )

@@ -71,6 +71,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ml_lift_gain_deciles_bucketed",
     "stats_mannwhitney_u",
     "ml_calibration_bins",
+    "ml_ndcg_pq_adc",
+    "sample_bottom_k_global",
     # --- (b) the 91 keys never driver-sampled in r1-r5, registration order ---
     "er_survivorship_merge",
     "stream_merge_upsert_live",
