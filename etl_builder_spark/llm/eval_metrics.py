@@ -882,6 +882,7 @@ def ml_rfm_segmentation_bucketed(spark, sf_dir):
             ),
         )
     )
+    base = base.persist()
     edges = (
         base.agg(
             F.expr(f"percentile(recency_us, {_RFM_QS})").alias("re"),
@@ -1037,6 +1038,7 @@ def ml_lift_gain_deciles_bucketed(spark, sf_dir):
         .crossJoin(F.broadcast(cent))
         .select("vec_id", "is_pos", F.round(d2, 9).alias("d9"))
     )
+    scored = scored.persist()
     qs = ", ".join(f"{k / 10:.1f}D" for k in range(1, 10))
     edges = scored.agg(F.expr(f"percentile(d9, array({qs}))").alias("es")).select(
         *[F.round(F.col("es")[i], 9).alias(f"e{i + 1}") for i in range(9)]

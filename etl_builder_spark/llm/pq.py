@@ -108,6 +108,14 @@ def pinned_codebook(spark: SparkSession, sf_dir: str, m: int = M_SUBSPACES) -> D
     D/m-dim slice of corpus vector PQ_SEED_LO + c.  Same schema as
     ``train_pq_codebooks`` so every PQ helper accepts either."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
+    return _pinned_codebook_from(e, m)
+
+
+def _pinned_codebook_from(e: DataFrame, m: int = M_SUBSPACES) -> DataFrame:
+    """Codebook derived from an already-loaded (vec_id, v) frame — so
+    exact-twin keys can feed ONE persisted corpus frame to codebook,
+    encode, probes and rerank instead of re-scanning the source per
+    reference (the r5 multi-scan lesson, plans/audit.py)."""
     return (
         e.where(F.col("vec_id").between(PQ_SEED_LO, PQ_SEED_HI))
         .select(
@@ -331,15 +339,20 @@ def sim_knn_ivfpq(spark, sf_dir):
     return _ivfpq_topk(spark, sf_dir, corpus_codebook(spark, sf_dir))
 
 
-def _ivfpq_topk(spark: SparkSession, sf_dir: str, cb: DataFrame) -> DataFrame:
+def _ivfpq_topk(spark: SparkSession, sf_dir: str, cb: DataFrame | None = None) -> DataFrame:
     """IVF-PQ search shared by the trained-codebook (rows-only) and
-    pinned-codebook (exact-oracle) declared keys — the codebook is the
-    ONLY difference between them, so one body carries both."""
+    pinned-codebook (exact-oracle, cb=None) declared keys — the
+    codebook is the ONLY difference between them, so one body carries
+    both.  The corpus frame is persisted: it feeds coarse centroids,
+    assignment, encode, probes and the rerank fetch (5 references —
+    10 source scans unpersisted, plans/audit.py)."""
     from etl_builder_spark.llm.ivf import IVF_SEED_LO, IVF_SEED_HI
     from etl_builder_spark.llm.similarity import cosine
 
     n_probe, shortlist_k, k_final = 4, 50, 10
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v")).persist()
+    if cb is None:
+        cb = _pinned_codebook_from(e)
     cent = e.where(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI)).select(
         (F.col("vec_id") - IVF_SEED_LO).alias("cluster_id"), F.col("v").alias("cv")
     )
@@ -535,8 +548,8 @@ def embed_pq_codes_exact(spark, sf_dir):
     """``embed_pq_codes`` with the codebook pinned to corpus points —
     the same ``pq_encode`` call (broadcast codebook, de-windowed
     argmin, DECIMAL recon-error sum), hash-checkable end to end."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
-    return pq_encode(e, pinned_codebook(spark, sf_dir)).select(
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v")).persist()
+    return pq_encode(e, _pinned_codebook_from(e)).select(
         "vec_id",
         F.array_join(F.transform("codes", lambda x: x.cast("string")), ",").alias("codes_csv"),
         "recon_err",
@@ -561,8 +574,8 @@ def embed_pq_codes_exact(spark, sf_dir):
 def sim_topk_pq_adc_exact(spark, sf_dir):
     """``sim_topk_pq_adc`` with the codebook pinned — same
     ``_adc_scored`` compressed-domain scoring, exact oracle."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
-    cb = pinned_codebook(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v")).persist()
+    cb = _pinned_codebook_from(e)
     codes = pq_encode(e, cb).select(
         "vec_id", F.posexplode("codes").alias("subspace", "code")
     )
@@ -587,8 +600,8 @@ def sim_topk_pq_adc_exact(spark, sf_dir):
 def sim_topk_pq_rerank_exact(spark, sf_dir):
     """``sim_topk_pq_rerank`` with the codebook pinned — ADC top-50
     shortlist, exact-distance re-rank to top-10, hash-checkable."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
-    cb = pinned_codebook(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v")).persist()
+    cb = _pinned_codebook_from(e)
     codes = pq_encode(e, cb).select(
         "vec_id", F.posexplode("codes").alias("subspace", "code")
     )
@@ -662,7 +675,7 @@ def sim_knn_ivfpq_exact(spark, sf_dir):
     coarse pruning to 4/16 lists, compressed-domain ADC over probed
     lists only, top-50 exact re-rank — now hash-checkable end to end,
     clearing the last evidence-less component family."""
-    return _ivfpq_topk(spark, sf_dir, pinned_codebook(spark, sf_dir))
+    return _ivfpq_topk(spark, sf_dir)
 
 
 @register(
@@ -727,8 +740,8 @@ def ml_ndcg_pq_adc(spark, sf_dir):
     recall/NDCG drift — |probes| · |corpus|, never corpus²."""
     from etl_builder_spark.llm.similarity import cosine
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
-    cb = pinned_codebook(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v")).persist()
+    cb = _pinned_codebook_from(e)
     codes = pq_encode(e, cb).select(
         "vec_id", F.posexplode("codes").alias("subspace", "code")
     )
