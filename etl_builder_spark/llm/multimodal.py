@@ -644,3 +644,88 @@ def multimodal_resize_halve(spark, sf_dir):
     return d.mapInPandas(
         work, "asset_id long, out_w int, out_h int, pixel_sum long, corner_r long"
     )
+
+
+@register(
+    "multimodal_audio_downsample_2x",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 4000 + 100 AS n FROM documents
+        ),
+        outs AS (
+            SELECT doc_id, n,
+                   CAST(FLOOR((((((doc_id * 31 + (2 * j) * 17) % 65536) - 32768)
+                               + (((doc_id * 31 + (2 * j + 1) * 17) % 65536) - 32768))
+                              ) / 2.0) AS BIGINT) AS o
+            FROM base, unnest(range(0, n // 2)) AS u(j)
+        )
+        SELECT doc_id AS asset_id,
+               n AS n_in,
+               n // 2 AS n_out,
+               CAST(4000 AS INT) AS rate_out,
+               MAX(abs(o)) AS peak_out,
+               CAST(SUM(o) AS BIGINT) AS sum_out,
+               sqrt(CAST(SUM(o * o) AS DOUBLE) / (n // 2)) / 32768.0 AS rms_out
+        FROM outs GROUP BY doc_id, n
+    """,
+    tags=("I-audio-downsample",),
+)
+def multimodal_audio_downsample_2x(spark, sf_dir):
+    """Real 2× audio decimation through the PCM-16 WAV codec — the
+    audio sibling of multimodal_resize_halve's block-mean image
+    resize: synthesize the closed-form sample pattern, ENCODE to
+    RIFF/WAV at 8 kHz, DECODE, average adjacent sample pairs
+    (floor((s₂ⱼ+s₂ⱼ₊₁)/2) — the box-filter anti-alias + decimate),
+    RE-ENCODE the result at 4 kHz, decode once more, and emit stats
+    computed from that SECOND decode.  The oracle predicts every
+    value symbolically from the pattern, so hash equality proves two
+    full codec round trips AND the decimation arithmetic are
+    lossless; pair means floor through float division, identical on
+    both engines, and stay in int16 range by construction.
+
+    100 TB posture: same Arrow mapInPandas seam as every codec key —
+    payload bytes live and die inside the executor task, output is
+    flat relational rows; a production resampler swaps the box filter
+    for a windowed-sinc kernel in the same batch loop (numpy
+    convolution over the decoded block) with zero change to the
+    Spark plumbing or partitioning."""
+    from etl_builder_spark.llm.codecs import decode_wav, encode_wav
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def downsample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "asset_id", "n_in", "n_out", "rate_out", "peak_out", "sum_out", "rms_out"
+                )
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 4000 + 100
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 31 + i * 17) % 65536) - 32768
+                dec, rate = decode_wav(encode_wav(s.astype(np.int16), rate=8000))
+                dec = dec.astype(np.int64)
+                n_out = n // 2
+                pairs = dec[: n_out * 2].reshape(n_out, 2)
+                ds = np.floor((pairs[:, 0] + pairs[:, 1]) / 2.0).astype(np.int64)
+                dec2, rate2 = decode_wav(encode_wav(ds.astype(np.int16), rate=4000))
+                dec2 = dec2.astype(np.int64)
+                sum_sq = int((dec2 * dec2).sum())
+                out["asset_id"].append(did)
+                out["n_in"].append(n)
+                out["n_out"].append(len(dec2))
+                out["rate_out"].append(rate2)
+                out["peak_out"].append(int(np.abs(dec2).max()))
+                out["sum_out"].append(int(dec2.sum()))
+                out["rms_out"].append(math.sqrt(sum_sq / len(dec2)) / 32768.0)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "asset_id long, n_in long, n_out long, rate_out int, "
+        "peak_out long, sum_out long, rms_out double"
+    )
+    return d.mapInPandas(downsample, schema)

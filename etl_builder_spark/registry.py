@@ -73,6 +73,7 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ml_calibration_bins",
     "ml_ndcg_pq_adc",
     "sample_bottom_k_global",
+    "multimodal_audio_downsample_2x",
     # --- (b) the 91 keys never driver-sampled in r1-r5, registration order ---
     "er_survivorship_merge",
     "stream_merge_upsert_live",
