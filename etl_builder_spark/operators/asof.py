@@ -360,3 +360,87 @@ def join_asof_tolerance(spark, sf_dir):
         "staleness_us",
         F.col("asof_signup_id").isNull().alias("unmatched"),
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, ts, MAX(event_id) AS event_id
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        )
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               p.ts,
+               p.value,
+               c.event_id AS next_click_id,
+               c.ts AS next_click_ts
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+    tags=("C10-forward",),
+)
+def join_asof_forward(spark, sf_dir):
+    """FORWARD-direction as-of join: each purchase matched to the
+    FIRST click at-or-after it, per user — the "what happened next"
+    direction (next price change, next maintenance window, post-
+    purchase behavior) that completes the as-of surface next to
+    backward (join_asof), nearest and tolerance.  Same union-tag
+    single-pass rewrite as ``asof_join``, mirrored: rows sort by
+    (ts, tag DESC) so a right row at the exact left timestamp sorts
+    AFTER the left row and is picked inclusively, and
+    first_value(ignore nulls) over [current row, unbounded following]
+    carries the next right row backward.  Checked against DuckDB's
+    native forward ASOF JOIN (ON p.ts <= c.ts).
+
+    100 TB posture: identical to the backward form — one shuffle on
+    the key, one ordered window pass, no range-join explosion; right
+    side deduped per (key, ts) so the pick is well-defined."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    left = purchases.select(
+        "user_id",
+        F.col("ts").alias("__ts"),
+        F.lit(1).alias("__tag"),
+        "purchase_id",
+        "value",
+        F.lit(None).cast("struct<event_id:bigint,ts:timestamp_ntz>").alias("__r"),
+    )
+    right = clicks.select(
+        "user_id",
+        F.col("ts").alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.lit(None).cast(purchases.schema["value"].dataType).alias("value"),
+        F.struct(F.col("event_id"), F.col("ts")).alias("__r"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__ts").asc(), F.col("__tag").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = left.unionByName(right).select(
+        "*", F.first("__r", ignorenulls=True).over(w).alias("__next")
+    )
+    return carried.where(F.col("__tag") == 1).select(
+        "user_id",
+        "purchase_id",
+        F.col("__ts").alias("ts"),
+        "value",
+        F.col("__next.event_id").alias("next_click_id"),
+        F.col("__next.ts").alias("next_click_ts"),
+    )

@@ -621,3 +621,71 @@ def stats_mannwhitney_u(spark, sf_dir):
         ((ta * tb).cast("double") - ua).alias("u_b"),
         F.round((ua - mu) / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+@register(
+    "stats_corr_pearson_exact",
+    oracle="""
+        WITH moments AS (
+            SELECT l_returnflag AS flag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))
+                            * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT flag, n AS n_rows,
+               ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr,
+               ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS cov_pop
+        FROM moments
+    """,
+    tags=("STATS-corr",),
+)
+def stats_corr_pearson_exact(spark, sf_dir):
+    """Pearson correlation (quantity vs extended price per return
+    flag) computed EXACTLY from decimal co-moments — never the
+    engine's native ``corr``, whose streaming co-moment accumulation
+    is order-dependent and engine-specific.  The five sufficient
+    statistics (Σx, Σy, Σx², Σy², Σxy) are exact DECIMAL sums of
+    2-dp inputs (4-dp products), so the reduction is order-free; the
+    final r = (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is one fixed
+    float expression written identically in both engines (policy
+    §7.2).  Population covariance reported alongside.
+
+    100 TB posture: one map-side-combined hash aggregate carrying five
+    decimal accumulators — the textbook distributed-correlation shape;
+    adding columns to a correlation MATRIX costs one accumulator per
+    pair, not one pass per pair.  The numerically-dicey catastrophic
+    cancellation of the naive formula is neutralized here because the
+    co-moments are EXACT (decimal), not floating partials."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(9,2)")
+    price = money("l_extendedprice")
+    m = l.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price * price).cast("double").alias("syy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        nd * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        "flag",
+        F.col("n").alias("n_rows"),
+        F.round(num / den, 6).alias("corr"),
+        F.round(num / (nd * nd), 6).alias("cov_pop"),
+    )

@@ -74,6 +74,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "ml_ndcg_pq_adc",
     "sample_bottom_k_global",
     "multimodal_audio_downsample_2x",
+    "join_asof_forward",
+    "stats_corr_pearson_exact",
     # --- (b) the 91 keys never driver-sampled in r1-r5, registration order ---
     "er_survivorship_merge",
     "stream_merge_upsert_live",
