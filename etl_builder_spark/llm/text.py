@@ -1058,3 +1058,81 @@ def text_ngram_novelty(spark, sf_dir):
             F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty_rate"),
         )
     )
+
+
+@register(
+    "vocab_bpe_pair_counts",
+    oracle="""
+        WITH words AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS word
+                FROM documents
+            )
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        pairs AS (
+            SELECT substr(word, i, 2) AS pair, freq
+            FROM words, unnest(range(1, length(word))) AS u(i)
+        ),
+        counted AS (
+            SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+            FROM pairs GROUP BY pair
+        )
+        SELECT pair, n, rank FROM (
+            SELECT pair, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+            FROM counted
+        ) WHERE rank <= 20
+    """,
+    tags=("I-bpe",),
+)
+def vocab_bpe_pair_counts(spark, sf_dir):
+    """The first decision of BPE tokenizer training: corpus-weighted
+    adjacent-symbol pair counts at the character level — the pair with
+    the highest count is merge #1, and iterating this exact query
+    (with the winning pair fused into the symbol stream) IS the BPE
+    training loop.  One pass builds the word-frequency table (the
+    standard BPE compression: pairs are counted once per distinct
+    word, weighted by frequency, never once per corpus occurrence),
+    one expression-only explode enumerates each word's adjacent
+    pairs, one hash aggregate sums weights, and a top-20
+    (count, pair)-ranked report comes out.
+
+    100 TB posture: the word-frequency rollup shrinks the pair-count
+    input from |corpus tokens| to |vocabulary| — the only frame the
+    merge loop ever re-touches, which is why production BPE trainers
+    keep exactly this (word, freq) table as their working set; the
+    pair explosion is bounded by Σ word lengths over the VOCABULARY,
+    and the global top-20 is a TakeOrderedAndProject merge, no full
+    sort."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    # positions 1..len-1 via an exploded sequence.  The length filter is
+    # load-bearing: Spark's sequence(1, 0) generates a DESCENDING [1, 0]
+    # for 1-char words (DuckDB's range(1, 1) is empty), which would
+    # fabricate phantom pairs.
+    pairs = (
+        words.where(F.length("word") >= 2)
+        .select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "freq")
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("n"))
+    from pyspark.sql import Window
+
+    wk = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        counted.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= 20)
+        .select("pair", "n", "rank")
+    )

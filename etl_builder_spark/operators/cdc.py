@@ -454,3 +454,79 @@ def scd2_bitemporal_asof(spark, sf_dir):
         F.col("m.state").alias("state"),
         F.col("m.o_orderdate").alias("state_since"),
     )
+
+
+@register(
+    "etl_erasure_footprint",
+    oracle="""
+        WITH req AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+        ),
+        ord AS (
+            SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM req)
+            GROUP BY o_custkey
+        ),
+        li AS (
+            SELECT o.o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_lineitems
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_custkey IN (SELECT c_custkey FROM req)
+            GROUP BY o.o_custkey
+        )
+        SELECT r.c_custkey,
+               COALESCE(ord.n_orders, 0) AS n_orders,
+               COALESCE(li.n_lineitems, 0) AS n_lineitems,
+               1 + COALESCE(ord.n_orders, 0) + COALESCE(li.n_lineitems, 0)
+                   AS total_rows
+        FROM req r
+        LEFT JOIN ord ON ord.k = r.c_custkey
+        LEFT JOIN li ON li.k = r.c_custkey
+    """,
+    tags=("ETL-erasure",),
+)
+def etl_erasure_footprint(spark, sf_dir):
+    """Erasure-request blast radius (the GDPR/CCPA delete-cascade
+    audit): for each customer on a deterministic request list, count
+    every row that a cascading delete would have to touch — the
+    customer row itself, their orders, and those orders' line items —
+    INCLUDING zero-footprint requesters (left joins), because "we
+    found nothing to delete" is itself a compliance answer.  Run
+    before the delete as the work estimate, after it as the proof of
+    completion (all-zero footprints).
+
+    100 TB posture: each child table is SEMI-JOIN filtered by the
+    (tiny, broadcast) request list BEFORE its per-customer rollup, so
+    the fact scans reduce to the requesters' slivers and the counts
+    are map-side combined; the final assembly joins three
+    request-sized frames.  Adding a table to the audit adds one
+    filtered rollup, never a wider join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    req = c.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    ord_n = (
+        o.join(F.broadcast(req), o.o_custkey == req.c_custkey, "left_semi")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    li_n = (
+        o.join(F.broadcast(req), o.o_custkey == req.c_custkey, "left_semi")
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitems"))
+    )
+    return (
+        req.join(ord_n, req.c_custkey == ord_n.k, "left")
+        .join(li_n, req.c_custkey == li_n.k, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_lineitems", F.lit(0)).alias("n_lineitems"),
+            (
+                F.lit(1)
+                + F.coalesce("n_orders", F.lit(0))
+                + F.coalesce("n_lineitems", F.lit(0))
+            ).alias("total_rows"),
+        )
+    )

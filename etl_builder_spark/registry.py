@@ -76,6 +76,8 @@ _GRADING_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_downsample_2x",
     "join_asof_forward",
     "stats_corr_pearson_exact",
+    "vocab_bpe_pair_counts",
+    "etl_erasure_footprint",
     # --- (b) the 91 keys never driver-sampled in r1-r5, registration order ---
     "er_survivorship_merge",
     "stream_merge_upsert_live",
