@@ -69,6 +69,12 @@ HEADLINE = [
     "geo_grid_radius_join",      # GEO grid-bucketed spatial join (r5c)
     "ts_seasonality_strength_dft",  # TS single-bin DFT scoring (r5c)
     "er_weighted_linkage",       # ER weighted-evidence linkage (r5c)
+    "embed_pq_codes_exact",      # I  pinned-codebook PQ encode (r6)
+    "sim_knn_ivfpq_exact",       # I  exact-twin IVF-PQ composition (r6)
+    "ml_rfm_segmentation_bucketed",  # ML window-free RFM scoring (r6)
+    "stats_mannwhitney_u",       # STATS rank-sum U without ranks (r6)
+    "multimodal_audio_downsample_2x",  # I  2x PCM decimation (r6)
+    "vocab_bpe_pair_counts",     # I  BPE merge-step pair counts (r6)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched
