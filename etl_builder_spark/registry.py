@@ -397,12 +397,14 @@ def _ordered_items() -> list[tuple[str, QuerySpec]]:
         tail = [(k, spec) for k, spec in REGISTRY.items() if k not in seen]
         return head + tail
 
-    reg_pos = {k: i for i, k in enumerate(REGISTRY)}
-
-    def sort_key(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
+    # Tiebreak on NAME, not registration position: registration order
+    # shifts with which module happens to import first (__spark_entry__
+    # pulls in operators.aggregates before _ensure_loaded runs), and the
+    # driver must see the same order selfcheck/tests saw.
+    def sort_key(item: tuple[str, QuerySpec]) -> tuple[int, int, str]:
         name, spec = item
         rows_only = 1 if spec.oracle is None else 0
-        return (rows_only, last.get(name, 0), reg_pos[name])
+        return (rows_only, last.get(name, 0), name)
 
     return sorted(REGISTRY.items(), key=sort_key)
 
