@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_builder_spark.policy import money
-from etl_builder_spark.registry import register
+from etl_builder_spark.registry import REGISTRY, register
 from etl_builder_spark.session import load_table
 
 #: number of bootstrap replicates
@@ -688,4 +688,176 @@ def stats_corr_pearson_exact(spark, sf_dir):
         F.col("n").alias("n_rows"),
         F.round(num / den, 6).alias("corr"),
         F.round(num / (nd * nd), 6).alias("cov_pop"),
+    )
+
+
+# --- banded prefix sums: the proven 100 TB swap for the KS/MW family -----
+
+#: range-band count for the banded prefix-sum twins; at real scale pick
+#: ~(cluster cores × 4) so each band's partitioned window holds
+#: |distinct values| / bands rows.
+PREFIX_BANDS = 32
+
+
+def _per_val_counts(spark, sf_dir):
+    """Shared fixture of the KS / Mann-Whitney pair: per-DISTINCT-value
+    integer counts of the 1995 (a) vs 1996 (b) order-total samples."""
+    o = load_table(spark, sf_dir, "orders").where(F.year("o_orderdate").isin(1995, 1996))
+    is_a = F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)
+    return (
+        o.select(F.col("o_totalprice").alias("v"), is_a.alias("is_a"))
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").cast("bigint").alias("na"),
+            F.sum(1 - F.col("is_a")).cast("bigint").alias("nb"),
+        )
+    )
+
+
+def _banded_cumulative(per_val, n_bands: int = PREFIX_BANDS):
+    """Inclusive running sums (ca, cb) of (na, nb) in ascending-``v``
+    order WITHOUT any unpartitioned Window — the range-partitioned
+    prefix-sum swap documented on stats_ks_two_sample/stats_mannwhitney_u
+    and proven here under the exact hash (VERDICT r6 item 3).
+
+    Two passes, classic distributed scan:
+      1. band assignment is a PROJECTION — fixed-width value bands from a
+         broadcast 1-row (min, max); monotone in v, so band order ==
+         value order.  No sort, no sampled range boundaries needed
+         (RangePartitioner-style sampling would also work but is not
+         value-deterministic across engines).
+      2. band TOTALS (n_bands rows) get exclusive offsets via a tiny
+         broadcast theta self-join (y.band < x.band) — zero Window
+         nodes; within-band running sums use a Window PARTITIONED by
+         band, which scales with |values|/n_bands per task instead of
+         moving every distinct value through one partition.
+
+    Exactness: band boundaries only partition the integer additions;
+    ca/cb per value are the same BIGINT sums in any grouping, so the
+    twin is hash-identical to the unpartitioned parent by construction.
+    Returns (v, na, nb, ca, cb) — one shuffle for the band window, one
+    broadcast of the 1-row range, one of the n_bands-row offsets.
+    """
+    from pyspark.sql import Window
+
+    rng = per_val.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bands))
+    band = (
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("v") - F.col("vmin")) / width).cast("int"),
+                F.lit(n_bands - 1),
+            )
+        )
+        .alias("band")
+    )
+    banded = per_val.crossJoin(F.broadcast(rng)).select("v", "na", "nb", band)
+    totals = banded.groupBy("band").agg(
+        F.sum("na").cast("bigint").alias("bna"), F.sum("nb").cast("bigint").alias("bnb")
+    )
+    off = (
+        totals.alias("x")
+        .join(F.broadcast(totals.alias("y")), F.col("y.band") < F.col("x.band"), "left")
+        .groupBy(F.col("x.band").alias("band"))
+        .agg(
+            F.coalesce(F.sum("y.bna"), F.lit(0)).cast("bigint").alias("off_a"),
+            F.coalesce(F.sum("y.bnb"), F.lit(0)).cast("bigint").alias("off_b"),
+        )
+    )
+    wb = Window.partitionBy("band").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return banded.join(F.broadcast(off), "band").select(
+        "v",
+        "na",
+        "nb",
+        (F.col("off_a") + F.sum("na").over(wb)).alias("ca"),
+        (F.col("off_b") + F.sum("nb").over(wb)).alias("cb"),
+    )
+
+
+@register(
+    "stats_ks_two_sample_banded",
+    oracle=REGISTRY["stats_ks_two_sample"].oracle,
+    tags=("STATS-ks", "SCALE-twin"),
+)
+def stats_ks_two_sample_banded(spark, sf_dir):
+    """``stats_ks_two_sample`` with the ECDF running sums computed by
+    range-partitioned band prefix sums (see ``_banded_cumulative``)
+    instead of one unpartitioned Window — the last documented-but-
+    unproven scale swap from VERDICT r5/r6, now under the exact hash
+    with the parent's own oracle.  Everything downstream of (ca, cb)
+    is the parent verbatim: integer cross-product ECDF differences,
+    supremum + min-v location, one final IEEE division."""
+    per_val = _per_val_counts(spark, sf_dir).persist()
+    tot = per_val.agg(
+        F.sum("na").cast("bigint").alias("ta"), F.sum("nb").cast("bigint").alias("tb")
+    )
+    cum = _banded_cumulative(per_val)
+    diffs = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")).alias("dnum"),
+            "ta",
+            "tb",
+        )
+        .persist()
+    )
+    m = diffs.agg(F.max("dnum").alias("md"))
+    loc = diffs.join(F.broadcast(m), F.col("dnum") == F.col("md")).agg(
+        F.min("v").alias("d_location")
+    )
+    return (
+        tot.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(loc))
+        .select(
+            F.col("ta").alias("n_a"),
+            F.col("tb").alias("n_b"),
+            (F.col("md").cast("double") / (F.col("ta") * F.col("tb"))).alias("d_stat"),
+            "d_location",
+        )
+    )
+
+
+@register(
+    "stats_mannwhitney_u_banded",
+    oracle=REGISTRY["stats_mannwhitney_u"].oracle,
+    tags=("STATS-mwu", "SCALE-twin"),
+)
+def stats_mannwhitney_u_banded(spark, sf_dir):
+    """``stats_mannwhitney_u`` with the strictly-below-v cumulative count
+    from range-partitioned band prefix sums (``_banded_cumulative``) —
+    cbb = cb − nb, then the same integer identity
+    2·U_a = Σ_v na(v)·(2·cbb(v) + nb(v)) and tie-corrected z.  The s3
+    tie term never needed a window; it stays a plain reduction over the
+    distinct-value frame."""
+    per_val = _per_val_counts(spark, sf_dir).persist()
+    tot = per_val.agg(
+        F.sum("na").cast("bigint").alias("ta"), F.sum("nb").cast("bigint").alias("tb")
+    )
+    cum = _banded_cumulative(per_val).select(
+        "na", "nb", (F.col("cb") - F.col("nb")).alias("cbb")
+    )
+    t = F.col("na") + F.col("nb")
+    s_u = cum.agg(
+        F.sum(F.col("na") * (2 * F.col("cbb") + F.col("nb"))).cast("bigint").alias("u2a")
+    )
+    s_t = per_val.agg(F.sum(t * t * t - t).cast("bigint").alias("s3"))
+    s = s_u.crossJoin(F.broadcast(s_t))
+    ta, tb = F.col("ta"), F.col("tb")
+    ua = F.col("u2a").cast("double") / F.lit(2)
+    mu = (ta * tb).cast("double") / F.lit(2)
+    var = (ta * tb).cast("double") / F.lit(12) * (
+        (ta + tb + F.lit(1)).cast("double")
+        - F.col("s3").cast("double")
+        / ((ta + tb).cast("double") * (ta + tb - F.lit(1)).cast("double"))
+    )
+    return tot.crossJoin(F.broadcast(s)).select(
+        ta.alias("n_a"),
+        tb.alias("n_b"),
+        ua.alias("u_a"),
+        ((ta * tb).cast("double") - ua).alias("u_b"),
+        F.round((ua - mu) / F.sqrt(var), 6).alias("z_score"),
     )

@@ -616,6 +616,39 @@ def test_rfm_bucketed_has_no_window(spark):
     assert "Broadcast" in p
 
 
+def _window_args_partitioned(plan_text: str) -> list[bool]:
+    """For each Window node's Arguments line: True iff it carries a
+    partition spec.  Formatted plans render a PARTITIONED window as
+    `...], [partCols], [orderCols]` (three trailing bracket groups) and
+    an UNPARTITIONED one as `...], [orderCols]` (two)."""
+    import re
+
+    out = []
+    for ln in plan_text.splitlines():
+        if "windowspecdefinition" not in ln or not ln.strip().startswith("Arguments"):
+            continue
+        out.append(bool(re.search(r"\], \[[^\[\]]*\], \[[^\[\]]*\]$", ln.rstrip())))
+    return out
+
+
+def test_banded_prefix_twins_no_unpartitioned_window(spark):
+    """stats_ks_two_sample_banded / stats_mannwhitney_u_banded exist to
+    PROVE the range-partitioned prefix-sum swap for the KS/MW family
+    (VERDICT r6 item 3): every Window node in their plans must carry a
+    non-empty partition spec, and the band-offset side must be a
+    broadcast theta join, not a window."""
+    for key in ("stats_ks_two_sample_banded", "stats_mannwhitney_u_banded"):
+        p = plan(spark, key)
+        flags = _window_args_partitioned(p)
+        assert flags, key  # the partitioned band window is there
+        assert all(flags), f"{key}: unpartitioned Window present"
+        assert "Broadcast" in p, key
+    # the parents DO carry the unpartitioned window (that's the point of
+    # the twins) — keep this pinned so the twin test stays meaningful
+    parent_flags = _window_args_partitioned(plan(spark, "stats_ks_two_sample"))
+    assert parent_flags and not all(parent_flags)
+
+
 def test_pagerank_scale_form_shuffled_join(spark):
     """graph_pagerank_fixed broadcasts the O(V) rank vector — right for
     its contract, fatal at web scale.  The documented swap
