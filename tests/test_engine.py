@@ -57,6 +57,33 @@ def test_unknown_table_fails_loudly(engine):
         engine.table("nope")
 
 
+def test_doc_counts_match_registry():
+    """COVERAGE.md's header count is single-sourced from the registry
+    (VERDICT r6 item 4 — SURVEY/COVERAGE drifted to three different
+    numbers by round 6).  SURVEY.md no longer repeats the number; this
+    test keeps COVERAGE.md's one statement true forever."""
+    import re
+    from pathlib import Path
+
+    from etl_builder_spark import registry
+
+    registry._ensure_loaded()
+    total = len(registry.REGISTRY)
+    exact = sum(1 for s in registry.REGISTRY.values() if s.oracle is not None)
+    rows_only = total - exact
+
+    text = (Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
+    m = re.search(
+        r"\*\*(\d+) declared queries: (\d+) exact, (\d+) rows-only\.\*\*", text
+    )
+    assert m, "COVERAGE.md count line missing"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        total,
+        exact,
+        rows_only,
+    ), f"COVERAGE.md says {m.groups()}, registry has {(total, exact, rows_only)}"
+
+
 def test_grading_priority_order():
     """queries() iteration order is derived from the committed
     CORRECTNESS_r*.json driver artifacts (round-7, VERDICT r6 items 1+2):
