@@ -154,6 +154,16 @@ def main() -> int:
     for name in HEADLINE + TPCH:
         print(f"# {name}: {times[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
+    # The matrix leaves every query's .persist() frames in storage
+    # (ADVICE r6: the PQ/stats keys never unpersist — by design, since a
+    # lazy result can't unpersist its own inputs; accumulation is bounded
+    # because DataFrame.persist() defaults to MEMORY_AND_DISK_DESER and
+    # the CacheManager dedupes identical lineages across the 3 reps, so
+    # total footprint is one matrix worth, spilling to disk under
+    # pressure).  Drop it all here so the post-matrix calibration probe
+    # measures the HOST, not storage pressure.
+    spark.catalog.clearCache()
+
     # second calibration AFTER the matrix: a start-only probe can label
     # a run "calm" and then the host stalls mid-matrix (observed: start
     # 0.128 with a matrix ~8% slower than a 0.142-start run).  The pair

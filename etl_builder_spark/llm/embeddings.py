@@ -85,7 +85,7 @@ def embed_normalize_quantize(spark, sf_dir):
         cent AS (
             SELECT half, label, i AS pos,
                    COUNT(*) AS n,
-                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS c
+                   ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6) AS c
             FROM halves CROSS JOIN generate_series(1, 64) AS t(i)
             GROUP BY half, label, i
         ),
@@ -130,7 +130,7 @@ def embed_centroid_drift(spark, sf_dir):
         .groupBy("half", "label", (F.col("pos0") + 1).alias("pos"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("c"),
+            F.round(F.sum(F.round(F.col("x"), 9).cast("decimal(20,9)")).cast("double") / F.count(F.lit(1)), 6).alias("c"),
         )
     )
     r = cent.where(F.col("half") == "ref").select(

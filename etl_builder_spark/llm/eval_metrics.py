@@ -29,7 +29,7 @@ EMB_DIM = 64
     oracle=f"""
         WITH cent AS (
             SELECT label AS cand, i AS pos,
-                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cv
+                   ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6) AS cv
             FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
             GROUP BY label, i
         ),
@@ -84,7 +84,7 @@ def ml_confusion_matrix(spark, sf_dir):
     cent_rows = (
         e.select("label", F.posexplode(_dbl()).alias("pos0", "x"))
         .groupBy("label", "pos0")
-        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("cv"))
+        .agg(F.round(F.sum(F.round(F.col("x"), 9).cast("decimal(20,9)")).cast("double") / F.count(F.lit(1)), 6).alias("cv"))
     )
     cent = cent_rows.groupBy(F.col("label").alias("cand")).agg(
         F.transform(
@@ -117,7 +117,7 @@ def ml_confusion_matrix(spark, sf_dir):
     oracle=f"""
         WITH cent AS (
             SELECT label AS cand, i AS pos,
-                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cv
+                   ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6) AS cv
             FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
             GROUP BY label, i
         ),
@@ -177,7 +177,7 @@ def ml_auc_one_vs_rest(spark, sf_dir):
     cent_rows = (
         e.select("label", F.posexplode(_dbl()).alias("pos0", "x"))
         .groupBy("label", "pos0")
-        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("cv"))
+        .agg(F.round(F.sum(F.round(F.col("x"), 9).cast("decimal(20,9)")).cast("double") / F.count(F.lit(1)), 6).alias("cv"))
     )
     cent = cent_rows.groupBy(F.col("label").alias("cand")).agg(
         F.transform(
@@ -295,7 +295,7 @@ def ml_user_features_asof(spark, sf_dir):
     oracle=f"""
         WITH cent AS (
             SELECT i AS pos,
-                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cv
+                   ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6) AS cv
             FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
             WHERE label = 3
             GROUP BY i
@@ -356,7 +356,7 @@ def ml_lift_gain_deciles(spark, sf_dir):
         e.where(F.col("label") == 3)
         .select(F.posexplode(_dbl()).alias("pos0", "x"))
         .groupBy("pos0")
-        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("cv"))
+        .agg(F.round(F.sum(F.round(F.col("x"), 9).cast("decimal(20,9)")).cast("double") / F.count(F.lit(1)), 6).alias("cv"))
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda s: s["cv"]
@@ -410,7 +410,7 @@ def _pca_oracle() -> str:
     head = f"""
         WITH mu AS (
             SELECT i AS pos,
-                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS m
+                   ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6) AS m
             FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
             GROUP BY i
         ),
@@ -492,7 +492,7 @@ def ml_pca_power_component(spark, sf_dir):
     mu = (
         e.select(F.posexplode(_dbl()).alias("pos0", "xx"))
         .groupBy("pos0")
-        .agg(F.round(F.sum("xx") / F.count(F.lit(1)), 6).alias("m"))
+        .agg(F.round(F.sum(F.round(F.col("xx"), 9).cast("decimal(20,9)")).cast("double") / F.count(F.lit(1)), 6).alias("m"))
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos0", "m"))), lambda s: s["m"]
@@ -594,7 +594,7 @@ def _kmeans_oracle() -> str:
         ),
         m{k} AS (
             SELECT a{k}.cid, i AS pos,
-                   ROUND(SUM(x.v[i]) / COUNT(*), 6) AS cv
+                   ROUND(CAST(SUM(CAST(ROUND(x.v[i], 9) AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6) AS cv
             FROM a{k} JOIN x USING (vec_id)
             CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
             GROUP BY a{k}.cid, i
@@ -671,7 +671,7 @@ def ml_kmeans_lloyd_exact(spark, sf_dir):
             a.join(x, "vec_id")
             .select("cid", F.posexplode("v").alias("pos0", "xx"))
             .groupBy("cid", "pos0")
-            .agg(F.round(F.sum("xx") / F.count(F.lit(1)), 6).alias("cv"))
+            .agg(F.round(F.sum(F.round(F.col("xx"), 9).cast("decimal(20,9)")).cast("double") / F.count(F.lit(1)), 6).alias("cv"))
             .groupBy("cid")
             .agg(
                 F.transform(
@@ -944,7 +944,7 @@ def ml_rfm_segmentation_bucketed(spark, sf_dir):
     oracle=f"""
         WITH cent AS (
             SELECT i AS pos,
-                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cv
+                   ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6) AS cv
             FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
             WHERE label = 3
             GROUP BY i
@@ -1021,7 +1021,7 @@ def ml_lift_gain_deciles_bucketed(spark, sf_dir):
         e.where(F.col("label") == 3)
         .select(F.posexplode(_dbl()).alias("pos0", "x"))
         .groupBy("pos0")
-        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("cv"))
+        .agg(F.round(F.sum(F.round(F.col("x"), 9).cast("decimal(20,9)")).cast("double") / F.count(F.lit(1)), 6).alias("cv"))
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda s: s["cv"]
@@ -1085,7 +1085,7 @@ def ml_lift_gain_deciles_bucketed(spark, sf_dir):
     oracle=f"""
         WITH cent AS (
             SELECT i AS pos,
-                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cv
+                   ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6) AS cv
             FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
             WHERE label = 3
             GROUP BY i
@@ -1141,7 +1141,7 @@ def ml_calibration_bins(spark, sf_dir):
         e.where(F.col("label") == 3)
         .select(F.posexplode(_dbl()).alias("pos0", "x"))
         .groupBy("pos0")
-        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("cv"))
+        .agg(F.round(F.sum(F.round(F.col("x"), 9).cast("decimal(20,9)")).cast("double") / F.count(F.lit(1)), 6).alias("cv"))
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda s: s["cv"]

@@ -345,7 +345,12 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, cb: DataFrame | None = None) -
     codebook is the ONLY difference between them, so one body carries
     both.  The corpus frame is persisted: it feeds coarse centroids,
     assignment, encode, probes and the rerank fetch (5 references —
-    10 source scans unpersisted, plans/audit.py)."""
+    10 source scans unpersisted, plans/audit.py).  A lazy result can't
+    unpersist its own inputs, so the cache is left to the session
+    (ADVICE r6): DataFrame.persist() defaults to MEMORY_AND_DISK_DESER
+    and identical lineages dedupe in the CacheManager, so long-lived
+    multi-query sessions spill rather than OOM; bench.py clearCache()s
+    after its matrix."""
     from etl_builder_spark.llm.ivf import IVF_SEED_LO, IVF_SEED_HI
     from etl_builder_spark.llm.similarity import cosine
 

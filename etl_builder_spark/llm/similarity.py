@@ -116,7 +116,7 @@ def sim_knn_lsh(spark, sf_dir):
         SELECT label,
                i AS pos,
                COUNT(*) AS n,
-               ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS centroid_val
+               ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6) AS centroid_val
         FROM embeddings
         CROSS JOIN generate_series(1, 64) AS t(i)
         GROUP BY label, i
@@ -132,7 +132,7 @@ def sim_label_centroids(spark, sf_dir):
         exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("centroid_val"),
+            F.round(F.sum(F.round(F.col("x"), 9).cast("decimal(20,9)")).cast("double") / F.count(F.lit(1)), 6).alias("centroid_val"),
         )
     )
 

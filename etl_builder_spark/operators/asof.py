@@ -412,13 +412,24 @@ def join_asof_forward(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("event_id"))
     )
+    # the null payload's type is DERIVED from the right side (ADVICE r6:
+    # a hard-coded timestamp_ntz DDL only matched via Spark's silent
+    # TimestampNTZ+Timestamp widening, value-preserving only under UTC)
+    from pyspark.sql.types import StructField, StructType
+
+    r_struct = StructType(
+        [
+            StructField("event_id", clicks.schema["event_id"].dataType),
+            StructField("ts", clicks.schema["ts"].dataType),
+        ]
+    )
     left = purchases.select(
         "user_id",
         F.col("ts").alias("__ts"),
         F.lit(1).alias("__tag"),
         "purchase_id",
         "value",
-        F.lit(None).cast("struct<event_id:bigint,ts:timestamp_ntz>").alias("__r"),
+        F.lit(None).cast(r_struct).alias("__r"),
     )
     right = clicks.select(
         "user_id",
