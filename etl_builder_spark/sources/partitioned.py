@@ -234,10 +234,26 @@ def etl_small_file_compaction(spark, sf_dir):
     )
     done = os.path.join(sink, "_staged")
     frag_marker = os.path.join(frag_dir, "_staged")
-    if not os.path.exists(done) or os.path.getmtime(done) < os.path.getmtime(frag_marker):
-        spark.read.parquet(frag_dir).repartition(4).write.mode("overwrite").parquet(sink)
-        with open(done, "w") as f:
-            f.write("ok")
+    # Advisory flock serializes the stale-check + overwrite + marker
+    # across concurrent sessions (ADVICE r6: two sessions hitting a
+    # stale sink could interleave).  A reader in a THIRD process that
+    # skips the lock can still observe a mid-overwrite sink — full
+    # isolation needs versioned dirs + a pointer swap, overkill for the
+    # single-session harness; at real scale this is the table format's
+    # job (Iceberg/Delta snapshot commit).
+    os.makedirs(sink, exist_ok=True)
+    import fcntl
+
+    with open(os.path.join(os.path.dirname(sink), ".compaction_lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if not os.path.exists(done) or os.path.getmtime(done) < os.path.getmtime(
+            frag_marker
+        ):
+            spark.read.parquet(frag_dir).repartition(4).write.mode("overwrite").parquet(
+                sink
+            )
+            with open(done, "w") as f:
+                f.write("ok")
     return spark.read.parquet(sink).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
