@@ -109,6 +109,65 @@ def _oracle() -> str:
     """
 
 
+def sign_lsh_candidates(hyp_source, all_vecs, n_bands=N_BANDS, bits_per_band=BITS_PER_BAND):
+    """Sign-LSH banded candidate pairs (id_a < id_b, distinct) over
+    ``all_vecs`` (vec_id, v double-array), hyperplanes taken from
+    ``hyp_source`` ids HYP_LO..HYP_LO+n_bands*bits_per_band-1 — the
+    candidate stage of ``dedup_embedding_cosine``, factored out so the
+    scale-stress harness (scale_stress.py) measures the SAME code path
+    it ships.
+
+    Scale law (measured, PERF.md "Measured scaling"): expected
+    candidates ≈ n_bands · N² / 2^(bits_per_band+1) on a decorrelated
+    corpus — the band width must grow with log₂(N) or banding
+    saturates into all-pairs.  The fixture default (4×8) is sized for
+    the ~4k-vector fixture; the harness demonstrates the remedy by
+    re-running at 2×16 over the same 32-hyperplane pool."""
+    n_hyp = n_bands * bits_per_band
+    hyp = hyp_source.where(F.col("vec_id").between(HYP_LO, HYP_LO + n_hyp - 1)).select(
+        (F.col("vec_id") - HYP_LO).alias("j"), F.col("v").alias("h")
+    )
+    # one wide row (h0..h{n_hyp-1}) — the de-exploded form: the corpus
+    # is never multiplied by the hyperplane count
+    hw = hyp.groupBy().agg(
+        *[F.max(F.when(F.col("j") == i, F.col("h"))).alias(f"h{i}") for i in range(n_hyp)]
+    )
+
+    def band_key(b: int):
+        bits = [
+            F.when(
+                F.round(dot(F.col("v"), F.col(f"h{b * bits_per_band + i}")), 6) >= 0,
+                F.lit(1 << i),
+            ).otherwise(0)
+            for i in range(bits_per_band)
+        ]
+        acc = bits[0]
+        for x in bits[1:]:
+            acc = acc + x
+        return acc.alias(f"k{b}")
+
+    banded = all_vecs.crossJoin(F.broadcast(hw)).select(
+        "vec_id", *[band_key(b) for b in range(n_bands)]
+    )
+    # keys and norms are both self-joined below; persist so the
+    # 32-hyperplane signing pass and the norm pass run once, not once
+    # per join side (the lazy plan re-derives per reference)
+    keys = banded.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"k{b}") for b in range(n_bands)])).alias(
+            "band", "block"
+        ),
+    ).persist()
+    a = keys.select(F.col("vec_id").alias("id_a"), "band", "block")
+    b = keys.select(F.col("vec_id").alias("id_b"), "band", "block")
+    return (
+        a.join(b, ["band", "block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 @register("dedup_embedding_cosine", oracle=_oracle(), tags=("I-dedup-embed",))
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs over corpus ∪ planted copies:
@@ -122,49 +181,7 @@ def dedup_embedding_cosine(spark, sf_dir):
         F.transform("v", lambda x: x + F.lit(PERTURB_DELTA)).alias("v"),
     )
     all_vecs = e.unionByName(planted)
-
-    hyp = e.where(F.col("vec_id").between(HYP_LO, HYP_LO + _N_HYP - 1)).select(
-        (F.col("vec_id") - HYP_LO).alias("j"), F.col("v").alias("h")
-    )
-    # one wide row (h0..h{_N_HYP-1}) — the de-exploded form: the corpus
-    # is never multiplied by the hyperplane count
-    hw = hyp.groupBy().agg(
-        *[F.max(F.when(F.col("j") == i, F.col("h"))).alias(f"h{i}") for i in range(_N_HYP)]
-    )
-
-    def band_key(b: int):
-        bits = [
-            F.when(
-                F.round(dot(F.col("v"), F.col(f"h{b * BITS_PER_BAND + i}")), 6) >= 0,
-                F.lit(1 << i),
-            ).otherwise(0)
-            for i in range(BITS_PER_BAND)
-        ]
-        acc = bits[0]
-        for x in bits[1:]:
-            acc = acc + x
-        return acc.alias(f"k{b}")
-
-    banded = all_vecs.crossJoin(F.broadcast(hw)).select(
-        "vec_id", *[band_key(b) for b in range(N_BANDS)]
-    )
-    # keys and norms are both self-joined below; persist so the
-    # 32-hyperplane signing pass and the norm pass run once, not once
-    # per join side (the lazy plan re-derives per reference)
-    keys = banded.select(
-        "vec_id",
-        F.posexplode(F.array(*[F.col(f"k{b}") for b in range(N_BANDS)])).alias(
-            "band", "block"
-        ),
-    ).persist()
-    a = keys.select(F.col("vec_id").alias("id_a"), "band", "block")
-    b = keys.select(F.col("vec_id").alias("id_b"), "band", "block")
-    cand = (
-        a.join(b, ["band", "block"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = sign_lsh_candidates(e, all_vecs)
     # L2 norms once per VECTOR (4k array-aggregates), not per PAIR
     # (2×|candidates| of them): sqrt(dot(v,v)) is computed on the same
     # doubles either way, so sim is bit-identical to the oracle's

@@ -1,0 +1,267 @@
+"""Scale-stress harness (VERDICT r6 item 5): measured scaling curves
+for the candidate-bounded dedup/ANN families, so the 100 TB posture is
+empirical, not just plan-shape argued.
+
+Synthesizes ×N corpora from /root/testdata/sf0.1 (documents +
+embeddings only) by unioning N deterministic copies:
+
+- documents: copy k remaps every token t -> md5(t:k)[:8] — an injective
+  per-copy vocabulary substitution, so each copy reproduces the base
+  corpus's EXACT shingle-overlap structure internally while sharing no
+  shingle across copies.  A ×N corpus is therefore N independent
+  corpora of identical statistics: a candidate-bounded algorithm must
+  scale ~linearly in N; an all-pairs one scales ~N².
+- embeddings: copy k rotates each vector's dimensions by k.  Rotation
+  preserves norms and within-copy geometry; cross-copy cosines are
+  decorrelated.
+
+Measured per scale, per family (same code paths the operators ship —
+_minhash_sig_bands, sign_lsh_candidates, assign_clusters/ivf_topk, the
+registered substring operator itself):
+
+- minhash_banding   candidate pairs from band-bucket collisions
+- sign_lsh          banded candidate pairs over the corpus
+- substring_windows shared-window pairs (full registered operator)
+- ivf_pruning       scanned rows for a 10-probe panel at n_probe=4/16
+
+Writes PERF_SCALE.json; PERF.md's "Measured scaling" section quotes it.
+Run: python scale_stress.py [--scales 1,4,16] [--base /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SYNTH_ROOT = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "etl_builder_spark_scale"
+)
+DOC_COPY_STRIDE = 1_000_000  # clears the 10k/20k plant-offset ranges
+VEC_COPY_STRIDE = 2_000
+
+
+def synth_dir(spark, base: str, scale: int) -> str:
+    """Materialize the ×scale corpus (idempotent, marker-guarded)."""
+    if scale == 1:
+        return base
+    out = os.path.join(SYNTH_ROOT, f"x{scale}")
+    marker = os.path.join(out, "_staged")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    d = spark.read.parquet(os.path.join(base, "documents.parquet"))
+    doc_copies = [d]
+    for k in range(1, scale):
+        remap = F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t: F.substring(F.md5(F.concat(t, F.lit(f":{k}"))), 1, 8),
+            ),
+            " ",
+        )
+        doc_copies.append(
+            d.select(
+                (F.col("doc_id") + k * DOC_COPY_STRIDE).alias("doc_id"),
+                remap.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    docs = doc_copies[0]
+    for c in doc_copies[1:]:
+        docs = docs.unionByName(c)
+    docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    e = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    dim = len(e.select("embedding").first()[0])
+    vec_copies = [e]
+    for k in range(1, scale):
+        r = k % dim or 1
+        rotated = F.concat(
+            F.slice("embedding", r + 1, dim - r), F.slice("embedding", 1, r)
+        )
+        vec_copies.append(
+            e.select(
+                (F.col("vec_id") + k * VEC_COPY_STRIDE).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+    vecs = vec_copies[0]
+    for c in vec_copies[1:]:
+        vecs = vecs.unionByName(c)
+    vecs.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return out, round(time.time() - t0, 2)
+
+
+def measure_minhash(spark, sf_dir: str) -> dict:
+    from etl_builder_spark.llm.dedup import _minhash_sig_bands
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    n_docs = d.count()
+    sig, bands = _minhash_sig_bands(d)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id"), F.col("b.doc_id"))
+    (n_cand, secs) = timed(lambda: cand.distinct().count())
+    sig.unpersist()
+    bands.unpersist()
+    return {"n_input": n_docs, "candidates": n_cand, "seconds": secs}
+
+
+def measure_sign_lsh(spark, sf_dir: str) -> dict:
+    from etl_builder_spark.llm.embed_dedup import sign_lsh_candidates
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n_vecs = e.count()
+    cand = sign_lsh_candidates(e, e)
+    (n_cand, secs) = timed(cand.count)
+    spark.catalog.clearCache()
+    # the log-N remedy: same 32-hyperplane pool re-banded 2×16 — band
+    # width must track log2(N) or banding saturates into all-pairs
+    wide = sign_lsh_candidates(e, e, n_bands=2, bits_per_band=16)
+    (n_wide, secs_wide) = timed(wide.count)
+    spark.catalog.clearCache()
+    return {
+        "n_input": n_vecs,
+        "candidates": n_cand,
+        "seconds": secs,
+        "candidates_2x16": n_wide,
+        "seconds_2x16": secs_wide,
+    }
+
+
+def measure_substring(spark, sf_dir: str) -> dict:
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    pairs = REGISTRY["dedup_substring_windows"].fn(spark, sf_dir)
+    (agg, secs) = timed(
+        lambda: pairs.agg(
+            F.count(F.lit(1)).alias("pairs"), F.sum("n_shared").alias("shared")
+        ).first()
+    )
+    spark.catalog.clearCache()
+    return {
+        "n_input": n_docs,
+        "candidates": int(agg["shared"] or 0),
+        "pairs": int(agg["pairs"]),
+        "seconds": secs,
+    }
+
+
+def measure_ivf(spark, sf_dir: str) -> dict:
+    from etl_builder_spark.llm.ivf import (
+        IVF_SEED_HI,
+        IVF_SEED_LO,
+        assign_clusters,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n_vecs = e.count()
+    cent = e.where(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI)).select(
+        (F.col("vec_id") - IVF_SEED_LO).alias("cluster_id"), F.col("v").alias("cv")
+    )
+    asg = assign_clusters(e, cent).persist()
+    probes = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+
+    def run():
+        topk = ivf_topk(asg, cent, probes, k=10, n_probe=4)
+        return topk.count()
+
+    (n_topk, secs) = timed(run)
+    # scanned rows = probe panel × probed-list sizes (the pruning metric)
+    from pyspark.sql import Window
+
+    pc = probes.crossJoin(F.broadcast(cent))
+    from etl_builder_spark.llm.ivf import _sq_dist
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.round(_sq_dist(F.col("pv"), F.col("cv")), 9).asc(), F.col("cluster_id")
+    )
+    probe_lists = (
+        pc.withColumn("crn", F.row_number().over(w))
+        .where(F.col("crn") <= 4)
+        .select("probe_id", "cluster_id")
+    )
+    scanned = probe_lists.join(asg, "cluster_id").count()
+    asg.unpersist()
+    return {
+        "n_input": n_vecs,
+        "candidates": scanned,
+        "topk_rows": n_topk,
+        "seconds": secs,
+    }
+
+
+FAMILIES = {
+    "minhash_banding": measure_minhash,
+    "sign_lsh": measure_sign_lsh,
+    "substring_windows": measure_substring,
+    "ivf_pruning": measure_ivf,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--scales", default="1,4,16")
+    ap.add_argument("--out", default="PERF_SCALE.json")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.driver.memory", "8g")
+        .appName("scale_stress")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+    for scale in [int(s) for s in args.scales.split(",")]:
+        sf_dir = synth_dir(spark, args.base, scale)
+        results[str(scale)] = {}
+        for fam, fn in FAMILIES.items():
+            res = fn(spark, sf_dir)
+            results[str(scale)][fam] = res
+            print(f"x{scale} {fam}: {res}", flush=True)
+        spark.catalog.clearCache()
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
