@@ -1286,3 +1286,51 @@ def agg_abc_classification(spark, sf_dir):
         F.sum("rev").cast("double").alias("class_revenue"),
         F.round(F.sum("rev").cast("double") / F.min("tot_rev"), 6).alias("revenue_share"),
     )
+
+
+@register(
+    "agg_gini_revenue_banded",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+            FROM rev
+        )
+        SELECT COUNT(*) AS n_customers,
+               CAST(SUM(x) AS DOUBLE) AS total_revenue,
+               ROUND(2.0 * CAST(SUM(i * x) AS DOUBLE)
+                     / (COUNT(*) * CAST(SUM(x) AS DOUBLE))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM ranked
+    """,
+    tags=("D-gini", "SCALE-twin"),
+)
+def agg_gini_revenue_banded(spark, sf_dir):
+    """``agg_gini_revenue`` with the global ascending rank from
+    range-partitioned band prefix counting (operators/stats.py
+    ``banded_running``) instead of one unpartitioned ROW_NUMBER window
+    — the last of the dimension-frame rankers to get its documented
+    swap proven under the parent's exact oracle (round 7; precedents:
+    KS/MW banded, cumulative-share banded).  The rank-weighted sum
+    Σ(i·xᵢ) multiplies exact bigint ranks by exact decimals, so the
+    closed-form Gini is bit-identical to the parent's."""
+    from pyspark.sql import Window  # noqa: F401  (parent parity; unused)
+
+    from etl_builder_spark.operators.stats import banded_running
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("x"))
+    ranked = banded_running(rev, "x", "o_custkey", descending=False).select(
+        "x", F.col("rnk").alias("i")
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    six = F.sum(F.col("i") * F.col("x")).cast("double")
+    return ranked.agg(
+        n.alias("n_customers"),
+        sx.alias("total_revenue"),
+        F.round(F.lit(2.0) * six / (n * sx) - (n + F.lit(1.0)) / n, 6).alias("gini"),
+    )

@@ -861,3 +861,56 @@ def stats_mannwhitney_u_banded(spark, sf_dir):
         ((ta * tb).cast("double") - ua).alias("u_b"),
         F.round((ua - mu) / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+def banded_running(df, value_col: str, tiebreak_col: str, descending: bool = False,
+                   n_bands: int = PREFIX_BANDS):
+    """Generalized banded prefix aggregation: every input row gains
+    ``run_sum`` (inclusive running SUM(value_col)) and ``rnk``
+    (inclusive running COUNT == global row_number) in the total order
+    (value_col ASC|DESC, tiebreak_col ASC) — computed WITHOUT any
+    unpartitioned Window, the same two-pass shape as
+    ``_banded_cumulative`` (band projection off a broadcast min/max,
+    broadcast theta-join offsets, band-partitioned within-window).
+
+    EXACT whenever value_col is DECIMAL/integer (additions regroup
+    freely) and (value_col, tiebreak_col) is a total order, which every
+    caller here guarantees.  Serves the dimension-frame rankers
+    (win_cumulative_share, agg_gini_revenue) whose fixture-scale form
+    uses one global window over the aggregated frame."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    rng = df.agg(F.min(v).alias("vmin"), F.max(v).alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bands))
+    pos = (F.col("vmax") - v) if descending else (v - F.col("vmin"))
+    band = (
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(F.least(F.floor(pos / width).cast("int"), F.lit(n_bands - 1)))
+        .alias("band")
+    )
+    banded = df.crossJoin(F.broadcast(rng)).select(*df.columns, band)
+    totals = banded.groupBy("band").agg(
+        F.sum(value_col).alias("bsum"), F.count(F.lit(1)).cast("bigint").alias("bcnt")
+    )
+    off = (
+        totals.alias("x")
+        .join(F.broadcast(totals.alias("y")), F.col("y.band") < F.col("x.band"), "left")
+        .groupBy(F.col("x.band").alias("band"))
+        .agg(
+            F.coalesce(F.sum("y.bsum"), F.lit(0)).alias("off_sum"),
+            F.coalesce(F.sum("y.bcnt"), F.lit(0)).cast("bigint").alias("off_cnt"),
+        )
+    )
+    order = [
+        F.col(value_col).desc() if descending else F.col(value_col).asc(),
+        F.col(tiebreak_col).asc(),
+    ]
+    wb = Window.partitionBy("band").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return banded.join(F.broadcast(off), "band").select(
+        *df.columns,
+        (F.col("off_sum") + F.sum(value_col).over(wb)).alias("run_sum"),
+        (F.col("off_cnt") + F.count(F.lit(1)).over(wb)).cast("bigint").alias("rnk"),
+    )

@@ -445,3 +445,60 @@ def win_running_reset(spark, sf_dir):
         "segment_seq",
         F.sum(money("value")).over(w2).cast("double").alias("running_since_purchase"),
     )
+
+
+@register(
+    "win_cumulative_share_banded",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders
+            GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, revenue,
+                   ROW_NUMBER() OVER w AS rnk,
+                   SUM(revenue) OVER (
+                       w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running,
+                   SUM(revenue) OVER () AS total
+            FROM rev
+            WINDOW w AS (ORDER BY revenue DESC, o_custkey)
+        )
+        SELECT o_custkey,
+               CAST(revenue AS DOUBLE) AS revenue,
+               CAST(rnk AS INT) AS rnk,
+               ROUND(CAST(running AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+               (CAST(running AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8) AS in_top80
+        FROM ranked
+    """,
+    tags=("E-pareto", "SCALE-twin"),
+)
+def win_cumulative_share_banded(spark, sf_dir):
+    """``win_cumulative_share`` WITHOUT either of its unpartitioned
+    windows — the banded-prefix swap its own docstring promises ("at
+    larger key cardinality, band the ranking"), proven here under the
+    parent's exact oracle (the round-7 extension of the KS/MW banded
+    twins; helper: operators/stats.py ``banded_running``).  The
+    running revenue sum AND the global rank come from range-partitioned
+    band prefix aggregation (revenue DESC, custkey tiebreak); the
+    grand total swaps the parent's unbounded window for a broadcast
+    1-row aggregate.  Exactness: the running sums regroup EXACT
+    decimals; rank offsets are integer counts; the single
+    double-division per row is the parent's own."""
+    from etl_builder_spark.operators.stats import banded_running
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("revenue"))
+    rev = rev.persist()
+    ranked = banded_running(rev, "revenue", "o_custkey", descending=True)
+    total = rev.agg(F.sum("revenue").alias("total"))
+    share = F.col("run_sum").cast("double") / F.col("total").cast("double")
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "o_custkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.round(share, 6).alias("cum_share"),
+        (share <= 0.8).alias("in_top80"),
+    )

@@ -637,7 +637,12 @@ def test_banded_prefix_twins_no_unpartitioned_window(spark):
     (VERDICT r6 item 3): every Window node in their plans must carry a
     non-empty partition spec, and the band-offset side must be a
     broadcast theta join, not a window."""
-    for key in ("stats_ks_two_sample_banded", "stats_mannwhitney_u_banded"):
+    for key in (
+        "stats_ks_two_sample_banded",
+        "stats_mannwhitney_u_banded",
+        "win_cumulative_share_banded",
+        "agg_gini_revenue_banded",
+    ):
         p = plan(spark, key)
         flags = _window_args_partitioned(p)
         assert flags, key  # the partitioned band window is there
