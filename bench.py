@@ -75,6 +75,8 @@ HEADLINE = [
     "stats_mannwhitney_u",       # STATS rank-sum U without ranks (r6)
     "multimodal_audio_downsample_2x",  # I  2x PCM decimation (r6)
     "vocab_bpe_pair_counts",     # I  BPE merge-step pair counts (r6)
+    "stats_ks_two_sample_banded",    # STATS banded-prefix KS twin (r7)
+    "win_cumulative_share_banded",   # E  banded Pareto ranker twin (r7)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched
