@@ -290,3 +290,58 @@ def sample_bottom_k_global(spark, sf_dir):
         .orderBy("hkey")
         .limit(100)
     )
+
+
+@register(
+    "sample_stratified_quota",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, lang, n_chars,
+                   md5(CAST(doc_id AS VARCHAR) || ':7') AS hkey
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rnk
+            FROM h
+        )
+        SELECT doc_id, lang, n_chars, CAST(rnk AS INT) AS rnk
+        FROM r WHERE rnk <= 100
+    """,
+    tags=("I-sample-quota",),
+)
+def sample_stratified_quota(spark, sf_dir):
+    """EXACT-size stratified sampling: precisely 100 documents per
+    language (fewer only if the stratum is smaller), chosen as the 100
+    smallest md5(doc_id:seed) WITHIN each stratum — the quota-sampling
+    companion to ``sample_stratified_seeded`` (whose sampleBy
+    fractions are engine/partitioning-specific and give only expected
+    counts, → rows-only) and the per-stratum form of
+    ``sample_bottom_k_global``.  Same-seed reruns, any engine, any
+    layout pick the SAME documents, and quotas are exact — what a
+    balanced-language training mix actually needs.
+
+    100 TB posture: rank ≤ k over Window.partitionBy(lang) plans as
+    WindowGroupLimit (plan-asserted) — per-partition top-k pushdown
+    BEFORE the shuffle, so each mapper forwards at most k rows per
+    stratum instead of sort-shuffling whole strata; a skewed stratum
+    (90% English) costs its mappers k rows each, never a global sort.
+    The hash key means no sampling state and incremental consistency
+    (new files re-rank, previously-chosen survivors stay stable as the
+    pool grows only if their hash stays in the bottom k — quota
+    sampling is inherently pool-dependent, unlike fraction sampling)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7"))).alias("hkey"),
+    )
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        h.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 100)
+        .select("doc_id", "lang", "n_chars", F.col("rnk").cast("int").alias("rnk"))
+    )

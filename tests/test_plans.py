@@ -631,6 +631,15 @@ def _window_args_partitioned(plan_text: str) -> list[bool]:
     return out
 
 
+def test_stratified_quota_plans_group_limit(spark):
+    """sample_stratified_quota's rank ≤ k must plan as WindowGroupLimit
+    (per-partition top-k pushdown before the shuffle) — the same
+    assertion as win_topk_per_group; a plain Window+Filter here would
+    sort-shuffle whole strata."""
+    p = plan(spark, "sample_stratified_quota")
+    assert "WindowGroupLimit" in p
+
+
 def test_banded_prefix_twins_no_unpartitioned_window(spark):
     """stats_ks_two_sample_banded / stats_mannwhitney_u_banded exist to
     PROVE the range-partitioned prefix-sum swap for the KS/MW family
