@@ -1117,3 +1117,42 @@ def test_salted_pairs_string_blocks_hot_block(spark):
         )
         got = sorted(map(tuple, got_df.collect()))
         assert got == want, f"ceiling={ceiling}: pair set diverged"
+
+
+banded_rows = st.lists(
+    st.tuples(
+        st.integers(0, 30),     # key (tiebreak; deduped below)
+        st.integers(-50, 50),   # value (ties common on purpose)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=banded_rows, descending=st.booleans(), n_bands=st.integers(1, 5))
+@_settings
+def test_banded_running_matches_bruteforce(spark, rows, descending, n_bands):
+    """operators/stats.py banded_running: the no-unpartitioned-Window
+    prefix aggregator must equal the plain sorted running sum / rank on
+    arbitrary frames — ties, negatives, single band, all-equal values,
+    band counts exceeding the row count."""
+    from etl_builder_spark.operators.stats import banded_running
+
+    dedup = {}
+    for k, v in rows:
+        dedup[k] = v  # unique tiebreak key, as every caller guarantees
+    data = sorted(dedup.items())
+    df = spark.createDataFrame(data, schema="k long, v long")
+    out = {
+        r["k"]: (r["run_sum"], r["rnk"])
+        for r in banded_running(
+            df, "v", "k", descending=descending, n_bands=n_bands
+        ).collect()
+    }
+    order = sorted(data, key=lambda kv: (-kv[1] if descending else kv[1], kv[0]))
+    run = 0
+    expect = {}
+    for i, (k, v) in enumerate(order, start=1):
+        run += v
+        expect[k] = (run, i)
+    assert out == expect
