@@ -1170,3 +1170,163 @@ def ml_calibration_bins(spark, sf_dir):
             6,
         ).alias("pos_rate"),
     )
+
+
+@register(
+    "ml_ab_test_cuped",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(user_id % 2 AS INT) AS variant,
+                   COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                     THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                       AS x,
+                   COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                     THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                       AS y
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        mom AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx
+            FROM per_user
+        ),
+        th AS (
+            SELECT n,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+                   sx / n AS mu_x
+            FROM mom
+        ),
+        adj AS (
+            SELECT variant,
+                   CAST(ROUND(CAST(y AS DOUBLE)
+                              - theta * (CAST(x AS DOUBLE) - mu_x), 6) * 1000000
+                        AS BIGINT) AS yi
+            FROM per_user CROSS JOIN th
+        ),
+        v AS (
+            SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN variant = 0 THEN yi ELSE 0 END) AS DOUBLE)
+                       / 1000000.0 AS s0,
+                   CAST(SUM(CASE WHEN variant = 1 THEN yi ELSE 0 END) AS DOUBLE)
+                       / 1000000.0 AS s1,
+                   CAST(SUM(CASE WHEN variant = 0
+                                 THEN CAST(yi AS HUGEINT) * yi ELSE 0 END) AS DOUBLE)
+                       / 1000000000000.0 AS q0,
+                   CAST(SUM(CASE WHEN variant = 1
+                                 THEN CAST(yi AS HUGEINT) * yi ELSE 0 END) AS DOUBLE)
+                       / 1000000000000.0 AS q1
+            FROM adj
+        )
+        SELECT n0 AS n_control, n1 AS n_treatment,
+               ROUND(s0 / n0, 6) AS mean_adj_control,
+               ROUND(s1 / n1, 6) AS mean_adj_treatment,
+               ROUND(theta, 6) AS theta,
+               ROUND((s1 / n1 - s0 / n0)
+                     / sqrt(((q0 - s0 * s0 / n0) / (n0 - 1)) / n0
+                            + ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1), 6) AS z_score
+        FROM v CROSS JOIN th
+    """,
+    tags=("ML-abtest",),
+)
+def ml_ab_test_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B test (Deng et al., WSDM'13 — the
+    industry-standard experiment readout): per-user purchase revenue in
+    a pre-period (Jan 1–15) is the covariate X, the post-period
+    (Jan 16–30) is the metric Y, variant = user_id parity, and the
+    adjusted metric Y′ = Y − θ·(X − μx) with θ = cov(X,Y)/var(X)
+    pooled over all users removes the pre-existing between-user
+    variance before the two-sample z.
+
+    Determinism (policy §7.2, three precedents composed): X/Y are
+    exact DECIMAL sums; θ and μx come from exact decimal co-moments
+    through one fixed float expression (the stats_corr_pearson_exact
+    discipline); each user's Y′ is ROUND(·,6) and scaled to integer
+    micro-units so the per-variant sums and sums-of-squares are exact
+    integer reductions (the stats_poisson_bootstrap_ci trick); the
+    z denominator divides identically-derived doubles.
+
+    100 TB posture: one scan builds the per-user frame (map-side
+    combined), the 1-row moment/θ artifact broadcasts back, and the
+    final conditional aggregation is a second pass over the persisted
+    per-user frame — no window, no join by variant, no per-variant
+    subquery; adding covariates (multi-variate CUPED) adds co-moment
+    accumulators, not passes."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    val = F.col("value").cast("decimal(18,2)")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("ts") < cutoff, val)), F.lit(0)).alias("x"),
+            F.coalesce(F.sum(F.when(F.col("ts") >= cutoff, val)), F.lit(0)).alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"), "x", "y"
+        )
+        .persist()
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    th = mom.select(
+        "n",
+        ((nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (nd * F.col("sxx") - F.col("sx") * F.col("sx"))).alias("theta"),
+        (F.col("sx") / nd).alias("mu_x"),
+    )
+    yi = (
+        F.round(
+            F.col("y").cast("double")
+            - F.col("theta") * (F.col("x").cast("double") - F.col("mu_x")),
+            6,
+        )
+        * 1000000
+    ).cast("long")
+    adj = per_user.crossJoin(F.broadcast(th)).select("variant", yi.alias("yi"), "theta")
+    is0 = F.col("variant") == 0
+    is1 = F.col("variant") == 1
+    v = adj.agg(
+        F.sum(F.when(is0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(is1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        (F.sum(F.when(is0, F.col("yi")).otherwise(0)).cast("double") / 1e6).alias("s0"),
+        (F.sum(F.when(is1, F.col("yi")).otherwise(0)).cast("double") / 1e6).alias("s1"),
+        (
+            F.sum(
+                F.when(is0, F.col("yi").cast("decimal(38,0)") * F.col("yi")).otherwise(0)
+            ).cast("double")
+            / 1e12
+        ).alias("q0"),
+        (
+            F.sum(
+                F.when(is1, F.col("yi").cast("decimal(38,0)") * F.col("yi")).otherwise(0)
+            ).cast("double")
+            / 1e12
+        ).alias("q1"),
+        F.first("theta").alias("theta"),
+    )
+    m0 = F.col("s0") / F.col("n0")
+    m1 = F.col("s1") / F.col("n1")
+    var0 = (F.col("q0") - F.col("s0") * F.col("s0") / F.col("n0")) / (F.col("n0") - 1)
+    var1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+    return v.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.round(m0, 6).alias("mean_adj_control"),
+        F.round(m1, 6).alias("mean_adj_treatment"),
+        F.round(F.col("theta"), 6).alias("theta"),
+        F.round(
+            (m1 - m0) / F.sqrt(var0 / F.col("n0") + var1 / F.col("n1")), 6
+        ).alias("z_score"),
+    )
