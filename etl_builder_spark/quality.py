@@ -870,3 +870,68 @@ def dq_referential_coverage(spark, sf_dir):
     return li_long.unionByName(oc_long).select(
         "fk", "n_child", "n_orphans", cov.alias("coverage")
     )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+        WITH qi AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,2)) / 1000) AS BIGINT)
+                       AS balance_band,
+                   COUNT(*) AS class_size
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(5 AS INT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_risky_classes,
+               CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                    AS BIGINT) AS n_risky_rows,
+               CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+               ROUND(CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                          AS DOUBLE) / SUM(class_size), 6) AS risky_row_share
+        FROM qi
+    """,
+    tags=("DQ-kanon",),
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity risk profile over a quasi-identifier tuple
+    (nation, market segment, banded account balance) — the standard
+    re-identification check before releasing or training on
+    user-derived tables: any equivalence class smaller than k means
+    those rows are linkable.  Reports class census, the sub-k class
+    and row counts, the minimum class size (the table's effective k)
+    and the at-risk row share.
+
+    Determinism: the balance band floors an EXACT decimal division, so
+    banding is integer-identical cross-engine; everything downstream
+    is integer counting and one final division of identically-derived
+    values.
+
+    100 TB posture: one hash aggregation on the QI tuple (map-side
+    combined) then a 1-row reduction over the class census — the class
+    frame is |distinct QI tuples|, not |rows|.  Generalization search
+    (coarsen bands until min_class_size ≥ k) re-runs only the census
+    aggregation per candidate lattice level; suppression = anti-join
+    against the sub-k class list, same shuffle key."""
+    c = load_table(spark, sf_dir, "customer")
+    k = 5
+    band = F.floor(F.col("c_acctbal").cast("decimal(18,2)") / 1000).cast("bigint")
+    qi = c.groupBy(
+        "c_nationkey", "c_mktsegment", band.alias("balance_band")
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    risky = F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0)
+    return qi.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_classes"),
+        F.sum(risky).cast("bigint").alias("n_risky_rows"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.round(
+            F.sum(risky).cast("double") / F.sum("class_size"), 6
+        ).alias("risky_row_share"),
+    )

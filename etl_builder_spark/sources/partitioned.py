@@ -376,3 +376,85 @@ def etl_rollup_reaggregation(spark, sf_dir):
             (F.sum("value_sum").cast("double") / F.sum("n")).alias("avg_value"),
         )
     )
+
+
+def _zorder_bits_sql() -> str:
+    """8-bit × 8-bit Morton interleave as plain integer arithmetic —
+    generated once, shared textually with the Spark expression."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((q1 >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"((q2 >> {i}) & 1) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@register(
+    "etl_zorder_interleave",
+    oracle=f"""
+        WITH rng AS (
+            SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+                   MIN(CAST(o_orderdate AS DATE)) AS dmin,
+                   MAX(CAST(o_orderdate AS DATE)) AS dmax
+            FROM orders
+        ),
+        q AS (
+            SELECT o_orderkey,
+                   CAST(LEAST(((o_custkey - cmin) * 256)
+                              // (cmax - cmin + 1), 255) AS BIGINT) AS q1,
+                   CAST(LEAST((datediff('day', dmin, CAST(o_orderdate AS DATE)) * 256)
+                              // (datediff('day', dmin, dmax) + 1), 255) AS BIGINT)
+                       AS q2
+            FROM orders CROSS JOIN rng
+        )
+        SELECT o_orderkey, q1 AS q_cust, q2 AS q_date,
+               CAST({_zorder_bits_sql()} AS BIGINT) AS zval
+        FROM q
+    """,
+    tags=("A-zorder",),
+)
+def etl_zorder_interleave(spark, sf_dir):
+    """Z-order (Morton) clustering key over (customer, order date):
+    range-quantize each dimension to 8 bits off a broadcast 1-row
+    min/max, then bit-interleave — the multi-dimensional data-layout
+    technique behind Delta/Iceberg OPTIMIZE ZORDER: sorting by zval
+    makes parquet row-group min/max ranges tight in BOTH dimensions at
+    once, so 2-D box predicates prune files that a single-column sort
+    order must read (demonstrated with real footer statistics in
+    tests/test_sources.py::test_zorder_layout_prunes_2d_boxes).
+
+    Determinism: quantization is pure BIGINT arithmetic (integer DIV —
+    Spark ``div`` ≡ DuckDB ``//`` floor for the non-negative operands
+    here, the r6 fn_try_arithmetic discipline) and the interleave is
+    the same generated shift/mask expression in both engines.
+
+    100 TB posture: the key is an expression-only projection — the
+    actual layout job is ``repartitionByRange(zval).sortWithinPartitions
+    (zval).write``, one range shuffle exactly like any sort-write; no
+    UDF, no driver; widening to 3+ dimensions or 16-bit depth only
+    lengthens the codegen expression."""
+    o = load_table(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.min(F.col("o_orderdate").cast("date")).alias("dmin"),
+        F.max(F.col("o_orderdate").cast("date")).alias("dmax"),
+    )
+    q1 = F.least(
+        F.expr("(o_custkey - cmin) * 256 div (cmax - cmin + 1)"), F.lit(255)
+    ).cast("bigint")
+    q2 = F.least(
+        F.expr(
+            "datediff(cast(o_orderdate as date), dmin) * 256"
+            " div (datediff(dmax, dmin) + 1)"
+        ),
+        F.lit(255),
+    ).cast("bigint")
+    q = o.crossJoin(F.broadcast(rng)).select(
+        "o_orderkey", q1.alias("q1"), q2.alias("q2")
+    )
+    return q.select(
+        "o_orderkey",
+        F.col("q1").alias("q_cust"),
+        F.col("q2").alias("q_date"),
+        F.expr(_zorder_bits_sql()).cast("bigint").alias("zval"),
+    )

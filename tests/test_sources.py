@@ -156,3 +156,75 @@ def test_small_file_compaction_reduces_file_count(spark):
     # the declared frame reads the compacted sink: its input files are few
     files = {r[0] for r in df.select(F.input_file_name()).distinct().collect()}
     assert 1 <= len(files) <= 4, f"compacted layout should be ≤4 files, got {len(files)}"
+
+
+def test_zorder_layout_prunes_2d_boxes(spark, tmp_path):
+    """etl_zorder_interleave's layout claim, proven with real parquet
+    footer statistics: write orders 16-file range-sorted by (a) plain
+    o_custkey and (b) the Morton zval, then count which files a
+    predicate could touch based on each file's (min, max) column stats
+    — exactly the pruning decision a reader makes.
+
+    A custkey-sorted layout is perfect on its own dimension but
+    useless on dates: a date-band predicate must open EVERY file.  The
+    z-ordered layout keeps both dimensions' per-file ranges tight, so
+    the date band prunes files the linear layout cannot."""
+    import pyarrow.parquet as pq
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    z = REGISTRY["etl_zorder_interleave"].fn(spark, SF_DIR)
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    rows = o.join(z, "o_orderkey")
+
+    layouts = {
+        "linear": rows.repartitionByRange(16, "o_custkey").sortWithinPartitions(
+            "o_custkey"
+        ),
+        "zorder": rows.repartitionByRange(16, "zval").sortWithinPartitions("zval"),
+    }
+    stats = {}
+    for name, df in layouts.items():
+        path = str(tmp_path / name)
+        df.write.mode("overwrite").parquet(path)
+        per_file = []
+        for f in sorted((tmp_path / name).glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            cmin = cmax = dmin = dmax = None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    s = col.statistics
+                    if s is None:
+                        continue
+                    if col.path_in_schema == "o_custkey":
+                        cmin = s.min if cmin is None else min(cmin, s.min)
+                        cmax = s.max if cmax is None else max(cmax, s.max)
+                    elif col.path_in_schema == "o_orderdate":
+                        dmin = s.min if dmin is None else min(dmin, s.min)
+                        dmax = s.max if dmax is None else max(dmax, s.max)
+            per_file.append((cmin, cmax, dmin, dmax))
+        stats[name] = per_file
+        assert len(per_file) == 16, (name, len(per_file))
+
+    # date band: middle ~12% of the date range
+    all_d = [d for pf in stats.values() for (_, _, dmin, dmax) in pf for d in (dmin, dmax)]
+    lo, hi = min(all_d), max(all_d)
+    span = hi - lo
+    band_lo, band_hi = lo + span * 7 // 16, lo + span * 9 // 16
+
+    def touched(per_file, band):
+        blo, bhi = band
+        return sum(1 for (_, _, dmin, dmax) in per_file if dmin <= bhi and dmax >= blo)
+
+    linear_touched = touched(stats["linear"], (band_lo, band_hi))
+    zorder_touched = touched(stats["zorder"], (band_lo, band_hi))
+    # custkey-sorted files all span the full date range → no pruning
+    assert linear_touched == 16, linear_touched
+    # the z-layout must actually prune files on the non-sorted dimension
+    assert zorder_touched < linear_touched, (zorder_touched, linear_touched)
