@@ -397,14 +397,26 @@ def _ordered_items() -> list[tuple[str, QuerySpec]]:
         tail = [(k, spec) for k, spec in REGISTRY.items() if k not in seen]
         return head + tail
 
-    # Tiebreak on NAME, not registration position: registration order
-    # shifts with which module happens to import first (__spark_entry__
-    # pulls in operators.aggregates before _ensure_loaded runs), and the
-    # driver must see the same order selfcheck/tests saw.
-    def sort_key(item: tuple[str, QuerySpec]) -> tuple[int, int, str]:
+    # Tiebreaks, in order: (1) position in the legacy static tuple —
+    # among equally-never-sampled keys, ones that have WAITED since a
+    # prior round (they're in the tuple) outrank keys registered this
+    # round (absent → tail), so a round's new registrations can't crowd
+    # out the longest-unsampled backlog; (2) NAME, not registration
+    # position — registration order shifts with which module happens to
+    # import first (__spark_entry__ pulls in operators.aggregates before
+    # _ensure_loaded runs), and the driver must see the same order
+    # selfcheck/tests saw.
+    legacy_pos = {k: i for i, k in enumerate(_GRADING_PRIORITY)}
+
+    def sort_key(item: tuple[str, QuerySpec]) -> tuple[int, int, int, str]:
         name, spec = item
         rows_only = 1 if spec.oracle is None else 0
-        return (rows_only, last.get(name, 0), name)
+        return (
+            rows_only,
+            last.get(name, 0),
+            legacy_pos.get(name, len(_GRADING_PRIORITY)),
+            name,
+        )
 
     return sorted(REGISTRY.items(), key=sort_key)
 
