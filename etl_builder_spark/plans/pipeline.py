@@ -141,9 +141,86 @@ class Pipeline:
         return self._with(self.frame().limit(n))
 
     # -- set ops ----------------------------------------------------
-    def union_all(self, other: "Pipeline | DataFrame") -> "Pipeline":
-        right = other.frame() if isinstance(other, Pipeline) else other
+    def union_all(self, other: "Pipeline | DataFrame | str") -> "Pipeline":
+        if isinstance(other, str):
+            right = load_table(self.spark, self.sf_dir, other)
+        elif isinstance(other, Pipeline):
+            right = other.frame()
+        else:
+            right = other
         return self._with(self.frame().unionByName(right))
+
+    # -- cleaning / reshaping ---------------------------------------
+    def rename(self, **cols: str) -> "Pipeline":
+        """rename(new_name="old_name", ...)"""
+        df = self.frame()
+        for new, old in cols.items():
+            df = df.withColumnRenamed(old, new)
+        return self._with(df)
+
+    def fillna(self, value: Any, subset: Sequence[str] | None = None) -> "Pipeline":
+        return self._with(self.frame().fillna(value, subset=list(subset) if subset else None))
+
+    def dropna(self, subset: Sequence[str] | None = None, how: str = "any") -> "Pipeline":
+        return self._with(
+            self.frame().dropna(how=how, subset=list(subset) if subset else None)
+        )
+
+    def dedup(self, *subset: str) -> "Pipeline":
+        """Exact dedup on a key subset (whole row when empty).  At
+        scale this is one shuffle on the subset key — the I4 family's
+        first stage exposed as a pipeline step."""
+        df = self.frame()
+        return self._with(df.dropDuplicates(list(subset)) if subset else df.distinct())
+
+    def explode(self, col: str, alias: str | None = None) -> "Pipeline":
+        df = self.frame()
+        out = alias or col
+        others = [c for c in df.columns if c != col]
+        return self._with(df.select(*others, F.explode(F.col(col)).alias(out)))
+
+    def sample_hash(self, key: str, fraction: float) -> "Pipeline":
+        """Deterministic hash sample — stable membership across reruns,
+        engines and partitionings (llm/sampling.py hash_sample)."""
+        from etl_builder_spark.llm.sampling import hash_sample
+
+        return self._with(hash_sample(self.frame(), key, fraction))
+
+    def pivot(self, by: str, pivot_col: str, values: Sequence[str], **aggs: str) -> "Pipeline":
+        exprs = [F.expr(e).alias(name) for name, e in aggs.items()]
+        return self._with(
+            self.frame().groupBy(by).pivot(pivot_col, list(values)).agg(*exprs)
+        )
+
+    def unpivot(self, ids: Sequence[str], cols: Sequence[str], var_name: str, value_name: str) -> "Pipeline":
+        return self._with(
+            self.frame().unpivot(list(ids), list(cols), var_name, value_name)
+        )
+
+    # -- custom operators --------------------------------------------
+    def asof(
+        self,
+        other: "Pipeline | DataFrame | str",
+        key: str,
+        right_cols: Sequence[str],
+        direction: str = "backward",
+    ) -> "Pipeline":
+        """As-of join (latest right row at-or-before each left row per
+        key, on the shared ``ts`` column) — the engine's custom
+        operator surfaced as a pipeline step (operators/asof.py
+        union-tag single-pass rewrite: one shuffle, no range
+        explosion)."""
+        from etl_builder_spark.operators.asof import asof_join
+
+        if direction != "backward":
+            raise ValueError("pipeline asof supports direction='backward'")
+        if isinstance(other, str):
+            right = load_table(self.spark, self.sf_dir, other)
+        elif isinstance(other, Pipeline):
+            right = other.frame()
+        else:
+            right = other
+        return self._with(asof_join(self.frame(), right, key, right_cols=tuple(right_cols)))
 
     # -- sinks ------------------------------------------------------
     def sink_parquet(self, path: str, partition_by: Sequence[str] = (), mode: str = "overwrite") -> None:
@@ -174,6 +251,20 @@ _OP_HANDLERS = {
     "window": lambda p, o: p.window(o["partition_by"], o["order_by"], **o["cols"]),
     "sort": lambda p, o: (p.sort(*o["by"]).limit(o["limit"]) if "limit" in o else p.sort(*o["by"])),
     "limit": lambda p, o: p.limit(o["n"]),
+    "union": lambda p, o: p.union_all(o["table"]),
+    "rename": lambda p, o: p.rename(**o["cols"]),
+    "fillna": lambda p, o: p.fillna(o["value"], o.get("subset")),
+    "dropna": lambda p, o: p.dropna(o.get("subset"), o.get("how", "any")),
+    "dedup": lambda p, o: p.dedup(*o.get("subset", ())),
+    "explode": lambda p, o: p.explode(o["col"], o.get("alias")),
+    "sample": lambda p, o: p.sample_hash(o["key"], o["fraction"]),
+    "pivot": lambda p, o: p.pivot(o["by"], o["pivot"], o["values"], **o["aggs"]),
+    "unpivot": lambda p, o: p.unpivot(
+        o["ids"], o["cols"], o.get("var_name", "variable"), o.get("value_name", "value")
+    ),
+    "asof": lambda p, o: p.asof(
+        o["table"], o["key"], o["right_cols"], o.get("direction", "backward")
+    ),
 }
 
 

@@ -165,3 +165,106 @@ def test_spec_compiler_equals_fluent_on_random_op_chains(engine):
                     p = p.limit(op["limit"])
         via_fluent = p.frame().collect()
         assert [tuple(r) for r in via_spec] == [tuple(r) for r in via_fluent], spec
+
+
+def test_pipeline_cleaning_and_reshaping_ops(engine):
+    """Round-7 spec ops: rename/fillna/dropna/dedup/explode/sample/
+    pivot/unpivot/union — each spec form must equal the equivalent
+    plain-DataFrame derivation."""
+    from pyspark.sql import functions as F
+
+    from etl_builder_spark.plans.pipeline import compile_spec
+
+    spark, sf = engine.spark, engine.sf_dir
+    o = engine.table("orders")
+
+    got = compile_spec(spark, sf, {
+        "source": "orders",
+        "ops": [
+            {"op": "rename", "cols": {"status": "o_orderstatus"}},
+            {"op": "dedup", "subset": ["status", "o_orderpriority"]},
+            {"op": "select", "cols": ["status", "o_orderpriority"]},
+            {"op": "sort", "by": ["status", "o_orderpriority"]},
+        ],
+    }).collect()
+    want = (
+        o.withColumnRenamed("o_orderstatus", "status")
+        .dropDuplicates(["status", "o_orderpriority"])
+        .select("status", "o_orderpriority")
+        .orderBy("status", "o_orderpriority")
+        .collect()
+    )
+    assert got == want
+
+    got = compile_spec(spark, sf, {
+        "source": "orders",
+        "ops": [
+            {"op": "sample", "key": "o_orderkey", "fraction": 0.2},
+            {"op": "agg", "aggs": {"n": "count(*)"}},
+        ],
+    }).first()["n"]
+    from etl_builder_spark.llm.sampling import hash_sample
+
+    assert got == hash_sample(o, "o_orderkey", 0.2).count()
+    assert 0 < got < o.count()
+
+    got = compile_spec(spark, sf, {
+        "source": "orders",
+        "ops": [
+            {"op": "pivot", "by": "o_orderpriority", "pivot": "o_orderstatus",
+             "values": ["F", "O", "P"], "aggs": {"n": "count(*)"}},
+            {"op": "fillna", "value": 0},
+            {"op": "sort", "by": ["o_orderpriority"]},
+        ],
+    }).collect()
+    want = (
+        o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n")).fillna(0).orderBy("o_orderpriority").collect()
+    )
+    assert got == want
+
+    long = compile_spec(spark, sf, {
+        "source": "orders",
+        "ops": [
+            {"op": "derive", "cols": {"ck": "cast(o_custkey as double)"}},
+            {"op": "select", "cols": ["o_orderkey", "o_totalprice", "ck"]},
+            {"op": "unpivot", "ids": ["o_orderkey"],
+             "cols": ["o_totalprice", "ck"],
+             "var_name": "metric", "value_name": "v"},
+        ],
+    })
+    assert long.count() == o.count() * 2
+    assert set(long.columns) == {"o_orderkey", "metric", "v"}
+
+
+def test_pipeline_asof_spec_op(engine):
+    """The custom as-of operator through the declarative surface must
+    equal calling operators/asof.py directly."""
+    from pyspark.sql import functions as F
+
+    from etl_builder_spark.operators.asof import asof_join
+    from etl_builder_spark.plans.pipeline import Pipeline
+
+    e = engine.table("events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("cid"))
+    )
+    via_pipeline = (
+        Pipeline(engine.spark, engine.sf_dir)
+        .from_frame(purchases)
+        .asof(clicks, "user_id", right_cols=("cid",))
+        .frame()
+        .orderBy("pid")
+        .collect()
+    )
+    direct = (
+        asof_join(purchases, clicks, "user_id", right_cols=("cid",))
+        .orderBy("pid")
+        .collect()
+    )
+    assert via_pipeline == direct and len(direct) > 0
