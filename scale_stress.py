@@ -224,11 +224,54 @@ def measure_ivf(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_semantic_blocks(spark, sf_dir: str) -> dict:
+    """SemDeDup-shaped pairing under the salted hot-cluster guard:
+    total within-cluster pairs (the algorithm's work) and the MAX
+    per-task block fan-out (what the guard bounds at ceiling²)."""
+    from etl_builder_spark.llm.embed_dedup import salted_within_cluster_pairs
+    from etl_builder_spark.llm.ivf import IVF_SEED_HI, IVF_SEED_LO, assign_clusters
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n_vecs = e.count()
+    cent = e.where(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI)).select(
+        (F.col("vec_id") - IVF_SEED_LO).alias("cluster_id"), F.col("v").alias("cv")
+    )
+    asg = assign_clusters(e, cent).select("vec_id", "cluster_id").persist()
+    ceiling = 500
+    pairs = salted_within_cluster_pairs(asg, ceiling)
+
+    def run():
+        return pairs.count()
+
+    (n_pairs, secs) = timed(run)
+    # the guard's bound: the largest single block's candidate fan-out
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy("vec_id")
+    chunked = asg.withColumn(
+        "chunk", ((F.row_number().over(w) - F.lit(1)) / F.lit(ceiling)).cast("int")
+    )
+    sizes = chunked.groupBy("cluster_id", "chunk").count()
+    max_chunk = sizes.agg(F.max("count")).first()[0]
+    asg.unpersist()
+    spark.catalog.clearCache()
+    return {
+        "n_input": n_vecs,
+        "candidates": n_pairs,
+        "max_block_rows": int(max_chunk),
+        "block_bound": ceiling * ceiling,
+        "seconds": secs,
+    }
+
+
 FAMILIES = {
     "minhash_banding": measure_minhash,
     "sign_lsh": measure_sign_lsh,
     "substring_windows": measure_substring,
     "ivf_pruning": measure_ivf,
+    "semantic_blocks": measure_semantic_blocks,
 }
 
 
