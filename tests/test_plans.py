@@ -431,9 +431,47 @@ def test_recursive_cte_plans_union_loop(spark):
     assert rows[11]["root_path"] == "11>5>2>0"
 
 
+#: Keys whose plans legitimately carry an UNPARTITIONED Window — every
+#: one operates on a bounded post-aggregation frame (distinct values,
+#: dimension cardinality, decile/class counts) with the scale swap
+#: documented in its docstring; the flagship swaps are hash-PROVEN by
+#: the *_banded / *_bucketed twins.  A key appearing here stale (window
+#: removed) or a NEW key growing a global window both fail the sweep —
+#: additions must come with a bounded-frame justification.
+UNPARTITIONED_WINDOW_ALLOWLIST = frozenset({
+    "agg_abc_classification",
+    "agg_gini_revenue",
+    "agg_share_of_hierarchy",
+    "agg_trimmed_mean",
+    "agg_weighted_median",
+    "cohort_weekly_retention",
+    "dedup_cluster_representative",
+    "dq_value_topk",
+    "etl_surrogate_keys",
+    "funnel_three_stage",
+    "ml_auc_one_vs_rest",
+    "ml_confusion_matrix",
+    "ml_lift_gain_deciles",
+    "ml_lift_gain_deciles_bucketed",  # 10-row decile cumulative only
+    "ml_rfm_segmentation",
+    "stats_ks_two_sample",
+    "stats_mannwhitney_u",
+    "stats_survival_km",
+    "text_oov_rate",
+    "ts_control_chart_xmr",
+    "ts_rolling_corr",
+    "vocab_bpe_pair_counts",
+    "vocab_coverage_curve",
+    "vocab_top_tokens",
+    "win_cumulative_share",
+    "win_unpartitioned_caution",  # the documented hazard demo itself
+})
+
+
 def test_registry_wide_plan_anti_patterns(spark):
     """Sweep EVERY declared query's physical plan for the two
-    anti-patterns the 100 TB posture forbids outright:
+    anti-patterns the 100 TB posture forbids outright, plus the
+    unpartitioned-Window census:
 
     - CartesianProduct: zero tolerance — even the declared C7 cross
       join broadcasts its 25-row sides (BNLJ), and every 1-row
@@ -441,6 +479,9 @@ def test_registry_wide_plan_anti_patterns(spark):
     - BatchEvalPython (row-at-a-time pickled Python): zero tolerance —
       pandas/Arrow evaluation (ArrowEvalPython, *InPandas,
       ArrowEvalPythonUDTF) is the only sanctioned Python seam.
+    - Unpartitioned Window: allowed ONLY for the pinned allowlist of
+      bounded-frame shapes above (round 7); anything else must use the
+      banded/bucketed swap.
 
     Live-streaming keys are skipped (their fn executes a streaming
     query; their batch twins cover the plan surface)."""
@@ -448,6 +489,7 @@ def test_registry_wide_plan_anti_patterns(spark):
     import io
 
     offenders = {}
+    unpartitioned = set()
     for name, spec in sorted(REGISTRY.items()):
         if "live-stream" in spec.tags or name == "stream_foreachbatch_sink":
             continue
@@ -459,7 +501,14 @@ def test_registry_wide_plan_anti_patterns(spark):
         bad = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
         if bad:
             offenders[name] = bad
+        flags = _window_args_partitioned(p)
+        if flags and not all(flags):
+            unpartitioned.add(name)
     assert not offenders, f"anti-patterns found: {offenders}"
+    new = unpartitioned - UNPARTITIONED_WINDOW_ALLOWLIST
+    stale = UNPARTITIONED_WINDOW_ALLOWLIST - unpartitioned
+    assert not new, f"NEW unpartitioned windows (justify + allowlist or band): {sorted(new)}"
+    assert not stale, f"stale allowlist entries: {sorted(stale)}"
 
 
 def test_pq_encode_has_no_window(spark):
