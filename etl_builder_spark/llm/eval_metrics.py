@@ -1330,3 +1330,148 @@ def ml_ab_test_cuped(spark, sf_dir):
             (m1 - m0) / F.sqrt(var0 / F.col("n0") + var1 / F.col("n1")), 6
         ).alias("z_score"),
     )
+
+
+#: Newton-iteration count for the logistic-regression key (fixed, so
+#: the plan is static — the graph_pagerank_fixed contract)
+LOGREG_ITERS = 3
+
+
+def _logreg_oracle() -> str:
+    """3 unrolled Newton steps in DuckDB CTEs — the _pca_oracle
+    technique: each iteration's 1-row beta frame joins the persisted
+    feature rows, per-row terms are ROUND(·,7) and summed as DECIMAL
+    (order-free), the 2x2 solve and the re-rounded new beta are one
+    fixed float expression shared with the Spark build."""
+    head = """
+        WITH feats AS (
+            SELECT CAST(o_totalprice AS DOUBLE) / 100000 AS x,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        b0 AS (SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1)
+    """
+    blocks = []
+    prev = "b0"
+    for i in range(1, LOGREG_ITERS + 1):
+        blocks.append(f"""
+        t{i} AS (
+            SELECT y, x,
+                   ROUND(1.0 / (1.0 + exp(-(c0 + c1 * x))), 7) AS mu
+            FROM feats CROSS JOIN {prev}
+        ),
+        s{i} AS (
+            SELECT CAST(SUM(CAST(ROUND(mu * (1 - mu), 7) AS DECIMAL(28,7)))
+                        AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(ROUND(mu * (1 - mu) * x, 7) AS DECIMAL(28,7)))
+                        AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ROUND(mu * (1 - mu) * x * x, 7) AS DECIMAL(28,7)))
+                        AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y - mu AS DECIMAL(28,7))) AS DOUBLE) AS g0,
+                   CAST(SUM(CAST(ROUND((y - mu) * x, 7) AS DECIMAL(28,7)))
+                        AS DOUBLE) AS g1
+            FROM t{i}
+        ),
+        b{i} AS (
+            SELECT ROUND(c0 + (sxx * g0 - sx * g1)
+                              / (s1 * sxx - sx * sx), 7) AS c0,
+                   ROUND(c1 + (s1 * g1 - sx * g0)
+                              / (s1 * sxx - sx * sx), 7) AS c1
+            FROM {prev} CROSS JOIN s{i}
+        )""")
+        prev = f"b{i}"
+    tail = f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(c0), 6) AS beta0,
+               ROUND(MIN(c1), 6) AS beta1,
+               CAST(SUM(CASE WHEN (CASE WHEN ROUND(1.0 / (1.0 + exp(-(c0 + c1 * x))), 7)
+                                        >= 0.5 THEN 1 ELSE 0 END) = y
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               ROUND(CAST(SUM(CASE WHEN (CASE WHEN ROUND(1.0 / (1.0 + exp(-(c0 + c1 * x))), 7)
+                                               >= 0.5 THEN 1 ELSE 0 END) = y
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                   AS accuracy
+        FROM feats CROSS JOIN {prev}
+    """
+    return head + "," + ",".join(blocks) + tail
+
+
+@register("ml_logreg_newton_exact", oracle=_logreg_oracle(), tags=("ML-logreg",))
+def ml_logreg_newton_exact(spark, sf_dir):
+    """Distributed logistic regression by {LOGREG_ITERS} fixed NEWTON
+    steps (IRLS) — order-total predicting order finality — trained
+    WITHOUT any ML library, collect, or driver-side gradient: per
+    iteration, the 2-parameter model broadcasts as a 1-row frame, each
+    row computes its weight/gradient terms in one projection, five
+    sufficient statistics reduce with map-side combine, and the 2x2
+    Newton solve is a closed-form expression on the 1-row result.
+
+    Determinism (policy §7.2; the ml_pca_power_component trajectory
+    discipline plus one new hazard): the logistic mu brings the first
+    cross-engine TRANSCENDENTAL (exp) into an exact key, so mu is
+    ROUND(·,7) immediately — coarse enough that a last-ulp exp()
+    disagreement flips a rounding only with ~1e-9/row probability —
+    and every cross-row sum adds 7-dp DECIMAL terms (order-free);
+    beta re-rounds to 7 dp each step so both engines walk the same
+    trajectory; the final report rounds 6 dp.
+
+    100 TB posture: Newton/IRLS is THE scale shape for GLMs — each
+    step is one scan of the persisted feature frame (persist keeps the
+    3-iteration loop at a single source scan), shuffle traffic is five
+    doubles per mapper, and the model state is O(p²) on the driver
+    path regardless of row count; p features widen the per-row
+    projection and the solve (p x p), not the pass count."""
+    feats = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_totalprice").cast("double") / F.lit(100000)).alias("x"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+        .persist()
+    )
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("c0"), F.lit(0.0).alias("c1")
+    )
+    dec = "decimal(28,7)"
+    for _ in range(LOGREG_ITERS):
+        mu = F.round(1.0 / (1.0 + F.exp(-(F.col("c0") + F.col("c1") * F.col("x")))), 7)
+        t = feats.crossJoin(F.broadcast(beta)).select(
+            "y", "x", mu.alias("mu"), "c0", "c1"
+        )
+        w = F.col("mu") * (1 - F.col("mu"))
+        s = t.groupBy("c0", "c1").agg(
+            F.sum(F.round(w, 7).cast(dec)).cast("double").alias("s1"),
+            F.sum(F.round(w * F.col("x"), 7).cast(dec)).cast("double").alias("sx"),
+            F.sum(F.round(w * F.col("x") * F.col("x"), 7).cast(dec))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("y") - F.col("mu")).cast(dec)).cast("double").alias("g0"),
+            F.sum(F.round((F.col("y") - F.col("mu")) * F.col("x"), 7).cast(dec))
+            .cast("double")
+            .alias("g1"),
+        )
+        det = F.col("s1") * F.col("sxx") - F.col("sx") * F.col("sx")
+        beta = s.select(
+            F.round(
+                F.col("c0") + (F.col("sxx") * F.col("g0") - F.col("sx") * F.col("g1")) / det,
+                7,
+            ).alias("c0"),
+            F.round(
+                F.col("c1") + (F.col("s1") * F.col("g1") - F.col("sx") * F.col("g0")) / det,
+                7,
+            ).alias("c1"),
+        )
+    mu_f = F.round(1.0 / (1.0 + F.exp(-(F.col("c0") + F.col("c1") * F.col("x")))), 7)
+    pred = F.when(mu_f >= 0.5, 1).otherwise(0)
+    scored = feats.crossJoin(F.broadcast(beta))
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("c0"), 6).alias("beta0"),
+        F.round(F.min("c1"), 6).alias("beta1"),
+        F.sum(F.when(pred == F.col("y"), 1).otherwise(0)).cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum(F.when(pred == F.col("y"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )

@@ -1334,3 +1334,85 @@ def agg_gini_revenue_banded(spark, sf_dir):
         sx.alias("total_revenue"),
         F.round(F.lit(2.0) * six / (n * sx) - (n + F.lit(1.0)) / n, 6).alias("gini"),
     )
+
+
+@register(
+    "stats_theil_sen_slope",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS xd,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                         / COUNT(*), 6) AS yv
+            FROM events
+            GROUP BY 1, 2
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   ROUND((b.yv - a.yv) / (b.xd - a.xd), 9) AS s
+            FROM daily a
+            JOIN daily b
+              ON a.event_type = b.event_type AND a.xd < b.xd
+        )
+        SELECT event_type,
+               CAST((SELECT COUNT(*) FROM daily d
+                     WHERE d.event_type = slopes.event_type) AS BIGINT) AS n_days,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(quantile_cont(s, 0.5), 6) AS ts_slope
+        FROM slopes
+        GROUP BY event_type
+    """,
+    tags=("STATS-theilsen",),
+)
+def stats_theil_sen_slope(spark, sf_dir):
+    """Theil–Sen robust trend per event_type: the MEDIAN of all
+    pairwise slopes between daily mean values — the outlier-immune
+    companion to ``agg_regression_trend``'s least squares (one wild
+    day moves OLS, but not the slope median; breakdown point 29%).
+
+    Determinism: daily means are round(exact-decimal-sum / count, 6)
+    (the centroid contract), each pairwise slope divides
+    identically-derived doubles and is rounded 9 dp before the median,
+    and the interpolated median is the verified D10 parity surface
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``).
+
+    100 TB posture: the quadratic is over DAYS, not rows — the daily
+    rollup reduces any event volume to |event_type|×|days| rows first
+    (one map-side-combined aggregation), and the pair join is keyed on
+    event_type so each type's ~C(days,2) slope set stays in one task
+    only if days are few; at years×many-types scale, band the pair
+    join on day-distance or sample pairs (the standard Theil-Sen
+    estimator over random pairs) — same shape, bounded fan-out."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("xd"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("yv")
+        )
+        .persist()
+    )
+    n_days = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.xd") < F.col("b.xd")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.round(
+            (F.col("b.yv") - F.col("a.yv")) / (F.col("b.xd") - F.col("a.xd")), 9
+        ).alias("s"),
+    )
+    med = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.percentile("s", F.lit(0.5)), 6).alias("ts_slope"),
+    )
+    return med.join(n_days, "event_type").select(
+        "event_type", "n_days", "n_pairs", "ts_slope"
+    )
