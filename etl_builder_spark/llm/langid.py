@@ -74,3 +74,149 @@ def text_langid_heuristic(spark, sf_dir):
         guess.alias("lang_guess"),
         (guess == F.col("lang")).alias("agrees_with_label"),
     )
+
+
+@register(
+    "ml_naive_bayes_langid",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS tok
+            FROM documents
+        ),
+        class_tok AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ),
+        class_tot AS (
+            SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM class_tok GROUP BY 1
+        ),
+        vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+        prior AS (
+            SELECT lang,
+                   CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)
+                                 / (SELECT COUNT(*) FROM documents)), 7)
+                        AS DECIMAL(28,7)) AS logprior
+            FROM documents GROUP BY lang
+        ),
+        doc_tok AS (
+            SELECT doc_id, lang AS true_lang, tok, CAST(COUNT(*) AS BIGINT) AS f
+            FROM toks GROUP BY 1, 2, 3
+        ),
+        scored AS (
+            SELECT d.doc_id, d.true_lang, ct.lang AS cand,
+                   CAST(SUM(d.f * CAST(ROUND(ln((COALESCE(k.c, 0) + 1.0)
+                                                / (ct.tot + vb.v)), 7)
+                                       AS DECIMAL(28,7))) AS DECIMAL(38,7))
+                       AS loglik
+            FROM doc_tok d
+            CROSS JOIN class_tot ct
+            CROSS JOIN vocab vb
+            LEFT JOIN class_tok k ON k.lang = ct.lang AND k.tok = d.tok
+            GROUP BY 1, 2, 3
+        ),
+        totals AS (
+            SELECT s.doc_id, s.true_lang, s.cand,
+                   s.loglik + p.logprior AS score
+            FROM scored s JOIN prior p ON p.lang = s.cand
+        ),
+        best AS (
+            SELECT doc_id, MAX(score) AS m FROM totals GROUP BY doc_id
+        ),
+        pred AS (
+            SELECT t.doc_id, t.true_lang, MIN(t.cand) AS pred_lang
+            FROM totals t JOIN best b ON b.doc_id = t.doc_id AND t.score = b.m
+            GROUP BY 1, 2
+        )
+        SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2
+    """,
+    tags=("ML-nb",),
+)
+def ml_naive_bayes_langid(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, trained AND
+    evaluated distributed (resubstitution confusion matrix) — the
+    LEARNED companion to ``text_langid_heuristic``'s marker scoring:
+    per-class Laplace-smoothed token log-likelihoods from one
+    (lang, token) count aggregation, log-priors from document counts,
+    per-document class scores as one sparse join-aggregate, argmax
+    with a min-class tie-break.
+
+    Determinism (the ml_logreg_newton_exact transcendental
+    discipline): every ln() rounds to 7 dp at the per-(class, token)
+    MODEL level — |classes|x|vocab| roundings, not per document — and
+    all cross-row accumulation (per-doc score = Sigma f_tok * logp)
+    multiplies exact BIGINT term frequencies into 7-dp DECIMALs, so
+    scores are order-free exact decimals and the argmax compares
+    decimals, never floats.  Ties break to the smallest class name
+    via max-then-min-join (no window).
+
+    100 TB posture: training is one token-explode + two hash
+    aggregations (model size = vocab x classes, stored distributed);
+    scoring joins each doc's DISTINCT tokens against the model per
+    class — cost |doc tokens| x |classes|, the sparse NB shape that
+    beats dense scoring at any vocabulary; the per-class default
+    (unseen token) is a COALESCE against the class constant, not a
+    dense fill."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text").persist()
+    n_docs_total = d.count()
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    ).persist()
+    class_tok = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    class_tot = class_tok.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tot"))
+    vocab_v = class_tok.select("tok").distinct().count()
+    prior = (
+        d.groupBy("lang")
+        .agg(
+            F.round(
+                F.log(F.count(F.lit(1)).cast("double") / F.lit(float(n_docs_total))), 7
+            )
+            .cast("decimal(28,7)")
+            .alias("logprior")
+        )
+    )
+    doc_tok = toks.groupBy("doc_id", F.col("lang").alias("true_lang"), "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    logp = (
+        F.round(
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tot") + F.lit(float(vocab_v)))
+            ),
+            7,
+        ).cast("decimal(28,7)")
+    )
+    scored = (
+        doc_tok.crossJoin(class_tot.select(F.col("lang").alias("cand"), "tot"))
+        .join(
+            class_tok.select(
+                F.col("lang").alias("kcand"), F.col("tok").alias("ktok"), "c"
+            ),
+            (F.col("cand") == F.col("kcand")) & (F.col("tok") == F.col("ktok")),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(F.sum(F.col("f") * logp).cast("decimal(38,7)").alias("loglik"))
+    )
+    totals = scored.join(prior.select(F.col("lang").alias("cand"), "logprior"), "cand").select(
+        "doc_id", "true_lang", "cand", (F.col("loglik") + F.col("logprior")).alias("score")
+    )
+    best = totals.groupBy("doc_id").agg(F.max("score").alias("m"))
+    pred = (
+        totals.join(best, "doc_id")
+        .where(F.col("score") == F.col("m"))
+        .groupBy("doc_id", "true_lang")
+        .agg(F.min("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
