@@ -864,21 +864,25 @@ def stats_mannwhitney_u_banded(spark, sf_dir):
 
 
 def banded_running(df, value_col: str, tiebreak_col: str, descending: bool = False,
-                   n_bands: int = PREFIX_BANDS):
+                   n_bands: int = PREFIX_BANDS, sum_col: str | None = None):
     """Generalized banded prefix aggregation: every input row gains
-    ``run_sum`` (inclusive running SUM(value_col)) and ``rnk``
-    (inclusive running COUNT == global row_number) in the total order
-    (value_col ASC|DESC, tiebreak_col ASC) — computed WITHOUT any
-    unpartitioned Window, the same two-pass shape as
-    ``_banded_cumulative`` (band projection off a broadcast min/max,
-    broadcast theta-join offsets, band-partitioned within-window).
+    ``run_sum`` (inclusive running SUM(sum_col), default the order
+    column itself) and ``rnk`` (inclusive running COUNT == global
+    row_number) in the total order (value_col ASC|DESC, tiebreak_col
+    ASC) — computed WITHOUT any unpartitioned Window, the same
+    two-pass shape as ``_banded_cumulative`` (band projection off a
+    broadcast min/max, broadcast theta-join offsets, band-partitioned
+    within-window).
 
-    EXACT whenever value_col is DECIMAL/integer (additions regroup
+    EXACT whenever sum_col is DECIMAL/integer (additions regroup
     freely) and (value_col, tiebreak_col) is a total order, which every
     caller here guarantees.  Serves the dimension-frame rankers
-    (win_cumulative_share, agg_gini_revenue) whose fixture-scale form
-    uses one global window over the aggregated frame."""
+    (win_cumulative_share, agg_gini_revenue) and the order-by-time
+    prefix shapes (ts_changepoint_cusum: order by day, sum
+    deviations)."""
     from pyspark.sql import Window
+
+    sum_col = sum_col or value_col
 
     v = F.col(value_col).cast("double")
     rng = df.agg(F.min(v).alias("vmin"), F.max(v).alias("vmax"))
@@ -891,7 +895,7 @@ def banded_running(df, value_col: str, tiebreak_col: str, descending: bool = Fal
     )
     banded = df.crossJoin(F.broadcast(rng)).select(*df.columns, band)
     totals = banded.groupBy("band").agg(
-        F.sum(value_col).alias("bsum"), F.count(F.lit(1)).cast("bigint").alias("bcnt")
+        F.sum(sum_col).alias("bsum"), F.count(F.lit(1)).cast("bigint").alias("bcnt")
     )
     off = (
         totals.alias("x")
@@ -911,6 +915,6 @@ def banded_running(df, value_col: str, tiebreak_col: str, descending: bool = Fal
     )
     return banded.join(F.broadcast(off), "band").select(
         *df.columns,
-        (F.col("off_sum") + F.sum(value_col).over(wb)).alias("run_sum"),
+        (F.col("off_sum") + F.sum(sum_col).over(wb)).alias("run_sum"),
         (F.col("off_cnt") + F.count(F.lit(1)).over(wb)).cast("bigint").alias("rnk"),
     )

@@ -1833,3 +1833,91 @@ def ts_autocorr_lag24(spark, sf_dir):
             F.round(num / F.sqrt(vx * vy), 6).alias("autocorr_24h"),
         )
     )
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle="""
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS xd,
+                   CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(*), 6) AS DECIMAL(28,6)) AS yv
+            FROM events GROUP BY 1
+        ),
+        mu AS (
+            SELECT CAST(ROUND(CAST(SUM(yv) AS DOUBLE) / COUNT(*), 6)
+                        AS DECIMAL(28,6)) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily
+        ),
+        cusum AS (
+            SELECT xd,
+                   SUM(yv - m) OVER (ORDER BY xd
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+            FROM daily CROSS JOIN mu
+        ),
+        mx AS (SELECT MAX(ABS(cs)) AS mabs FROM cusum)
+        SELECT mu.n_days,
+               CAST(mu.m AS DOUBLE) AS grand_mean,
+               (SELECT MIN(xd) FROM cusum, mx WHERE ABS(cs) = mx.mabs) AS cp_day,
+               CAST(mx.mabs AS DOUBLE) AS max_abs_cusum
+        FROM mu CROSS JOIN mx
+    """,
+    tags=("TS-cusum",),
+)
+def ts_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint detection over the daily event-value mean:
+    the day where the cumulative sum of deviations from the grand mean
+    peaks in magnitude is the classic single-changepoint estimate
+    (the offline companion to ts_control_chart_xmr's online limits).
+
+    This key's PRIMARY implementation is already the scale form: the
+    time-ordered prefix sum runs through ``banded_running`` (ordered
+    and banded by day, summing deviations via its round-7 ``sum_col``
+    extension) — no unpartitioned Window anywhere, unlike the other
+    prefix-shaped keys whose banded forms are separate twins.
+    Deviations are exact 6-dp decimals (daily means and the grand mean
+    both round-then-DECIMAL), so the prefix sums regroup freely and
+    the argmax compares exact decimals; the tie breaks to the earliest
+    day."""
+    from etl_builder_spark.operators.stats import banded_running
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy((F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("xd"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("yv")
+        )
+        .persist()
+    )
+    mu = daily.agg(
+        F.round(F.sum("yv").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(28,6)")
+        .alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "xd", (F.col("yv") - F.col("m")).alias("dv"), "m", "n_days"
+    )
+    cs = banded_running(dev, "xd", "xd", sum_col="dv").select(
+        "xd", F.col("run_sum").alias("cs"), "m", "n_days"
+    )
+    mx = cs.agg(F.max(F.abs(F.col("cs"))).alias("mabs"))
+    cp = cs.join(F.broadcast(mx), F.abs(F.col("cs")) == F.col("mabs")).agg(
+        F.min("xd").alias("cp_day"),
+        F.first("m").alias("m"),
+        F.first("n_days").alias("n_days"),
+        F.first("mabs").alias("mabs"),
+    )
+    return cp.select(
+        "n_days",
+        F.col("m").cast("double").alias("grand_mean"),
+        "cp_day",
+        F.col("mabs").cast("double").alias("max_abs_cusum"),
+    )
