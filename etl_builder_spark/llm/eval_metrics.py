@@ -1475,3 +1475,109 @@ def ml_logreg_newton_exact(spark, sf_dir):
             6,
         ).alias("accuracy"),
     )
+
+
+#: ridge penalty for the closed-form key (intercept unpenalized)
+RIDGE_LAMBDA = 10.0
+
+
+def _det3(m) -> str:
+    """Textual 3x3 determinant — generated once, used verbatim in BOTH
+    engines so the float expression tree is identical."""
+    a, b, c = m[0]
+    d, e, f = m[1]
+    g, h, i = m[2]
+    return (
+        f"(({a})*(({e})*({i})-({f})*({h}))"
+        f" - ({b})*(({d})*({i})-({f})*({g}))"
+        f" + ({c})*(({d})*({h})-({e})*({g})))"
+    )
+
+
+def _ridge_exprs() -> dict:
+    """Cramer's-rule solve of (X'X + lambda*I')beta = X'y for
+    [1, x1, x2] features with an unpenalized intercept, as SQL text
+    over the moment columns nn/sx1/sx2/s11x/s12/s22x/sy/s1y/s2y."""
+    A = [["nn", "sx1", "sx2"], ["sx1", "s11x", "s12"], ["sx2", "s12", "s22x"]]
+    b = ["sy", "s1y", "s2y"]
+    det = _det3(A)
+    out = {"det": det}
+    for k in range(3):
+        Ak = [row[:] for row in A]
+        for r in range(3):
+            Ak[r][k] = b[r]
+        out[f"beta{k}"] = f"({_det3(Ak)}) / ({det})"
+    return out
+
+
+@register(
+    "ml_ridge_regression_exact",
+    oracle=f"""
+        WITH mom AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx1,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sx2,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))
+                            * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE)
+                       + {RIDGE_LAMBDA!r} AS s11x,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))
+                            * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS s12,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(9,2))
+                            * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE)
+                       + {RIDGE_LAMBDA!r} AS s22x,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(9,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y
+            FROM lineitem
+        )
+        SELECT CAST(nn AS BIGINT) AS n,
+               {RIDGE_LAMBDA!r} AS ridge_lambda,
+               ROUND({_ridge_exprs()['beta0']}, 6) AS beta0,
+               ROUND({_ridge_exprs()['beta1']}, 6) AS beta1,
+               ROUND({_ridge_exprs()['beta2']}, 6) AS beta2
+        FROM mom
+    """,
+    tags=("ML-ridge",),
+)
+def ml_ridge_regression_exact(spark, sf_dir):
+    """Closed-form ridge regression (extended price on quantity and
+    discount, intercept unpenalized) — the multi-feature companion to
+    ``agg_regression_trend``: the 3x3 normal-equation system
+    (X'X + lambda*I')beta = X'y is solved by CRAMER'S RULE whose
+    determinant expressions are GENERATED ONCE as SQL text and
+    evaluated verbatim in both engines, so every float multiply-add is
+    the same tree.  The nine sufficient statistics are exact DECIMAL
+    sums (2-dp inputs, 4-dp products — the stats_corr_pearson_exact
+    discipline), making the whole key one map-side-combined
+    aggregation plus a 1-row solve.
+
+    100 TB posture: the textbook distributed GLM-by-normal-equations
+    shape — one scan, p(p+3)/2 decimal accumulators in the shuffle, an
+    O(p^3) driver-side-free solve as a projection; p beyond ~3 swaps
+    Cramer for the iterative Newton key (ml_logreg_newton_exact shows
+    that loop) or Cholesky in a pandas UDF on the 1-row frame."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(9,2)")
+    dc = F.col("l_discount").cast("decimal(9,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    mom = l.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum(q).cast("double").alias("sx1"),
+        F.sum(dc).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        (F.sum(q * q).cast("double") + F.lit(RIDGE_LAMBDA)).alias("s11x"),
+        F.sum(q * dc).cast("double").alias("s12"),
+        (F.sum(dc * dc).cast("double") + F.lit(RIDGE_LAMBDA)).alias("s22x"),
+        F.sum(q * y).cast("double").alias("s1y"),
+        F.sum(dc * y).cast("double").alias("s2y"),
+    )
+    ex = _ridge_exprs()
+    return mom.selectExpr(
+        "CAST(nn AS BIGINT) AS n",
+        f"{RIDGE_LAMBDA!r} AS ridge_lambda",
+        f"ROUND({ex['beta0']}, 6) AS beta0",
+        f"ROUND({ex['beta1']}, 6) AS beta1",
+        f"ROUND({ex['beta2']}, 6) AS beta2",
+    )

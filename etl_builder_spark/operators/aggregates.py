@@ -1416,3 +1416,87 @@ def stats_theil_sen_slope(spark, sf_dir):
     return med.join(n_days, "event_type").select(
         "event_type", "n_days", "n_pairs", "ts_slope"
     )
+
+
+@register(
+    "ml_item_cf_cosine",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        freq AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1
+        ),
+        co AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_co
+            FROM items a
+            JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        )
+        SELECT part_a, part_b, n_co,
+               fa.n AS n_a, fb.n AS n_b,
+               ROUND(CAST(n_co AS DOUBLE)
+                     / (sqrt(CAST(fa.n AS DOUBLE)) * sqrt(CAST(fb.n AS DOUBLE))),
+                     6) AS sim
+        FROM co
+        JOIN freq fa ON fa.l_partkey = part_a
+        JOIN freq fb ON fb.l_partkey = part_b
+        ORDER BY sim DESC, part_a, part_b
+        LIMIT 20
+    """,
+    tags=("ML-itemcf",),
+)
+def ml_item_cf_cosine(spark, sf_dir):
+    """Item-item collaborative filtering: binary cosine similarity
+    between parts' order-membership vectors — n_co/sqrt(n_a*n_b) over
+    the co-purchase census, the normalization that turns
+    ``market_basket_pairs``' raw support into the classic
+    "customers who bought X also bought" ranking (popular items no
+    longer dominate).  Support floor n_co >= 2 prunes noise pairs
+    before the frequency join; top-20 by (sim desc, pair key) with the
+    policy tiebreak.
+
+    Determinism: counts are exact integers; each sim divides
+    identically-derived doubles and rounds 6 dp before ranking.
+
+    100 TB posture: inherits market_basket_pairs' shape — one exchange
+    on the order key co-locates baskets (the persisted distinct frame
+    self-joins without a second shuffle), per-order fan-out is
+    C(basket, 2) never corpus-quadratic, the frequency sides are a
+    broadcast-sized dimension, and the top-20 is a
+    TakeOrderedAndProject k-row merge.  The support floor is the
+    standard scale lever: raising it shrinks the pair frame before
+    any join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct().persist()
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+        .where(F.col("n_co") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    sim = F.round(
+        F.col("n_co").cast("double")
+        / (F.sqrt(F.col("n_a").cast("double")) * F.sqrt(F.col("n_b").cast("double"))),
+        6,
+    )
+    return (
+        co.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .select("part_a", "part_b", "n_co", "n_a", "n_b", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "part_a", "part_b")
+        .limit(20)
+    )
