@@ -1156,3 +1156,131 @@ def test_banded_running_matches_bruteforce(spark, rows, descending, n_bands):
         run += v
         expect[k] = (run, i)
     assert out == expect
+
+
+def test_ridge_matches_numpy_solve(spark):
+    """ml_ridge_regression_exact's generated Cramer expressions must
+    agree with numpy.linalg.solve on the same moment matrix (rounded
+    6dp) — guards the generated determinant text against sign/index
+    slips."""
+    import numpy as np
+
+    from etl_builder_spark.llm.eval_metrics import RIDGE_LAMBDA
+    from etl_builder_spark.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+    from etl_builder_spark.session import load_table
+
+    row = REGISTRY["ml_ridge_regression_exact"].fn(spark, SF_DIR).first()
+    l = load_table(spark, SF_DIR, "lineitem")
+    q = F.col("l_quantity").cast("decimal(9,2)")
+    dc = F.col("l_discount").cast("decimal(9,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = l.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx1"),
+        F.sum(dc).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum(q * dc).cast("double").alias("s12"),
+        F.sum(dc * dc).cast("double").alias("s22"),
+        F.sum(q * y).cast("double").alias("s1y"),
+        F.sum(dc * y).cast("double").alias("s2y"),
+    ).first()
+    A = np.array(
+        [
+            [m["n"], m["sx1"], m["sx2"]],
+            [m["sx1"], m["s11"] + RIDGE_LAMBDA, m["s12"]],
+            [m["sx2"], m["s12"], m["s22"] + RIDGE_LAMBDA],
+        ]
+    )
+    b = np.array([m["sy"], m["s1y"], m["s2y"]])
+    beta = np.linalg.solve(A, b)
+    assert abs(row["beta0"] - round(beta[0], 6)) <= 1e-6
+    assert abs(row["beta1"] - round(beta[1], 6)) <= 1e-6
+    assert abs(row["beta2"] - round(beta[2], 6)) <= 1e-6
+
+
+def test_logreg_newton_matches_python_trajectory(spark):
+    """ml_logreg_newton_exact must walk the SAME rounded trajectory as
+    a pure-Python IRLS with identical per-step rounding — pins the
+    Spark build's algebra (not just cross-engine agreement, which the
+    oracle already checks)."""
+    import math
+
+    from etl_builder_spark.llm.eval_metrics import LOGREG_ITERS
+    from etl_builder_spark.registry import REGISTRY
+    from etl_builder_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    rows = [
+        (r["o_totalprice"] / 100000, 1 if r["o_orderstatus"] == "F" else 0)
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_totalprice", "o_orderstatus")
+        .collect()
+    ]
+    b0 = b1 = 0.0
+    for _ in range(LOGREG_ITERS):
+        s1 = sx = sxx = g0 = g1 = 0  # exact int sums of 7dp-scaled terms
+        for x, y in rows:
+            mu = round(1.0 / (1.0 + math.exp(-(b0 + b1 * x))), 7)
+            w = mu * (1 - mu)
+            s1 += round(round(w, 7) * 1e7)
+            sx += round(round(w * x, 7) * 1e7)
+            sxx += round(round(w * x * x, 7) * 1e7)
+            g0 += round(round(y - mu, 7) * 1e7)
+            g1 += round(round((y - mu) * x, 7) * 1e7)
+        s1, sx, sxx, g0, g1 = (v / 1e7 for v in (s1, sx, sxx, g0, g1))
+        det = s1 * sxx - sx * sx
+        b0 = round(b0 + (sxx * g0 - sx * g1) / det, 7)
+        b1 = round(b1 + (s1 * g1 - sx * g0) / det, 7)
+    got = REGISTRY["ml_logreg_newton_exact"].fn(spark, SF_DIR).first()
+    assert got["beta0"] == round(b0, 6), (got["beta0"], b0)
+    assert got["beta1"] == round(b1, 6), (got["beta1"], b1)
+
+
+theil_rows = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(-100, 100)),
+    min_size=2,
+    max_size=15,
+)
+
+
+@given(rows=theil_rows)
+@_settings
+def test_theil_sen_matches_bruteforce(spark, rows):
+    """stats_theil_sen_slope's slope-median core vs a brute-force
+    Python reference on arbitrary (day, value) frames — exercised
+    through the same daily-frame shape the operator builds."""
+    from pyspark.sql import functions as F
+
+    dedup = {}
+    for d, v in rows:
+        dedup[d] = float(v)
+    data = sorted(dedup.items())
+    if len(data) < 2:
+        return
+    df = spark.createDataFrame(
+        [("t", d, v) for d, v in data], schema="event_type string, xd long, yv double"
+    )
+    a, b = df.alias("a"), df.alias("b")
+    slopes_df = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.xd") < F.col("b.xd")),
+    ).select(
+        F.round((F.col("b.yv") - F.col("a.yv")) / (F.col("b.xd") - F.col("a.xd")), 9).alias("s")
+    )
+    got = slopes_df.agg(F.round(F.percentile("s", F.lit(0.5)), 6).alias("m")).first()["m"]
+
+    slopes = sorted(
+        round((y2 - y1) / (x2 - x1), 9)
+        for i, (x1, y1) in enumerate(data)
+        for (x2, y2) in data[i + 1 :]
+    )
+    n = len(slopes)
+    if n % 2 == 1:
+        want = slopes[n // 2]
+    else:
+        want = (slopes[n // 2 - 1] + slopes[n // 2]) / 2
+    assert got == round(want, 6), (got, want, slopes)
