@@ -530,3 +530,67 @@ def etl_erasure_footprint(spark, sf_dir):
             ).alias("total_rows"),
         )
     )
+
+
+@register(
+    "etl_scd3_previous_value",
+    oracle="""
+        WITH old AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+        new AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+                       AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 3 <> 0
+        )
+        SELECT n.o_orderkey,
+               n.o_orderstatus AS current_status,
+               CASE WHEN o.o_orderkey IS NOT NULL
+                         AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN o.o_orderstatus END AS previous_status,
+               (o.o_orderkey IS NOT NULL
+                AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                   AS status_changed,
+               o.o_orderkey IS NULL AS is_new_key
+        FROM new n LEFT JOIN old o ON o.o_orderkey = n.o_orderkey
+    """,
+    tags=("ETL-scd3",),
+)
+def etl_scd3_previous_value(spark, sf_dir):
+    """SCD Type 3 — previous-value column maintenance, completing the
+    slowly-changing-dimension family next to SCD2 intervals
+    (``scd2_intervals``), incremental SCD2 merge and the bitemporal
+    as-of: the new snapshot keeps ONE generation of history IN-ROW
+    (current_status + previous_status), the pattern for dimensions
+    where only "what changed since last load" matters and row
+    explosion is unwanted.  Reuses cdc_snapshot_diff's derived
+    old/new fixture; null-safe change detection (IS DISTINCT FROM) so
+    NULL→value transitions record correctly; brand-new keys carry a
+    NULL previous with is_new_key set.
+
+    100 TB posture: one equi-join on the dimension key (broadcast
+    while the dim is small, shuffle under AQE as it grows) and a
+    projection — no window, no history table scan; the in-row history
+    means the nightly merge touches only the delta keys when combined
+    with the dynamic-partition-overwrite write path (A4d)."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("old_status")
+    )
+    new = o.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("current_status"),
+    )
+    j = new.join(old, new["o_orderkey"] == old["k"], "left")
+    changed = F.col("k").isNotNull() & ~F.col("old_status").eqNullSafe(
+        F.col("current_status")
+    )
+    return j.select(
+        "o_orderkey",
+        "current_status",
+        F.when(changed, F.col("old_status")).alias("previous_status"),
+        changed.alias("status_changed"),
+        F.col("k").isNull().alias("is_new_key"),
+    )
