@@ -77,6 +77,8 @@ HEADLINE = [
     "vocab_bpe_pair_counts",     # I  BPE merge-step pair counts (r6)
     "stats_ks_two_sample_banded",    # STATS banded-prefix KS twin (r7)
     "win_cumulative_share_banded",   # E  banded Pareto ranker twin (r7)
+    "ml_logreg_newton_exact",        # ML 3-step Newton IRLS loop (r7b)
+    "ml_naive_bayes_langid",         # ML NB train+confusion matrix (r7b)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched
