@@ -350,3 +350,111 @@ def graph_triangle_count(spark, sf_dir):
         )
         .withColumnRenamed("n_tri", "n_triangles")
     )
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        ),
+        adj AS (
+            SELECT u AS node, v AS nbr FROM edges
+            UNION ALL
+            SELECT v AS node, u AS nbr FROM edges
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node
+        ),
+        common AS (
+            SELECT x.node AS u, y.node AS w, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT c.u, c.w, c.n_common
+            FROM common c
+            LEFT JOIN edges e ON e.u = c.u AND e.v = c.w
+            WHERE e.u IS NULL
+        )
+        SELECT c.u, c.w, c.n_common,
+               ROUND(CAST(c.n_common AS DOUBLE)
+                     / (du.d + dw.d - c.n_common), 6) AS jaccard
+        FROM cand c
+        JOIN deg du ON du.node = c.u
+        JOIN deg dw ON dw.node = c.w
+        ORDER BY jaccard DESC, c.u, c.w
+        LIMIT 20
+    """,
+    tags=("GR-linkpred",),
+)
+def graph_jaccard_link_prediction(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction over the co-purchase graph:
+    for NON-adjacent part pairs sharing at least one neighbor, score
+    |N(u)∩N(w)| / |N(u)∪N(w)| and rank the top predicted links — the
+    classic similar-item / recommend-an-edge baseline, sharing its
+    edge definition (support floor ≥ 3) with graph_triangle_count and
+    ml_item_cf_cosine.
+
+    100 TB posture: common-neighbor pairs come from one self-join of
+    the adjacency list keyed on the SHARED NEIGHBOR (wedge fan-out
+    bounded per node degree, the triangle-count argument); the
+    non-adjacency filter is a broadcast-able anti-join on the edge
+    list; degrees are a broadcast dimension; top-20 is a
+    TakeOrderedAndProject merge.  All set sizes are exact integers —
+    the one division rounds 6 dp before ranking with the pair-key
+    tiebreak."""
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= 3)
+        .select("u", "v")
+        .persist()
+    )
+    adj = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .persist()
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    x, y = adj.alias("x"), adj.alias("y")
+    common = (
+        x.join(y, (F.col("x.nbr") == F.col("y.nbr")) & (F.col("x.node") < F.col("y.node")))
+        .groupBy(F.col("x.node").alias("u"), F.col("y.node").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    cand = common.join(
+        edges,
+        (common["u"] == edges["u"]) & (common["w"] == edges["v"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("node").alias("w"), F.col("d").alias("dw"))
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("du") + F.col("dw") - F.col("n_common")),
+        6,
+    )
+    return (
+        cand.join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
+        .select("u", "w", "n_common", jac.alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "u", "w")
+        .limit(20)
+    )
