@@ -458,3 +458,85 @@ def etl_zorder_interleave(spark, sf_dir):
         F.col("q2").alias("q_date"),
         F.expr(_zorder_bits_sql()).cast("bigint").alias("zval"),
     )
+
+
+@register(
+    "etl_partition_skew_report",
+    oracle="""
+        WITH sizes AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT n_rows,
+                   ROW_NUMBER() OVER (ORDER BY n_rows, o_month) AS i
+            FROM sizes
+        ),
+        g AS (
+            SELECT COUNT(*) AS np,
+                   CAST(SUM(n_rows) AS BIGINT) AS total,
+                   CAST(SUM(i * n_rows) AS BIGINT) AS iw,
+                   CAST(MAX(n_rows) AS BIGINT) AS mx
+            FROM ranked
+        ),
+        med AS (
+            SELECT ROUND(quantile_cont(CAST(n_rows AS DOUBLE), 0.5), 6) AS md
+            FROM sizes
+        )
+        SELECT CAST(g.np AS BIGINT) AS n_partitions,
+               g.total AS total_rows,
+               g.mx AS max_partition_rows,
+               ROUND(CAST(g.mx AS DOUBLE) / med.md, 6) AS max_over_median,
+               ROUND(2.0 * CAST(g.iw AS DOUBLE) / (g.np * CAST(g.total AS DOUBLE))
+                     - (g.np + 1.0) / g.np, 6) AS size_gini
+        FROM g CROSS JOIN med
+    """,
+    tags=("A-skewreport",),
+)
+def etl_partition_skew_report(spark, sf_dir):
+    """Partition-layout skew report for the month-partitioned orders
+    layout: partition count, total rows, the largest partition, its
+    ratio to the median, and the Gini of partition sizes — the
+    table-maintenance health check that decides when a layout needs
+    re-bucketing/compaction (a size_gini drifting up means straggler
+    partitions; max_over_median is the classic skew alarm).  Values
+    are layout-invariant (sizes come from the partition COLUMN), so
+    the oracle computes the same census from the plain table.
+
+    100 TB posture: one hash aggregation to the partition-cardinality
+    frame, then the Gini's rank-weighted sum over that |partitions|-
+    sized frame (the agg_gini_revenue shape — banded_running swap
+    applies verbatim if a layout ever has millions of partitions,
+    which is itself the problem this report exists to catch)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    sizes = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("o_month"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .persist()
+    )
+    w = Window.orderBy("n_rows", "o_month")
+    ranked = sizes.select("n_rows", F.row_number().over(w).alias("i"))
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("n_rows").cast("bigint").alias("total"),
+        F.sum(F.col("i") * F.col("n_rows")).cast("bigint").alias("iw"),
+        F.max("n_rows").cast("bigint").alias("mx"),
+    )
+    med = sizes.agg(
+        F.round(F.percentile(F.col("n_rows").cast("double"), F.lit(0.5)), 6).alias("md")
+    )
+    npd = F.col("np").cast("double")
+    return g.crossJoin(F.broadcast(med)).select(
+        F.col("np").cast("bigint").alias("n_partitions"),
+        F.col("total").alias("total_rows"),
+        F.col("mx").alias("max_partition_rows"),
+        F.round(F.col("mx").cast("double") / F.col("md"), 6).alias("max_over_median"),
+        F.round(
+            F.lit(2.0) * F.col("iw").cast("double") / (npd * F.col("total").cast("double"))
+            - (npd + F.lit(1.0)) / npd,
+            6,
+        ).alias("size_gini"),
+    )

@@ -447,6 +447,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = frozenset({
     "cohort_weekly_retention",
     "dedup_cluster_representative",
     "dq_value_topk",
+    "etl_partition_skew_report",  # rank over the |partitions| census
     "etl_surrogate_keys",
     "funnel_three_stage",
     "ml_auc_one_vs_rest",
