@@ -1129,31 +1129,41 @@ banded_rows = st.lists(
 )
 
 
-@given(rows=banded_rows, descending=st.booleans(), n_bands=st.integers(1, 5))
+@given(
+    rows=banded_rows,
+    descending=st.booleans(),
+    n_bands=st.integers(1, 5),
+    separate_sum=st.booleans(),
+)
 @_settings
-def test_banded_running_matches_bruteforce(spark, rows, descending, n_bands):
+def test_banded_running_matches_bruteforce(spark, rows, descending, n_bands, separate_sum):
     """operators/stats.py banded_running: the no-unpartitioned-Window
     prefix aggregator must equal the plain sorted running sum / rank on
     arbitrary frames — ties, negatives, single band, all-equal values,
-    band counts exceeding the row count."""
+    band counts exceeding the row count — in both its forms (summing
+    the order column itself, and summing a SEPARATE column via sum_col,
+    the ts_changepoint_cusum shape)."""
     from etl_builder_spark.operators.stats import banded_running
 
     dedup = {}
     for k, v in rows:
         dedup[k] = v  # unique tiebreak key, as every caller guarantees
     data = sorted(dedup.items())
-    df = spark.createDataFrame(data, schema="k long, v long")
+    # the separate sum column: a deterministic but unrelated value
+    rows3 = [(k, v, (7 * k - 3 * v) % 17 - 8) for k, v in data]
+    df = spark.createDataFrame(rows3, schema="k long, v long, s long")
+    kwargs = {"sum_col": "s"} if separate_sum else {}
     out = {
         r["k"]: (r["run_sum"], r["rnk"])
         for r in banded_running(
-            df, "v", "k", descending=descending, n_bands=n_bands
+            df, "v", "k", descending=descending, n_bands=n_bands, **kwargs
         ).collect()
     }
-    order = sorted(data, key=lambda kv: (-kv[1] if descending else kv[1], kv[0]))
+    order = sorted(rows3, key=lambda t: (-t[1] if descending else t[1], t[0]))
     run = 0
     expect = {}
-    for i, (k, v) in enumerate(order, start=1):
-        run += v
+    for i, (k, v, s) in enumerate(order, start=1):
+        run += s if separate_sum else v
         expect[k] = (run, i)
     assert out == expect
 
