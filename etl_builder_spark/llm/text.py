@@ -1136,3 +1136,126 @@ def vocab_bpe_pair_counts(spark, sf_dir):
         .where(F.col("rank") <= 20)
         .select("pair", "n", "rank")
     )
+
+
+#: RAKE stopword delimiters present in the synthetic corpus
+RAKE_STOPS = ("a", "the", "and", "of", "is", "to", "in")
+
+#: candidate keyphrase length cap (standard RAKE practice)
+RAKE_MAX_LEN = 3
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=f"""
+        WITH marked AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(string_split(lower(text), ' '),
+                           t -> CASE WHEN t IN ({", ".join(f"'{s}'" for s in RAKE_STOPS)})
+                                     THEN '|' ELSE t END),
+                       ' ') AS m
+            FROM documents
+        ),
+        phrases AS (
+            SELECT trim(p) AS phrase
+            FROM marked, unnest(string_split(m, '|')) AS t(p)
+            WHERE trim(p) <> ''
+              AND len(string_split(trim(p), ' ')) <= {RAKE_MAX_LEN}
+        ),
+        occur AS (
+            SELECT phrase, len(string_split(phrase, ' ')) AS plen
+            FROM phrases
+        ),
+        words AS (
+            SELECT w, plen
+            FROM occur, unnest(string_split(phrase, ' ')) AS t(w)
+        ),
+        wstats AS (
+            SELECT w,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(plen) AS BIGINT) AS degree,
+                   CAST(ROUND(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6)
+                        AS DECIMAL(18,6)) AS wscore
+            FROM words GROUP BY w
+        ),
+        pdistinct AS (
+            SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM occur GROUP BY phrase
+        ),
+        pscore AS (
+            SELECT p.phrase, p.n_occ,
+                   CAST(SUM(ws.wscore) AS DECIMAL(28,6)) AS score_dec
+            FROM pdistinct p,
+                 unnest(string_split(p.phrase, ' ')) AS t(w)
+            JOIN wstats ws ON ws.w = t.w
+            GROUP BY p.phrase, p.n_occ
+        )
+        SELECT phrase, n_occ, CAST(score_dec AS DOUBLE) AS rake_score
+        FROM pscore
+        ORDER BY score_dec DESC, phrase
+        LIMIT 20
+    """,
+    tags=("I-rake",),
+)
+def text_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose et al. 2010) — the phrase-level
+    keyword surface next to ``text_keyword_topk``'s TF-IDF unigrams:
+    candidate phrases are maximal stopword-free token runs (capped at
+    {RAKE_MAX_LEN} tokens), each word scores degree/freq over the
+    phrase co-occurrence graph, and a phrase scores the sum of its
+    member word scores; corpus-level top-20.
+
+    Determinism: freq/degree are exact integers; each word score is
+    round(degree/freq, 6) cast DECIMAL, so phrase scores are exact
+    decimal sums ranked with the phrase-text tiebreak — no float
+    ordering anywhere.
+
+    100 TB posture: two explodes (phrases, then words) feeding hash
+    aggregations with map-side combine; the word-stats frame is
+    vocabulary-sized and broadcasts into the phrase scoring join; the
+    top-20 is a TakeOrderedAndProject merge.  The stopword set is a
+    literal array — swap in a per-language broadcast list at
+    production scale, same plan."""
+    stops = F.array(*[F.lit(s) for s in RAKE_STOPS])
+    d = load_table(spark, sf_dir, "documents")
+    marked = d.select(
+        F.array_join(
+            F.transform(
+                F.split(F.lower("text"), " "),
+                lambda t: F.when(F.array_contains(stops, t), F.lit("|")).otherwise(t),
+            ),
+            " ",
+        ).alias("m")
+    )
+    phrases = marked.select(
+        F.explode(
+            F.filter(
+                F.transform(F.split("m", "\\|"), lambda p: F.trim(p)),
+                lambda p: p != "",
+            )
+        ).alias("phrase")
+    ).where(F.size(F.split("phrase", " ")) <= RAKE_MAX_LEN)
+    occur = phrases.select("phrase", F.size(F.split("phrase", " ")).alias("plen")).persist()
+    words = occur.select(F.explode(F.split("phrase", " ")).alias("w"), "plen")
+    wstats = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+        F.round(F.sum("plen").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(18,6)")
+        .alias("wscore"),
+    )
+    pdistinct = occur.groupBy("phrase").agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    pwords = pdistinct.select(
+        "phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    pscore = (
+        pwords.join(F.broadcast(wstats.select("w", "wscore")), "w")
+        .groupBy("phrase", "n_occ")
+        .agg(F.sum("wscore").cast("decimal(28,6)").alias("score_dec"))
+    )
+    return (
+        pscore.orderBy(F.col("score_dec").desc(), "phrase")
+        .limit(20)
+        .select("phrase", "n_occ", F.col("score_dec").cast("double").alias("rake_score"))
+    )
