@@ -729,3 +729,117 @@ def multimodal_audio_downsample_2x(spark, sf_dir):
         "peak_out long, sum_out long, rms_out double"
     )
     return d.mapInPandas(downsample, schema)
+
+
+@register(
+    "multimodal_audio_normalize_peak",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 4000 + 100 AS n FROM documents
+            WHERE doc_id < 500
+        ),
+        vals AS (
+            SELECT doc_id, n,
+                   ((doc_id * 31 + i * 17) % 65536) - 32768 AS s
+            FROM base, unnest(range(0, n)) AS u(i)
+        ),
+        pk AS (
+            SELECT doc_id, n, MAX(abs(s)) AS peak FROM vals GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT doc_id, n, peak,
+                   FLOOR(32767.0 * 1000 / peak) / 1000 AS gain
+            FROM pk
+        ),
+        norm AS (
+            SELECT v.doc_id, g.n, g.gain,
+                   GREATEST(-32768, LEAST(32767,
+                       CAST(FLOOR(v.s * g.gain + 0.5) AS BIGINT))) AS ns,
+                   CASE WHEN CAST(FLOOR(v.s * g.gain + 0.5) AS BIGINT) > 32767
+                          OR CAST(FLOOR(v.s * g.gain + 0.5) AS BIGINT) < -32768
+                        THEN 1 ELSE 0 END AS clipped
+            FROM vals v JOIN g ON g.doc_id = v.doc_id
+        )
+        SELECT doc_id AS asset_id,
+               CAST(n AS BIGINT) AS n_samples,
+               gain,
+               CAST(MAX(abs(ns)) AS BIGINT) AS new_peak,
+               CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+               sqrt(CAST(SUM(ns * ns) AS DOUBLE) / n) / 32768.0 AS new_rms
+        FROM norm
+        GROUP BY doc_id, n, gain
+    """,
+    tags=("I-audio-normalize",),
+)
+def multimodal_audio_normalize_peak(spark, sf_dir):
+    """Peak normalization through TWO real WAV codec round trips (the
+    multimodal_audio_downsample_2x shape): decode the synthesized
+    clip, compute the 3-dp-floored gain 32767/peak, rescale samples
+    with the symmetric round-half-up ``floor(s*gain + 0.5)`` and clip
+    to int16 range, re-encode, decode again, and report the new peak /
+    clipped-sample count / RMS — the loudness-leveling step of every
+    audio ingest pipeline, proven lossless end-to-end because the
+    DuckDB oracle recomputes the whole chain symbolically from the
+    closed-form sample pattern.
+
+    Determinism: peak and the clip census are exact integers; gain is
+    a 3-dp floor of an integer ratio; ``floor(s*gain + 0.5)`` on the
+    double product is the same IEEE expression in numpy and DuckDB
+    (banker's-rounding np.round is deliberately NOT used); RMS divides
+    an exact integer sum of squares.
+
+    100 TB posture: same Arrow mapInPandas seam as the whole
+    multimodal family — two decode passes per payload inside one
+    executor task, no payload bytes in the shuffle, output flat
+    relational rows."""
+    from etl_builder_spark.llm.codecs import decode_wav, encode_wav
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 500
+    )
+
+    def normalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "asset_id",
+                    "n_samples",
+                    "gain",
+                    "new_peak",
+                    "n_clipped",
+                    "new_rms",
+                )
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 4000 + 100
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 31 + i * 17) % 65536) - 32768
+                payload = encode_wav(s.astype(np.int16), rate=8000)
+                dec, rate = decode_wav(payload)
+                dec = dec.astype(np.int64)
+                peak = int(np.abs(dec).max())
+                gain = math.floor(32767.0 * 1000 / peak) / 1000
+                raw = np.floor(dec * gain + 0.5).astype(np.int64)
+                clipped = int(((raw > 32767) | (raw < -32768)).sum())
+                ns = np.clip(raw, -32768, 32767)
+                payload2 = encode_wav(ns.astype(np.int16), rate=rate)
+                dec2, _ = decode_wav(payload2)
+                dec2 = dec2.astype(np.int64)
+                out["asset_id"].append(did)
+                out["n_samples"].append(len(dec2))
+                out["gain"].append(gain)
+                out["new_peak"].append(int(np.abs(dec2).max()))
+                out["n_clipped"].append(clipped)
+                out["new_rms"].append(
+                    math.sqrt(int((dec2 * dec2).sum()) / len(dec2)) / 32768.0
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "asset_id long, n_samples long, gain double, new_peak long,"
+        " n_clipped long, new_rms double"
+    )
+    return d.mapInPandas(normalize, schema)
