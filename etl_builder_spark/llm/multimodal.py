@@ -843,3 +843,88 @@ def multimodal_audio_normalize_peak(spark, sf_dir):
         " n_clipped long, new_rms double"
     )
     return d.mapInPandas(normalize, schema)
+
+
+@register(
+    "multimodal_image_patches",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   (doc_id % 6 + 2) * 2 AS w,
+                   (doc_id % 3 + 1) * 2 AS h
+            FROM documents WHERE doc_id < 200
+        ),
+        px AS (
+            SELECT doc_id, w, h,
+                   r.i // 2 AS pr, c.i // 2 AS pc, ch.i AS ch,
+                   (doc_id * 7 + r.i * 31 + c.i * 13 + ch.i * 97) % 256 AS v
+            FROM base,
+                 unnest(range(0, h)) AS r(i),
+                 unnest(range(0, w)) AS c(i),
+                 unnest(range(0, 3)) AS ch(i)
+        )
+        SELECT doc_id AS asset_id,
+               CAST(pr AS INT) AS patch_row,
+               CAST(pc AS INT) AS patch_col,
+               CAST(SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) // 4 AS BIGINT) AS mean_r,
+               CAST(SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) // 4 AS BIGINT) AS mean_g,
+               CAST(SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) // 4 AS BIGINT) AS mean_b,
+               CAST(SUM(v) AS BIGINT) AS patch_sum
+        FROM px
+        GROUP BY doc_id, pr, pc
+    """,
+    tags=("I-patches",),
+)
+def multimodal_image_patches(spark, sf_dir):
+    """ViT-style patch extraction through the REAL PPM codec path:
+    each synthesized gradient image is encoded, decoded back, and cut
+    into non-overlapping 2x2 patches; every patch emits its own
+    relational row (per-channel floor-means + exact pixel sum) — the
+    patchify step of every vision-transformer ingest, and the
+    one-asset-to-many-rows explosion shape (multimodal_frame_sample's
+    video analogue, for images).  The oracle recomputes every patch
+    symbolically from the pixel formula, so hash equality proves the
+    codec round trip AND the patch geometry (row-major patch indices,
+    channel order) end-to-end.
+
+    100 TB posture: one mapInPandas pass, patches per asset =
+    (w/2)x(h/2) relational rows with pixel bytes never entering the
+    shuffle; a real pipeline would widen the row with the flattened
+    patch tensor (array<float>) feeding embed_normalize_quantize —
+    the plumbing (Arrow batches, typed schema, per-asset fan-out) is
+    exactly this."""
+    from etl_builder_spark.llm.codecs import decode_ppm, encode_ppm
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("asset_id", "patch_row", "patch_col", "mean_r", "mean_g", "mean_b", "patch_sum")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = (did % 6 + 2) * 2, (did % 3 + 1) * 2
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                px = ((did * 7 + r * 31 + c * 13 + ch * 97) % 256).astype(np.uint8)
+                dec = decode_ppm(encode_ppm(px)).astype(np.int64)
+                blocks = dec.reshape(h // 2, 2, w // 2, 2, 3)
+                sums = blocks.sum(axis=(1, 3))  # (h/2, w/2, 3)
+                for pr in range(h // 2):
+                    for pc in range(w // 2):
+                        out["asset_id"].append(did)
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["mean_r"].append(int(sums[pr, pc, 0]) // 4)
+                        out["mean_g"].append(int(sums[pr, pc, 1]) // 4)
+                        out["mean_b"].append(int(sums[pr, pc, 2]) // 4)
+                        out["patch_sum"].append(int(sums[pr, pc].sum()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        work,
+        "asset_id long, patch_row int, patch_col int,"
+        " mean_r long, mean_g long, mean_b long, patch_sum long",
+    )
