@@ -1921,3 +1921,69 @@ def ts_changepoint_cusum(spark, sf_dir):
         "cp_day",
         F.col("mabs").cast("double").alias("max_abs_cusum"),
     )
+
+
+@register(
+    "ts_seasonal_naive_backtest",
+    oracle="""
+        WITH hourly AS (
+            SELECT epoch_us(ts) // 3600000000 AS xh,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS v
+            FROM events GROUP BY 1
+        ),
+        joined AS (
+            SELECT a.xh, a.v AS actual, f.v AS forecast
+            FROM hourly a JOIN hourly f ON f.xh = a.xh - 168
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(CASE WHEN actual >= forecast
+                             THEN actual - forecast
+                             ELSE forecast - actual END) AS DOUBLE)
+                   / COUNT(*) AS mae,
+               ROUND(CAST(SUM(CASE WHEN actual >= forecast
+                                   THEN actual - forecast
+                                   ELSE forecast - actual END) AS DOUBLE)
+                     / CAST(SUM(actual) AS DOUBLE), 6) AS wape,
+               CAST(SUM(CAST((actual - forecast) AS DECIMAL(28,2))
+                        * (actual - forecast)) AS DOUBLE) / COUNT(*) AS mse
+        FROM joined
+    """,
+    tags=("TS-backtest",),
+)
+def ts_seasonal_naive_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict every hour's total
+    event value with the SAME HOUR LAST WEEK (lag 168h — the baseline
+    every real forecast must beat) and report MAE / WAPE / MSE over
+    all forecastable hours — the standard forecast-eval harness shape,
+    here as a self-join on the hour index rather than a window (a lag
+    of fixed 168 is an equi-join key: shuffle-partitionable,
+    window-free, and at scale the hourly frame is calendar-bounded).
+
+    Determinism: hourly totals are exact decimals; absolute errors
+    stay decimal via the branch (never float abs), squared errors
+    multiply exact decimals; the three ratios divide identically-
+    derived values (WAPE rounded 6 dp — the only ratio whose
+    magnitude makes the last digit interesting)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy((F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("xh"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(28,2)").alias("v"))
+        .persist()
+    )
+    a = hourly.alias("a")
+    f = hourly.select((F.col("xh") + 168).alias("xh"), F.col("v").alias("fv"))
+    j = a.join(f, "xh").select(F.col("v").alias("actual"), F.col("fv").alias("forecast"))
+    abs_err = F.when(
+        F.col("actual") >= F.col("forecast"), F.col("actual") - F.col("forecast")
+    ).otherwise(F.col("forecast") - F.col("actual"))
+    sq_err = (F.col("actual") - F.col("forecast")).cast("decimal(28,2)") * (
+        F.col("actual") - F.col("forecast")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        (F.sum(abs_err).cast("double") / F.count(F.lit(1))).alias("mae"),
+        F.round(
+            F.sum(abs_err).cast("double") / F.sum("actual").cast("double"), 6
+        ).alias("wape"),
+        (F.sum(sq_err).cast("double") / F.count(F.lit(1))).alias("mse"),
+    )
