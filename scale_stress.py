@@ -99,6 +99,28 @@ def synth_dir(spark, base: str, scale: int) -> str:
         vecs = vecs.unionByName(c)
     vecs.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
 
+    o = spark.read.parquet(os.path.join(base, "orders.parquet"))
+    ord_copies = [o]
+    for k in range(1, scale):
+        # price perturbed per copy (2-dp exact shift keyed on the copy
+        # and key — keeps the distribution realistic, decorrelates
+        # copies, preserves 2-dp money semantics)
+        shift = (F.pmod(F.col("o_orderkey") * (2 * k + 1), F.lit(1000)) / 100.0) - 5.0
+        ord_copies.append(
+            o.select(
+                (F.col("o_orderkey") + k * 1_000_000).alias("o_orderkey"),
+                "o_custkey",
+                "o_orderstatus",
+                F.round(F.col("o_totalprice") + shift, 2).alias("o_totalprice"),
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        )
+    orders = ord_copies[0]
+    for c in ord_copies[1:]:
+        orders = orders.unionByName(c)
+    orders.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+
     with open(marker, "w") as f:
         f.write("ok")
     return out
@@ -266,12 +288,41 @@ def measure_semantic_blocks(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_banded_prefix(spark, sf_dir: str) -> dict:
+    """Scale-equivalence of the banded prefix-sum twins: the KS parent
+    (one unpartitioned Window over distinct order totals) vs its
+    banded twin must return IDENTICAL statistics at every scale, and
+    the walls show the swap costs nothing locally."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    n_rows = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+    (parent, secs_parent) = timed(
+        lambda: REGISTRY["stats_ks_two_sample"].fn(spark, sf_dir).first()
+    )
+    spark.catalog.clearCache()
+    (banded, secs_banded) = timed(
+        lambda: REGISTRY["stats_ks_two_sample_banded"].fn(spark, sf_dir).first()
+    )
+    spark.catalog.clearCache()
+    identical = tuple(parent) == tuple(banded)
+    return {
+        "n_input": n_rows,
+        "candidates": int(parent["n_a"] + parent["n_b"]),  # filtered sample size
+        "identical": identical,
+        "d_stat": float(parent["d_stat"]),
+        "seconds": secs_banded,
+        "seconds_parent": secs_parent,
+    }
+
+
 FAMILIES = {
     "minhash_banding": measure_minhash,
     "sign_lsh": measure_sign_lsh,
     "substring_windows": measure_substring,
     "ivf_pruning": measure_ivf,
     "semantic_blocks": measure_semantic_blocks,
+    "banded_prefix": measure_banded_prefix,
 }
 
 
