@@ -928,3 +928,76 @@ def multimodal_image_patches(spark, sf_dir):
         "asset_id long, patch_row int, patch_col int,"
         " mean_r long, mean_g long, mean_b long, patch_sum long",
     )
+
+
+@register(
+    "dedup_binary_assets_md5",
+    oracle="""
+        WITH assets AS (
+            SELECT doc_id, doc_id % 100 AS pattern_id
+            FROM documents WHERE doc_id < 1000
+        )
+        SELECT pattern_id,
+               CAST(MIN(doc_id) AS BIGINT) AS representative,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM assets
+        GROUP BY pattern_id
+    """,
+    tags=("I-dedup-binary",),
+)
+def dedup_binary_assets_md5(spark, sf_dir):
+    """Exact BINARY-asset dedup — the storage-dedup step for media
+    corpora, and the one dedup modality the text/embedding family
+    doesn't cover: every asset's payload (a REAL WAV encode of a
+    sample pattern keyed by doc_id mod 100, so each pattern recurs
+    ~10×) is hashed md5-over-bytes inside the Arrow seam, and assets
+    group by digest with a min-id representative.
+
+    The oracle knows nothing about WAV or md5 — it derives the
+    expected clusters purely from the pattern arithmetic.  Hash
+    equality therefore proves the strong claim: the codec is
+    BYTE-DETERMINISTIC (same samples → same bytes, any executor, any
+    batch shape), digests collide exactly on identical payloads, and
+    the cluster census is complete.  The output's pattern_id is
+    re-derived FROM the representative (not carried through), so a
+    digest mismatch anywhere would scramble the grouping.
+
+    100 TB posture: digest-per-asset is embarrassingly parallel in
+    mapInPandas (bytes never shuffle — only 16-byte digests do), the
+    cluster groupBy shuffles digests not payloads, and the same shape
+    backs content-addressed storage and copy-on-ingest dedup at any
+    asset size."""
+    from etl_builder_spark.llm.codecs import encode_wav
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 1000
+    )
+
+    def digest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "md5_hex": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pat = did % 100
+                n = pat % 400 + 50
+                i = np.arange(n, dtype=np.int64)
+                s = ((pat * 31 + i * 17) % 65536) - 32768
+                payload = encode_wav(s.astype(np.int16), rate=8000)
+                out["doc_id"].append(did)
+                out["md5_hex"].append(hashlib.md5(payload).hexdigest())
+            yield pd.DataFrame(out)
+
+    digests = d.mapInPandas(digest, "doc_id long, md5_hex string")
+    return (
+        digests.groupBy("md5_hex")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("representative"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .select(
+            (F.col("representative") % 100).alias("pattern_id"),
+            "representative",
+            "n_copies",
+        )
+    )
