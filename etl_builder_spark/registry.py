@@ -481,6 +481,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.subqueries  # noqa: F401
     import etl_builder_spark.operators.timeseries  # noqa: F401
     import etl_builder_spark.operators.tpch  # noqa: F401
+    import etl_builder_spark.operators.tpch_partsupp  # noqa: F401
     import etl_builder_spark.operators.window_frames  # noqa: F401
     import etl_builder_spark.operators.windows  # noqa: F401
     import etl_builder_spark.quality  # noqa: F401

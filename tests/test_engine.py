@@ -268,3 +268,33 @@ def test_pipeline_asof_spec_op(engine):
         .collect()
     )
     assert via_pipeline == direct and len(direct) > 0
+
+
+def test_derived_partsupp_invariants(spark):
+    """The derived partsupp (operators/tpch_partsupp.py) must behave
+    like a real TPC-H partsupp: exactly 4 DISTINCT suppliers per part,
+    every suppkey a real supplier, availqty in [1, 9999], supply-cost
+    cents in [100, 100000] — and be bit-stable across two builds."""
+    from pyspark.sql import functions as F
+
+    from etl_builder_spark.operators.tpch_partsupp import derived_partsupp
+    from etl_builder_spark.session import load_table
+
+    ps = derived_partsupp(spark, SF_DIR).cache()
+    n_part = load_table(spark, SF_DIR, "part").count()
+    assert ps.count() == 4 * n_part
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.count_distinct("ps_suppkey").alias("k")
+    )
+    assert per_part.where(F.col("k") != 4).count() == 0
+    supp = load_table(spark, SF_DIR, "supplier").select("s_suppkey")
+    orphans = ps.join(supp, ps.ps_suppkey == supp.s_suppkey, "left_anti")
+    assert orphans.count() == 0
+    bad = ps.where(
+        ~F.col("ps_availqty").between(1, 9999)
+        | ~F.col("ps_supplycost_cents").between(100, 100000)
+    )
+    assert bad.count() == 0
+    again = derived_partsupp(spark, SF_DIR)
+    assert ps.exceptAll(again).count() == 0 and again.exceptAll(ps).count() == 0
+    ps.unpersist()
