@@ -1581,3 +1581,70 @@ def ml_ridge_regression_exact(spark, sf_dir):
         f"ROUND({ex['beta1']}, 6) AS beta1",
         f"ROUND({ex['beta2']}, 6) AS beta2",
     )
+
+
+@register(
+    "ml_decision_stump_scan",
+    oracle="""
+        WITH grid AS (SELECT thr FROM generate_series(50000, 450000, 50000) t(thr)),
+        split AS (
+            SELECT thr,
+                   CAST(SUM(CASE WHEN o_totalprice <= thr THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+                   CAST(SUM(CASE WHEN o_totalprice <= thr
+                                  AND o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS pl,
+                   CAST(SUM(CASE WHEN o_totalprice > thr THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+                   CAST(SUM(CASE WHEN o_totalprice > thr
+                                  AND o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS pr
+            FROM orders CROSS JOIN grid
+            GROUP BY thr
+        )
+        SELECT CAST(thr AS BIGINT) AS threshold, nl, pl, nr, pr,
+               CASE WHEN nl = 0 OR nr = 0 THEN 0.0
+                    ELSE (2.0 * pl * (nl - pl) / nl
+                          + 2.0 * pr * (nr - pr) / nr) / (nl + nr)
+               END AS gini_split
+        FROM split
+    """,
+    tags=("I-ml",),
+)
+def ml_decision_stump_scan(spark, sf_dir):
+    """Decision-stump split scan: weighted Gini impurity of the binary
+    split "o_totalprice <= t" against the is-urgent label, for a fixed
+    threshold grid — the histogram-based split finding GBDT/random-
+    forest trainers run at scale, as ONE conditional aggregate: the
+    grid cross-join multiplies rows only inside map-side combine (the
+    shuffle carries |grid| groups of 4 counters), so the data passes
+    once no matter how many candidate thresholds are scored.  Counts
+    are exact; each gini value is one fixed float expression of four
+    integers (2·p·(n−p)/n per side, normalized by n), zero-guarded for
+    empty sides."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderpriority")
+    grid = spark.range(1, 10).select((F.col("id") * 50000).alias("thr"))
+    left = F.col("o_totalprice") <= F.col("thr")
+    pos = F.col("o_orderpriority") == "1-URGENT"
+    split = (
+        o.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(left, 1).otherwise(0)).cast("bigint").alias("nl"),
+            F.sum(F.when(left & pos, 1).otherwise(0)).cast("bigint").alias("pl"),
+            F.sum(F.when(~left, 1).otherwise(0)).cast("bigint").alias("nr"),
+            F.sum(F.when((~left) & pos, 1).otherwise(0)).cast("bigint").alias("pr"),
+        )
+    )
+    gini = (
+        F.lit(2.0) * F.col("pl") * (F.col("nl") - F.col("pl")) / F.col("nl")
+        + F.lit(2.0) * F.col("pr") * (F.col("nr") - F.col("pr")) / F.col("nr")
+    ) / (F.col("nl") + F.col("nr"))
+    return split.select(
+        F.col("thr").cast("bigint").alias("threshold"),
+        "nl",
+        "pl",
+        "nr",
+        "pr",
+        F.when((F.col("nl") == 0) | (F.col("nr") == 0), F.lit(0.0))
+        .otherwise(gini)
+        .alias("gini_split"),
+    )

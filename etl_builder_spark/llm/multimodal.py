@@ -1001,3 +1001,83 @@ def dedup_binary_assets_md5(spark, sf_dir):
             "n_copies",
         )
     )
+
+
+@register(
+    "multimodal_image_grayscale",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 6 + 3 AS w,
+                   doc_id % 4 + 2 AS h
+            FROM documents WHERE doc_id < 300
+        ),
+        px AS (
+            SELECT doc_id, w, h, r.i AS r, c.i AS c,
+                   ((doc_id * 11 + r.i * 31 + c.i * 13) % 256 * 299
+                    + (doc_id * 11 + r.i * 31 + c.i * 13 + 97) % 256 * 587
+                    + (doc_id * 11 + r.i * 31 + c.i * 13 + 194) % 256 * 114
+                   ) // 1000 AS g
+            FROM base,
+                 unnest(range(0, h)) AS r(i),
+                 unnest(range(0, w)) AS c(i)
+        )
+        SELECT doc_id AS asset_id,
+               CAST(MIN(w) AS INT) AS out_w,
+               CAST(MIN(h) AS INT) AS out_h,
+               CAST(SUM(g) AS BIGINT) AS gray_sum,
+               CAST(MIN(g) AS BIGINT) AS gray_min,
+               CAST(MAX(g) AS BIGINT) AS gray_max,
+               CAST(MAX(CASE WHEN r = 0 AND c = 0 THEN g END) AS BIGINT) AS corner
+        FROM px GROUP BY doc_id
+    """,
+    tags=("I-image",),
+)
+def multimodal_image_grayscale(spark, sf_dir):
+    """REAL RGB→grayscale conversion through the actual codec path:
+    a per-asset gradient pattern (channels offset by 97 so luma mixes
+    three distinct values) is PPM-encoded, decoded back, converted
+    with the INTEGER BT.601 luma (299·R + 587·G + 114·B) // 1000 —
+    the fixed-point form real pipelines use so the result is exact —
+    and summarized (dims, gray sum/min/max, corner).  The oracle
+    recomputes the luma symbolically from the pattern arithmetic, so
+    hash equality proves encode → decode → weighted-mix end-to-end
+    (the multimodal_resize_halve discipline applied to color-space
+    conversion).
+
+    100 TB posture: same Arrow mapInPandas seam as every codec
+    operator — per-asset work, pixels never leave the executor, typed
+    scalar summary out (the grayscale planes themselves would flow
+    back as binary columns through the identical seam)."""
+    from etl_builder_spark.llm.codecs import decode_ppm, encode_ppm
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("asset_id", "out_w", "out_h", "gray_sum", "gray_min", "gray_max", "corner")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 6 + 3, did % 4 + 2
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                px = ((did * 11 + r * 31 + c * 13 + ch * 97) % 256).astype(np.uint8)
+                dec = decode_ppm(encode_ppm(px)).astype(np.int64)
+                gray = (dec[:, :, 0] * 299 + dec[:, :, 1] * 587 + dec[:, :, 2] * 114) // 1000
+                out["asset_id"].append(did)
+                out["out_w"].append(w)
+                out["out_h"].append(h)
+                out["gray_sum"].append(int(gray.sum()))
+                out["gray_min"].append(int(gray.min()))
+                out["gray_max"].append(int(gray.max()))
+                out["corner"].append(int(gray[0, 0]))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        work,
+        "asset_id long, out_w int, out_h int, gray_sum long, gray_min long, "
+        "gray_max long, corner long",
+    )

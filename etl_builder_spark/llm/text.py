@@ -1259,3 +1259,95 @@ def text_rake_keyphrases(spark, sf_dir):
         .limit(20)
         .select("phrase", "n_occ", F.col("score_dec").cast("double").alias("rake_score"))
     )
+
+
+@register(
+    "text_gopher_quality_gate",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        doc AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+                       AS sum_len,
+                   CAST(len(list_filter(toks,
+                       t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                       AS BIGINT) AS n_stop
+            FROM base
+        ),
+        tc AS (
+            SELECT doc_id, tk, COUNT(*) AS c FROM (
+                SELECT doc_id, unnest(toks) AS tk FROM base
+            ) GROUP BY doc_id, tk
+        ),
+        mx AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_tok FROM tc GROUP BY doc_id)
+        SELECT d.doc_id, d.n_words,
+               d.sum_len / CAST(d.n_words AS DOUBLE) AS mean_word_len,
+               d.n_stop / CAST(d.n_words AS DOUBLE) AS stop_frac,
+               m.max_tok / CAST(d.n_words AS DOUBLE) AS max_tok_frac,
+               (d.n_words BETWEEN 10 AND 500) AS rule_len,
+               (d.sum_len / CAST(d.n_words AS DOUBLE) BETWEEN 2 AND 12) AS rule_word_len,
+               (d.n_stop / CAST(d.n_words AS DOUBLE) >= 0.03) AS rule_stopwords,
+               (m.max_tok / CAST(d.n_words AS DOUBLE) <= 0.25) AS rule_repetition,
+               ((d.n_words BETWEEN 10 AND 500)
+                AND (d.sum_len / CAST(d.n_words AS DOUBLE) BETWEEN 2 AND 12)
+                AND (d.n_stop / CAST(d.n_words AS DOUBLE) >= 0.03)
+                AND (m.max_tok / CAST(d.n_words AS DOUBLE) <= 0.25)) AS gate_pass
+        FROM doc d JOIN mx m ON d.doc_id = m.doc_id
+    """,
+    tags=("I-quality",),
+)
+def text_gopher_quality_gate(spark, sf_dir):
+    """Gopher/MassiveText-style rule gate for training-data curation:
+    word-count bounds, mean-word-length band, minimum stopword
+    fraction, and a max-single-token-frequency repetition cap, each
+    emitted as a flag plus the combined pass verdict.  Thresholds
+    compare IEEE-identical divisions of exact integer counts, so the
+    booleans are engine-exact (policy §7.2 — no rounding enters a
+    comparison).  Two branches over one tokenization: per-doc scalars
+    stay expression-only; the token-mode branch is an explode +
+    (doc, token) hash aggregate — both shuffle on doc_id only, the
+    same single-key shape the rest of the text family scales on."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is")])
+    doc = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+        .alias("sum_len"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    mx = (
+        tokens(d)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("max_tok"))
+    )
+    j = doc.join(mx, "doc_id")
+    mean_wl = F.col("sum_len") / F.col("n_words").cast("double")
+    stop_frac = F.col("n_stop") / F.col("n_words").cast("double")
+    max_frac = F.col("max_tok") / F.col("n_words").cast("double")
+    r_len = F.col("n_words").between(10, 500)
+    r_wl = (mean_wl >= 2) & (mean_wl <= 12)
+    r_stop = stop_frac >= 0.03
+    r_rep = max_frac <= 0.25
+    return j.select(
+        "doc_id",
+        "n_words",
+        mean_wl.alias("mean_word_len"),
+        stop_frac.alias("stop_frac"),
+        max_frac.alias("max_tok_frac"),
+        r_len.alias("rule_len"),
+        r_wl.alias("rule_word_len"),
+        r_stop.alias("rule_stopwords"),
+        r_rep.alias("rule_repetition"),
+        (r_len & r_wl & r_stop & r_rep).alias("gate_pass"),
+    )

@@ -458,3 +458,107 @@ def graph_jaccard_link_prediction(spark, sf_dir):
         .orderBy(F.col("jaccard").desc(), "u", "w")
         .limit(20)
     )
+
+
+@register(
+    "graph_resource_allocation",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        ),
+        adj AS (
+            SELECT u AS node, v AS nbr FROM edges
+            UNION ALL
+            SELECT v AS node, u AS nbr FROM edges
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node
+        ),
+        scored AS (
+            SELECT x.node AS u, y.node AS w,
+                   CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST(SUM(CAST(ROUND(1.0 / dz.d, 9) AS DECIMAL(18,9)))
+                        AS DOUBLE) AS ra_score
+            FROM adj x
+            JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+            JOIN deg dz ON dz.node = x.nbr
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT s.u, s.w, s.n_common, s.ra_score
+            FROM scored s
+            LEFT JOIN edges e ON e.u = s.u AND e.v = s.w
+            WHERE e.u IS NULL
+        )
+        SELECT u, w, n_common, ra_score
+        FROM cand
+        ORDER BY ra_score DESC, u, w
+        LIMIT 20
+    """,
+    tags=("GR-linkpred",),
+)
+def graph_resource_allocation(spark, sf_dir):
+    """Resource-allocation link prediction (Zhou-Lu-Zhang) over the
+    co-purchase graph: non-adjacent pairs scored Σ 1/deg(z) over their
+    common neighbors z — the stronger cousin of neighborhood Jaccard
+    (it discounts hub intermediaries), sharing the support-≥3 edge
+    definition with graph_jaccard_link_prediction.
+
+    Exactness: each 1/deg term is ROUND(·,9)-ed into DECIMAL(18,9)
+    BEFORE the cross-wedge sum (round-then-decimal, policy §7.2 — the
+    magnitudes are ≤ 1, where 9-dp rounding is far above double ULP),
+    so the score aggregation is order-free and the top-20 ranking
+    compares exact decimals.  Same wedge-join scale shape as the
+    Jaccard key: fan-out bounded by degree, degrees broadcast,
+    non-adjacency as a broadcast anti-join, top-k a
+    TakeOrderedAndProject merge."""
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= 3)
+        .select("u", "v")
+        .persist()
+    )
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    dz = deg.select(F.col("node").alias("z"), F.col("d").alias("dz"))
+    x, y = adj.alias("x"), adj.alias("y")
+    scored = (
+        x.join(y, (F.col("x.nbr") == F.col("y.nbr")) & (F.col("x.node") < F.col("y.node")))
+        .join(F.broadcast(dz), F.col("x.nbr") == F.col("z"))
+        .groupBy(F.col("x.node").alias("u"), F.col("y.node").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(F.round(F.lit(1.0) / F.col("dz"), 9).cast("decimal(18,9)"))
+            .cast("double")
+            .alias("ra_score"),
+        )
+    )
+    cand = scored.join(
+        edges,
+        (scored["u"] == edges["u"]) & (scored["w"] == edges["v"]),
+        "left_anti",
+    )
+    return (
+        cand.select("u", "w", "n_common", "ra_score")
+        .orderBy(F.col("ra_score").desc(), "u", "w")
+        .limit(20)
+    )

@@ -1,0 +1,298 @@
+"""Rank-based statistics: Spearman, Kendall, one-way ANOVA (SURVEY §2
+STATS family, round-8 wave).
+
+Determinism (policy §7.2): every cross-row accumulation is exact —
+integer doubled-average-ranks, integer concordance counts, DECIMAL
+co-moments — and the only floats are one fixed final expression per
+statistic, written identically in both engines.
+
+Scale posture: Spearman's global average ranks come from the
+``banded_running`` prefix machinery (per-DISTINCT-value frame, zero
+unpartitioned Windows); Kendall runs on a bounded contingency grid
+(|quantity values| x |price bands|, independent of row count) so the
+all-pairs concordance join never touches row-level data; ANOVA is one
+map-side-combined aggregate carrying three accumulators per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+from etl_builder_spark.operators.stats import banded_running
+
+D38 = "decimal(38,0)"
+
+
+def _avg2_rank_map(df, col: str):
+    """Per-distinct-value map v -> 2x(average rank of v ascending).
+
+    Doubling keeps tied average ranks (half-integers) in exact BIGINT.
+    Built on the per-distinct-value frame: |distinct| rows, prefix
+    counts via banded_running — the proven no-unpartitioned-Window
+    shape (stats_ks_two_sample_banded)."""
+    per = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    r = banded_running(per, value_col="v", tiebreak_col="v", sum_col="cnt")
+    # inclusive running count c over values <= v: ranks of the tie block
+    # are (c-cnt+1)..c, averaging to (2c - cnt + 1)/2.
+    return r.select("v", (2 * F.col("run_sum") - F.col("cnt") + 1).alias("avg2"))
+
+
+@register(
+    "stats_spearman_rho",
+    oracle="""
+        WITH xv AS (SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM lineitem GROUP BY 1),
+        xm AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS avg2 FROM xv),
+        yv AS (SELECT l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY 1),
+        ym AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS avg2 FROM yv),
+        j AS (
+            SELECT xm.avg2 AS rx, ym.avg2 AS ry
+            FROM lineitem
+            JOIN xm ON l_quantity = xm.v
+            JOIN ym ON l_extendedprice = ym.v
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(rx AS DECIMAL(38,0)) * rx) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(ry AS DECIMAL(38,0)) * ry) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(rx AS DECIMAL(38,0)) * ry) AS DOUBLE) AS sxy
+            FROM j
+        )
+        SELECT n AS n_rows,
+               ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+                   AS spearman_rho
+        FROM m
+    """,
+    tags=("STATS-rank",),
+)
+def stats_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation (quantity vs extended price) with the
+    tie-correct Pearson-on-average-ranks formulation.  Average ranks
+    are computed on the per-DISTINCT-value frame (doubled to stay in
+    exact BIGINT through ties) and joined back to rows — never a
+    600-billion-row global sort: the x map is 50 rows (broadcast), the
+    y map is |distinct prices| rows via banded prefix sums.  The five
+    rank co-moments sum in DECIMAL(38,0), so only the final rho
+    expression is float — the stats_corr_pearson_exact discipline
+    applied to ranks."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    xm = _avg2_rank_map(l, "x").withColumnRenamed("avg2", "rx")
+    ym = _avg2_rank_map(l, "y").withColumnRenamed("avg2", "ry")
+    j = (
+        l.join(F.broadcast(xm), l.x == xm.v)
+        .drop("v")
+        .join(ym, l.y == ym.v)
+        .select("rx", "ry")
+    )
+    rxd = F.col("rx").cast(D38)
+    ryd = F.col("ry").cast(D38)
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(rxd).cast("double").alias("sx"),
+        F.sum(ryd).cast("double").alias("sy"),
+        F.sum(rxd * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(ryd * F.col("ry")).cast("double").alias("syy"),
+        F.sum(rxd * F.col("ry")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        nd * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        F.col("n").alias("n_rows"), F.round(num / den, 6).alias("spearman_rho")
+    )
+
+
+@register(
+    "stats_kendall_tau_binned",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(l_quantity AS BIGINT) AS qx,
+                   CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS yb,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1, 2
+        ),
+        conc AS (
+            SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS c
+            FROM cells a JOIN cells b ON b.qx > a.qx AND b.yb > a.yb
+        ),
+        disc AS (
+            SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS d
+            FROM cells a JOIN cells b ON b.qx > a.qx AND b.yb < a.yb
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+        tx AS (
+            SELECT CAST(SUM(nx * (nx - 1)) AS BIGINT) AS s FROM
+            (SELECT SUM(n) AS nx FROM cells GROUP BY qx)
+        ),
+        ty AS (
+            SELECT CAST(SUM(ny * (ny - 1)) AS BIGINT) AS s FROM
+            (SELECT SUM(n) AS ny FROM cells GROUP BY yb)
+        )
+        SELECT nn AS n_rows, c AS concordant, d AS discordant,
+               ROUND(2.0 * (c - d)
+                     / (sqrt(CAST(nn * (nn - 1) - tx.s AS DOUBLE))
+                        * sqrt(CAST(nn * (nn - 1) - ty.s AS DOUBLE))), 6)
+                   AS kendall_tau_b
+        FROM conc, disc, tot, tx, ty
+    """,
+    tags=("STATS-rank",),
+)
+def stats_kendall_tau_binned(spark, sf_dir):
+    """Kendall's tau-b (quantity vs 5000-wide price band) computed from
+    the CONTINGENCY GRID, not row pairs: concordant/discordant counts
+    are a theta self-join over ~|50 x 21| cells whose n_a*n_b products
+    count the underlying row pairs exactly.  The grid size is fixed by
+    the value domains — at 100 TB the expensive O(cells^2) step still
+    joins a few thousand broadcast rows while the data passes once
+    through one hash aggregate.  Ties enter through the tau-b
+    correction, kept x2 so everything stays integer until the final
+    quotient (doubling both (n0-n1) factors cancels against 2(C-D))."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        l.select(
+            F.col("l_quantity").cast("bigint").alias("qx"),
+            F.floor(F.col("l_extendedprice") / 5000).cast("bigint").alias("yb"),
+        )
+        .groupBy("qx", "yb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    conc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.qx") > F.col("a.qx")) & (F.col("b.yb") > F.col("a.yb")),
+        )
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).cast("bigint").alias("c"))
+    )
+    disc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.qx") > F.col("a.qx")) & (F.col("b.yb") < F.col("a.yb")),
+        )
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).cast("bigint").alias("d"))
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nn"))
+    tx = (
+        cells.groupBy("qx")
+        .agg(F.sum("n").alias("nx"))
+        .agg(F.sum(F.col("nx") * (F.col("nx") - 1)).cast("bigint").alias("sx"))
+    )
+    ty = (
+        cells.groupBy("yb")
+        .agg(F.sum("n").alias("ny"))
+        .agg(F.sum(F.col("ny") * (F.col("ny") - 1)).cast("bigint").alias("sy"))
+    )
+    one = (
+        conc.crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n0x2 = F.col("nn") * (F.col("nn") - 1)
+    return one.select(
+        F.col("nn").alias("n_rows"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(
+            F.lit(2.0)
+            * (F.col("c") - F.col("d"))
+            / (
+                F.sqrt((n0x2 - F.col("sx")).cast("double"))
+                * F.sqrt((n0x2 - F.col("sy")).cast("double"))
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )
+
+
+#: the five fixed priority classes — pivoting groups to COLUMNS makes
+#: every cross-group float addition one fixed left-assoc expression,
+#: identical in both engines (no aggregate-order nondeterminism and no
+#: round-then-decimal, which loses meaning at the 1e13 magnitudes of
+#: sums of squares).
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _anova_oracle() -> str:
+    conds = [
+        (
+            f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS n{i}",
+            f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' "
+            f"THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS s{i}",
+        )
+        for i, p in enumerate(_PRIORITIES)
+    ]
+    cols = ",\n                   ".join(c for pair in conds for c in pair)
+    q = " + ".join(f"s{i} * s{i} / n{i}" for i in range(len(_PRIORITIES)))
+    s_tot = " + ".join(f"s{i}" for i in range(len(_PRIORITIES)))
+    return f"""
+        WITH g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                            * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                   {cols}
+            FROM orders
+        )
+        SELECT 5 AS n_groups, nt AS n_rows,
+               ({q}) - ({s_tot}) * ({s_tot}) / nt AS ss_between,
+               sxx - ({q}) AS ss_within,
+               ROUND(((({q}) - ({s_tot}) * ({s_tot}) / nt) / 4)
+                     / ((sxx - ({q})) / (nt - 5)), 6) AS f_stat
+        FROM g
+    """
+
+
+@register("stats_anova_oneway", oracle=_anova_oracle(), tags=("STATS-anova",))
+def stats_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F statistic of order totals across the five
+    priority classes.  The group dimension is a FIXED five-value domain,
+    so groups pivot to columns in a single conditional aggregate: the
+    per-class (n, Σx) and the global Σx² are exact decimal/integer
+    sums, and everything after — Q = Σ S_i²/n_i, SSB = Q - S²/N,
+    SSW = ΣX² - Q, F = (SSB/(k-1))/(SSW/(N-k)) — is one fixed
+    left-associated float expression written identically in both
+    engines (no aggregation over floats anywhere).  One pass, one
+    1-row result; adding classes adds accumulators, not passes."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    ]
+    for i, p in enumerate(_PRIORITIES):
+        hit = F.col("o_orderpriority") == p
+        aggs.append(F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(hit, x).otherwise(F.lit(0).cast("decimal(18,2)")))
+            .cast("double")
+            .alias(f"s{i}")
+        )
+    g = o.agg(*aggs)
+    q = None
+    s_tot = None
+    for i in range(len(_PRIORITIES)):
+        term = F.col(f"s{i}") * F.col(f"s{i}") / F.col(f"n{i}")
+        q = term if q is None else q + term
+        s_tot = F.col(f"s{i}") if s_tot is None else s_tot + F.col(f"s{i}")
+    ssb = q - s_tot * s_tot / F.col("nt")
+    ssw = F.col("sxx") - q
+    return g.select(
+        F.lit(5).alias("n_groups"),
+        F.col("nt").alias("n_rows"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        F.round((ssb / F.lit(4)) / (ssw / (F.col("nt") - 5)), 6).alias("f_stat"),
+    )

@@ -51,3 +51,42 @@ def win_frames_nth(spark, sf_dir):
         F.first("l_linenumber").over(wfull).alias("top_linenumber"),
         F.avg("l_extendedprice").over(wtrail).alias("trailing2_avg"),
     )
+
+
+@register(
+    "win_sliding_median_rows",
+    oracle="""
+        SELECT event_id, user_id, value,
+               lst[(len(lst) + 1) // 2] AS median_5
+        FROM (
+            SELECT event_id, user_id, value,
+                   list_sort(list(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS lst
+            FROM events WHERE event_type = 'purchase'
+        )
+    """,
+    tags=("E-frames",),
+)
+def win_sliding_median_rows(spark, sf_dir):
+    """Sliding-window median (lower median of the trailing 5 purchase
+    values per user) — the order-statistic frame aggregate Spark has
+    no native window function for, composed as collect_list over a
+    ROWS frame → sort_array → element_at.  The frame holds ≤5 exact
+    2-dp doubles, so the sorted pick is value-exact with no rounding;
+    ordering ties break on event_id (total order).  Partitioned by
+    user_id — bounded frames, never an unpartitioned Window; the
+    per-row list is O(frame), not O(partition)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    lst = F.sort_array(F.collect_list(F.col("value")).over(w))
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.element_at(lst, ((F.size(lst) + 1) / 2).cast("int")).alias("median_5"),
+    )

@@ -454,6 +454,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.llm.multimodal  # noqa: F401
     import etl_builder_spark.llm.packing  # noqa: F401
     import etl_builder_spark.llm.pq  # noqa: F401
+    import etl_builder_spark.llm.retrieval_eval  # noqa: F401
     import etl_builder_spark.llm.sampling  # noqa: F401
     import etl_builder_spark.llm.similarity  # noqa: F401
     import etl_builder_spark.llm.sparse_sim  # noqa: F401
@@ -478,6 +479,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.sorts  # noqa: F401
     import etl_builder_spark.operators.spatial  # noqa: F401
     import etl_builder_spark.operators.stats  # noqa: F401
+    import etl_builder_spark.operators.stats_rank  # noqa: F401
     import etl_builder_spark.operators.subqueries  # noqa: F401
     import etl_builder_spark.operators.timeseries  # noqa: F401
     import etl_builder_spark.operators.tpch  # noqa: F401
