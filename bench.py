@@ -79,6 +79,10 @@ HEADLINE = [
     "win_cumulative_share_banded",   # E  banded Pareto ranker twin (r7)
     "ml_logreg_newton_exact",        # ML 3-step Newton IRLS loop (r7b)
     "ml_naive_bayes_langid",         # ML NB train+confusion matrix (r7b)
+    "stats_spearman_rho",            # STATS banded rank-map Spearman (r8)
+    "embed_matryoshka_recall",       # I  truncated-dim recall eval (r8)
+    "text_gopher_quality_gate",      # I  rule-gate curation filter (r8)
+    "graph_resource_allocation",     # GR RA link prediction (r8)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched
@@ -101,6 +105,10 @@ TPCH = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",
     "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_part_value",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_potential_promotion",
 ]
 
 

@@ -121,7 +121,7 @@ def embed_matryoshka_recall(spark, sf_dir):
         "cand_id",
         F.row_number().over(wf).alias("r_full"),
         F.row_number().over(wt).alias("r_16"),
-    )
+    ).persist()  # both top-10 slices read the one pair scan
     fullk = ranked.where(F.col("r_full") <= 10).select("probe_id", "cand_id")
     trunck = ranked.where(F.col("r_16") <= 10).select(
         F.col("probe_id").alias("tp"), F.col("cand_id").alias("tc")

@@ -32,8 +32,10 @@ def _avg2_rank_map(df, col: str):
     Built on the per-distinct-value frame: |distinct| rows, prefix
     counts via banded_running — the proven no-unpartitioned-Window
     shape (stats_ks_two_sample_banded)."""
-    per = df.groupBy(F.col(col).alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    per = (
+        df.groupBy(F.col(col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()  # banded_running references its input several times
     )
     r = banded_running(per, value_col="v", tiebreak_col="v", sum_col="cnt")
     # inclusive running count c over values <= v: ranks of the tie block
@@ -84,8 +86,10 @@ def stats_spearman_rho(spark, sf_dir):
     rank co-moments sum in DECIMAL(38,0), so only the final rho
     expression is float — the stats_corr_pearson_exact discipline
     applied to ranks."""
-    l = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
+        .persist()  # one source scan feeds the base join and both rank maps
     )
     xm = _avg2_rank_map(l, "x").withColumnRenamed("avg2", "rx")
     ym = _avg2_rank_map(l, "y").withColumnRenamed("avg2", "ry")
@@ -168,6 +172,7 @@ def stats_kendall_tau_binned(spark, sf_dir):
         )
         .groupBy("qx", "yb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()  # grid feeds five consumers; source scans once
     )
     a, b = cells.alias("a"), cells.alias("b")
     conc = (

@@ -171,6 +171,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
             "p_partkey", "p_brand", "s_name", "s_acctbal", "n_name",
             "ps_supplycost_cents",
         )
+        .persist()  # feeds both the per-part minima and the join-back
     )
     mins = cand.groupBy("p_partkey").agg(
         F.min("ps_supplycost_cents").alias("min_cents")
@@ -226,6 +227,7 @@ def tpch_q11_part_value(spark, sf_dir):
                 "value_cents"
             )
         )
+        .persist()  # feeds both the grand total and the HAVING filter
     )
     total = grouped.agg(F.sum("value_cents").alias("tot"))
     return (

@@ -1294,3 +1294,67 @@ def test_theil_sen_matches_bruteforce(spark, rows):
     else:
         want = (slopes[n // 2 - 1] + slopes[n // 2]) / 2
     assert got == round(want, 6), (got, want, slopes)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=3,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_avg2_rank_map_matches_bruteforce(spark, pairs):
+    """stats_rank._avg2_rank_map must reproduce the classic tie-average
+    ranking (x2): for every value, twice the mean of the positions its
+    occurrences take in the sorted sequence."""
+    from etl_builder_spark.operators.stats_rank import _avg2_rank_map
+
+    xs = [x for x, _ in pairs]
+    df = spark.createDataFrame([(x,) for x in xs], "x int")
+    got = {r["v"]: r["avg2"] for r in _avg2_rank_map(df, "x").collect()}
+
+    s = sorted(xs)
+    want = {}
+    for v in set(xs):
+        positions = [i + 1 for i, u in enumerate(s) if u == v]
+        want[v] = 2 * sum(positions) // len(positions)  # mean*2 is integral
+    assert got == want, (got, want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=5,
+        max_size=60,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kendall_grid_counts_match_pairwise_bruteforce(spark, pairs):
+    """The contingency-grid concordant/discordant counts (the core of
+    stats_kendall_tau_binned) must equal brute-force O(n^2) pair
+    counting on the raw rows."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "qx long, yb long")
+    cells = df.groupBy("qx", "yb").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = cells.alias("a"), cells.alias("b")
+    got_c = (
+        a.join(b, (F.col("b.qx") > F.col("a.qx")) & (F.col("b.yb") > F.col("a.yb")))
+        .agg(F.coalesce(F.sum(F.col("a.n") * F.col("b.n")), F.lit(0)).alias("c"))
+        .first()["c"]
+    )
+    got_d = (
+        a.join(b, (F.col("b.qx") > F.col("a.qx")) & (F.col("b.yb") < F.col("a.yb")))
+        .agg(F.coalesce(F.sum(F.col("a.n") * F.col("b.n")), F.lit(0)).alias("d"))
+        .first()["d"]
+    )
+
+    want_c = want_d = 0
+    for i, (x1, y1) in enumerate(pairs):
+        for x2, y2 in pairs[i + 1 :]:
+            if (x1 - x2) * (y1 - y2) > 0:
+                want_c += 1
+            elif (x1 - x2) * (y1 - y2) < 0:
+                want_d += 1
+    assert (got_c, got_d) == (want_c, want_d)
