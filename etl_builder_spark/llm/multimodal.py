@@ -1081,3 +1081,75 @@ def multimodal_image_grayscale(spark, sf_dir):
         "asset_id long, out_w int, out_h int, gray_sum long, gray_min long, "
         "gray_max long, corner long",
     )
+
+
+@register(
+    "multimodal_audio_vad_energy",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, (doc_id % 20 + 2) * 160 AS n
+            FROM documents WHERE doc_id < 400
+        ),
+        frames AS (
+            SELECT doc_id, n, k.i AS k,
+                   (SELECT SUM(CAST((((doc_id * 31 + (k.i * 160 + j.i) * 17) % 65536)
+                                     - 32768) AS BIGINT)
+                               * (((doc_id * 31 + (k.i * 160 + j.i) * 17) % 65536)
+                                  - 32768))
+                    FROM unnest(range(0, 160)) AS j(i)) AS energy
+            FROM base, unnest(range(0, n // 160)) AS k(i)
+        )
+        SELECT doc_id AS asset_id,
+               CAST(MIN(n) // 160 AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN energy > 57000000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_voiced,
+               CAST(MAX(energy) AS BIGINT) AS max_energy,
+               CAST(MIN(energy) AS BIGINT) AS min_energy
+        FROM frames GROUP BY doc_id
+    """,
+    tags=("I-audio",),
+)
+def multimodal_audio_vad_energy(spark, sf_dir):
+    """Energy-threshold voice-activity detection through the real WAV
+    codec path: the deterministic PCM pattern (sample_j =
+    (id·31 + j·17) mod 65536 − 32768, the audio-family fixture) is
+    WAV-encoded, decoded back, framed at 160 samples (10 ms @ 16 kHz),
+    and each frame's INTEGER energy Σ s² compared against a fixed
+    threshold — the exact-arithmetic skeleton of the VAD gate every
+    speech-data pipeline runs before transcription.  The oracle
+    recomputes frame energies symbolically, so hash equality proves
+    encode → decode → framing → energy end-to-end.  Per-asset summary:
+    frame count, voiced-frame count, min/max frame energy (all exact
+    BIGINT — squares of int16 sum far below 2^63).
+
+    100 TB posture: the standard per-asset Arrow mapInPandas seam;
+    frame loops are numpy reshapes inside the executor, output is the
+    typed per-asset row a curation pipeline stores."""
+    from etl_builder_spark.llm.codecs import decode_wav, encode_wav
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("asset_id", "n_frames", "n_voiced", "max_energy", "min_energy")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = (did % 20 + 2) * 160
+                j = np.arange(n, dtype=np.int64)
+                samples = ((did * 31 + j * 17) % 65536 - 32768).astype(np.int16)
+                dec, _rate = decode_wav(encode_wav(samples))
+                frames = dec.astype(np.int64).reshape(-1, 160)
+                energy = (frames * frames).sum(axis=1)
+                out["asset_id"].append(did)
+                out["n_frames"].append(int(len(energy)))
+                out["n_voiced"].append(int((energy > 57_000_000_000).sum()))
+                out["max_energy"].append(int(energy.max()))
+                out["min_energy"].append(int(energy.min()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        work,
+        "asset_id long, n_frames long, n_voiced long, max_energy long, min_energy long",
+    )

@@ -279,3 +279,82 @@ def ml_knn_label_vote(spark, sf_dir):
             (F.col("cand_label") == F.col("probe_label")).alias("correct"),
         )
     )
+
+
+def _maxsim_oracle() -> str:
+    """Generated oracle: 4x4 segment cosines, per-segment greatest,
+    fixed-order sum — text shared with the Spark builder's structure."""
+
+    def seg(v: str, i: int) -> str:
+        return f"{v}[{16 * i + 1}:{16 * i + 16}]"
+
+    def cos(i: int, j: int) -> str:
+        p, c = seg("pv", i), seg("v", j)
+        return (
+            f"ROUND(list_dot_product({p}, {c}) / "
+            f"(sqrt(list_dot_product({p}, {p})) * sqrt(list_dot_product({c}, {c}))), 6)"
+        )
+
+    maxes = [
+        "GREATEST(" + ", ".join(cos(i, j) for j in range(4)) + ")" for i in range(4)
+    ]
+    score = " + ".join(maxes)
+    return f"""
+        WITH {_VECS_SQL},
+        probes AS (SELECT vec_id AS probe_id, v AS pv FROM vecs WHERE vec_id < 10),
+        scored AS (
+            SELECT probe_id, vec_id AS cand_id,
+                   {score} AS maxsim
+            FROM probes JOIN vecs ON vec_id <> probe_id
+        )
+        SELECT probe_id, cand_id, maxsim, rank FROM (
+            SELECT probe_id, cand_id, maxsim,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY maxsim DESC, cand_id) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """
+
+
+@register("sim_maxsim_multivector", oracle=_maxsim_oracle(), tags=("I-retrieval",))
+def sim_maxsim_multivector(spark, sf_dir):
+    """Late-interaction (ColBERT-style) MaxSim retrieval: each 64-dim
+    vector is treated as 4 x 16-dim token vectors; score(probe, cand)
+    = Σ_i max_j cos(p_i, c_j) — the multi-vector scoring that beats
+    single-vector cosine on fine-grained matches.  Each of the 16
+    segment cosines is ROUND(·,6) BEFORE max/sum, the max is exact on
+    rounded values, and the 4-term sum is one fixed left-assoc float
+    expression — engine-identical, ranked with a cand_id tiebreak.
+
+    100 TB posture: identical shape to sim_topk_cosine_sql — broadcast
+    probes, one streaming pass over candidates, 16 dot products per
+    pair fused into whole-stage codegen (on a real multi-vector corpus
+    the segment slices become an array-of-arrays column; the plan does
+    not change)."""
+    vecs = _vecs(spark, sf_dir).drop("label")
+    probes = vecs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+
+    def seg(c: Column, i: int) -> Column:
+        return F.slice(c, 16 * i + 1, 16)
+
+    maxes = [
+        F.greatest(
+            *[
+                F.round(_cos(seg(F.col("pv"), i), seg(F.col("v"), j)), 6)
+                for j in range(4)
+            ]
+        )
+        for i in range(4)
+    ]
+    score = maxes[0] + maxes[1] + maxes[2] + maxes[3]
+    scored = (
+        F.broadcast(probes)
+        .join(vecs, F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("cand_id"), score.alias("maxsim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("maxsim").desc(), "cand_id")
+    return scored.select("*", F.row_number().over(w).alias("rank")).where(
+        F.col("rank") <= 10
+    )
