@@ -196,43 +196,56 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         WITH {PARTSUPP_CTE}, {_EUR_SQL},
         grouped AS (
             SELECT ps_partkey,
-                   SUM(ps_supplycost_cents * ps_availqty) AS value_cents
+                   CAST(SUM(ps_supplycost_cents * ps_availqty) AS DECIMAL(38,0))
+                       AS value_cents
             FROM partsupp
             JOIN eursupp ON ps_suppkey = s_suppkey
             GROUP BY ps_partkey
         ),
-        total AS (SELECT SUM(value_cents) AS tot FROM grouped)
+        total AS (
+            SELECT CAST(SUM(value_cents) AS DECIMAL(38,0)) AS tot,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM grouped
+        )
         SELECT ps_partkey,
                CAST(value_cents AS DOUBLE) / 100 AS part_value
         FROM grouped, total
-        WHERE 1000 * value_cents > tot
+        WHERE value_cents * n_parts > 2 * tot
     """,
     tags=("L-q11",),
 )
 def tpch_q11_part_value(spark, sf_dir):
     """Q11 adapted: inventory value (cost x availqty) held by EUROPE
-    suppliers per part, keeping parts above 0.1% of the regional total
-    (the original's GERMANY nation filter widened to a region so the
-    sf0.001 fixture, whose 10 suppliers leave some nations empty, still
-    selects rows).  The HAVING threshold compares exact integers —
-    ``1000*value > total`` — not a float fraction.  One shuffle for the
-    per-part aggregate; the grand total is a 1-row broadcast."""
+    suppliers per part, keeping parts above 2x the MEAN part value —
+    TPC-H's fixed 0.01%% fraction is defined relative to SF (the spec
+    divides it by SF precisely so the result set stays populated as
+    data grows); a mean-relative threshold is the scale-free
+    equivalent and selects rows at every fixture SF.  The original's
+    GERMANY nation filter widens to a region so the sf0.001 fixture,
+    whose 10 suppliers leave some nations empty, still matches.  The
+    HAVING threshold compares exact DECIMAL(38,0) integers —
+    ``value*n_parts > 2*total`` — never a float fraction.  One shuffle
+    for the per-part aggregate; the grand total is a 1-row
+    broadcast."""
     ps = derived_partsupp(spark, sf_dir)
     eur = _eur_suppliers(spark, sf_dir).select("s_suppkey")
     grouped = (
         ps.join(F.broadcast(eur), ps.ps_suppkey == eur.s_suppkey)
         .groupBy("ps_partkey")
         .agg(
-            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias(
-                "value_cents"
-            )
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+            .cast("decimal(38,0)")
+            .alias("value_cents")
         )
         .persist()  # feeds both the grand total and the HAVING filter
     )
-    total = grouped.agg(F.sum("value_cents").alias("tot"))
+    total = grouped.agg(
+        F.sum("value_cents").cast("decimal(38,0)").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
     return (
         grouped.crossJoin(F.broadcast(total))
-        .where(F.lit(1000) * F.col("value_cents") > F.col("tot"))
+        .where(F.col("value_cents") * F.col("n_parts") > 2 * F.col("tot"))
         .select(
             "ps_partkey",
             (F.col("value_cents").cast("double") / 100).alias("part_value"),

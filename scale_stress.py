@@ -316,6 +316,54 @@ def measure_banded_prefix(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_rank_map(spark, sf_dir: str) -> dict:
+    """Scale-equivalence of the banded average-rank map (the Spearman
+    core, round 8): the doubled tie-average ranks over distinct order
+    totals computed via banded_running must be IDENTICAL to the
+    unpartitioned-Window parent at every scale, and the walls show the
+    crossover as the distinct-value frame grows."""
+    from pyspark.sql import Window
+
+    from etl_builder_spark.operators.stats_rank import _avg2_rank_map
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.col("o_totalprice").alias("x")
+    )
+    n_rows = o.count()
+
+    def parent():
+        per = o.groupBy(F.col("x").alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        m = per.select(
+            "v", (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias("avg2")
+        )
+        return m.agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.sum(F.col("avg2").cast("decimal(38,0)")).alias("chk"),
+        ).first()
+
+    def banded():
+        m = _avg2_rank_map(o, "x")
+        return m.agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.sum(F.col("avg2").cast("decimal(38,0)")).alias("chk"),
+        ).first()
+
+    (p, secs_parent) = timed(parent)
+    spark.catalog.clearCache()
+    (b, secs_banded) = timed(banded)
+    spark.catalog.clearCache()
+    return {
+        "n_input": n_rows,
+        "candidates": int(p["n_vals"]),  # distinct-value frame size
+        "identical": tuple(p) == tuple(b),
+        "seconds": secs_banded,
+        "seconds_parent": secs_parent,
+    }
+
+
 FAMILIES = {
     "minhash_banding": measure_minhash,
     "sign_lsh": measure_sign_lsh,
@@ -323,6 +371,7 @@ FAMILIES = {
     "ivf_pruning": measure_ivf,
     "semantic_blocks": measure_semantic_blocks,
     "banded_prefix": measure_banded_prefix,
+    "rank_map": measure_rank_map,
 }
 
 
