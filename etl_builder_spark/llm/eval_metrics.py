@@ -1648,3 +1648,106 @@ def ml_decision_stump_scan(spark, sf_dir):
         .otherwise(gini)
         .alias("gini_split"),
     )
+
+
+#: distance thresholds for the PR grid — the label-0 centroid distances
+#: concentrate near 1.0 on the fixture (probed at sf0.01), so the grid
+#: brackets that mass; counts at each threshold are exact either way.
+PR_THRESHOLDS = (0.95, 0.97, 0.99, 1.01, 1.03, 1.05)
+
+
+@register(
+    "ml_pr_threshold_grid",
+    oracle=f"""
+        WITH cent AS (
+            SELECT i AS pos,
+                   ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9)
+                                       AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6) AS cv
+            FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
+            WHERE label = 0
+            GROUP BY i
+        ),
+        clist AS (SELECT list(cv ORDER BY pos) AS c FROM cent),
+        scored AS (
+            SELECT e.label = 0 AS is_pos,
+                   ROUND(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, {EMB_DIM + 1}),
+                               i -> (CAST(e.embedding[i] AS DOUBLE) - cl.c[i])
+                                    * (CAST(e.embedding[i] AS DOUBLE) - cl.c[i]))),
+                       (a, b) -> a + b), 9) AS d9
+            FROM embeddings e CROSS JOIN clist cl
+        ),
+        grid AS (SELECT unnest([{", ".join(str(t) for t in PR_THRESHOLDS)}]) AS thr)
+        SELECT thr,
+               CAST(SUM(CASE WHEN d9 <= thr AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN d9 <= thr AND NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN d9 > thr AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CASE WHEN SUM(CASE WHEN d9 <= thr THEN 1 ELSE 0 END) = 0 THEN 0.0
+                    ELSE SUM(CASE WHEN d9 <= thr AND is_pos THEN 1 ELSE 0 END)
+                         / CAST(SUM(CASE WHEN d9 <= thr THEN 1 ELSE 0 END) AS DOUBLE)
+               END AS precision_,
+               SUM(CASE WHEN d9 <= thr AND is_pos THEN 1 ELSE 0 END)
+                   / CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE) AS recall_
+        FROM scored CROSS JOIN grid
+        GROUP BY thr
+    """,
+    tags=("ML-eval",),
+)
+def ml_pr_threshold_grid(spark, sf_dir):
+    """Precision/recall across a distance-threshold grid for the
+    "belongs to label 0" detector (distance to the label-0 centroid ≤
+    t) — the operating-point sweep behind every PR curve, computed the
+    ml_decision_stump_scan way: the grid multiplies rows only inside
+    map-side combine, so the corpus is scored once and the shuffle
+    carries |grid| groups of three counters.  Distances follow the
+    ml_confusion_matrix determinism (9-dp rounded fold over 6-dp
+    centroids); P and R are single divisions of exact counts,
+    zero-guarded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_vec = (
+        e.where(F.col("label") == 0)
+        .select(F.posexplode(_dbl()).alias("pos0", "x"))
+        .groupBy("pos0")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("x"), 9).cast("decimal(20,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cv")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "cv"))), lambda s: s["cv"]
+            ).alias("c")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(_dbl(), F.col("c"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(cent_vec)).select(
+        (F.col("label") == 0).alias("is_pos"), F.round(d2, 9).alias("d9")
+    )
+    grid = spark.createDataFrame([(t,) for t in PR_THRESHOLDS], "thr double")
+    hit = F.col("d9") <= F.col("thr")
+    agg = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(hit & F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("tp"),
+            F.sum(F.when(hit & ~F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("fp"),
+            F.sum(F.when(~hit & F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("fn"),
+        )
+    )
+    return agg.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0))
+        .otherwise(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"))
+        .alias("precision_"),
+        (F.col("tp") / (F.col("tp") + F.col("fn")).cast("double")).alias("recall_"),
+    )

@@ -1153,3 +1153,91 @@ def multimodal_audio_vad_energy(spark, sf_dir):
         work,
         "asset_id long, n_frames long, n_voiced long, max_energy long, min_energy long",
     )
+
+
+@register(
+    "multimodal_shot_boundaries",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 8 + 6 AS n_frames,
+                   doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h
+            FROM documents WHERE doc_id < 250
+        ),
+        fsums AS (
+            SELECT doc_id, n_frames, f.i AS f,
+                   (SELECT SUM((doc_id * 13 + (f.i // 3) * 50 + r.i * 31
+                                + c.i * 17 + ch.i * 97) % 256)
+                    FROM unnest(range(0, h)) AS r(i),
+                         unnest(range(0, w)) AS c(i),
+                         unnest(range(0, 3)) AS ch(i)) AS fsum
+            FROM base, unnest(range(0, n_frames)) AS f(i)
+        ),
+        deltas AS (
+            SELECT doc_id, n_frames, f, fsum,
+                   ABS(fsum - LAG(fsum) OVER (PARTITION BY doc_id ORDER BY f))
+                       AS delta
+            FROM fsums
+        )
+        SELECT doc_id AS asset_id,
+               CAST(MIN(n_frames) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN delta > 400 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boundaries,
+               CAST(MIN(CASE WHEN delta > 400 THEN f END) AS BIGINT)
+                   AS first_boundary
+        FROM deltas GROUP BY doc_id
+    """,
+    tags=("I-video",),
+)
+def multimodal_shot_boundaries(spark, sf_dir):
+    """Shot-boundary detection through the real image codec: each
+    asset's frames are gradient patterns whose base intensity jumps
+    every 3 frames (shot(f) = f div 3 enters the pixel formula), every
+    frame is PPM-encoded and decoded back, and a boundary fires where
+    the absolute frame-sum delta exceeds a fixed threshold — the
+    integer-exact skeleton of histogram-delta shot detection every
+    video curation pipeline runs before keyframe extraction.  Frame
+    sums are exact integers through the codec round trip (oracle
+    recomputes them symbolically); the lag/delta runs in a per-asset
+    window.
+
+    100 TB posture: frames decode per asset inside Arrow batches;
+    the only shuffle is the per-asset window over frame-count-sized
+    partitions (≤13 rows each)."""
+    from pyspark.sql import Window
+
+    from etl_builder_spark.llm.codecs import decode_ppm, encode_ppm
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 250).select("doc_id")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, sums = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf, w, h = did % 8 + 6, did % 5 + 4, did % 3 + 3
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                for f in range(nf):
+                    px = ((did * 13 + (f // 3) * 50 + r * 31 + c * 17 + ch * 97) % 256).astype(
+                        np.uint8
+                    )
+                    dec = decode_ppm(encode_ppm(px)).astype(np.int64)
+                    ids.append(did)
+                    frames.append(f)
+                    sums.append(int(dec.sum()))
+            yield pd.DataFrame({"doc_id": ids, "f": frames, "fsum": sums})
+
+    fs = d.mapInPandas(work, "doc_id long, f long, fsum long")
+    w = Window.partitionBy("doc_id").orderBy("f")
+    deltas = fs.select(
+        "doc_id",
+        "f",
+        F.abs(F.col("fsum") - F.lag("fsum").over(w)).alias("delta"),
+    )
+    return deltas.groupBy(F.col("doc_id").alias("asset_id")).agg(
+        (F.max("f") + 1).cast("bigint").alias("n_frames"),
+        F.sum(F.when(F.col("delta") > 400, 1).otherwise(0)).cast("bigint").alias("n_boundaries"),
+        F.min(F.when(F.col("delta") > 400, F.col("f"))).cast("bigint").alias("first_boundary"),
+    )

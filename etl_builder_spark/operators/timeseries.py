@@ -1987,3 +1987,63 @@ def ts_seasonal_naive_backtest(spark, sf_dir):
         ).alias("wape"),
         (F.sum(sq_err).cast("double") / F.count(F.lit(1))).alias("mse"),
     )
+
+
+@register(
+    "ts_business_days_diff",
+    oracle="""
+        WITH f AS (
+            SELECT DATE_TRUNC('month', l_shipdate) AS ship_month,
+                   (5 * (datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) // 7)
+                    + LEAST(datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) % 7, 5))
+                   - (5 * (datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) // 7)
+                      + LEAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) % 7, 5))
+                   AS bdays
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= o_orderdate
+        )
+        SELECT CAST(ship_month AS DATE) AS ship_month,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(bdays) AS BIGINT) AS total_bdays,
+               CAST(SUM(bdays) AS DOUBLE) / COUNT(*) AS avg_bdays,
+               CAST(MIN(bdays) AS BIGINT) AS min_bdays,
+               CAST(MAX(bdays) AS BIGINT) AS max_bdays
+        FROM f GROUP BY 1
+    """,
+    tags=("TS-calendar",),
+)
+def ts_business_days_diff(spark, sf_dir):
+    """Order-to-ship lead time in BUSINESS days per ship month — the
+    SLA metric logistics dashboards actually want, computed with the
+    closed-form weekday counter f(d) = 5·(days//7) + min(days%7, 5)
+    anchored on a known Monday (1990-01-01, before every corpus date, so the integer division never sees a negative and truncation == floor on both engines), so the business-day count
+    between two dates is f(d2) − f(d1): pure integer arithmetic, no
+    calendar table, no per-day explosion — O(1) per row at any scale.
+    Aggregates are exact integer sums; the mean is one IEEE division."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    def wd(d):
+        days = F.datediff(d.cast("date"), F.lit("1990-01-01").cast("date"))
+        return 5 * F.floor(days / 7).cast("long") + F.least(
+            F.pmod(days, F.lit(7)).cast("long"), F.lit(5).cast("long")
+        )
+
+    j = l.join(o, l.l_orderkey == o.o_orderkey).where(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    bdays = wd(F.col("l_shipdate")) - wd(F.col("o_orderdate"))
+    return (
+        j.select(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("ship_month"),
+            bdays.alias("bdays"),
+        )
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("bdays").cast("bigint").alias("total_bdays"),
+            (F.sum("bdays").cast("double") / F.count(F.lit(1))).alias("avg_bdays"),
+            F.min("bdays").cast("bigint").alias("min_bdays"),
+            F.max("bdays").cast("bigint").alias("max_bdays"),
+        )
+    )

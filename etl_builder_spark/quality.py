@@ -935,3 +935,99 @@ def dq_k_anonymity(spark, sf_dir):
             F.sum(risky).cast("double") / F.sum("class_size"), 6
         ).alias("risky_row_share"),
     )
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle="""
+        WITH q AS (
+            SELECT o_orderpriority AS grp,
+                   ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+                   ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3
+            FROM orders GROUP BY 1
+        )
+        SELECT o.o_orderpriority AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(q.q1) AS q1, MIN(q.q3) AS q3,
+               CAST(SUM(CASE WHEN o.o_totalprice
+                                  < q.q1 - 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN o.o_totalprice
+                                  > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high
+        FROM orders o JOIN q ON o.o_orderpriority = q.grp
+        GROUP BY 1
+    """,
+    tags=("DQ-outlier",),
+)
+def dq_outlier_iqr(spark, sf_dir):
+    """Tukey-fence outlier census per priority class: quartiles via the
+    interpolated-percentile parity the D10 key verifies every round,
+    fences q1 − 1.5·IQR / q3 + 1.5·IQR as fixed float expressions of
+    the 6-dp-rounded quartiles, counted against the exact 2-dp totals.
+    Two passes — a 5-row quantile aggregate broadcast back over one
+    more scan — the standard distributed outlier monitor."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        o.join(F.broadcast(q), o.o_orderpriority == q.grp)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+            F.sum(F.when(F.col("o_totalprice") < lo, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(F.col("o_totalprice") > hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+    )
+
+
+@register(
+    "dq_table_fingerprint",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(CAST(SUM(CAST(concat('0x', substr(md5(concat_ws('|',
+                        o_orderkey, o_custkey, o_orderstatus,
+                        CAST(o_totalprice AS DECIMAL(18,2)),
+                        CAST(o_orderdate AS DATE),
+                        o_orderpriority)), 1, 8)) AS BIGINT))
+                    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+        FROM orders
+    """,
+    tags=("DQ-integrity",),
+)
+def dq_table_fingerprint(spark, sf_dir):
+    """Order-free content fingerprint of the orders table: each row
+    serializes to a canonical string (BIGINT keys, DECIMAL(18,2)
+    money, DATE-cast timestamp — formats verified byte-identical
+    across engines), hashes to the first 32 md5 bits, and the
+    fingerprint is the exact DECIMAL sum of the row hashes — identical
+    under any partitioning, any row order, any engine.  The
+    cross-system integrity check replication/migration pipelines run:
+    compare one number per table per side; a single changed row moves
+    it.  One scan, one 1-row reduction; at 100 TB the same expression
+    runs per partition and the partial sums add exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        F.col("o_orderdate").cast("date"),
+        F.col("o_orderpriority"),
+    )
+    h32 = F.conv(F.substring(F.md5(row), 1, 8), 16, 10).cast("long")
+    return o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h32.cast("decimal(38,0)")).cast("string").alias("fingerprint"),
+    )
