@@ -1995,9 +1995,9 @@ def ts_seasonal_naive_backtest(spark, sf_dir):
         WITH f AS (
             SELECT DATE_TRUNC('month', l_shipdate) AS ship_month,
                    (5 * (datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) // 7)
-                    + LEAST(datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) % 7, 5))
+                    + LEAST(datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) % 7, 4))
                    - (5 * (datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) // 7)
-                      + LEAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) % 7, 5))
+                      + LEAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) % 7, 4))
                    AS bdays
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= o_orderdate
@@ -2015,7 +2015,7 @@ def ts_seasonal_naive_backtest(spark, sf_dir):
 def ts_business_days_diff(spark, sf_dir):
     """Order-to-ship lead time in BUSINESS days per ship month — the
     SLA metric logistics dashboards actually want, computed with the
-    closed-form weekday counter f(d) = 5·(days//7) + min(days%7, 5)
+    closed-form weekday counter f(d) = 5·(days//7) + min(days%7, 4) (Monday-anchored, so the partial week contributes at most Tue-Fri = 4 weekdays beyond the full weeks)
     anchored on a known Monday (1990-01-01, before every corpus date, so the integer division never sees a negative and truncation == floor on both engines), so the business-day count
     between two dates is f(d2) − f(d1): pure integer arithmetic, no
     calendar table, no per-day explosion — O(1) per row at any scale.
@@ -2026,7 +2026,7 @@ def ts_business_days_diff(spark, sf_dir):
     def wd(d):
         days = F.datediff(d.cast("date"), F.lit("1990-01-01").cast("date"))
         return 5 * F.floor(days / 7).cast("long") + F.least(
-            F.pmod(days, F.lit(7)).cast("long"), F.lit(5).cast("long")
+            F.pmod(days, F.lit(7)).cast("long"), F.lit(4).cast("long")
         )
 
     j = l.join(o, l.l_orderkey == o.o_orderkey).where(

@@ -298,3 +298,56 @@ def test_derived_partsupp_invariants(spark):
     again = derived_partsupp(spark, SF_DIR)
     assert ps.exceptAll(again).count() == 0 and again.exceptAll(ps).count() == 0
     ps.unpersist()
+
+
+def test_table_fingerprint_detects_single_row_change(spark):
+    """dq_table_fingerprint's reason to exist: the same rows in any
+    order fingerprint identically; one changed cell moves it."""
+    from pyspark.sql import functions as F
+
+    from etl_builder_spark.quality import dq_table_fingerprint
+    from etl_builder_spark.session import load_table
+
+    base = dq_table_fingerprint(spark, SF_DIR).first()
+
+    o = load_table(spark, SF_DIR, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        F.col("o_orderdate").cast("date"),
+        F.col("o_orderpriority"),
+    )
+    h32 = F.conv(F.substring(F.md5(row), 1, 8), 16, 10).cast("long")
+
+    # shuffled row order -> identical fingerprint
+    shuffled = (
+        o.repartition(7)
+        .agg(F.sum(h32.cast("decimal(38,0)")).cast("string").alias("fp"))
+        .first()["fp"]
+    )
+    assert shuffled == base["fingerprint"]
+
+    # one mutated cell -> different fingerprint
+    mutated = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 0.01).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    row_m = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        F.col("o_orderdate").cast("date"),
+        F.col("o_orderpriority"),
+    )
+    h32_m = F.conv(F.substring(F.md5(row_m), 1, 8), 16, 10).cast("long")
+    fp_m = mutated.agg(
+        F.sum(h32_m.cast("decimal(38,0)")).cast("string").alias("fp")
+    ).first()["fp"]
+    assert fp_m != base["fingerprint"]

@@ -740,3 +740,25 @@ def test_pagerank_scale_form_shuffled_join(spark):
         map(tuple, REGISTRY["graph_pagerank_fixed"].fn(spark, SF_DIR).collect())
     )
     assert rows_scale == rows_decl
+
+
+def test_partsupp_queries_scan_shapes(spark):
+    """Round-8 partsupp suite: the derived table is shuffle-free to
+    build (projection x broadcast literals), Q20 touches lineitem
+    exactly once, and Spearman/Kendall read lineitem once via their
+    persisted shared frames."""
+    from etl_builder_spark.operators.tpch_partsupp import derived_partsupp
+    from etl_builder_spark.plans.audit import plan_digest
+
+    d = plan_digest(derived_partsupp(spark, SF_DIR))
+    # the only exchange is the 1-row supplier-count reduction
+    assert d["n_exchanges"] <= 1, d
+    assert d["scans"] == {"part.parquet": 1, "supplier.parquet": 1}, d
+
+    d20 = plan_digest(REGISTRY["tpch_q20_potential_promotion"].fn(spark, SF_DIR))
+    assert d20["scans"].get("lineitem.parquet", 0) == 1, d20
+
+    for key in ("stats_spearman_rho", "stats_kendall_tau_binned"):
+        dk = plan_digest(REGISTRY[key].fn(spark, SF_DIR))
+        assert dk["scans"].get("lineitem.parquet", 0) == 1, (key, dk)
+        assert dk["forbidden"] == [], (key, dk)

@@ -1358,3 +1358,25 @@ def test_kendall_grid_counts_match_pairwise_bruteforce(spark, pairs):
             elif (x1 - x2) * (y1 - y2) < 0:
                 want_d += 1
     assert (got_c, got_d) == (want_c, want_d)
+
+
+@given(st.integers(0, 4000), st.integers(0, 4000))
+@settings(max_examples=50, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_business_day_formula_matches_bruteforce(spark, d1, d2):
+    """The closed-form weekday counter behind ts_business_days_diff:
+    f(b) - f(a) must equal the literal count of Mon-Fri dates in
+    (a, b] for any date pair after the 1990-01-01 Monday anchor."""
+    if d1 > d2:
+        d1, d2 = d2, d1
+
+    def f(days: int) -> int:
+        return 5 * (days // 7) + min(days % 7, 4)
+
+    got = f(d2) - f(d1)
+    anchor = datetime(1990, 1, 1)  # a Monday
+    want = sum(
+        1
+        for k in range(d1 + 1, d2 + 1)
+        if (anchor + timedelta(days=k)).weekday() < 5
+    )
+    assert got == want, (d1, d2, got, want)
