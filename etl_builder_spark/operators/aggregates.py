@@ -1500,3 +1500,80 @@ def ml_item_cf_cosine(spark, sf_dir):
         .orderBy(F.col("sim").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+        WITH firm AS (
+            SELECT n.n_name AS market, o.o_custkey AS firm,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS rev
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT market, CAST(SUM(rev) AS DECIMAL(18,2)) AS total_rev,
+                   CAST(COUNT(*) AS BIGINT) AS n_firms
+            FROM firm GROUP BY market
+        )
+        SELECT f.market, MIN(t.n_firms) AS n_firms,
+               CAST(MIN(t.total_rev) AS DOUBLE) AS total_rev,
+               CAST(SUM(CAST(ROUND(
+                   (CAST(f.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE))
+                   * (CAST(f.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE)), 12)
+                   AS DECIMAL(18,12))) AS DOUBLE) AS hhi,
+               1.0 / CAST(SUM(CAST(ROUND(
+                   (CAST(f.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE))
+                   * (CAST(f.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE)), 12)
+                   AS DECIMAL(18,12))) AS DOUBLE) AS effective_n
+        FROM firm f JOIN tot t ON f.market = t.market
+        GROUP BY f.market
+    """,
+    tags=("D-concentration",),
+)
+def agg_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman market concentration per nation: treating
+    each customer as a firm, HHI = Σ share_i² with per-firm squared
+    shares ROUND(·,12)-ed into DECIMAL before the cross-firm sum
+    (round-then-decimal at magnitude ≤ 1, policy §7.2 — squared shares
+    are where 12-dp rounding is far above double ULP, whereas summing
+    Σrev² directly would push the decimal past the 15-significant-
+    digit range where DuckDB's wide-decimal→double cast stops being
+    correctly rounded — measured, 1 ULP at 18 digits).  Effective firm
+    count 1/HHI alongside.  Scale shape: (market, firm) revenue
+    aggregate, 25-row broadcast totals joined back, one more map-side-
+    combined rollup — order-free at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    firm = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("market"), F.col("o_custkey").alias("firm"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+        .persist()  # feeds the totals and the share rollup
+    )
+    tot = firm.groupBy(F.col("market").alias("m")).agg(
+        F.sum("rev").cast("decimal(18,2)").alias("total_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_firms"),
+    )
+    share = F.col("rev").cast("double") / F.col("total_rev").cast("double")
+    sq12 = F.round(share * share, 12).cast("decimal(18,12)")
+    hhi = F.sum(sq12).cast("double")
+    return (
+        firm.join(F.broadcast(tot), firm.market == tot.m)
+        .groupBy("market")
+        .agg(
+            F.min("n_firms").alias("n_firms"),
+            F.min("total_rev").cast("double").alias("total_rev"),
+            hhi.alias("hhi"),
+            (F.lit(1.0) / hhi).alias("effective_n"),
+        )
+    )

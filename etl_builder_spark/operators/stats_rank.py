@@ -301,3 +301,90 @@ def stats_anova_oneway(spark, sf_dir):
         ssw.alias("ss_within"),
         F.round((ssb / F.lit(4)) / (ssw / (F.col("nt") - 5)), 6).alias("f_stat"),
     )
+
+
+def _levene_oracle() -> str:
+    conds = [
+        (
+            f"CAST(SUM(CASE WHEN grp = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS n{i}",
+            f"CAST(SUM(CASE WHEN grp = '{p}' THEN z ELSE CAST(0 AS DECIMAL(18,6)) END)"
+            f" AS DOUBLE) AS s{i}",
+        )
+        for i, p in enumerate(_PRIORITIES)
+    ]
+    cols = ",\n                   ".join(c for pair in conds for c in pair)
+    q = " + ".join(f"s{i} * s{i} / n{i}" for i in range(len(_PRIORITIES)))
+    s_tot = " + ".join(f"s{i}" for i in range(len(_PRIORITIES)))
+    return f"""
+        WITH med AS (
+            SELECT o_orderpriority AS grp,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 6) AS md
+            FROM orders GROUP BY 1
+        ),
+        zf AS (
+            SELECT o.o_orderpriority AS grp,
+                   CAST(ROUND(ABS(o.o_totalprice - m.md), 6) AS DECIMAL(18,6)) AS z
+            FROM orders o JOIN med m ON o.o_orderpriority = m.grp
+        ),
+        g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+                   CAST(SUM(CAST(z AS DECIMAL(28,6)) * z) AS DOUBLE) AS szz,
+                   {cols}
+            FROM zf
+        )
+        SELECT 5 AS n_groups, nt AS n_rows,
+               ROUND(((({q}) - ({s_tot}) * ({s_tot}) / nt) / 4)
+                     / ((szz - ({q})) / (nt - 5)), 6) AS w_stat
+        FROM g
+    """
+
+
+@register("stats_levene_brownforsythe", oracle=_levene_oracle(), tags=("STATS-anova",))
+def stats_levene_brownforsythe(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test (Levene with median
+    centers) for order totals across the five priority classes — the
+    companion check run before trusting the ANOVA F.  Per-group
+    medians use the D10 interpolated-percentile parity; the absolute
+    deviations are ROUND(·,6) into DECIMAL(18,6) so every cross-row
+    accumulation (Σz, Σz² via exact decimal products) is order-free;
+    the W statistic then reuses the stats_anova_oneway
+    pivot-to-columns discipline — one fixed left-assoc float
+    expression, no float aggregation anywhere.  Two scans: the 5-row
+    median frame broadcast back over the data."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("md")
+    )
+    zf = o.join(F.broadcast(med), o.o_orderpriority == med.grp).select(
+        "grp",
+        F.round(F.abs(F.col("o_totalprice") - F.col("md")), 6)
+        .cast("decimal(18,6)")
+        .alias("z"),
+    )
+    zdec = F.col("z").cast("decimal(18,6)")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum(zdec * F.col("z")).cast("double").alias("szz"),
+    ]
+    for i, p in enumerate(_PRIORITIES):
+        hit = F.col("grp") == p
+        aggs.append(F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(hit, F.col("z")).otherwise(F.lit(0).cast("decimal(18,6)")))
+            .cast("double")
+            .alias(f"s{i}")
+        )
+    g = zf.agg(*aggs)
+    q = None
+    s_tot = None
+    for i in range(len(_PRIORITIES)):
+        term = F.col(f"s{i}") * F.col(f"s{i}") / F.col(f"n{i}")
+        q = term if q is None else q + term
+        s_tot = F.col(f"s{i}") if s_tot is None else s_tot + F.col(f"s{i}")
+    ssb = q - s_tot * s_tot / F.col("nt")
+    ssw = F.col("szz") - q
+    return g.select(
+        F.lit(5).alias("n_groups"),
+        F.col("nt").alias("n_rows"),
+        F.round((ssb / F.lit(4)) / (ssw / (F.col("nt") - 5)), 6).alias("w_stat"),
+    )

@@ -10,6 +10,13 @@ so cross-engine float nondeterminism must be engineered away:
 - An exact DECIMAL cast to DOUBLE rounds to nearest on both engines →
   bit-identical doubles. So the pattern for aggregates is:
   ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`` on BOTH sides.
+  CAVEAT (measured, round 8): this holds only while the decimal VALUE
+  has ≲15 significant digits.  DuckDB's wide-decimal→double cast is
+  not correctly rounded (1 ULP off Spark/BigDecimal at 18 digits,
+  e.g. DECIMAL(38,4) '22690438304264.0110').  Sums of money stay well
+  under the limit; sums of SQUARES do not — keep squared-magnitude
+  accumulations in ratio space (round-then-decimal on shares, the
+  agg_hhi_concentration pattern) instead of casting a Σx² decimal.
 - Averages: decimal-sum → double, divided by the BIGINT count — an
   identical IEEE division on both engines. No rounding needed.
 - Genuinely float-accumulating results (correlations over floats,
