@@ -959,3 +959,179 @@ def dedup_token_sort(spark, sf_dir):
         .where(F.col("n_copies") > 1)
         .drop("sort_key")
     )
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 200
+        ),
+        everything AS (
+            SELECT * FROM base
+            UNION ALL
+            SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+                   array_to_string(
+                       string_split(text, ' ')[1:greatest(len(string_split(text,' '))-2,1)],
+                       ' ') AS text
+            FROM base
+        ),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM everything),
+        shingles AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS sh
+            FROM toks, unnest(generate_series(0, len(toks)-3)) AS g(i)
+            WHERE len(toks) >= 3
+        ),
+        sh_hash AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split_regex(sh, ''), c -> c <> ''),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % {_P}) AS h
+            FROM shingles
+        ),
+        perms(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS))}),
+        sig AS (
+            SELECT doc_id, i, MIN((a * h + b) % {_P}) AS minh
+            FROM sh_hash CROSS JOIN perms
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   SUM((minh * CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                                          WHEN 2 THEN 961 ELSE 29791 END) % {_P})
+                       % {_P} AS bh
+            FROM sig GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                        AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        eq AS (
+            SELECT c.id_a, c.id_b,
+                   CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_eq
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+            GROUP BY 1, 2
+        ),
+        ssize AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingles GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS ni
+            FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT e.id_a, e.id_b, e.n_eq,
+               e.n_eq / 16.0 AS est_jaccard,
+               COALESCE(i.ni, 0) / CAST(za.sz + zb.sz - COALESCE(i.ni, 0) AS DOUBLE)
+                   AS exact_jaccard,
+               ROUND(ABS(e.n_eq / 16.0
+                         - COALESCE(i.ni, 0)
+                           / CAST(za.sz + zb.sz - COALESCE(i.ni, 0) AS DOUBLE)), 6)
+                   AS abs_error
+        FROM eq e
+        JOIN ssize za ON za.doc_id = e.id_a
+        JOIN ssize zb ON zb.doc_id = e.id_b
+        LEFT JOIN inter i ON i.ia = e.id_a AND i.ib = e.id_b
+    """,
+    tags=("I5-eval",),
+)
+def dedup_minhash_estimate_error(spark, sf_dir):
+    """MinHash estimator quality, measured in-engine: for every
+    band-collision candidate pair, the 16-component signature-match
+    Jaccard ESTIMATE next to the EXACT shingle-set Jaccard (inverted-
+    index intersection — never all-pairs) and their absolute error —
+    the sketch-accuracy audit a dedup pipeline runs before picking its
+    banding thresholds.  Shares the pinned-permutation signature
+    pipeline with dedup_minhash_exact, so both columns are fully
+    deterministic; the error is one fixed float expression of exact
+    integers.
+
+    100 TB posture: candidates only from band buckets, intersections
+    only through the shared-shingle equi-join restricted to those
+    pairs — the audit costs what the dedup itself costs."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    planted = d.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 2, F.lit(1))
+            ),
+            " ",
+        ).alias("text"),
+    )
+    everything = d.unionByName(planted).persist()
+    sig, bands = _minhash_sig_bands(everything)
+    toks = everything.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - F.lit(3)),
+        lambda i: F.array_join(F.slice("toks", i + 1, 3), " "),
+    )
+    shingles = (
+        toks.where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(grams).alias("sh"))
+        .distinct()
+        .persist()
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    eq = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("id_b")) & (F.col("sb.i") == F.col("sa.i")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(F.col("sa.minh") == F.col("sb.minh"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_eq")
+        )
+    )
+    ssize = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    xa, xb = shingles.alias("xa"), shingles.alias("xb")
+    inter = (
+        xa.join(
+            xb,
+            (F.col("xa.sh") == F.col("xb.sh"))
+            & (F.col("xa.doc_id") < F.col("xb.doc_id")),
+        )
+        .groupBy(F.col("xa.doc_id").alias("ia"), F.col("xb.doc_id").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    )
+    za = ssize.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    zb = ssize.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    j = (
+        eq.join(F.broadcast(za), F.col("da") == F.col("id_a"))
+        .join(F.broadcast(zb), F.col("db") == F.col("id_b"))
+        .join(
+            inter,
+            (F.col("ia") == F.col("id_a")) & (F.col("ib") == F.col("id_b")),
+            "left",
+        )
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    est = F.col("n_eq") / F.lit(16.0)
+    exact = ni / (F.col("sza") + F.col("szb") - ni).cast("double")
+    return j.select(
+        "id_a",
+        "id_b",
+        "n_eq",
+        est.alias("est_jaccard"),
+        exact.alias("exact_jaccard"),
+        F.round(F.abs(est - exact), 6).alias("abs_error"),
+    )
