@@ -216,3 +216,103 @@ def dedup_cluster_components(spark, sf_dir):
         (F.col("doc_id") + PLANT).alias("src"), (F.col("doc_id") + 2 * PLANT).alias("dst")
     )
     return connected_components_min_label(e1.union(e2))
+
+
+#: DBSCAN fixture geometry: 500 points in blobs of 7 (centers 50/37
+#: apart, integer offsets within a 3x3 patch, so within-blob distances
+#: are <= sqrt(8) < EPS and cross-blob distances are >= 37 >> EPS); the
+#: tail blob holds 500 % 7 = 3 points — below MIN_PTS, so it is noise.
+DBSCAN_N = 500
+DBSCAN_EPS = 3
+DBSCAN_MIN_PTS = 4
+
+
+@register(
+    "ml_dbscan_grid",
+    oracle=f"""
+        SELECT doc_id AS node,
+               (doc_id < {DBSCAN_N - DBSCAN_N % 7}) AS is_core,
+               CASE WHEN doc_id < {DBSCAN_N - DBSCAN_N % 7}
+                    THEN (doc_id // 7) * 7 ELSE -1 END AS cluster
+        FROM documents WHERE doc_id < {DBSCAN_N}
+    """,
+    tags=("ML-cluster",),
+)
+def ml_dbscan_grid(spark, sf_dir):
+    """DBSCAN over grid-bucketed candidates — the density clustering
+    every curation pipeline reaches for when k is unknown: eps-balls
+    via the geo-grid ±1-cell join (cell = eps, provably complete),
+    EXACT integer squared-distance compare, core points by neighbor
+    count (self included), clusters = min-label connected components
+    over the core-core eps-graph, non-core points labeled noise (-1;
+    the planted geometry has no border points).  The fixture plants
+    71 complete 7-point blobs plus a 3-point tail below MIN_PTS, so
+    the oracle states the expected clustering in closed form — hash
+    equality proves candidate generation, core classification and the
+    CC fixpoint end-to-end.
+
+    100 TB posture: candidate pairs are one equi-join on eps-cells
+    (per-cell density bounds the fan-out, hot cells are ordinary join
+    skew); neighbor counts and core filtering are one hash aggregate;
+    the CC loop is the same bounded-diameter min-label fixpoint the
+    dedup clustering ships.  Exactly the composition a distributed
+    DBSCAN paper (MR-DBSCAN) describes."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < DBSCAN_N)
+        .select(F.col("doc_id").alias("node"))
+    )
+    b = F.col("node") - F.pmod(F.col("node"), F.lit(7))  # blob base id
+    i = F.pmod(F.col("node"), F.lit(7))
+    pts = d.select(
+        "node",
+        ((b / 7).cast("long") * 50 + F.pmod(i, F.lit(3))).alias("x"),
+        ((b / 7).cast("long") * 37 + F.pmod(i * 2, F.lit(3))).alias("y"),
+    ).persist()
+    cell = lambda c: F.floor(c / F.lit(DBSCAN_EPS)).cast("long")  # noqa: E731
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    left = pts.select(
+        F.col("node").alias("na"), F.col("x").alias("xa"), F.col("y").alias("ya"),
+        cell(F.col("x")).alias("cxa"), cell(F.col("y")).alias("cya"),
+    )
+    right = (
+        pts.select(
+            F.col("node").alias("nb"), F.col("x").alias("xb"), F.col("y").alias("yb"),
+            cell(F.col("x")).alias("cx0"), cell(F.col("y")).alias("cy0"),
+        )
+        .select("nb", "xb", "yb", "cx0", "cy0", off.alias("dx"))
+        .select("nb", "xb", "yb", (F.col("cx0") + F.col("dx")).alias("cxa"), "cy0", off.alias("dy"))
+        .select("nb", "xb", "yb", "cxa", (F.col("cy0") + F.col("dy")).alias("cya"))
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    nbrs = (
+        left.join(right, ["cxa", "cya"])
+        .where(d2 <= F.lit(DBSCAN_EPS * DBSCAN_EPS))
+        .select("na", "nb")  # includes self-pairs: count = |eps-ball incl. self|
+        .persist()
+    )
+    core = (
+        nbrs.groupBy("na")
+        .agg(F.count(F.lit(1)).alias("n_in_ball"))
+        .where(F.col("n_in_ball") >= DBSCAN_MIN_PTS)
+        .select(F.col("na").alias("cnode"))
+        .persist()
+    )
+    core_a = core.select(F.col("cnode").alias("na"))
+    core_b = core.select(F.col("cnode").alias("nb"))
+    core_edges = (
+        nbrs.join(core_a, "na").join(core_b, "nb")
+        .select(F.col("na").alias("src"), F.col("nb").alias("dst"))
+    )
+    comp = connected_components_min_label(core_edges)
+    return (
+        pts.select("node")
+        .join(comp, pts.node == comp.node, "left")
+        .select(
+            pts.node.alias("node"),
+            F.col("component").isNotNull().alias("is_core"),
+            F.coalesce(F.col("component"), F.lit(-1)).cast("long").alias("cluster"),
+        )
+    )
