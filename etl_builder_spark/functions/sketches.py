@@ -55,3 +55,118 @@ def sketch_hll_users(spark, sf_dir) -> DataFrame:
         F.lit("ALL").alias("event_type"), hll_estimate(F.col("sk")).alias("approx_users")
     )
     return per_type_est.unionByName(merged)
+
+
+#: pinned universal-hash rows for the exact count-min twin: depth 4,
+#: width 64, (a, b) constants shared literally with the oracle (the
+#: dedup_minhash_exact discipline applied to frequency sketching).
+CM_P = 1_000_000_007
+CM_WIDTH = 64
+CM_PERMS: tuple[tuple[int, int], ...] = ((31, 7), (131, 13), (571, 23), (1019, 41))
+
+
+@register(
+    "sketch_count_min_exact",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks WHERE token <> '' GROUP BY token
+        ),
+        hashed AS (
+            SELECT token, n,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split_regex(token, ''), c -> c <> ''),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % {CM_P}) AS h
+            FROM tf
+        ),
+        perms(d, a, b) AS (VALUES {", ".join(f"({d}, {a}, {b})" for d, (a, b) in enumerate(CM_PERMS))}),
+        cells AS (
+            SELECT d, (a * h + b) % {CM_P} % {CM_WIDTH} AS bucket,
+                   CAST(SUM(n) AS BIGINT) AS counter
+            FROM hashed CROSS JOIN perms
+            GROUP BY 1, 2
+        ),
+        top20 AS (
+            SELECT token, n, h FROM (
+                SELECT token, n, h,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
+                FROM hashed) WHERE r <= 20
+        )
+        SELECT t.token, t.n AS true_count,
+               MIN(c.counter) AS cm_estimate,
+               MIN(c.counter) - t.n AS overestimate
+        FROM top20 t
+        JOIN perms p ON TRUE
+        JOIN cells c ON c.d = p.d
+                    AND c.bucket = (p.a * t.h + p.b) % {CM_P} % {CM_WIDTH}
+        GROUP BY t.token, t.n
+    """,
+    tags=("D13-exact",),
+)
+def sketch_count_min_exact(spark, sf_dir):
+    """Count-Min sketching made hash-checkable — the exact twin of the
+    engine-specific count_min_sketch helper (the pinned-PQ-codebook
+    move applied to frequency estimation): a depth-4 x width-64 CM
+    table built RELATIONALLY with pinned universal hashes (counters =
+    one (d, bucket) aggregate over token frequencies), then point
+    queries for the 20 most frequent tokens return min-over-depth
+    counters next to the true counts, so the canonical one-sided
+    overestimate is visible and hash-verified.
+
+    100 TB posture: the sketch build is a fixed 256-cell aggregate
+    with map-side combine (this is WHY CM exists at scale); queries
+    join a 20-row broadcast against those 256 cells.  One corpus
+    tokenization feeds both the true counts and the sketch."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    codes = F.filter(
+        F.transform(F.split("token", ""), lambda c: F.ascii(c).cast("long")),
+        lambda x: x > 0,
+    )
+    h = F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % CM_P)
+    hashed = tf.select("token", "n", h.alias("h")).persist()
+    perms = spark.createDataFrame(
+        [(dd, a, b) for dd, (a, b) in enumerate(CM_PERMS)], "d long, a long, b long"
+    )
+    cells = (
+        hashed.crossJoin(F.broadcast(perms))
+        .groupBy(
+            "d",
+            F.pmod(F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(CM_P)), F.lit(CM_WIDTH)).alias("bucket"),
+        )
+        .agg(F.sum("n").cast("bigint").alias("counter"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "token")
+    top20 = (
+        hashed.select("token", "n", "h", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= 20)
+        .drop("r")
+    )
+    probe = top20.crossJoin(F.broadcast(perms)).select(
+        "token",
+        "n",
+        "d",
+        F.pmod(F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(CM_P)), F.lit(CM_WIDTH)).alias("bucket"),
+    )
+    return (
+        probe.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("token", "n")
+        .agg(F.min("counter").alias("cm_estimate"))
+        .select(
+            "token",
+            F.col("n").alias("true_count"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("n")).alias("overestimate"),
+        )
+    )
