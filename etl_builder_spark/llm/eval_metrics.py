@@ -1751,3 +1751,121 @@ def ml_pr_threshold_grid(spark, sf_dir):
         .alias("precision_"),
         (F.col("tp") / (F.col("tp") + F.col("fn")).cast("double")).alias("recall_"),
     )
+
+
+#: round-1 stump split (quantity <= 25), fixed by design: boosting's
+#: sequential dependence is the point under test; an in-engine argmax
+#: over gains at 1e17 magnitudes would reintroduce the wide-decimal
+#: cast hazard policy.py documents for no analytical benefit.
+GBDT_R1_THR = 25
+
+
+@register(
+    "ml_gbdt_residual_boost",
+    oracle=f"""
+        WITH leaf AS (
+            SELECT CAST(SUM(CASE WHEN l_quantity <= {GBDT_R1_THR}
+                          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                       AS sl,
+                   CAST(SUM(CASE WHEN l_quantity <= {GBDT_R1_THR} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nl,
+                   CAST(SUM(CASE WHEN l_quantity > {GBDT_R1_THR}
+                          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                       AS sr,
+                   CAST(SUM(CASE WHEN l_quantity > {GBDT_R1_THR} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nr
+            FROM lineitem
+        ),
+        resid AS (
+            SELECT l.l_quantity,
+                   CAST(ROUND(l.l_extendedprice
+                              - CASE WHEN l.l_quantity <= {GBDT_R1_THR}
+                                     THEN f.sl / f.nl ELSE f.sr / f.nr END, 4)
+                        AS DECIMAL(18,4)) AS r
+            FROM lineitem l CROSS JOIN leaf f
+        ),
+        grid AS (SELECT thr FROM generate_series(5, 45, 5) t(thr))
+        SELECT CAST(thr AS BIGINT) AS threshold,
+               CAST(SUM(CASE WHEN l_quantity <= thr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nl,
+               CAST(SUM(CASE WHEN l_quantity <= thr THEN r
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_res_l,
+               CAST(SUM(CASE WHEN l_quantity > thr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nr,
+               CAST(SUM(CASE WHEN l_quantity > thr THEN r
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_res_r,
+               ROUND(CAST(SUM(CASE WHEN l_quantity <= thr THEN r
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     * CAST(SUM(CASE WHEN l_quantity <= thr THEN r
+                                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / SUM(CASE WHEN l_quantity <= thr THEN 1 ELSE 0 END)
+                     + CAST(SUM(CASE WHEN l_quantity > thr THEN r
+                                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                       * CAST(SUM(CASE WHEN l_quantity > thr THEN r
+                                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                       / SUM(CASE WHEN l_quantity > thr THEN 1 ELSE 0 END), 4)
+                   AS round2_gain
+        FROM resid CROSS JOIN grid
+        GROUP BY thr
+    """,
+    tags=("ML-boost",),
+)
+def ml_gbdt_residual_boost(spark, sf_dir):
+    """Gradient-boosting mechanics, distributed and exact: round 1
+    fits a fixed regression stump (quantity <= {GBDT_R1_THR} predicts
+    mean price per side — two exact decimal sums, two IEEE divisions);
+    residuals r = y − pred are ROUND(·,4)-ed into DECIMAL so every
+    round-2 accumulation is order-free; round 2 then scores the full
+    threshold grid ON THE RESIDUALS in one conditional aggregate,
+    emitting per-threshold residual sums and the variance-gain proxy
+    (Σr_L)²/n_L + (Σr_R)²/n_R — the sequential fit-on-residuals step
+    that defines boosting, in the histogram-scan shape
+    (ml_decision_stump_scan) that trains GBDTs at scale.
+
+    Two passes over lineitem with a broadcast 1-row leaf model in
+    between — the exact structure of one boosting iteration on a
+    cluster; more rounds chain the same two steps."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    left1 = F.col("l_quantity") <= GBDT_R1_THR
+    zero2 = F.lit(0).cast("decimal(18,2)")
+    leaf = l.agg(
+        F.sum(F.when(left1, y).otherwise(zero2)).cast("double").alias("sl"),
+        F.sum(F.when(left1, 1).otherwise(0)).cast("bigint").alias("nl1"),
+        F.sum(F.when(~left1, y).otherwise(zero2)).cast("double").alias("sr"),
+        F.sum(F.when(~left1, 1).otherwise(0)).cast("bigint").alias("nr1"),
+    )
+    pred = F.when(left1, F.col("sl") / F.col("nl1")).otherwise(
+        F.col("sr") / F.col("nr1")
+    )
+    resid = l.crossJoin(F.broadcast(leaf)).select(
+        "l_quantity",
+        F.round(F.col("l_extendedprice") - pred, 4).cast("decimal(18,4)").alias("r"),
+    )
+    grid = spark.range(1, 10).select((F.col("id") * 5).alias("thr"))
+    hit = F.col("l_quantity") <= F.col("thr")
+    zero4 = F.lit(0).cast("decimal(18,4)")
+    agg = (
+        resid.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("nl"),
+            F.sum(F.when(hit, F.col("r")).otherwise(zero4)).cast("double").alias("sum_res_l"),
+            F.sum(F.when(~hit, 1).otherwise(0)).cast("bigint").alias("nr"),
+            F.sum(F.when(~hit, F.col("r")).otherwise(zero4)).cast("double").alias("sum_res_r"),
+        )
+    )
+    gain = (
+        F.col("sum_res_l") * F.col("sum_res_l") / F.col("nl")
+        + F.col("sum_res_r") * F.col("sum_res_r") / F.col("nr")
+    )
+    return agg.select(
+        F.col("thr").cast("bigint").alias("threshold"),
+        "nl",
+        "sum_res_l",
+        "nr",
+        "sum_res_r",
+        F.round(gain, 4).alias("round2_gain"),
+    )
