@@ -268,8 +268,19 @@ def ml_dbscan_grid(spark, sf_dir):
         "node",
         ((b / 7).cast("long") * 50 + F.pmod(i, F.lit(3))).alias("x"),
         ((b / 7).cast("long") * 37 + F.pmod(i * 2, F.lit(3))).alias("y"),
-    ).persist()
-    cell = lambda c: F.floor(c / F.lit(DBSCAN_EPS)).cast("long")  # noqa: E731
+    )
+    return dbscan_labels(pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
+
+
+def dbscan_labels(pts: DataFrame, eps: int, min_pts: int) -> DataFrame:
+    """Grid-bucketed DBSCAN over a (node, x, y) integer-coordinate
+    frame: returns (node, is_core, cluster) with cluster = min core
+    node id reachable through core-core eps-links, noise = -1, and
+    border points (non-core within eps of a core) labeled with the
+    smallest adjacent core's cluster.  Shared by the declared
+    ml_dbscan_grid key and the brute-force property test."""
+    pts = pts.persist()
+    cell = lambda c: F.floor(c / F.lit(eps)).cast("long")  # noqa: E731
     off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
     left = pts.select(
         F.col("node").alias("na"), F.col("x").alias("xa"), F.col("y").alias("ya"),
@@ -289,30 +300,43 @@ def ml_dbscan_grid(spark, sf_dir):
     ) * (F.col("ya") - F.col("yb"))
     nbrs = (
         left.join(right, ["cxa", "cya"])
-        .where(d2 <= F.lit(DBSCAN_EPS * DBSCAN_EPS))
+        .where(d2 <= F.lit(eps * eps))
         .select("na", "nb")  # includes self-pairs: count = |eps-ball incl. self|
         .persist()
     )
     core = (
         nbrs.groupBy("na")
         .agg(F.count(F.lit(1)).alias("n_in_ball"))
-        .where(F.col("n_in_ball") >= DBSCAN_MIN_PTS)
+        .where(F.col("n_in_ball") >= min_pts)
         .select(F.col("na").alias("cnode"))
         .persist()
     )
     core_a = core.select(F.col("cnode").alias("na"))
     core_b = core.select(F.col("cnode").alias("nb"))
     core_edges = (
-        nbrs.join(core_a, "na").join(core_b, "nb")
+        nbrs.join(core_a, "na")
+        .join(core_b, "nb")
         .select(F.col("na").alias("src"), F.col("nb").alias("dst"))
     )
-    comp = connected_components_min_label(core_edges)
-    return (
+    comp = connected_components_min_label(core_edges).persist()
+    # border assignment: non-core node within eps of a core takes the
+    # smallest adjacent core's cluster (deterministic tiebreak)
+    border = (
+        nbrs.join(core_b, "nb")
+        .join(core_a, "na", "left_anti")  # na is NOT core
+        .join(comp.withColumnRenamed("node", "nb"), "nb")
+        .groupBy("na")
+        .agg(F.min("component").alias("bcluster"))
+    )
+    out = (
         pts.select("node")
-        .join(comp, pts.node == comp.node, "left")
-        .select(
-            pts.node.alias("node"),
-            F.col("component").isNotNull().alias("is_core"),
-            F.coalesce(F.col("component"), F.lit(-1)).cast("long").alias("cluster"),
-        )
+        .join(comp, "node", "left")
+        .join(border.withColumnRenamed("na", "node"), "node", "left")
+    )
+    return out.select(
+        "node",
+        F.col("component").isNotNull().alias("is_core"),
+        F.coalesce(F.col("component"), F.col("bcluster"), F.lit(-1))
+        .cast("long")
+        .alias("cluster"),
     )

@@ -1380,3 +1380,52 @@ def test_business_day_formula_matches_bruteforce(spark, d1, d2):
         if (anchor + timedelta(days=k)).weekday() < 5
     )
     assert got == want, (d1, d2, got, want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=4,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dbscan_grid_matches_bruteforce(spark, coords):
+    """dbscan_labels vs literal DBSCAN on arbitrary integer points:
+    same cores, same min-label clusters, same border assignment, same
+    noise — the grid candidate join must lose nothing."""
+    from etl_builder_spark.llm.cluster import dbscan_labels
+
+    eps, min_pts = 3, 3
+    pts = [(i, x, y) for i, (x, y) in enumerate(coords)]
+    df = spark.createDataFrame(pts, "node long, x long, y long")
+    got = {r["node"]: (r["is_core"], r["cluster"]) for r in dbscan_labels(df, eps, min_pts).collect()}
+
+    def ball(i):
+        xi, yi = coords[i]
+        return [
+            j
+            for j, (xj, yj) in enumerate(coords)
+            if (xi - xj) ** 2 + (yi - yj) ** 2 <= eps * eps
+        ]
+
+    cores = {i for i in range(len(coords)) if len(ball(i)) >= min_pts}
+    # min-label CC over core-core eps edges
+    label = {i: i for i in cores}
+    changed = True
+    while changed:
+        changed = False
+        for i in cores:
+            for j in ball(i):
+                if j in cores and label[j] < label[i]:
+                    label[i] = label[j]
+                    changed = True
+    want = {}
+    for i in range(len(coords)):
+        if i in cores:
+            want[i] = (True, label[i])
+        else:
+            adj = [label[j] for j in ball(i) if j in cores]
+            want[i] = (False, min(adj) if adj else -1)
+    assert got == want, (got, want)
