@@ -170,3 +170,135 @@ def sketch_count_min_exact(spark, sf_dir):
             (F.col("cm_estimate") - F.col("n")).alias("overestimate"),
         )
     )
+
+
+#: Bloom-filter twin geometry: 256 bits, the 4 pinned CM hash rows.
+BLOOM_M = 256
+
+
+@register(
+    "sketch_bloom_exact",
+    oracle=f"""
+        WITH toks AS (
+            SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        corpus AS (SELECT token FROM toks WHERE token <> ''),
+        perms(d, a, b) AS (VALUES {", ".join(f"({d}, {a}, {b})" for d, (a, b) in enumerate(CM_PERMS))}),
+        hashed AS (
+            SELECT token,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split_regex(token, ''), c -> c <> ''),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % {CM_P}) AS h
+            FROM corpus
+        ),
+        bits AS (
+            SELECT DISTINCT d, (a * h + b) % {CM_P} % {BLOOM_M} AS bit
+            FROM hashed CROSS JOIN perms
+        ),
+        probes AS (
+            SELECT token, TRUE AS in_corpus FROM (
+                SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS r
+                FROM corpus) WHERE r <= 10
+            UNION ALL
+            SELECT 'zz_probe_' || CAST(i AS VARCHAR) AS token, FALSE AS in_corpus
+            FROM generate_series(0, 9) t(i)
+        ),
+        phash AS (
+            SELECT token, in_corpus,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split_regex(token, ''), c -> c <> ''),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % {CM_P}) AS h
+            FROM probes
+        ),
+        hits AS (
+            SELECT p.token, p.in_corpus,
+                   CAST(COUNT(bt.bit) AS BIGINT) AS n_set
+            FROM phash p
+            CROSS JOIN perms pe
+            LEFT JOIN bits bt ON bt.d = pe.d
+                             AND bt.bit = (pe.a * p.h + pe.b) % {CM_P} % {BLOOM_M}
+            GROUP BY p.token, p.in_corpus
+        )
+        SELECT token, in_corpus,
+               (n_set = {len(CM_PERMS)}) AS bloom_positive,
+               ((n_set = {len(CM_PERMS)}) AND NOT in_corpus) AS is_false_positive
+        FROM hits
+    """,
+    tags=("D13-exact",),
+)
+def sketch_bloom_exact(spark, sf_dir):
+    """Bloom-filter membership made hash-checkable — the third sketch
+    twin (HLL→exact distinct, CM→pinned counters, and now Bloom): a
+    256-bit filter over the distinct corpus vocabulary built
+    RELATIONALLY (per-depth set bits = one distinct aggregate with the
+    pinned CM hash rows), probed with 10 known-member tokens and 10
+    synthetic non-members; a probe is positive iff all 4 of its bits
+    are set, so true membership, the Bloom verdict, and any false
+    positives are all visible and hash-verified — no-false-negatives
+    is checkable every round on real data.
+
+    100 TB posture: the filter is a ≤1024-row (d, bit) table — the
+    broadcast-able pre-filter big joins use; the build is one distinct
+    aggregate with map-side combine over the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+        .persist()
+    )
+    codes = F.filter(
+        F.transform(F.split("token", ""), lambda c: F.ascii(c).cast("long")),
+        lambda x: x > 0,
+    )
+    h = F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % CM_P)
+    perms = spark.createDataFrame(
+        [(dd, a, b) for dd, (a, b) in enumerate(CM_PERMS)], "d long, a long, b long"
+    )
+    bit = F.pmod(F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(CM_P)), F.lit(BLOOM_M))
+    bits = (
+        corpus.select(h.alias("h"))
+        .crossJoin(F.broadcast(perms))
+        .select("d", bit.alias("bit"))
+        .distinct()
+        .persist()
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("token")
+    members = (
+        corpus.select("token", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= 10)
+        .select("token", F.lit(True).alias("in_corpus"))
+    )
+    synth = spark.range(10).select(
+        F.concat(F.lit("zz_probe_"), F.col("id").cast("string")).alias("token"),
+        F.lit(False).alias("in_corpus"),
+    )
+    probes = members.unionByName(synth).select("token", "in_corpus", h.alias("h"))
+    probe_bits = probes.crossJoin(F.broadcast(perms)).select(
+        "token", "in_corpus", "d", bit.alias("bit")
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), ["d", "bit"], "left_semi")
+        .groupBy("token", "in_corpus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_set"))
+    )
+    all_probes = probes.select("token", "in_corpus")
+    k = len(CM_PERMS)
+    return (
+        all_probes.join(hits.select("token", "n_set"), "token", "left")
+        .select(
+            "token",
+            "in_corpus",
+            (F.coalesce(F.col("n_set"), F.lit(0)) == k).alias("bloom_positive"),
+            (
+                (F.coalesce(F.col("n_set"), F.lit(0)) == k) & ~F.col("in_corpus")
+            ).alias("is_false_positive"),
+        )
+    )

@@ -455,6 +455,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = frozenset({
     "ml_lift_gain_deciles",
     "ml_lift_gain_deciles_bucketed",  # 10-row decile cumulative only
     "ml_rfm_segmentation",
+    "sketch_bloom_exact",  # 10-member probe pick over the vocab frame
     "sketch_count_min_exact",  # top-20 probe pick over the vocab frame
     "stats_ks_two_sample",
     "stats_mannwhitney_u",
