@@ -412,3 +412,71 @@ def fn_hash_codec(spark, sf_dir):
             16,
         ).alias("stable_key"),
     )
+
+
+@register(
+    "fn_ipv4_cidr",
+    oracle="""
+        WITH ips AS (
+            SELECT user_id,
+                   ((user_id * 2654435761) % 4294967296) AS ip
+            FROM (SELECT DISTINCT user_id FROM events)
+        ),
+        parsed AS (
+            SELECT user_id, ip,
+                   CAST(ip // 16777216 AS BIGINT) AS o1,
+                   CAST((ip // 65536) % 256 AS BIGINT) AS o2,
+                   CAST((ip // 256) % 256 AS BIGINT) AS o3,
+                   CAST(ip % 256 AS BIGINT) AS o4
+            FROM ips
+        )
+        SELECT CAST(ip // 65536 * 65536 AS BIGINT) AS cidr16_base,
+               CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.0.0/16'
+                   AS cidr16,
+               CAST(COUNT(*) AS BIGINT) AS n_hosts,
+               CAST(SUM(CASE WHEN o1 = 10
+                              OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                              OR (o1 = 192 AND o2 = 168)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_private,
+               CAST(MIN(ip) AS BIGINT) AS min_ip,
+               CAST(MAX(ip) AS BIGINT) AS max_ip
+        FROM parsed
+        GROUP BY 1, 2
+    """,
+    tags=("H-network",),
+)
+def fn_ipv4_cidr(spark, sf_dir):
+    """IPv4 / CIDR arithmetic as pure integer expressions — the
+    network-analytics surface (log enrichment, abuse detection, subnet
+    rollups) without any inet type: synthetic-but-deterministic
+    addresses (Knuth mix of user_id), octet extraction by integer
+    div/mod, RFC-1918 private-range classification, and a /16 subnet
+    rollup whose CIDR label is rebuilt as text.  Everything is exact
+    BIGINT math + string concat — identical across engines, no UDF.
+    One distinct-projection and one hash aggregate at any scale."""
+    e = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    ip = F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(4294967296))
+    parsed = e.select(ip.alias("ip")).select(
+        "ip",
+        F.expr("ip div 16777216").cast("bigint").alias("o1"),
+        F.pmod(F.expr("ip div 65536"), F.lit(256)).cast("bigint").alias("o2"),
+        F.pmod(F.expr("ip div 256"), F.lit(256)).cast("bigint").alias("o3"),
+        F.pmod(F.col("ip"), F.lit(256)).cast("bigint").alias("o4"),
+    )
+    private = (
+        (F.col("o1") == 10)
+        | ((F.col("o1") == 172) & F.col("o2").between(16, 31))
+        | ((F.col("o1") == 192) & (F.col("o2") == 168))
+    )
+    return parsed.groupBy(
+        (F.expr("ip div 65536") * 65536).cast("bigint").alias("cidr16_base"),
+        F.concat(
+            F.col("o1").cast("string"), F.lit("."), F.col("o2").cast("string"),
+            F.lit(".0.0/16"),
+        ).alias("cidr16"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+        F.sum(F.when(private, 1).otherwise(0)).cast("bigint").alias("n_private"),
+        F.min("ip").cast("bigint").alias("min_ip"),
+        F.max("ip").cast("bigint").alias("max_ip"),
+    )
