@@ -2047,3 +2047,90 @@ def ts_business_days_diff(spark, sf_dir):
             F.max("bdays").cast("bigint").alias("max_bdays"),
         )
     )
+
+
+@register(
+    "ts_anomaly_mad_residual",
+    oracle="""
+        WITH hourly AS (
+            SELECT DATE_TRUNC('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        trended AS (
+            SELECT h, n,
+                   AVG(CAST(n AS DOUBLE)) OVER (
+                       ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING
+                   ) AS ma,
+                   COUNT(*) OVER (
+                       ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING
+                   ) AS w
+            FROM hourly
+        ),
+        resid AS (
+            SELECT h, n, ma, n - ma AS r
+            FROM trended WHERE w = 25
+        ),
+        mad AS (
+            SELECT ROUND(quantile_cont(ABS(r - (SELECT ROUND(quantile_cont(r, 0.5), 6)
+                                               FROM resid)), 0.5), 6) AS mad_val,
+                   (SELECT ROUND(quantile_cont(r, 0.5), 6) FROM resid) AS med
+            FROM resid
+        )
+        SELECT r.h AS hour, r.n AS n_events,
+               ROUND(r.ma, 6) AS trend,
+               ROUND(r.r, 6) AS residual,
+               (ABS(r.r - m.med) > 3 * 1.4826 * m.mad_val) AS is_anomaly
+        FROM resid r CROSS JOIN mad m
+        WHERE ABS(r.r - m.med) > 3 * 1.4826 * m.mad_val
+    """,
+    tags=("TS-anomaly",),
+)
+def ts_anomaly_mad_residual(spark, sf_dir):
+    """Robust residual anomaly detection: hourly event counts are
+    detrended by a centered 25-hour moving average (full windows
+    only), and hours whose residual sits more than 3 robust sigmas
+    (1.4826·MAD) from the residual median are flagged — the
+    median/MAD construction that survives the very outliers a
+    mean/stddev control chart would absorb.  Medians use the D10
+    interpolated-percentile parity; the comparison is one fixed float
+    expression of 6-dp rounded statistics.
+
+    Scale shape: counts aggregate once; the centered MA runs over the
+    bounded post-aggregation hourly frame (the ts_control_chart_xmr
+    allowlist argument); MAD is two tiny quantile reductions broadcast
+    back."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy("h").rowsBetween(-12, 12)
+    trended = hourly.select(
+        "h",
+        "n",
+        F.avg(F.col("n").cast("double")).over(w).alias("ma"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    resid = trended.where(F.col("wn") == 25).select(
+        "h", "n", "ma", (F.col("n") - F.col("ma")).alias("r")
+    ).persist()
+    med = resid.agg(F.round(F.percentile("r", F.lit(0.5)), 6).alias("med"))
+    madf = (
+        resid.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(F.percentile(F.abs(F.col("r") - F.col("med")), F.lit(0.5)), 6).alias(
+                "mad_val"
+            ),
+            F.min("med").alias("med"),
+        )
+    )
+    out = resid.crossJoin(F.broadcast(madf))
+    hot = F.abs(F.col("r") - F.col("med")) > 3 * 1.4826 * F.col("mad_val")
+    return out.where(hot).select(
+        F.col("h").alias("hour"),
+        F.col("n").alias("n_events"),
+        F.round(F.col("ma"), 6).alias("trend"),
+        F.round(F.col("r"), 6).alias("residual"),
+        hot.alias("is_anomaly"),
+    )

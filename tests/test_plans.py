@@ -461,6 +461,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = frozenset({
     "stats_mannwhitney_u",
     "stats_survival_km",
     "text_oov_rate",
+    "ts_anomaly_mad_residual",  # centered MA over the hourly census
     "ts_control_chart_xmr",
     "ts_rolling_corr",
     "vocab_bpe_pair_counts",
