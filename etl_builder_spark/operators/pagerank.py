@@ -634,6 +634,7 @@ def graph_katz_centrality(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_co"))
         .where(F.col("n_co") >= 3)
         .select("u", "v")
+        .persist()  # both adjacency orientations derive from one build
     )
     adj = (
         e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
