@@ -1241,3 +1241,92 @@ def multimodal_shot_boundaries(spark, sf_dir):
         F.sum(F.when(F.col("delta") > 400, 1).otherwise(0)).cast("bigint").alias("n_boundaries"),
         F.min(F.when(F.col("delta") > 400, F.col("f"))).cast("bigint").alias("first_boundary"),
     )
+
+
+@register(
+    "multimodal_image_whash",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id FROM documents WHERE doc_id < 200
+        ),
+        coeffs AS (
+            SELECT doc_id, u.i AS u, v.i AS v,
+                   CAST(SUM(
+                       (CASE WHEN (bit_count(u.i & r.i) + bit_count(v.i & c.i)) % 2 = 0
+                             THEN 1 ELSE -1 END)
+                       * (((doc_id*17 + r.i*29 + c.i*23) % 256 * 299
+                           + (doc_id*17 + r.i*29 + c.i*23 + 97) % 256 * 587
+                           + (doc_id*17 + r.i*29 + c.i*23 + 194) % 256 * 114) // 1000)
+                   ) AS BIGINT) AS w
+            FROM base,
+                 unnest(range(0, 8)) AS r(i), unnest(range(0, 8)) AS c(i),
+                 unnest(range(0, 4)) AS u(i), unnest(range(0, 4)) AS v(i)
+            GROUP BY doc_id, u.i, v.i
+        )
+        SELECT doc_id AS asset_id,
+               CAST(SUM(CASE WHEN (u <> 0 OR v <> 0) AND w > 0
+                             THEN (CAST(1 AS BIGINT) << (u * 4 + v))
+                             ELSE 0 END) AS BIGINT) AS whash,
+               CAST(MAX(CASE WHEN u = 0 AND v = 0 THEN w END) AS BIGINT) AS dc,
+               CAST(SUM(CASE WHEN (u <> 0 OR v <> 0) AND w > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos_bits
+        FROM coeffs GROUP BY doc_id
+    """,
+    tags=("I-image",),
+)
+def multimodal_image_whash(spark, sf_dir):
+    """Perceptual image hashing with the Walsh-Hadamard transform —
+    the pHash idea with the DCT swapped for WHT so every coefficient
+    is an EXACT integer (WHT basis entries are ±1: W(u,v) =
+    Σ (−1)^{popcount(u&r)+popcount(v&c)} · gray(r,c)): an 8×8 gray
+    block flows through the real PPM encode→decode→integer-luma path,
+    the 4×4 low-frequency coefficient block (DC excluded) signs into a
+    15-bit hash — equal hashes are near-duplicate image candidates at
+    any scale, and the banding machinery the text dedup family uses
+    applies verbatim to the hash key.  The oracle recomputes the
+    transform symbolically from the pattern arithmetic (DuckDB
+    bit_count for the parity), so hash equality proves codec, luma and
+    transform end-to-end.
+
+    100 TB posture: per-asset Arrow batches; the 64-pixel transform is
+    a numpy matmul inside the executor; output is one 15-bit key per
+    asset that a single equi-join groups into candidate clusters."""
+    from etl_builder_spark.llm.codecs import decode_ppm, encode_ppm
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = np.arange(8)
+        # H[u, r] = (-1)^popcount(u & r): the 8-point Walsh-Hadamard basis
+        pop = np.array([bin(u & rr).count("1") for u in range(8) for rr in range(8)])
+        H = np.where(pop.reshape(8, 8) % 2 == 0, 1, -1).astype(np.int64)
+        cols = ("asset_id", "whash", "dc", "n_pos_bits")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rr = np.arange(8)[:, None, None]
+                cc = np.arange(8)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                px = ((did * 17 + rr * 29 + cc * 23 + ch * 97) % 256).astype(np.uint8)
+                dec = decode_ppm(encode_ppm(px)).astype(np.int64)
+                gray = (dec[:, :, 0] * 299 + dec[:, :, 1] * 587 + dec[:, :, 2] * 114) // 1000
+                W = H @ gray @ H.T  # W[u, v], exact integers
+                low = W[:4, :4]
+                whash = 0
+                npos = 0
+                for u in range(4):
+                    for v in range(4):
+                        if (u, v) != (0, 0) and low[u, v] > 0:
+                            whash |= 1 << (u * 4 + v)
+                            npos += 1
+                out["asset_id"].append(did)
+                out["whash"].append(int(whash))
+                out["dc"].append(int(W[0, 0]))
+                out["n_pos_bits"].append(int(npos))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        work, "asset_id long, whash long, dc long, n_pos_bits long"
+    )

@@ -388,3 +388,57 @@ def stats_levene_brownforsythe(spark, sf_dir):
         F.col("nt").alias("n_rows"),
         F.round((ssb / F.lit(4)) / (ssw / (F.col("nt") - 5)), 6).alias("w_stat"),
     )
+
+
+@register(
+    "agg_weighted_percentile_exact",
+    oracle="""
+        WITH per AS (
+            SELECT l_extendedprice AS v,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1
+        ),
+        cum AS (
+            SELECT v, w, SUM(w) OVER (ORDER BY v) AS cw,
+                   SUM(w) OVER () AS tw
+            FROM per
+        )
+        SELECT
+            CAST(MIN(tw) AS BIGINT) AS total_weight,
+            MIN(CASE WHEN 2 * cw >= tw THEN v END) AS p50_weighted,
+            MIN(CASE WHEN 10 * cw >= 9 * tw THEN v END) AS p90_weighted,
+            MIN(CASE WHEN 100 * cw >= 99 * tw THEN v END) AS p99_weighted
+        FROM cum
+    """,
+    tags=("STATS-weighted",),
+)
+def agg_weighted_percentile_exact(spark, sf_dir):
+    """Exact WEIGHTED percentiles (price weighted by quantity — the
+    survey-weighting / volume-weighted quantile): the smallest value
+    whose cumulative weight reaches p of the total, decided by exact
+    integer cross-multiplication (2·cw >= tw etc), never a float
+    fraction.  Cumulative weights run over the per-DISTINCT-value
+    frame through banded prefix sums — zero unpartitioned Windows in
+    the Spark plan while the oracle states the same semantics with a
+    plain running sum."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per = (
+        l.groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+        .persist()
+    )
+    r = banded_running(per, value_col="v", tiebreak_col="v", sum_col="w")
+    tot = per.agg(F.sum("w").cast("bigint").alias("tw"))
+    cum = r.crossJoin(F.broadcast(tot))
+    return cum.agg(
+        F.min("tw").cast("bigint").alias("total_weight"),
+        F.min(F.when(2 * F.col("run_sum") >= F.col("tw"), F.col("v"))).alias(
+            "p50_weighted"
+        ),
+        F.min(F.when(10 * F.col("run_sum") >= 9 * F.col("tw"), F.col("v"))).alias(
+            "p90_weighted"
+        ),
+        F.min(F.when(100 * F.col("run_sum") >= 99 * F.col("tw"), F.col("v"))).alias(
+            "p99_weighted"
+        ),
+    )
