@@ -391,3 +391,123 @@ def pipeline_dedup_cascade(spark, sf_dir):
         " '3_semantic', n2, n2 - n3, n3"
         ") AS (stage, n_in, n_dropped, n_out)"
     )
+
+
+@register(
+    "pipeline_curation_accounting",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks,
+                   lower(text) AS norm
+            FROM documents
+        ),
+        gated AS (
+            SELECT doc_id, lang, norm, len(toks) AS n_tokens
+            FROM (
+                SELECT doc_id, lang, norm, toks,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+                           AS sum_len,
+                       CAST(len(list_filter(toks,
+                           t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                           AS BIGINT) AS n_stop
+                FROM base
+            )
+            WHERE n_words BETWEEN 10 AND 500
+              AND sum_len / CAST(n_words AS DOUBLE) BETWEEN 2 AND 12
+              AND n_stop / CAST(n_words AS DOUBLE) >= 0.03
+        ),
+        unique_docs AS (
+            SELECT lang, n_tokens FROM (
+                SELECT lang, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY md5(norm)
+                                          ORDER BY doc_id) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        ),
+        raw AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_raw
+                FROM documents GROUP BY lang),
+        g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_gated
+              FROM gated GROUP BY lang),
+        u AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_unique,
+                     CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
+              FROM unique_docs GROUP BY lang)
+        SELECT r.lang, r.n_raw,
+               COALESCE(g.n_gated, 0) AS n_gated,
+               COALESCE(u.n_unique, 0) AS n_unique,
+               COALESCE(u.n_tokens_kept, 0) AS n_tokens_kept,
+               CAST((COALESCE(u.n_tokens_kept, 0) + 511) // 512 AS BIGINT)
+                   AS n_shards_512
+        FROM raw r
+        LEFT JOIN g ON g.lang = r.lang
+        LEFT JOIN u ON u.lang = r.lang
+    """,
+    tags=("I-pipeline",),
+)
+def pipeline_curation_accounting(spark, sf_dir):
+    """End-to-end curation accounting per language — the loss ledger
+    every training-data run publishes: raw docs → Gopher-rule gate
+    (the text_gopher_quality_gate word-count / word-length / stopword
+    rules, repetition rule excluded so the whole gate stays one
+    expression-only pass) → exact normalized dedup (min-doc_id
+    representative per md5 of the lowered text) → kept-token totals
+    and 512-token shard counts.  Every stage is the registered
+    operator's own construction, composed; every count is exact.
+
+    100 TB posture: gate is expression-only in the scan; dedup is one
+    window partitioned by content hash (bounded by duplicate-group
+    size); the ledger is a per-lang rollup of three frames sharing one
+    tokenization."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is")])
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.lower("text").alias("norm"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+        .alias("sum_len"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    mean_wl = F.col("sum_len") / F.col("n_words").cast("double")
+    stop_frac = F.col("n_stop") / F.col("n_words").cast("double")
+    gated = base.where(
+        F.col("n_words").between(10, 500)
+        & (mean_wl >= 2)
+        & (mean_wl <= 12)
+        & (stop_frac >= 0.03)
+    ).select("doc_id", "lang", "norm", F.col("n_words").alias("n_tokens")).persist()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
+    unique_docs = (
+        gated.select("lang", "n_tokens", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+    )
+    raw = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_raw"))
+    g = gated.groupBy(F.col("lang").alias("gl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gated")
+    )
+    u = unique_docs.groupBy(F.col("lang").alias("ul")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_kept"),
+    )
+    out = (
+        raw.join(F.broadcast(g), raw.lang == g.gl, "left")
+        .join(F.broadcast(u), raw.lang == u.ul, "left")
+    )
+    kept = F.coalesce(F.col("n_tokens_kept"), F.lit(0))
+    return out.select(
+        "lang",
+        "n_raw",
+        F.coalesce(F.col("n_gated"), F.lit(0)).alias("n_gated"),
+        F.coalesce(F.col("n_unique"), F.lit(0)).alias("n_unique"),
+        kept.alias("n_tokens_kept"),
+        F.expr("(coalesce(n_tokens_kept, 0) + 511) div 512")
+        .cast("bigint")
+        .alias("n_shards_512"),
+    )
