@@ -83,6 +83,10 @@ HEADLINE = [
     "embed_matryoshka_recall",       # I  truncated-dim recall eval (r8)
     "text_gopher_quality_gate",      # I  rule-gate curation filter (r8)
     "graph_resource_allocation",     # GR RA link prediction (r8)
+    "ml_dbscan_grid",                # ML grid DBSCAN + CC fixpoint (r8b)
+    "sketch_count_min_exact",        # D13 pinned-hash CM twin (r8b)
+    "pipeline_curation_accounting",  # I  gate→dedup→pack ledger (r8b)
+    "multimodal_image_whash",        # I  WHT perceptual hash (r8b)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched
