@@ -442,3 +442,82 @@ def agg_weighted_percentile_exact(spark, sf_dir):
             "p99_weighted"
         ),
     )
+
+
+@register(
+    "stats_ratio_delta_ci",
+    oracle="""
+        WITH per_user AS (
+            SELECT event_type, user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS xc,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xc) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(xc * xc) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(xc * y) AS BIGINT) AS sxy
+            FROM per_user GROUP BY 1
+        )
+        SELECT event_type, n AS n_users,
+               ROUND(CAST(sx AS DOUBLE) / sy / 100, 6) AS ratio,
+               ROUND(sqrt(
+                   ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                    - 2 * (CAST(sx AS DOUBLE) / sy)
+                        * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))
+                   / (n - 1) / n) / (CAST(sy AS DOUBLE) / n) / 100, 6)
+                   AS se_ratio
+        FROM m
+    """,
+    tags=("STATS-ab",),
+)
+def stats_ratio_delta_ci(spark, sf_dir):
+    """Delta-method standard error for RATIO metrics (value per event,
+    clustered by user — the randomization unit): the A/B statistic
+    naive per-row variance gets wrong and the delta method fixes:
+    se(R) = sqrt((S_xx − 2R·S_xy + R²·S_yy)/((n−1)·n))/Ȳ with R =
+    Σx/Σy.  All five co-moments accumulate as EXACT BIGINT (per-user
+    value in integer cents: products stay under 2^63 through sf0.1 —
+    beyond that the DECIMAL(38,0) swap applies, with the final
+    statistics ROUND(·,6)-ed exactly as here, since int64→double
+    conversion is correctly rounded where wide-decimal→double is not;
+    policy.py round-8 caveat).  One hash aggregate per level: user
+    rollup, then the 5-row moment reduction."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("xc"),
+        F.count(F.lit(1)).cast("bigint").alias("y"),
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("xc") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    nd = F.col("n").cast("double")
+    r = sxd / F.col("sy")
+    core = (
+        (sxxd - sxd * F.col("sx") / F.col("n"))
+        - 2 * r * (sxyd - sxd * F.col("sy") / F.col("n"))
+        + r * r * (syyd - syd * F.col("sy") / F.col("n"))
+    )
+    se = F.sqrt(core / (F.col("n") - 1) / F.col("n")) / (syd / nd) / 100
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.round(sxd / F.col("sy") / 100, 6).alias("ratio"),
+        F.round(se, 6).alias("se_ratio"),
+    )

@@ -644,3 +644,68 @@ def stream_rollup_daily_live(spark, sf_dir):
         F.sum(money("value")).cast("double").alias("value_sum"),
     )
     return run_to_memory(agg, mode="complete")
+
+
+@register(
+    "stream_watermark_lag_profile",
+    oracle="""
+        WITH arr AS (
+            SELECT user_id, event_id, ts,
+                   MAX(ts) OVER (PARTITION BY user_id
+                                 ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS high_water
+            FROM events
+        ),
+        lag_ AS (
+            SELECT CAST(date_diff('second', ts, high_water) AS BIGINT) AS lag_s
+            FROM arr
+        )
+        SELECT CASE WHEN lag_s = 0 THEN 0
+                    WHEN lag_s <= 60 THEN 60
+                    WHEN lag_s <= 300 THEN 300
+                    WHEN lag_s <= 1800 THEN 1800
+                    WHEN lag_s <= 3600 THEN 3600
+                    ELSE 999999 END AS lag_bucket_s,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM lag_
+        GROUP BY 1
+    """,
+    tags=("J-ops",),
+)
+def stream_watermark_lag_profile(spark, sf_dir):
+    """Out-of-orderness profile — the measurement that TUNES a
+    watermark: replaying each user's events in arrival order
+    (event_id), every event's lag behind the per-user event-time
+    high-water mark buckets into 0 / ≤1m / ≤5m / ≤30m / ≤1h / worse.
+    The bucket counts are exactly the events a watermark of that
+    delay would have dropped — pick the delay from this table, not
+    from folklore.  Exact integer second arithmetic; the running max
+    is per-user partitioned (bounded frames).
+
+    At 100 TB this runs on a sample or per-day slice with the same
+    plan; the profile table is 6 rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lag_s = (
+        F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp(F.col("ts"))
+    ).cast("bigint")
+    bucket = (
+        F.when(lag_s == 0, 0)
+        .when(lag_s <= 60, 60)
+        .when(lag_s <= 300, 300)
+        .when(lag_s <= 1800, 1800)
+        .when(lag_s <= 3600, 3600)
+        .otherwise(999999)
+    )
+    return (
+        e.select(bucket.cast("bigint").alias("lag_bucket_s"))
+        .groupBy("lag_bucket_s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
