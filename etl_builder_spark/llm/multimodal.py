@@ -1330,3 +1330,106 @@ def multimodal_image_whash(spark, sf_dir):
     return d.mapInPandas(
         work, "asset_id long, whash long, dc long, n_pos_bits long"
     )
+
+
+def _whash_frame(spark, sf_dir):
+    """Reuse the registered WHT-hash operator's output frame."""
+    from etl_builder_spark.registry import REGISTRY
+
+    return REGISTRY["multimodal_image_whash"].fn(spark, sf_dir)
+
+
+#: the image_whash oracle body, reused as a CTE by the Hamming search
+_WHASH_CTE = """
+        wbase AS (
+            SELECT doc_id FROM documents WHERE doc_id < 200
+        ),
+        coeffs AS (
+            SELECT doc_id, u.i AS u, v.i AS v,
+                   CAST(SUM(
+                       (CASE WHEN (bit_count(u.i & r.i) + bit_count(v.i & c.i)) % 2 = 0
+                             THEN 1 ELSE -1 END)
+                       * (((doc_id*17 + r.i*29 + c.i*23) % 256 * 299
+                           + (doc_id*17 + r.i*29 + c.i*23 + 97) % 256 * 587
+                           + (doc_id*17 + r.i*29 + c.i*23 + 194) % 256 * 114) // 1000)
+                   ) AS BIGINT) AS w
+            FROM wbase,
+                 unnest(range(0, 8)) AS r(i), unnest(range(0, 8)) AS c(i),
+                 unnest(range(0, 4)) AS u(i), unnest(range(0, 4)) AS v(i)
+            GROUP BY doc_id, u.i, v.i
+        ),
+        hashes AS (
+            SELECT doc_id AS asset_id,
+                   CAST(SUM(CASE WHEN (u <> 0 OR v <> 0) AND w > 0
+                                 THEN (CAST(1 AS BIGINT) << (u * 4 + v))
+                                 ELSE 0 END) AS BIGINT) AS whash
+            FROM coeffs GROUP BY doc_id
+        )
+"""
+
+
+@register(
+    "dedup_image_whash_hamming",
+    oracle=f"""
+        WITH {_WHASH_CTE}
+        SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+               CAST(bit_count(CAST(xor(a.whash, b.whash) AS BIGINT)) AS BIGINT)
+                   AS hamming
+        FROM hashes a JOIN hashes b ON a.asset_id < b.asset_id
+        WHERE bit_count(CAST(xor(a.whash, b.whash) AS BIGINT)) <= 2
+    """,
+    tags=("I-image",),
+)
+def dedup_image_whash_hamming(spark, sf_dir):
+    """Perceptual near-duplicate image SEARCH on the WHT hash: asset
+    pairs whose 15-bit (16 with the always-zero DC slot) hashes differ
+    in at most 2 bits, found by PIGEONHOLE BANDING — the hash splits
+    into 3 bands of ~5 bits, and any pair at Hamming ≤ 2 must agree
+    exactly on at least one band, so candidates come from 3 band-key
+    equi-joins, never an all-pairs scan (the dedup_simhash_exact
+    argument on a new modality).  The oracle IS the brute-force
+    all-pairs Hamming join over the same symbolically-recomputed
+    hashes, so hash equality re-proves banding completeness on real
+    data every round.
+
+    100 TB posture: three shuffles on (band, band_bits) keys with
+    fan-out bounded by per-bucket density; the verify step XORs two
+    64-bit ints."""
+    h = _whash_frame(spark, sf_dir).select("asset_id", "whash").persist()
+    bands = h.select(
+        "asset_id",
+        "whash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("whash") % 32).alias("bits")),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    (F.expr("whash div 32") % 32).alias("bits"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    F.expr("whash div 1024").alias("bits"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("asset_id", "whash", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.whash").alias("wa"),
+            F.col("b.whash").alias("wb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("wa").bitwiseXOR(F.col("wb"))).cast("bigint")
+    return cand.select("asset_a", "asset_b", ham.alias("hamming")).where(
+        F.col("hamming") <= 2
+    )

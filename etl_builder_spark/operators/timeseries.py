@@ -2134,3 +2134,82 @@ def ts_anomaly_mad_residual(spark, sf_dir):
         F.round(F.col("r"), 6).alias("residual"),
         hot.alias("is_anomaly"),
     )
+
+
+@register(
+    "ts_autocorr_grid",
+    oracle="""
+        WITH hourly AS (
+            SELECT DATE_TRUNC('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+        paired AS (
+            SELECT l.lag, a.n AS x, b.n AS y
+            FROM hourly a
+            JOIN lags l ON TRUE
+            JOIN hourly b ON b.h = a.h + to_hours(CAST(l.lag AS BIGINT))
+        ),
+        m AS (
+            SELECT lag, CAST(COUNT(*) AS BIGINT) AS np,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM paired GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag_hours, np AS n_pairs,
+               ROUND((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (sqrt(CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * sqrt(CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+                   AS acf
+        FROM m
+    """,
+    tags=("TS-acf",),
+)
+def ts_autocorr_grid(spark, sf_dir):
+    """Autocorrelation function at the seasonality-diagnostic lag grid
+    (1/2/3/6/12/24 hours) in ONE pass over the hourly census: the lag
+    table cross-joins the bounded hourly frame and each lag pairs by
+    equi-join on the shifted hour, so the whole ACF profile costs one
+    extra join over computing a single lag (ts_autocorr_lag24's
+    machinery, gridded the ml_decision_stump_scan way).  Integer
+    co-moments, one fixed Pearson expression per lag — the profile
+    that picks the seasonal period before a decomposition or
+    forecast."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    lags = spark.createDataFrame([(lg,) for lg in (1, 2, 3, 6, 12, 24)], "lag long")
+    a = hourly.select(F.col("h").alias("ha"), F.col("n").alias("x")).crossJoin(
+        F.broadcast(lags)
+    )
+    b = hourly.select(F.col("h").alias("hb"), F.col("n").alias("y"))
+    paired = a.join(
+        b,
+        F.col("hb")
+        == F.col("ha") + F.col("lag") * F.expr("INTERVAL 1 HOUR"),
+    )
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    npd = F.col("np").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = npd * F.col("sxy") - sxd * F.col("sy")
+    den = F.sqrt(npd * F.col("sxx") - sxd * F.col("sx")) * F.sqrt(
+        npd * F.col("syy") - syd * F.col("sy")
+    )
+    return m.select(
+        F.col("lag").alias("lag_hours"),
+        F.col("np").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )
