@@ -320,3 +320,112 @@ def er_weighted_linkage(spark, sf_dir):
         )
         .where(F.col("score") >= FS_POSSIBLE_T)
     )
+
+
+@register(
+    "er_blocking_quality_report",
+    oracle=f"""
+        WITH slice_ AS (
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE c_custkey < 500
+        ),
+        everything AS (
+            SELECT c_custkey, c_name, c_nationkey FROM slice_
+            UNION ALL
+            SELECT c_custkey + {ER_OFFSET} AS c_custkey,
+                   substr(c_name, 1, length(c_name) - 1) || 'X' AS c_name,
+                   c_nationkey
+            FROM slice_
+        ),
+        truth AS (
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+            FROM everything a JOIN everything b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 2
+        ),
+        blocked AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   substr(c_name, 10, 7) AS block_key
+            FROM everything
+        ),
+        cand AS (
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   (levenshtein(a.c_name, b.c_name) <= 2) AS is_match
+            FROM blocked a
+            JOIN blocked b ON a.c_nationkey = b.c_nationkey
+                          AND a.block_key = b.block_key
+                          AND a.c_custkey < b.c_custkey
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+            (SELECT CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+             FROM cand) AS n_found,
+            ROUND((SELECT SUM(CASE WHEN is_match THEN 1 ELSE 0 END) FROM cand)
+                  / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6) AS recall,
+            ROUND((SELECT SUM(CASE WHEN is_match THEN 1 ELSE 0 END) FROM cand)
+                  / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE), 6) AS precision_
+    """,
+    tags=("ER-audit",),
+)
+def er_blocking_quality_report(spark, sf_dir):
+    """Blocking-quality audit — the report production ER systems run
+    before trusting their blocking key: on a BOUNDED audit slice (500
+    clean + 500 planted-dirty records), compare the (nation,
+    name-prefix)-blocked candidate set against the all-pairs
+    edit-distance ground truth and emit true-pair count, candidate
+    count, found count, recall and precision.  The all-pairs join is
+    the audit's cost by construction and stays fixed-size while the
+    blocking under audit scales; er_blocked_fuzzy_match ships the
+    production path this report certifies."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 500)
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+    dirty = c.select(
+        (F.col("c_custkey") + ER_OFFSET).alias("c_custkey"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, F.length("c_name") - 1), F.lit("X")
+        ).alias("c_name"),
+        "c_nationkey",
+    )
+    everything = c.unionByName(dirty).persist()
+    a, b = everything.alias("a"), everything.alias("b")
+    truth = (
+        a.join(F.broadcast(b), F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    )
+    blocked = everything.withColumn("block_key", F.substring("c_name", 10, 7))
+    ba, bb = blocked.alias("ba"), blocked.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.c_nationkey") == F.col("bb.c_nationkey"))
+            & (F.col("ba.block_key") == F.col("bb.block_key"))
+            & (F.col("ba.c_custkey") < F.col("bb.c_custkey")),
+        )
+        .select(
+            (
+                F.levenshtein(F.col("ba.c_name"), F.col("bb.c_name")) <= 2
+            ).alias("is_match")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("is_match"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_found"),
+        )
+    )
+    out = truth.crossJoin(F.broadcast(cand))
+    return out.select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_found",
+        F.round(F.col("n_found") / F.col("n_true_pairs").cast("double"), 6).alias(
+            "recall"
+        ),
+        F.round(F.col("n_found") / F.col("n_candidates").cast("double"), 6).alias(
+            "precision_"
+        ),
+    )
