@@ -1869,3 +1869,103 @@ def ml_gbdt_residual_boost(spark, sf_dir):
         "sum_res_r",
         F.round(gain, 4).alias("round2_gain"),
     )
+
+
+@register(
+    "ml_covariate_balance_smd",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) > 0 AS treated,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS xc
+            FROM events GROUP BY user_id
+        ),
+        strata AS (
+            SELECT CASE WHEN n_events <= 5 THEN '01-5'
+                        WHEN n_events <= 10 THEN '06-10'
+                        WHEN n_events <= 20 THEN '11-20'
+                        ELSE '21+' END AS stratum,
+                   treated, xc
+            FROM per_user
+        ),
+        m AS (
+            SELECT stratum,
+                   CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                   CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                   CAST(SUM(CASE WHEN treated THEN xc ELSE 0 END) AS BIGINT) AS st,
+                   CAST(SUM(CASE WHEN NOT treated THEN xc ELSE 0 END) AS BIGINT) AS sc,
+                   CAST(SUM(CASE WHEN treated THEN xc * xc ELSE 0 END) AS BIGINT) AS stt,
+                   CAST(SUM(CASE WHEN NOT treated THEN xc * xc ELSE 0 END) AS BIGINT) AS scc
+            FROM strata GROUP BY stratum
+        )
+        SELECT stratum, nt AS n_treated, nc AS n_control,
+               LEAST(nt, nc) AS n_matchable,
+               ROUND(CAST(st AS DOUBLE) / nt / 100, 6) AS mean_treated,
+               ROUND(CAST(sc AS DOUBLE) / nc / 100, 6) AS mean_control,
+               ROUND((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)
+                     / sqrt(((CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / nt)
+                                 / (nt - 1)
+                             + (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / nc)
+                                 / (nc - 1)) / 2), 6) AS smd
+        FROM m
+        WHERE nt > 1 AND nc > 1
+    """,
+    tags=("ML-causal",),
+)
+def ml_covariate_balance_smd(spark, sf_dir):
+    """Covariate-balance diagnostics for observational comparisons —
+    the table every matching/weighting analysis prints first: within
+    activity strata, treated (any purchase) vs control users compared
+    on total spend via the standardized mean difference
+    (Δmean / pooled SD); |SMD| < 0.1 is the conventional balance bar,
+    and LEAST(nT, nC) is the matchable-pair budget per stratum.
+    Moments accumulate as exact BIGINT cents (the
+    stats_ratio_delta_ci discipline); the SMD is one fixed float
+    expression.  Two hash aggregates: user rollup, stratum rollup."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) > 0
+        ).alias("treated"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("xc"),
+    )
+    stratum = (
+        F.when(F.col("n_events") <= 5, "01-5")
+        .when(F.col("n_events") <= 10, "06-10")
+        .when(F.col("n_events") <= 20, "11-20")
+        .otherwise("21+")
+    )
+    t = F.col("treated")
+    m = per_user.select(stratum.alias("stratum"), "treated", "xc").groupBy("stratum").agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast("bigint").alias("nt"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("bigint").alias("nc"),
+        F.sum(F.when(t, F.col("xc")).otherwise(0)).cast("bigint").alias("st"),
+        F.sum(F.when(~t, F.col("xc")).otherwise(0)).cast("bigint").alias("sc"),
+        F.sum(F.when(t, F.col("xc") * F.col("xc")).otherwise(0)).cast("bigint").alias("stt"),
+        F.sum(F.when(~t, F.col("xc") * F.col("xc")).otherwise(0)).cast("bigint").alias("scc"),
+    )
+    std = F.col("st").cast("double")
+    scd = F.col("sc").cast("double")
+    mt = std / F.col("nt")
+    mc = scd / F.col("nc")
+    pooled = F.sqrt(
+        (
+            (F.col("stt").cast("double") - std * F.col("st") / F.col("nt"))
+            / (F.col("nt") - 1)
+            + (F.col("scc").cast("double") - scd * F.col("sc") / F.col("nc"))
+            / (F.col("nc") - 1)
+        )
+        / 2
+    )
+    return m.where((F.col("nt") > 1) & (F.col("nc") > 1)).select(
+        "stratum",
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_control"),
+        F.least(F.col("nt"), F.col("nc")).alias("n_matchable"),
+        F.round(mt / 100, 6).alias("mean_treated"),
+        F.round(mc / 100, 6).alias("mean_control"),
+        F.round((mt - mc) / pooled, 6).alias("smd"),
+    )
