@@ -480,3 +480,78 @@ def fn_ipv4_cidr(spark, sf_dir):
         F.min("ip").cast("bigint").alias("min_ip"),
         F.max("ip").cast("bigint").alias("max_ip"),
     )
+
+
+@register(
+    "fn_luhn_check",
+    oracle="""
+        WITH nums AS (
+            SELECT c_custkey,
+                   100000000000 + (c_custkey * 2654435761) % 100000000000 AS pan
+            FROM customer
+        ),
+        digits AS (
+            SELECT c_custkey, pan, p.i AS pos,
+                   CAST((pan // CAST(POWER(10, p.i) AS BIGINT)) % 10 AS BIGINT) AS d
+            FROM nums, unnest(range(0, 12)) AS p(i)
+        ),
+        contrib AS (
+            SELECT c_custkey, pan, pos,
+                   CASE WHEN pos % 2 = 1
+                        THEN CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END
+                        ELSE d END AS v
+            FROM digits
+        )
+        SELECT c_custkey, pan,
+               CAST(SUM(v) AS BIGINT) AS luhn_sum,
+               (SUM(v) % 10 = 0) AS luhn_valid,
+               CAST((10 - (SUM(v) - MAX(CASE WHEN pos = 0 THEN v END)) % 10) % 10
+                    AS BIGINT) AS expected_check_digit
+        FROM contrib
+        GROUP BY c_custkey, pan
+    """,
+    tags=("H-checksum",),
+)
+def fn_luhn_check(spark, sf_dir):
+    """Luhn checksum validation — the card/IMEI/account check-digit
+    rule every ingestion pipeline applies to PAN-like fields — over
+    deterministic synthetic 12-digit numbers: digits by div/mod
+    against a positions grid, the double-every-second-digit fold with
+    the >9 ⇒ −9 correction, validity = sum mod 10, and the check
+    digit the number SHOULD end with.  Pure integer expressions; the
+    positions grid multiplies only inside map-side combine (the
+    threshold-grid pattern)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pan = (
+        F.lit(100_000_000_000)
+        + F.pmod(F.col("c_custkey") * F.lit(2654435761), F.lit(100_000_000_000))
+    ).alias("pan")
+    nums = c.select("c_custkey", pan)
+    pos = spark.range(12).select(F.col("id").alias("pos"))
+    digits = nums.crossJoin(F.broadcast(pos)).select(
+        "c_custkey",
+        "pan",
+        "pos",
+        F.pmod(
+            F.expr("pan div CAST(POWER(10, pos) AS BIGINT)"), F.lit(10)
+        ).cast("bigint").alias("d"),
+    )
+    doubled = F.col("d") * 2
+    v = F.when(
+        F.pmod(F.col("pos"), F.lit(2)) == 1,
+        F.when(doubled > 9, doubled - 9).otherwise(doubled),
+    ).otherwise(F.col("d"))
+    contrib = digits.select("c_custkey", "pan", "pos", v.alias("v"))
+    return contrib.groupBy("c_custkey", "pan").agg(
+        F.sum("v").cast("bigint").alias("luhn_sum"),
+        (F.pmod(F.sum("v"), F.lit(10)) == 0).alias("luhn_valid"),
+        F.pmod(
+            10
+            - F.pmod(
+                F.sum("v") - F.max(F.when(F.col("pos") == 0, F.col("v"))), F.lit(10)
+            ),
+            F.lit(10),
+        )
+        .cast("bigint")
+        .alias("expected_check_digit"),
+    )
