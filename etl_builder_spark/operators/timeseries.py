@@ -2276,3 +2276,62 @@ def ts_peak_concurrency(spark, sf_dir):
         .groupBy(F.col("peak").cast("bigint").alias("peak_concurrency"))
         .agg(F.min("t").alias("first_peak_at"))
     )
+
+
+@register(
+    "ts_forecast_pinball_loss",
+    oracle="""
+        WITH hourly AS (
+            SELECT DATE_TRUNC('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        paired AS (
+            SELECT a.h, a.n AS actual, b.n AS forecast, a.n - b.n AS e
+            FROM hourly a
+            JOIN hourly b ON b.h = a.h - INTERVAL 168 HOUR
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(CASE WHEN e > 0 THEN e ELSE -e END) AS BIGINT) AS abs_err_sum,
+               CAST(SUM(CASE WHEN e > 0 THEN e ELSE 0 END) AS BIGINT)
+                   AS under_forecast_sum,
+               ROUND((5 * SUM(CASE WHEN e > 0 THEN e ELSE 0 END)
+                      + 5 * SUM(CASE WHEN e <= 0 THEN -e ELSE 0 END))
+                     / (10.0 * COUNT(*)), 6) AS pinball_q50,
+               ROUND((9 * SUM(CASE WHEN e > 0 THEN e ELSE 0 END)
+                      + 1 * SUM(CASE WHEN e <= 0 THEN -e ELSE 0 END))
+                     / (10.0 * COUNT(*)), 6) AS pinball_q90
+        FROM paired
+    """,
+    tags=("TS-forecast",),
+)
+def ts_forecast_pinball_loss(spark, sf_dir):
+    """Quantile (pinball) loss for the lag-168 seasonal-naive
+    forecast — the metric that grades a QUANTILE forecast the way MAE
+    grades a point forecast: L_q = q·(y−ŷ)⁺ + (1−q)·(ŷ−y)⁺, evaluated
+    at q = 0.5 and 0.9.  Because the qs are tenths, 10·ΣL_q =
+    (10q)·Σe⁺ + (10−10q)·Σe⁻ is EXACT integer arithmetic over the
+    under/over-forecast error sums; only the final per-hour division
+    is float.  Same one-join shape as the seasonal-naive backtest
+    (the forecast column is an equi-join on h−168h, window-free)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    a = hourly.select(F.col("h"), F.col("n").alias("actual"))
+    b = hourly.select(
+        (F.col("h") + F.expr("INTERVAL 168 HOURS")).alias("h"),
+        F.col("n").alias("forecast"),
+    )
+    paired = a.join(b, "h").select((F.col("actual") - F.col("forecast")).alias("e"))
+    pos = F.sum(F.when(F.col("e") > 0, F.col("e")).otherwise(0)).cast("bigint")
+    neg = F.sum(F.when(F.col("e") <= 0, -F.col("e")).otherwise(0)).cast("bigint")
+    cnt = F.count(F.lit(1))
+    return paired.agg(
+        cnt.cast("bigint").alias("n_hours"),
+        (pos + neg).alias("abs_err_sum"),
+        pos.alias("under_forecast_sum"),
+        F.round((5 * pos + 5 * neg) / (10.0 * cnt), 6).alias("pinball_q50"),
+        F.round((9 * pos + 1 * neg) / (10.0 * cnt), 6).alias("pinball_q90"),
+    )
