@@ -1351,3 +1351,120 @@ def text_gopher_quality_gate(spark, sf_dir):
         r_rep.alias("rule_repetition"),
         (r_len & r_wl & r_stop & r_rep).alias("gate_pass"),
     )
+
+
+@register(
+    "text_lang_distribution_tv",
+    oracle="""
+        WITH tc AS (
+            SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (
+                SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ) WHERE token <> ''
+            GROUP BY lang, token
+        ),
+        tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY lang),
+        pairs AS (
+            SELECT a.lang AS la, b.lang AS lb
+            FROM tot a JOIN tot b ON a.lang < b.lang
+        ),
+        left_ AS (
+            SELECT p.la, p.lb, t.token, t.c AS ca
+            FROM pairs p JOIN tc t ON t.lang = p.la
+        ),
+        right_ AS (
+            SELECT p.la, p.lb, t.token, t.c AS cb
+            FROM pairs p JOIN tc t ON t.lang = p.lb
+        ),
+        merged AS (
+            SELECT COALESCE(l.la, r.la) AS la, COALESCE(l.lb, r.lb) AS lb,
+                   COALESCE(l.ca, 0) AS ca, COALESCE(r.cb, 0) AS cb
+            FROM left_ l
+            FULL OUTER JOIN right_ r
+              ON l.la = r.la AND l.lb = r.lb AND l.token = r.token
+        )
+        SELECT m.la AS lang_a, m.lb AS lang_b,
+               ta.n AS n_tokens_a, tb.n AS n_tokens_b,
+               ROUND(SUM(ABS(m.ca * tb.n - m.cb * ta.n))
+                     / (2.0 * ta.n * tb.n), 6) AS tv_distance
+        FROM merged m
+        JOIN tot ta ON ta.lang = m.la
+        JOIN tot tb ON tb.lang = m.lb
+        GROUP BY m.la, m.lb, ta.n, tb.n
+    """,
+    tags=("I-distribution",),
+)
+def text_lang_distribution_tv(spark, sf_dir):
+    """Total-variation distance between every pair of language unigram
+    distributions — the corpus-drift / domain-shift comparison that
+    needs no logarithms: TV(P,Q) = ½ Σ |p_i − q_i| evaluates EXACTLY
+    as Σ |c_i·n_Q − d_i·n_P| / (2·n_P·n_Q), integer cross-products
+    summed before a single final division.  Missing tokens enter
+    through a per-pair full outer join on the (pair, token) key.
+
+    Scale shape: one tokenization, one (lang, token) aggregate, then
+    joins keyed on token with pair fan-out bounded by |langs|² — at
+    100 TB the pair grid stays tiny while the token frames shuffle
+    once each."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    tot = tc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n")).persist()
+    ta, tb = tot.alias("ta"), tot.alias("tb")
+    pairs = ta.join(tb, F.col("ta.lang") < F.col("tb.lang")).select(
+        F.col("ta.lang").alias("la"), F.col("tb.lang").alias("lb")
+    )
+    left = (
+        F.broadcast(pairs)
+        .join(tc, tc.lang == F.col("la"))
+        .select("la", "lb", "token", F.col("c").alias("ca"))
+    )
+    right = (
+        F.broadcast(pairs)
+        .join(tc, tc.lang == F.col("lb"))
+        .select(
+            F.col("la").alias("rla"),
+            F.col("lb").alias("rlb"),
+            F.col("token").alias("rtoken"),
+            F.col("c").alias("cb"),
+        )
+    )
+    merged = left.join(
+        right,
+        (F.col("la") == F.col("rla"))
+        & (F.col("lb") == F.col("rlb"))
+        & (F.col("token") == F.col("rtoken")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("la"), F.col("rla")).alias("la"),
+        F.coalesce(F.col("lb"), F.col("rlb")).alias("lb"),
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    na = tot.select(F.col("lang").alias("la2"), F.col("n").alias("n_a"))
+    nb = tot.select(F.col("lang").alias("lb2"), F.col("n").alias("n_b"))
+    j = (
+        merged.join(F.broadcast(na), F.col("la") == F.col("la2"))
+        .join(F.broadcast(nb), F.col("lb") == F.col("lb2"))
+    )
+    return (
+        j.groupBy(
+            F.col("la").alias("lang_a"),
+            F.col("lb").alias("lang_b"),
+            F.col("n_a").alias("n_tokens_a"),
+            F.col("n_b").alias("n_tokens_b"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")))
+                / (2.0 * F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("tv_distance")
+        )
+    )
