@@ -2335,3 +2335,108 @@ def ts_forecast_pinball_loss(spark, sf_dir):
         F.round((5 * pos + 5 * neg) / (10.0 * cnt), 6).alias("pinball_q50"),
         F.round((9 * pos + 1 * neg) / (10.0 * cnt), 6).alias("pinball_q90"),
     )
+
+
+@register(
+    "agg_chain_ladder_factors",
+    oracle="""
+        WITH cells AS (
+            SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m,
+                   (year(l_shipdate) * 12 + month(l_shipdate))
+                   - (year(o_orderdate) * 12 + month(o_orderdate)) AS dev,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS amt
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE (year(l_shipdate) * 12 + month(l_shipdate))
+                  - (year(o_orderdate) * 12 + month(o_orderdate)) BETWEEN 0 AND 6
+            GROUP BY 1, 2
+        ),
+        cutoff AS (
+            SELECT MAX(year(l_shipdate) * 12 + month(l_shipdate)) AS maxm
+            FROM lineitem
+        ),
+        cum AS (
+            SELECT cohort_m, dev,
+                   CAST(SUM(amt) OVER (PARTITION BY cohort_m ORDER BY dev)
+                        AS DECIMAL(18,2)) AS cum_amt
+            FROM cells
+        ),
+        pairs AS (
+            SELECT a.dev AS dev_from, a.cum_amt AS c0, b.cum_amt AS c1
+            FROM cum a
+            JOIN cum b ON b.cohort_m = a.cohort_m AND b.dev = a.dev + 1
+            CROSS JOIN cutoff
+            WHERE a.cohort_m + a.dev + 1 <= cutoff.maxm
+        )
+        SELECT CAST(dev_from AS BIGINT) AS dev_from,
+               CAST(dev_from + 1 AS BIGINT) AS dev_to,
+               CAST(COUNT(*) AS BIGINT) AS n_cohorts,
+               CAST(SUM(c0) AS DOUBLE) AS base_amount,
+               ROUND(CAST(SUM(c1) AS DOUBLE) / CAST(SUM(c0) AS DOUBLE), 6)
+                   AS dev_factor
+        FROM pairs
+        GROUP BY dev_from
+    """,
+    tags=("TS-actuarial",),
+)
+def agg_chain_ladder_factors(spark, sf_dir):
+    """Chain-ladder age-to-age development factors — the actuarial
+    run-off-triangle method, re-cast over order cohorts: cells are
+    (order-month cohort, ship-lag development age) revenue sums,
+    cumulated per cohort, and each factor f_d = Σcum_{d+1}/Σcum_d sums
+    only cohorts whose d+1 age is inside the calendar cutoff (the
+    triangle's diagonal) — exactly how reserving picks its development
+    pattern.  All sums are exact DECIMAL; the per-cohort cumulation
+    runs on ≤7-row partitioned frames; each factor is one rounded
+    division.
+
+    Scale: one join + one (cohort, dev) aggregate over the data; the
+    triangle itself is months × 7 rows — a broadcast object."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    mo = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        mo(F.col("o_orderdate")).alias("cohort_m"),
+        (mo(F.col("l_shipdate")) - mo(F.col("o_orderdate"))).alias("dev"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("px"),
+        mo(F.col("l_shipdate")).alias("ship_m"),
+    )
+    cells = (
+        j.where(F.col("dev").between(0, 6))
+        .groupBy("cohort_m", "dev")
+        .agg(F.sum("px").cast("decimal(18,2)").alias("amt"))
+    )
+    cutoff = j.agg(F.max("ship_m").alias("maxm"))
+    w = Window.partitionBy("cohort_m").orderBy("dev")
+    cum = cells.select(
+        "cohort_m",
+        "dev",
+        F.sum("amt").over(w).cast("decimal(18,2)").alias("cum_amt"),
+    ).persist()
+    a, b = cum.alias("a"), cum.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.cohort_m") == F.col("a.cohort_m"))
+            & (F.col("b.dev") == F.col("a.dev") + 1),
+        )
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("a.cohort_m") + F.col("a.dev") + 1 <= F.col("maxm"))
+        .select(
+            F.col("a.dev").alias("dev_from"),
+            F.col("a.cum_amt").alias("c0"),
+            F.col("b.cum_amt").alias("c1"),
+        )
+    )
+    return pairs.groupBy(F.col("dev_from").cast("bigint").alias("dev_from")).agg(
+        (F.min("dev_from") + 1).cast("bigint").alias("dev_to"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cohorts"),
+        F.sum("c0").cast("double").alias("base_amount"),
+        F.round(F.sum("c1").cast("double") / F.sum("c0").cast("double"), 6).alias(
+            "dev_factor"
+        ),
+    )
