@@ -1135,3 +1135,36 @@ def dedup_minhash_estimate_error(spark, sf_dir):
         exact.alias("exact_jaccard"),
         F.round(F.abs(est - exact), 6).alias("abs_error"),
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle="""
+        WITH clusters AS (
+            SELECT md5(lower(text)) AS ck, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM documents GROUP BY 1
+        )
+        SELECT sz AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(sz) AS BIGINT) AS n_docs,
+               CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
+        FROM clusters
+        GROUP BY sz
+    """,
+    tags=("I4-profile",),
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Duplicate-cluster-size histogram — the profile a dedup run
+    publishes before deleting anything: exact-content clusters (md5 of
+    the lowered text) bucketed by size, with docs-per-bucket and the
+    removable count (size − 1 per cluster).  Two hash aggregates;
+    the histogram is at most |distinct sizes| rows at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = d.groupBy(F.md5(F.lower(F.col("text"))).alias("ck")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return clusters.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        (F.sum("sz") - F.count(F.lit(1))).cast("bigint").alias("n_removable"),
+    )

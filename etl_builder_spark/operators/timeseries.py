@@ -2440,3 +2440,76 @@ def agg_chain_ladder_factors(spark, sf_dir):
             "dev_factor"
         ),
     )
+
+
+@register(
+    "ts_rolling_trend_slope",
+    oracle="""
+        WITH hourly AS (
+            SELECT DATE_TRUNC('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        idx AS (
+            SELECT h, n,
+                   CAST(epoch(h) // 3600 AS BIGINT) AS x
+            FROM hourly
+        ),
+        rolled AS (
+            SELECT h, n,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS k,
+                   CAST(SUM(x) OVER w AS BIGINT) AS sx,
+                   CAST(SUM(n) OVER w AS BIGINT) AS sy,
+                   CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+                   CAST(SUM(x * n) OVER w AS BIGINT) AS sxy
+            FROM idx
+            WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        )
+        SELECT h AS hour_end, n AS n_events, k AS window_hours,
+               ROUND((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+                   AS slope_per_hour
+        FROM rolled
+        WHERE k = 24
+    """,
+    tags=("TS-trend",),
+)
+def ts_rolling_trend_slope(spark, sf_dir):
+    """Rolling 24-hour OLS trend slope of hourly event volume — the
+    "velocity" series behind growth alerting: per full window, slope =
+    (kΣxy−ΣxΣy)/(kΣx²−(Σx)²) where x is the integer hour index, so
+    every windowed sum is EXACT BIGINT and the slope is one fixed
+    float expression per row.  The window runs over the bounded
+    post-aggregation hourly frame (the ts_control_chart_xmr allowlist
+    argument); at raw-event scale the hourly rollup comes first by
+    construction."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    idx = hourly.select(
+        "h", "n", F.expr("unix_seconds(h) div 3600").cast("bigint").alias("x")
+    )
+    w = Window.orderBy("h").rowsBetween(-23, Window.currentRow)
+    rolled = idx.select(
+        "h",
+        "n",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("k"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("n").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("n")).over(w).cast("bigint").alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    sxd = F.col("sx").cast("double")
+    return rolled.where(F.col("k") == 24).select(
+        F.col("h").alias("hour_end"),
+        F.col("n").alias("n_events"),
+        F.col("k").alias("window_hours"),
+        F.round(
+            (kd * F.col("sxy") - sxd * F.col("sy"))
+            / (kd * F.col("sxx") - sxd * F.col("sx")),
+            6,
+        ).alias("slope_per_hour"),
+    )

@@ -464,6 +464,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = frozenset({
     "ts_anomaly_mad_residual",  # centered MA over the hourly census
     "ts_control_chart_xmr",
     "ts_rolling_corr",
+    "ts_rolling_trend_slope",  # 24h OLS window over the hourly census
     "vocab_bpe_pair_counts",
     "vocab_coverage_curve",
     "vocab_top_tokens",
