@@ -1969,3 +1969,92 @@ def ml_covariate_balance_smd(spark, sf_dir):
         F.round(mc / 100, 6).alias("mean_control"),
         F.round((mt - mc) / pooled, 6).alias("smd"),
     )
+
+
+@register(
+    "ml_silhouette_labels",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        dists AS (
+            SELECT a.vec_id AS i, a.label AS la, b.label AS lb,
+                   CAST(ROUND(sqrt(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, {EMB_DIM + 1}),
+                               k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k]))),
+                       (x, y) -> x + y)), 9) AS DECIMAL(20,9)) AS d
+            FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+        ),
+        per_group AS (
+            SELECT i, la, lb,
+                   CAST(SUM(d) AS DOUBLE) / COUNT(*) AS mean_d
+            FROM dists GROUP BY i, la, lb
+        ),
+        ab AS (
+            SELECT i, la,
+                   MAX(CASE WHEN lb = la THEN mean_d END) AS a_own,
+                   MIN(CASE WHEN lb <> la THEN mean_d END) AS b_other
+            FROM per_group GROUP BY i, la
+        )
+        SELECT la AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(CAST(ROUND((b_other - a_own)
+                                   / GREATEST(a_own, b_other), 6)
+                             AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*)
+                   AS mean_silhouette
+        FROM ab GROUP BY la
+    """,
+    tags=("ML-cluster-eval",),
+)
+def ml_silhouette_labels(spark, sf_dir):
+    """Silhouette analysis of the label clustering — "how separable
+    are the classes in embedding space": per point, a = mean distance
+    to its own label, b = the closest other label's mean distance,
+    s = (b−a)/max(a,b); reported as per-label mean silhouette.  The
+    clustering-quality gate that decides whether labels are usable as
+    supervision.  Determinism: per-pair distances are sequential folds
+    ROUND(·,9)-ed into DECIMAL before the per-(point, label) mean (an
+    order-free exact sum / exact count); per-point s is one fixed
+    float expression; the per-label mean goes round-then-decimal at
+    magnitude ≤ 1.
+
+    Scale: the pair scan is |corpus| × |corpus| brute force at fixture
+    size; at real scale the same shape runs per centroid-blocked
+    neighborhood (the SemDeDup blocking) — the reduction layout is
+    unchanged."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    d2 = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("i"),
+        F.col("a.label").alias("la"),
+        F.col("b.label").alias("lb"),
+        F.round(F.sqrt(d2), 9).cast("decimal(20,9)").alias("d"),
+    )
+    per_group = dists.groupBy("i", "la", "lb").agg(
+        (F.sum("d").cast("double") / F.count(F.lit(1))).alias("mean_d")
+    )
+    ab = per_group.groupBy("i", "la").agg(
+        F.max(F.when(F.col("lb") == F.col("la"), F.col("mean_d"))).alias("a_own"),
+        F.min(F.when(F.col("lb") != F.col("la"), F.col("mean_d"))).alias("b_other"),
+    )
+    s = F.round(
+        (F.col("b_other") - F.col("a_own"))
+        / F.greatest(F.col("a_own"), F.col("b_other")),
+        6,
+    ).cast("decimal(12,6)")
+    return ab.groupBy(F.col("la").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        (F.sum(s).cast("double") / F.count(F.lit(1))).alias("mean_silhouette"),
+    )
