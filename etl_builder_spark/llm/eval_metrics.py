@@ -1786,29 +1786,28 @@ GBDT_R1_THR = 25
                         AS DECIMAL(18,4)) AS r
             FROM lineitem l CROSS JOIN leaf f
         ),
-        grid AS (SELECT thr FROM generate_series(5, 45, 5) t(thr))
-        SELECT CAST(thr AS BIGINT) AS threshold,
-               CAST(SUM(CASE WHEN l_quantity <= thr THEN 1 ELSE 0 END) AS BIGINT)
-                   AS nl,
-               CAST(SUM(CASE WHEN l_quantity <= thr THEN r
-                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_res_l,
-               CAST(SUM(CASE WHEN l_quantity > thr THEN 1 ELSE 0 END) AS BIGINT)
-                   AS nr,
-               CAST(SUM(CASE WHEN l_quantity > thr THEN r
-                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_res_r,
-               ROUND(CAST(SUM(CASE WHEN l_quantity <= thr THEN r
-                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                     * CAST(SUM(CASE WHEN l_quantity <= thr THEN r
-                                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                     / SUM(CASE WHEN l_quantity <= thr THEN 1 ELSE 0 END)
-                     + CAST(SUM(CASE WHEN l_quantity > thr THEN r
-                                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                       * CAST(SUM(CASE WHEN l_quantity > thr THEN r
-                                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                       / SUM(CASE WHEN l_quantity > thr THEN 1 ELSE 0 END), 4)
-                   AS round2_gain
-        FROM resid CROSS JOIN grid
-        GROUP BY thr
+        grid AS (SELECT thr FROM generate_series(5, 45, 5) t(thr)),
+        split AS (
+            SELECT CAST(thr AS BIGINT) AS threshold,
+                   CAST(SUM(CASE WHEN l_quantity <= thr THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nl,
+                   CAST(SUM(CASE WHEN l_quantity <= thr THEN r
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                       AS sum_res_l,
+                   CAST(SUM(CASE WHEN l_quantity > thr THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nr,
+                   CAST(SUM(CASE WHEN l_quantity > thr THEN r
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                       AS sum_res_r
+            FROM resid CROSS JOIN grid
+            GROUP BY thr
+        )
+        SELECT threshold, nl, sum_res_l, nr, sum_res_r,
+               CASE WHEN nl = 0 OR nr = 0 THEN 0.0
+                    ELSE ROUND(sum_res_l * sum_res_l / nl
+                               + sum_res_r * sum_res_r / nr, 4)
+               END AS round2_gain
+        FROM split
     """,
     tags=("ML-boost",),
 )
@@ -1822,7 +1821,10 @@ def ml_gbdt_residual_boost(spark, sf_dir):
     emitting per-threshold residual sums and the variance-gain proxy
     (Σr_L)²/n_L + (Σr_R)²/n_R — the sequential fit-on-residuals step
     that defines boosting, in the histogram-scan shape
-    (ml_decision_stump_scan) that trains GBDTs at scale.
+    (ml_decision_stump_scan) that trains GBDTs at scale.  The gain is
+    zero-guarded for empty sides (same guard as the stump scan), so
+    the operator stays total on any filtered or re-pointed corpus,
+    not just the 1..50 quantity domain that happens to fill the grid.
 
     Two passes over lineitem with a broadcast 1-row leaf model in
     between — the exact structure of one boosting iteration on a
@@ -1867,7 +1869,9 @@ def ml_gbdt_residual_boost(spark, sf_dir):
         "sum_res_l",
         "nr",
         "sum_res_r",
-        F.round(gain, 4).alias("round2_gain"),
+        F.when((F.col("nl") == 0) | (F.col("nr") == 0), F.lit(0.0))
+        .otherwise(F.round(gain, 4))
+        .alias("round2_gain"),
     )
 
 

@@ -198,15 +198,19 @@ def _label_ranked(spark, sf_dir):
         SELECT probe_id,
                CAST(MIN(CASE WHEN cand_label = probe_label THEN rnk END) AS BIGINT)
                    AS first_rel_rank,
-               1.0 / MIN(CASE WHEN cand_label = probe_label THEN rnk END)
-                   AS reciprocal_rank,
+               CASE WHEN MIN(CASE WHEN cand_label = probe_label THEN rnk END)
+                         IS NULL THEN 0.0
+                    ELSE 1.0 / MIN(CASE WHEN cand_label = probe_label THEN rnk END)
+               END AS reciprocal_rank,
                CAST(SUM(CASE WHEN rnk <= 10 AND cand_label = probe_label
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top10,
-               SUM(CASE WHEN rnk <= 10 AND cand_label = probe_label
-                        THEN 1 ELSE 0 END)
-                   / CAST(LEAST(10, SUM(CASE WHEN cand_label = probe_label
-                                             THEN 1 ELSE 0 END)) AS DOUBLE)
-                   AS recall_at_10
+               CASE WHEN SUM(CASE WHEN cand_label = probe_label
+                                  THEN 1 ELSE 0 END) = 0 THEN 0.0
+                    ELSE SUM(CASE WHEN rnk <= 10 AND cand_label = probe_label
+                                  THEN 1 ELSE 0 END)
+                         / CAST(LEAST(10, SUM(CASE WHEN cand_label = probe_label
+                                                   THEN 1 ELSE 0 END)) AS DOUBLE)
+               END AS recall_at_10
         FROM ranked
         GROUP BY probe_id
     """,
@@ -219,7 +223,9 @@ def ml_retrieval_mrr_recall(spark, sf_dir):
     the deterministic rounded-cosine order; the metrics are exact
     integer counts and single fixed divisions — the eval-harness
     pattern for embedding-model regression gates on a training
-    pipeline."""
+    pipeline.  Probes whose label has no other member get an explicit
+    0.0 reciprocal rank and recall (zero-guarded in both engines, the
+    ml_pr_threshold_grid style) rather than silently-NULL metric rows."""
     ranked = _label_ranked(spark, sf_dir)
     rel = F.col("cand_label") == F.col("probe_label")
     rel_rank = F.min(F.when(rel, F.col("rnk")))
@@ -227,9 +233,13 @@ def ml_retrieval_mrr_recall(spark, sf_dir):
     n_rel = F.sum(F.when(rel, 1).otherwise(0))
     return ranked.groupBy("probe_id").agg(
         rel_rank.cast("bigint").alias("first_rel_rank"),
-        (F.lit(1.0) / rel_rank).alias("reciprocal_rank"),
+        F.when(rel_rank.isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) / rel_rank)
+        .alias("reciprocal_rank"),
         n_rel_10.cast("bigint").alias("n_rel_top10"),
-        (n_rel_10 / F.least(F.lit(10), n_rel).cast("double")).alias("recall_at_10"),
+        F.when(n_rel == 0, F.lit(0.0))
+        .otherwise(n_rel_10 / F.least(F.lit(10), n_rel).cast("double"))
+        .alias("recall_at_10"),
     )
 
 

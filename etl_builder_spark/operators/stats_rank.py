@@ -147,8 +147,8 @@ def stats_spearman_rho(spark, sf_dir):
         )
         SELECT nn AS n_rows, c AS concordant, d AS discordant,
                ROUND(2.0 * (c - d)
-                     / (sqrt(CAST(nn * (nn - 1) - tx.s AS DOUBLE))
-                        * sqrt(CAST(nn * (nn - 1) - ty.s AS DOUBLE))), 6)
+                     / (sqrt(CAST(CAST(nn AS DECIMAL(38,0)) * (nn - 1) - tx.s AS DOUBLE))
+                        * sqrt(CAST(CAST(nn AS DECIMAL(38,0)) * (nn - 1) - ty.s AS DOUBLE))), 6)
                    AS kendall_tau_b
         FROM conc, disc, tot, tx, ty
     """,
@@ -163,7 +163,13 @@ def stats_kendall_tau_binned(spark, sf_dir):
     joins a few thousand broadcast rows while the data passes once
     through one hash aggregate.  Ties enter through the tau-b
     correction, kept x2 so everything stays integer until the final
-    quotient (doubling both (n0-n1) factors cancels against 2(C-D))."""
+    quotient (doubling both (n0-n1) factors cancels against 2(C-D)).
+    The tau-b denominator forms nn*(nn-1) in DECIMAL(38,0) in BOTH
+    engines — in int64 it overflows once n_rows exceeds ~3e9, well
+    inside the 100 TB envelope (same hazard class as the
+    stats_ratio_delta_ci co-moment caveat); the tie sums sx/sy and
+    the C/D pair counts share the hazard only past ~3e9 rows in a
+    single tie group, noted here as the next swap point."""
     l = load_table(spark, sf_dir, "lineitem")
     cells = (
         l.select(
@@ -206,7 +212,8 @@ def stats_kendall_tau_binned(spark, sf_dir):
         .crossJoin(F.broadcast(tx))
         .crossJoin(F.broadcast(ty))
     )
-    n0x2 = F.col("nn") * (F.col("nn") - 1)
+    nn_dec = F.col("nn").cast("decimal(38,0)")
+    n0x2 = nn_dec * (nn_dec - 1)
     return one.select(
         F.col("nn").alias("n_rows"),
         F.col("c").alias("concordant"),

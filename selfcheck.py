@@ -176,6 +176,11 @@ def main() -> int:
     ap.add_argument(
         "--legacy", action="store_true", help="old Python-value canon instead of driver parity"
     )
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write per-key results to this JSON file (committable evidence artifact)",
+    )
     args = ap.parse_args()
 
     _ensure_loaded()
@@ -195,12 +200,27 @@ def main() -> int:
 
     check = check_query_legacy if args.legacy else check_query_parity
     n_bad = 0
+    results = {}
     for name, spec in specs.items():
         status, detail, dt = check(spark, con, name, spec, args.sf)
         ok = status in ("OK", "ROWS-ONLY")
         n_bad += 0 if ok else 1
+        results[name] = {"status": status, "detail": detail, "secs": round(dt, 2)}
         print(f"{'✓' if ok else '✗'} {name:32s} {status:16s} {dt:6.2f}s  {detail}", flush=True)
     print(f"\n{len(specs) - n_bad}/{len(specs)} green [{'legacy' if args.legacy else 'parity'}]")
+    if args.json:
+        import json as _json
+
+        payload = {
+            "mode": "legacy" if args.legacy else "parity",
+            "sf_dir": args.sf,
+            "n_green": len(specs) - n_bad,
+            "n_total": len(specs),
+            "results": results,
+        }
+        with open(args.json, "w") as fh:
+            _json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {args.json}")
     return 1 if n_bad else 0
 
 
