@@ -1,0 +1,326 @@
+"""Hypothesis-testing statistics: Welch's t, a pinned permutation
+test, and grid-search quantile regression (SURVEY §2 STATS family,
+round-9 wave).
+
+Determinism (policy §7.2): every cross-row accumulation is exact —
+BIGINT counts/cent-sums or the stats_anova_oneway DECIMAL(18,2)
+square idiom — and each statistic is one fixed final float
+expression written identically in both engines, ROUND(·,6)-ed once.
+
+Scale posture: all three are single conditional aggregates (the
+ml_decision_stump_scan shape): the permutation B-grid and the slope
+grid multiply rows only inside map-side combine, so the data passes
+once and the shuffle carries |grid| accumulator groups regardless of
+row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table
+
+#: the two priority arms compared by Welch's t — extreme ends of the
+#: fixed TPC-H priority domain.
+WELCH_A = "1-URGENT"
+WELCH_B = "5-LOW"
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=f"""
+        WITH m AS (
+            SELECT
+                CAST(SUM(CASE WHEN o_orderpriority = '{WELCH_A}' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN o_orderpriority = '{WELCH_A}'
+                              THEN CAST(o_totalprice AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS s1,
+                CAST(SUM(CASE WHEN o_orderpriority = '{WELCH_A}'
+                              THEN CAST(o_totalprice AS DECIMAL(18,2))
+                                   * CAST(o_totalprice AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS q1,
+                CAST(SUM(CASE WHEN o_orderpriority = '{WELCH_B}' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n2,
+                CAST(SUM(CASE WHEN o_orderpriority = '{WELCH_B}'
+                              THEN CAST(o_totalprice AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS s2,
+                CAST(SUM(CASE WHEN o_orderpriority = '{WELCH_B}'
+                              THEN CAST(o_totalprice AS DECIMAL(18,2))
+                                   * CAST(o_totalprice AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS q2
+            FROM orders
+        )
+        SELECT n1 AS n_urgent, n2 AS n_low,
+               ROUND(s1 / n1, 6) AS mean_urgent,
+               ROUND(s2 / n2, 6) AS mean_low,
+               ROUND((s1 / n1 - s2 / n2)
+                     / sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                            + (q2 - s2 * s2 / n2) / (n2 - 1) / n2), 6)
+                   AS t_stat,
+               ROUND(((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                      + (q2 - s2 * s2 / n2) / (n2 - 1) / n2)
+                     * ((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                        + (q2 - s2 * s2 / n2) / (n2 - 1) / n2)
+                     / (((q1 - s1 * s1 / n1) / (n1 - 1) / n1)
+                        * ((q1 - s1 * s1 / n1) / (n1 - 1) / n1) / (n1 - 1)
+                        + ((q2 - s2 * s2 / n2) / (n2 - 1) / n2)
+                          * ((q2 - s2 * s2 / n2) / (n2 - 1) / n2) / (n2 - 1)), 6)
+                   AS welch_df,
+               ROUND((s1 / n1 - s2 / n2)
+                     / sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))
+                            / (n1 + n2 - 2)), 6)
+                   AS cohen_d
+        FROM m
+    """,
+    tags=("STATS-tests",),
+)
+def stats_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test between the 1-URGENT and 5-LOW
+    order arms on o_totalprice, plus the Welch–Satterthwaite degrees
+    of freedom and Cohen's d — the A/B gatekeeper statistic computed
+    as ONE conditional aggregate (six accumulators), the
+    stats_anova_oneway discipline: sums and sums-of-squares
+    accumulate as exact DECIMAL (order-free), and every statistic is
+    one fixed float expression of the six exact numbers, identical in
+    both engines, rounded once at 6 dp.
+
+    100 TB posture: one map-side-combined pass over orders; the
+    statistic reduction is a 1-row expression.  The sum-of-squares
+    decimal→double conversion is exact through sf0.1 magnitudes
+    (~3.8e16 < 2^53-ish significance); past ~1e18 the policy.py
+    ratio-space caveat applies (same envelope as stats_anova_oneway)."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.col("o_totalprice").cast("decimal(18,2)")
+    zero2 = F.lit(0).cast("decimal(18,2)")
+    zero4 = F.lit(0).cast("decimal(38,4)")
+    in_a = F.col("o_orderpriority") == WELCH_A
+    in_b = F.col("o_orderpriority") == WELCH_B
+    m = o.agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(in_a, y).otherwise(zero2)).cast("double").alias("s1"),
+        F.sum(F.when(in_a, y * y).otherwise(zero4)).cast("double").alias("q1"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(in_b, y).otherwise(zero2)).cast("double").alias("s2"),
+        F.sum(F.when(in_b, y * y).otherwise(zero4)).cast("double").alias("q2"),
+    )
+    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
+    n2, s2, q2 = F.col("n2"), F.col("s2"), F.col("q2")
+    se1 = (q1 - s1 * s1 / n1) / (n1 - 1) / n1
+    se2 = (q2 - s2 * s2 / n2) / (n2 - 1) / n2
+    return m.select(
+        n1.alias("n_urgent"),
+        n2.alias("n_low"),
+        F.round(s1 / n1, 6).alias("mean_urgent"),
+        F.round(s2 / n2, 6).alias("mean_low"),
+        F.round((s1 / n1 - s2 / n2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2) / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)),
+            6,
+        ).alias("welch_df"),
+        F.round(
+            (s1 / n1 - s2 / n2)
+            / F.sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2)) / (n1 + n2 - 2)),
+            6,
+        ).alias("cohen_d"),
+    )
+
+
+#: permutation count; b=0 is the OBSERVED labeling (purchase vs rest),
+#: b=1..PERM_B are pinned pseudo-random relabelings.
+PERM_B = 32
+#: per-permutation salt stride (odd, > 2^20) and the Knuth mixer —
+#: shared with sample_hash_deterministic; the % 10000 bucket (not the
+#: low bit, which for an odd multiplier is just parity of the input)
+#: decides the pseudo-arm.
+PERM_SALT = 1000003
+KNUTH = 2654435761
+
+
+@register(
+    "stats_permutation_test_pinned",
+    oracle=f"""
+        WITH grid AS (SELECT b FROM generate_series(0, {PERM_B}) t(b)),
+        arms AS (
+            SELECT b,
+                   CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                   CAST(SUM(CASE WHEN grp THEN xc ELSE 0 END) AS BIGINT) AS sa,
+                   CAST(SUM(CASE WHEN grp THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+                   CAST(SUM(CASE WHEN grp THEN 0 ELSE xc END) AS BIGINT) AS sb
+            FROM (
+                SELECT b,
+                       CASE WHEN b = 0 THEN event_type = 'purchase'
+                            ELSE ((event_id + b * {PERM_SALT}) * {KNUTH})
+                                 % 4294967296 % 10000 < 5000
+                       END AS grp,
+                       CAST(ROUND(value * 100) AS BIGINT) AS xc
+                FROM events CROSS JOIN grid
+            )
+            GROUP BY b
+        ),
+        diffs AS (
+            SELECT b,
+                   CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS diff
+            FROM arms
+        )
+        SELECT ROUND((SELECT diff FROM diffs WHERE b = 0) / 100, 6)
+                   AS observed_diff,
+               CAST({PERM_B} AS BIGINT) AS n_perms,
+               CAST((SELECT COUNT(*) FROM diffs
+                     WHERE b > 0 AND ABS(diff) >=
+                           ABS((SELECT diff FROM diffs WHERE b = 0))) AS BIGINT)
+                   AS n_ge,
+               ROUND((1.0 + (SELECT COUNT(*) FROM diffs
+                             WHERE b > 0 AND ABS(diff) >=
+                                   ABS((SELECT diff FROM diffs WHERE b = 0))))
+                     / (1 + {PERM_B}), 6) AS p_value
+    """,
+    tags=("STATS-tests",),
+)
+def stats_permutation_test_pinned(spark, sf_dir):
+    """Permutation test for the purchase-vs-rest mean event value,
+    with a PINNED null distribution: b = 0 carries the observed
+    labeling, b = 1..{PERM_B} relabel every event by the Knuth mixer
+    of (event_id + b·salt) — deterministic, engine-portable
+    pseudo-permutations (random relabeling approximates exchangeable
+    permutation for a two-arm mean difference).  The p-value is the
+    add-one-smoothed rank of |observed| in the null |diffs|.
+
+    100 TB posture: the decision-stump-scan shape — the ×(B+1) grid
+    expansion collapses inside map-side combine, so events passes
+    ONCE and the shuffle carries B+1 groups of four exact BIGINT
+    accumulators (value in integer cents); the rank step runs on the
+    33-row result.  More permutations = wider grid, same single
+    pass — the cluster cost of B=1000 is the same scan."""
+    e = load_table(spark, sf_dir, "events")
+    grid = spark.range(0, PERM_B + 1).select(F.col("id").alias("b"))
+    xc = F.round(F.col("value") * 100).cast("bigint")
+    grp = F.when(F.col("b") == 0, F.col("event_type") == "purchase").otherwise(
+        F.pmod(
+            F.pmod((F.col("event_id") + F.col("b") * PERM_SALT) * KNUTH, F.lit(4294967296)),
+            F.lit(10000),
+        )
+        < 5000
+    )
+    arms = (
+        e.crossJoin(F.broadcast(grid))
+        .select("b", grp.alias("grp"), xc.alias("xc"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("grp"), 1).otherwise(0)).cast("bigint").alias("na"),
+            F.sum(F.when(F.col("grp"), F.col("xc")).otherwise(0)).cast("bigint").alias("sa"),
+            F.sum(F.when(F.col("grp"), 0).otherwise(1)).cast("bigint").alias("nb"),
+            F.sum(F.when(F.col("grp"), 0).otherwise(F.col("xc"))).cast("bigint").alias("sb"),
+        )
+    )
+    diffs = arms.select(
+        "b",
+        (F.col("sa").cast("double") / F.col("na") - F.col("sb").cast("double") / F.col("nb")).alias("diff"),
+    )
+    obs = diffs.where(F.col("b") == 0).select(F.col("diff").alias("obs_diff"))
+    null = (
+        diffs.where(F.col("b") > 0)
+        .crossJoin(F.broadcast(obs))
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("diff")) >= F.abs(F.col("obs_diff")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ge")
+        )
+    )
+    return (
+        obs.crossJoin(F.broadcast(null))
+        .select(
+            F.round(F.col("obs_diff") / 100, 6).alias("observed_diff"),
+            F.lit(PERM_B).cast("bigint").alias("n_perms"),
+            F.col("n_ge"),
+            F.round((1.0 + F.col("n_ge")) / (1 + PERM_B), 6).alias("p_value"),
+        )
+    )
+
+
+#: candidate slopes (cents of extendedprice per unit quantity) for the
+#: tau-quantile regression through the origin; the data's unit price
+#: runs ~2k..105k dollars with p90 near 10k, so the grid brackets the
+#: 0.9-quantile fit.
+QR_SLOPES_CENTS = tuple(range(200_000, 1_100_000, 100_000))
+QR_TAU_X10 = 9  # tau = 0.9, kept ×10 so the pinball loss stays integer
+
+
+@register(
+    "ml_quantile_regression_grid",
+    oracle=f"""
+        WITH grid AS (SELECT unnest([{", ".join(str(s) for s in QR_SLOPES_CENTS)}]) AS s),
+        loss AS (
+            SELECT s,
+                   CAST(SUM(CASE WHEN u >= 0 THEN {QR_TAU_X10} * u
+                                 ELSE ({QR_TAU_X10} - 10) * u END) AS BIGINT)
+                       AS loss_x10,
+                   CAST(SUM(CASE WHEN u >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_under
+            FROM (
+                SELECT s,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       - s * CAST(l_quantity AS BIGINT) AS u
+                FROM lineitem CROSS JOIN grid
+            )
+            GROUP BY s
+        )
+        SELECT CAST(s AS BIGINT) AS slope_cents,
+               loss_x10,
+               ROUND(CAST(loss_x10 AS DOUBLE) / 1000, 2) AS pinball_loss,
+               n_under,
+               (loss_x10 = (SELECT MIN(loss_x10) FROM loss)) AS is_best
+        FROM loss
+    """,
+    tags=("ML-quantile",),
+)
+def ml_quantile_regression_grid(spark, sf_dir):
+    """Quantile (tau = 0.9) regression of extendedprice on quantity
+    through the origin, fit by GRID SEARCH over candidate slopes with
+    the pinball loss — how quantile models (P90 latency curves, cost
+    envelopes, demand upper bounds) are actually fit at scale when
+    the model is low-dimensional: score every candidate in one pass,
+    keep the argmin.  The loss is kept ×10 in exact BIGINT cents
+    (tau·u⁺ + (tau−1)·u⁻ with tau = 9/10), so engines agree bit-for-
+    bit; /1000 converts to dollars once at the end.
+
+    100 TB posture: the decision-stump-scan shape again — the ×|grid|
+    expansion collapses inside map-side combine (shuffle = |grid|
+    groups of two BIGINT accumulators), lineitem passes once, and the
+    argmin broadcast-joins a 9-row aggregate.  |u|·tau×10 ≤ ~5e9 per
+    row keeps the sf0.1 sum ≤ ~3e15; past ~1e18 rows·cents the
+    DECIMAL(38,0) swap applies (stats_kendall_tau_binned caveat)."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    grid = spark.createDataFrame([(s,) for s in QR_SLOPES_CENTS], "s long")
+    u = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        - F.col("s") * F.col("l_quantity").cast("bigint")
+    )
+    loss = (
+        l.crossJoin(F.broadcast(grid))
+        .select("s", u.alias("u"))
+        .groupBy("s")
+        .agg(
+            F.sum(
+                F.when(F.col("u") >= 0, QR_TAU_X10 * F.col("u")).otherwise(
+                    (QR_TAU_X10 - 10) * F.col("u")
+                )
+            )
+            .cast("bigint")
+            .alias("loss_x10"),
+            F.sum(F.when(F.col("u") >= 0, 1).otherwise(0)).cast("bigint").alias("n_under"),
+        )
+    )
+    best = loss.agg(F.min("loss_x10").alias("min_loss"))
+    return (
+        loss.crossJoin(F.broadcast(best))
+        .select(
+            F.col("s").cast("bigint").alias("slope_cents"),
+            "loss_x10",
+            F.round(F.col("loss_x10").cast("double") / 1000, 2).alias("pinball_loss"),
+            "n_under",
+            (F.col("loss_x10") == F.col("min_loss")).alias("is_best"),
+        )
+    )

@@ -480,6 +480,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.spatial  # noqa: F401
     import etl_builder_spark.operators.stats  # noqa: F401
     import etl_builder_spark.operators.stats_rank  # noqa: F401
+    import etl_builder_spark.operators.stats_tests  # noqa: F401
     import etl_builder_spark.operators.subqueries  # noqa: F401
     import etl_builder_spark.operators.timeseries  # noqa: F401
     import etl_builder_spark.operators.tpch  # noqa: F401
