@@ -663,3 +663,219 @@ def funnel_three_stage(spark, sf_dir):
             F.col("n_users").cast("double") / F.first("n_users").over(w), 6
         ).alias("conversion_from_top"),
     )
+
+
+def _journey_sql() -> str:
+    """Shared journey CTE: each non-purchase touch is assigned to the
+    user's NEXT purchase (journey j = preceding-purchase count + 1);
+    touches after the last purchase drop out via the inner join."""
+    return """
+        WITH seq AS (
+            SELECT user_id, event_id, ts, event_type, value,
+                   COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS cpb
+            FROM events
+        ),
+        purch AS (
+            SELECT user_id, cpb + 1 AS j, epoch_us(ts) AS p_us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vc
+            FROM seq WHERE event_type = 'purchase'
+        ),
+        touch AS (
+            SELECT user_id, cpb + 1 AS j, event_type AS channel, ts, event_id,
+                   epoch_us(ts) AS t_us
+            FROM seq WHERE event_type <> 'purchase'
+        ),
+        journey AS (
+            SELECT t.user_id, t.j, t.channel, p.vc, p.p_us, t.t_us,
+                   ROW_NUMBER() OVER (PARTITION BY t.user_id, t.j
+                                      ORDER BY t.ts, t.event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY t.user_id, t.j) AS n
+            FROM touch t JOIN purch p ON t.user_id = p.user_id AND t.j = p.j
+        )
+    """
+
+
+def _journey(spark, sf_dir):
+    """Spark twin of ``_journey_sql``: one exchange on user_id shared by
+    the preceding-purchase-count carry window, then an equi-join of the
+    touch and purchase halves on (user_id, journey#) and the per-journey
+    rank/size windows on the same key — three windows, ONE partitioning
+    family, no scan-back self-join."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cpb = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w_prev),
+        F.lit(0),
+    )
+    seq = e.select(
+        "user_id", "event_id", "ts", "event_type", "value", cpb.alias("cpb")
+    )
+    purch = seq.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("cpb") + 1).alias("j"),
+        F.unix_micros("ts").alias("p_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    touch = seq.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        (F.col("cpb") + 1).alias("j"),
+        F.col("event_type").alias("channel"),
+        "ts",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    jw = Window.partitionBy("user_id", "j").orderBy("ts", "event_id")
+    jn = Window.partitionBy("user_id", "j")
+    return (
+        touch.join(purch, ["user_id", "j"])
+        .select(
+            "user_id",
+            "j",
+            "channel",
+            "vc",
+            "p_us",
+            "t_us",
+            F.row_number().over(jw).alias("rn"),
+            F.count(F.lit(1)).over(jn).alias("n"),
+        )
+    )
+
+
+@register(
+    "attribution_position_based",
+    oracle=_journey_sql()
+    + """
+        , credited AS (
+            SELECT channel,
+                   CAST(ROUND(vc * (CASE WHEN n = 1 THEN 1.0
+                                         WHEN n = 2 THEN 0.5
+                                         WHEN rn = 1 OR rn = n THEN 0.4
+                                         ELSE 0.2 / (n - 2) END)) AS BIGINT)
+                       AS credit_cents
+            FROM journey
+        )
+        SELECT channel,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit_cents) AS BIGINT) AS credit_cents,
+               ROUND(CAST(SUM(credit_cents) AS DOUBLE) / 100, 2) AS attributed_value
+        FROM credited
+        GROUP BY channel
+    """,
+    tags=("funnel-attribution",),
+)
+def attribution_position_based(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: within each
+    conversion journey (the touches between consecutive purchases of a
+    user), the first and last touch each earn 40% of the purchase
+    value and the middle touches split the remaining 20% evenly
+    (degenerate journeys: one touch takes 100%, two touches split
+    50/50).  Per-touch credit is rounded to integer cents BEFORE the
+    channel rollup, so every cross-row accumulation is exact BIGINT
+    (policy §7.2 round-then-sum) and the only floats are the per-row
+    weight expression — identical text in both engines.
+
+    100 TB posture: the journey build is the attribution_last_touch
+    machinery generalized — every window and the touch↔purchase join
+    share ONE (user_id)-family partitioning, so the whole model is a
+    single exchange over events plus a ≤|channels|-row rollup; no
+    per-conversion scan-back, no ts-range self-join."""
+    j = _journey(spark, sf_dir)
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    credit = F.round(F.col("vc") * weight).cast("bigint")
+    return (
+        j.select("channel", credit.alias("credit_cents"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit_cents").cast("bigint").alias("credit_cents"),
+            F.round(F.sum("credit_cents").cast("double") / 100, 2).alias(
+                "attributed_value"
+            ),
+        )
+    )
+
+
+#: time-decay half-life (µs): weight halves every 6 hours of touch age;
+#: the exponent caps at 40 so the integer weight 2^(40-e) stays exact.
+DECAY_HALF_US = 21_600_000_000
+DECAY_CAP = 40
+
+
+@register(
+    "attribution_time_decay",
+    oracle=_journey_sql()
+    + f"""
+        , weighted AS (
+            SELECT channel, user_id, j, vc,
+                   CAST(POWER(2.0, {DECAY_CAP} - LEAST((p_us - t_us) // {DECAY_HALF_US},
+                                                       {DECAY_CAP})) AS BIGINT) AS iw
+            FROM journey
+        ),
+        normed AS (
+            SELECT channel,
+                   CAST(ROUND(vc * (CAST(iw AS DOUBLE)
+                                    / SUM(iw) OVER (PARTITION BY user_id, j)))
+                        AS BIGINT) AS credit_cents
+            FROM weighted
+        )
+        SELECT channel,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit_cents) AS BIGINT) AS credit_cents,
+               ROUND(CAST(SUM(credit_cents) AS DOUBLE) / 100, 2) AS attributed_value
+        FROM normed
+        GROUP BY channel
+    """,
+    tags=("funnel-attribution",),
+)
+def attribution_time_decay(spark, sf_dir):
+    """Time-decay multi-touch attribution: each touch's share of its
+    journey's purchase value is proportional to 2^(−age/6h), so recent
+    touches dominate.  The decay weight is kept EXACT: the exponent is
+    the integer 6-hour bucket of the µs age (capped at {DECAY_CAP}),
+    so the raw weight 2^(cap−e) is an exact BIGINT, the per-journey
+    normalizer is an exact integer SUM, and per-touch credit rounds to
+    integer cents before the channel rollup (round-then-sum).  The
+    only float is the per-row share division — identical in both
+    engines.
+
+    100 TB posture: same single (user_id)-family exchange as
+    attribution_position_based; the normalizer is one more window on
+    the ALREADY-partitioned journey frame, and the rollup carries
+    ≤|channels| groups."""
+    from pyspark.sql import Window
+
+    j = _journey(spark, sf_dir)
+    e_exp = F.least(
+        F.floor((F.col("p_us") - F.col("t_us")) / DECAY_HALF_US), F.lit(DECAY_CAP)
+    )
+    iw = F.pow(F.lit(2.0), F.lit(DECAY_CAP) - e_exp).cast("bigint")
+    jn = Window.partitionBy("user_id", "j")
+    weighted = j.select("channel", "user_id", "j", "vc", iw.alias("iw"))
+    credit = F.round(
+        F.col("vc") * (F.col("iw").cast("double") / F.sum("iw").over(jn))
+    ).cast("bigint")
+    return (
+        weighted.select("channel", credit.alias("credit_cents"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit_cents").cast("bigint").alias("credit_cents"),
+            F.round(F.sum("credit_cents").cast("double") / 100, 2).alias(
+                "attributed_value"
+            ),
+        )
+    )

@@ -84,3 +84,90 @@ def win_conditional_rows(spark, sf_dir):
         .cast("double")
         .alias("purchase_value_last5"),
     )
+
+
+#: equi-depth bin count
+EQD_BINS = 10
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle=f"""
+        WITH vals AS (
+            SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY 1
+        ),
+        run AS (
+            SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS run_cnt
+            FROM vals
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vals),
+        grid AS (SELECT i FROM generate_series(1, {EQD_BINS}) t(i)),
+        edges AS (
+            SELECT i,
+                   MIN(CASE WHEN run_cnt >= (i * n + {EQD_BINS} - 1) // {EQD_BINS}
+                            THEN v END) AS upper_edge,
+                   CAST(MIN(CASE WHEN run_cnt >= (i * n + {EQD_BINS} - 1) // {EQD_BINS}
+                                 THEN run_cnt END) AS BIGINT) AS cum_rows
+            FROM run CROSS JOIN tot CROSS JOIN grid
+            GROUP BY i
+        )
+        SELECT CAST(i AS BIGINT) AS bin,
+               upper_edge,
+               cum_rows,
+               CAST(cum_rows - COALESCE(LAG(cum_rows) OVER (ORDER BY i), 0) AS BIGINT)
+                   AS bin_rows
+        FROM edges
+    """,
+    tags=("D-histogram",),
+)
+def agg_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (equal-frequency) histogram of o_totalprice in
+    {EQD_BINS} bins — the optimizer-statistics shape (NDV-aware
+    selectivity estimation builds exactly this): bin i's upper edge is
+    the smallest value whose inclusive running count reaches
+    ceil(i·N/{EQD_BINS}), so every bin holds ~N/{EQD_BINS} rows with
+    ties kept together.  Edges and counts are EXACT — no interpolation,
+    no sketch (the D10/D13 keys cover those); integer rank targets use
+    the ceil-division identity (i·N + k−1) div k.
+
+    100 TB posture: the per-DISTINCT-value frame (one hash aggregate)
+    is the only row-count-sized stage; the running count uses the
+    banded prefix machinery (zero unpartitioned Windows), the ×{EQD_BINS}
+    grid expansion collapses inside map-side combine (the stump-scan
+    shape), and the lag step runs on {EQD_BINS} rows."""
+    from etl_builder_spark.operators.stats import banded_running
+
+    o = load_table(spark, sf_dir, "orders")
+    vals = (
+        o.groupBy(F.col("o_totalprice").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()  # feeds the total, and banded_running scans it twice
+    )
+    run = banded_running(vals, value_col="v", tiebreak_col="v", sum_col="cnt").select(
+        "v", F.col("run_sum").alias("run_cnt")
+    )
+    tot = vals.agg(F.sum("cnt").cast("bigint").alias("n"))
+    grid = spark.range(1, EQD_BINS + 1).select(F.col("id").alias("i"))
+    target = (F.col("i") * F.col("n") + (EQD_BINS - 1)) .cast("bigint")
+    # integer ceil-div: (i*n + bins-1) div bins
+    tgt = F.floor(target / EQD_BINS)
+    hit = F.col("run_cnt") >= tgt
+    edges = (
+        run.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("i")
+        .agg(
+            F.min(F.when(hit, F.col("v"))).alias("upper_edge"),
+            F.min(F.when(hit, F.col("run_cnt"))).cast("bigint").alias("cum_rows"),
+        )
+    )
+    w = Window.orderBy("i")
+    return edges.select(
+        F.col("i").cast("bigint").alias("bin"),
+        "upper_edge",
+        "cum_rows",
+        (F.col("cum_rows") - F.coalesce(F.lag("cum_rows").over(w), F.lit(0)))
+        .cast("bigint")
+        .alias("bin_rows"),
+    )
