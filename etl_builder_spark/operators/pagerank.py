@@ -669,3 +669,288 @@ def graph_katz_centrality(spark, sf_dir):
         c3.alias("walks_3"),
         (64 * F.col("c1") + 8 * c2 + c3).alias("katz_x512"),
     )
+
+
+def _copurchase_edges(spark, sf_dir):
+    """The graph_triangle_count edge build, shared by the round-9 graph
+    kernels: undirected co-purchase edges (u < v), support floor ≥ 3."""
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= 3)
+        .select("u", "v")
+        .persist()
+    )
+
+
+_EDGES_SQL = """
+        items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        )
+"""
+
+
+@register(
+    "graph_local_clustering",
+    oracle=f"""
+        WITH {_EDGES_SQL},
+        wedges AS (
+            SELECT e1.u AS u, e1.v AS v, e2.v AS w
+            FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        ),
+        tris AS (
+            SELECT x.u, x.v, x.w
+            FROM wedges x JOIN edges e3 ON e3.u = x.u AND e3.v = x.w
+        ),
+        tri_per_node AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+            FROM (SELECT u AS node FROM tris
+                  UNION ALL SELECT v AS node FROM tris
+                  UNION ALL SELECT w AS node FROM tris)
+            GROUP BY node
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM edges
+                  UNION ALL SELECT v AS node FROM edges)
+            GROUP BY node
+        )
+        SELECT d.node, d.d AS degree,
+               COALESCE(t.n_tri, 0) AS n_triangles,
+               CASE WHEN d.d < 2 THEN 0.0
+                    ELSE ROUND(2.0 * COALESCE(t.n_tri, 0) / (d.d * (d.d - 1)), 6)
+               END AS local_cc
+        FROM deg d LEFT JOIN tri_per_node t ON d.node = t.node
+    """,
+    tags=("GR-triangles",),
+)
+def graph_local_clustering(spark, sf_dir):
+    """PER-NODE clustering coefficient — graph_triangle_count's global
+    statistic localized: each closed wedge (u<v<w, enumerated once)
+    credits all three corners, and lc(v) = 2·tri(v)/(deg(v)·(deg(v)−1))
+    with a zero-guard for degree-<2 nodes.  The per-node table is what
+    community detection and spam/bot features consume.
+
+    100 TB posture: identical shuffle structure to the global kernel
+    (ordered wedge join + one closure join) plus two node-keyed hash
+    aggregates; the triple explode is 3 rows per triangle — bounded by
+    the triangle count, not the wedge count.  All counts exact BIGINT;
+    one guarded division rounds 6 dp."""
+    edges = _copurchase_edges(spark, sf_dir)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("wu"), F.col("e1.v").alias("wv"), F.col("e2.v").alias("ww")
+    )
+    tris = wedges.join(
+        e3, (F.col("e3.u") == F.col("wu")) & (F.col("e3.v") == F.col("ww"))
+    ).select("wu", "wv", "ww")
+    tri_per_node = (
+        tris.select(F.col("wu").alias("node"))
+        .unionAll(tris.select(F.col("wv").alias("node")))
+        .unionAll(tris.select(F.col("ww").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    lc = F.when(F.col("d") < 2, F.lit(0.0)).otherwise(
+        F.round(2.0 * F.coalesce(F.col("n_tri"), F.lit(0)) / (F.col("d") * (F.col("d") - 1)), 6)
+    )
+    return (
+        deg.join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            lc.alias("local_cc"),
+        )
+    )
+
+
+#: k-core threshold and fixed peel rounds
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def _kcore_round_sql(r: int) -> str:
+    prev = "dedges" if r == 1 else f"e{r - 1}"
+    return f"""
+        d{r} AS MATERIALIZED (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+            FROM {prev} GROUP BY src
+        ),
+        keep{r} AS (SELECT src FROM d{r} WHERE d >= {KCORE_K}),
+        e{r} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM {prev} e
+            JOIN keep{r} a ON e.src = a.src
+            JOIN keep{r} b ON e.dst = b.src
+        )
+    """
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=f"""
+        WITH {_EDGES_SQL},
+        dedges AS (
+            SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v AS src, u AS dst FROM edges
+        ),
+        {", ".join(_kcore_round_sql(r).strip() for r in range(1, KCORE_ROUNDS + 1))}
+        SELECT * FROM (
+            {" UNION ALL ".join(
+                f'''SELECT CAST({r} AS BIGINT) AS round,
+                           CAST((SELECT COUNT(*) FROM d{r} WHERE d >= {KCORE_K}) AS BIGINT)
+                               AS nodes_surviving,
+                           CAST((SELECT COUNT(*) FROM e{r}) / 2 AS BIGINT) AS edges_remaining'''
+                for r in range(1, KCORE_ROUNDS + 1)
+            )}
+        )
+        ORDER BY round
+    """,
+    tags=("GR-kcore",),
+)
+def graph_kcore_peel(spark, sf_dir):
+    """Iterative {KCORE_K}-core peeling, {KCORE_ROUNDS} fixed rounds:
+    each round drops every node whose CURRENT degree is below
+    {KCORE_K} (with both endpoints' survival required to keep an
+    edge), converging toward the {KCORE_K}-core — the standard
+    distributed k-core algorithm (degree filter + semi-join, repeated),
+    and the densest-region extractor behind graph sampling and
+    community seeding.  Emits per-round surviving-node and remaining-
+    edge counts — the peel trajectory.
+
+    100 TB posture: each round is ONE degree aggregate plus two
+    semi-joins on the (already partitioned) src key; the directed edge
+    list stays partitioned by src across rounds, so rounds reuse the
+    exchange.  Fixed rounds ≡ the graph_pagerank_fixed convergence
+    discipline (run to fixpoint by raising the constant; each round's
+    cost is the same join)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    dedges = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    rows = []
+    cur = dedges
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        keep = deg.where(F.col("d") >= KCORE_K).select("src").persist()
+        nxt = (
+            cur.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .persist()
+        )
+        stats = keep.agg(F.count(F.lit(1)).cast("bigint").alias("nodes_surviving")).crossJoin(
+            nxt.agg((F.count(F.lit(1)) / 2).cast("bigint").alias("edges_remaining"))
+        )
+        rows.append(
+            stats.select(
+                F.lit(r).cast("bigint").alias("round"),
+                "nodes_surviving",
+                "edges_remaining",
+            )
+        )
+        cur = nxt
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("round")
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+        WITH {_EDGES_SQL},
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM edges
+                  UNION ALL SELECT v AS node FROM edges)
+            GROUP BY node
+        ),
+        pairs AS (
+            SELECT du.d AS x, dv.d AS y
+            FROM (SELECT u AS a, v AS b FROM edges
+                  UNION ALL SELECT v AS a, u AS b FROM edges) e
+            JOIN deg du ON e.a = du.node
+            JOIN deg dv ON e.b = dv.node
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pairs
+        )
+        SELECT n AS n_directed_edges,
+               ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_degree,
+               ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                     / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n), 6)
+                   AS assortativity_r
+        FROM m
+    """,
+    tags=("GR-assortativity",),
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman's r) of the co-purchase graph:
+    Pearson correlation of endpoint degrees over the SYMMETRIZED edge
+    list — do hubs attach to hubs?  Because the directed list contains
+    both orientations, the x and y marginals are identical, so r
+    reduces to (S_xy − S_x²/n)/(S_xx − S_x²/n) on three exact BIGINT
+    co-moments (degrees are small integers; products stay far inside
+    int64).
+
+    100 TB posture: one node-degree aggregate, two broadcast-or-hash
+    joins of degree onto the edge list (both on the edge partitioning
+    key), one 4-accumulator moment reduction with map-side combine —
+    zero windows, zero collects; the final statistic is a 1-row fixed
+    float expression."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    du = deg.select(F.col("node").alias("a"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("b"), F.col("d").alias("y"))
+    pairs = sym.join(du, "a").join(dv, "b")
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sxx, sxy = F.col("n"), F.col("sx"), F.col("sxx"), F.col("sxy")
+    return m.select(
+        n.alias("n_directed_edges"),
+        F.round(sx.cast("double") / n, 6).alias("mean_degree"),
+        F.round(
+            (sxy.cast("double") - sx.cast("double") * sx / n)
+            / (sxx.cast("double") - sx.cast("double") * sx / n),
+            6,
+        ).alias("assortativity_r"),
+    )
