@@ -2513,3 +2513,257 @@ def ts_rolling_trend_slope(spark, sf_dir):
             6,
         ).alias("slope_per_hour"),
     )
+
+
+#: cross-correlation lag grid (hours) and the two series
+XCORR_LAGS = 6
+XCORR_X = "click"
+XCORR_Y = "purchase"
+
+
+@register(
+    "ts_cross_corr_lags",
+    oracle=f"""
+        WITH b AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT epoch_us(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)))
+                   // 3600000000 AS t
+            FROM b
+        ),
+        hourly AS (
+            SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+                   CAST(SUM(CASE WHEN event_type = '{XCORR_X}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = '{XCORR_Y}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        ser AS (
+            SELECT s.t, COALESCE(h.x, 0) AS x, COALESCE(h.y, 0) AS y
+            FROM spine s LEFT JOIN hourly h ON s.t = h.t
+        ),
+        grid AS (SELECT lag FROM generate_series(0, {XCORR_LAGS}) g(lag)),
+        m AS (
+            SELECT g.lag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a.x) AS BIGINT) AS sx,
+                   CAST(SUM(bb.y) AS BIGINT) AS sy,
+                   CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+                   CAST(SUM(bb.y * bb.y) AS BIGINT) AS syy,
+                   CAST(SUM(a.x * bb.y) AS BIGINT) AS sxy
+            FROM ser a
+            CROSS JOIN grid g
+            JOIN ser bb ON bb.t = a.t + g.lag
+            GROUP BY g.lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag_hours, n AS n_pairs,
+               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+                    ELSE ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                               / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                               6)
+               END AS xcorr_r
+        FROM m
+    """,
+    tags=("TS-xcorr",),
+)
+def ts_cross_corr_lags(spark, sf_dir):
+    """Lagged cross-correlation between the hourly {XCORR_X} and
+    {XCORR_Y} series (does click volume lead purchases?): Pearson r of
+    x_t against y_(t+lag) for lag 0..{XCORR_LAGS} hours on the
+    ZERO-FILLED dense spine (missing hours are real zeros of the
+    counting process, not holes).  All co-moments are exact BIGINT
+    (counts and their products), one guarded fixed float expression
+    per lag — the leading-indicator scan behind campaign diagnostics
+    and anomaly root-causing.
+
+    100 TB posture: one hourly pre-aggregate collapses the corpus to
+    |hours| rows (map-side combine); the lag pairing is a ×|lags|
+    self-join ON THE TINY AGGREGATE keyed by integer hour, and the
+    moment reduction carries |lags| groups of six BIGINTs.  The spine
+    bounds are the gapfill machinery (second scan of events, within
+    the ≤2-scan budget)."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    ).select((F.unix_micros("h") / 3_600_000_000).cast("bigint").alias("t"))
+    hourly = e.groupBy(
+        (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3_600_000_000)
+        .cast("bigint")
+        .alias("t")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == XCORR_X, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == XCORR_Y, 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    ser = (
+        spine.join(hourly, "t", "left")
+        .select(
+            "t",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+        .persist()  # both sides of the lag self-join
+    )
+    grid = spark.range(0, XCORR_LAGS + 1).select(F.col("id").alias("lag"))
+    a = ser.alias("a")
+    bb = ser.select(F.col("t").alias("bt"), F.col("y").alias("by"))
+    m = (
+        a.crossJoin(F.broadcast(grid))
+        .join(bb, F.col("bt") == F.col("a.t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("a.x").cast("bigint").alias("sx"),
+            F.sum("by").cast("bigint").alias("sy"),
+            F.sum(F.col("a.x") * F.col("a.x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("by") * F.col("by")).cast("bigint").alias("syy"),
+            F.sum(F.col("a.x") * F.col("by")).cast("bigint").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    r = F.round(
+        (n.cast("double") * sxy - sx.cast("double") * sy)
+        / F.sqrt(
+            (n.cast("double") * sxx - sx.cast("double") * sx)
+            * (n.cast("double") * syy - sy.cast("double") * sy)
+        ),
+        6,
+    )
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag_hours"),
+        n.alias("n_pairs"),
+        F.when((n * sxx - sx * sx == 0) | (n * syy - sy * sy == 0), F.lit(0.0))
+        .otherwise(r)
+        .alias("xcorr_r"),
+    )
+
+
+#: Holt's linear-trend smoothing: dyadic coefficients (alpha=1/4,
+#: beta=1/8) over the LAST HOLT_N hours of the dense hourly series.
+HOLT_N = 48
+
+
+@register(
+    "ts_holt_linear_fold",
+    oracle=f"""
+        WITH RECURSIVE b AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT epoch_us(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)))
+                   // 3600000000 AS t
+            FROM b
+        ),
+        hourly AS (
+            SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events WHERE event_type = '{XCORR_X}' GROUP BY 1
+        ),
+        tail AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY s.t) AS i,
+                   CAST(COALESCE(h.x, 0) AS DOUBLE) AS x
+            FROM spine s LEFT JOIN hourly h ON s.t = h.t
+            WHERE s.t > (SELECT MAX(t) FROM spine) - {HOLT_N}
+        ),
+        holt(i, l, tr) AS (
+            SELECT 1,
+                   (SELECT x FROM tail WHERE i = 1),
+                   (SELECT x FROM tail WHERE i = 2) - (SELECT x FROM tail WHERE i = 1)
+            UNION ALL
+            SELECT h.i + 1,
+                   t.x / 4.0 + 3.0 * (h.l + h.tr) / 4.0,
+                   (t.x / 4.0 + 3.0 * (h.l + h.tr) / 4.0 - h.l) / 8.0
+                       + 7.0 * h.tr / 8.0
+            FROM holt h JOIN tail t ON t.i = h.i + 1
+        )
+        SELECT CAST({HOLT_N} AS BIGINT) AS n_hours,
+               ROUND(l, 6) AS level,
+               ROUND(tr, 6) AS trend,
+               ROUND(l + 24.0 * tr, 6) AS forecast_24h
+        FROM holt WHERE i = {HOLT_N}
+    """,
+    tags=("TS-forecast",),
+)
+def ts_holt_linear_fold(spark, sf_dir):
+    """Holt's linear-trend exponential smoothing over the last
+    {HOLT_N} hours of the {XCORR_X} series — the sequential recurrence
+    l_t = alpha*x_t + (1-alpha)(l+b), b_t = beta*(l_t-l) + (1-beta)*b
+    with DYADIC coefficients (alpha=1/4, beta=1/8), initialized the
+    textbook way (l_1=x_1, b_1=x_2-x_1).  Sequential state is exactly
+    what SQL engines can't parallelize — so both engines run the SAME
+    ordered left fold (Spark: ``aggregate()`` over the sorted bounded
+    array; DuckDB: a recursive CTE), and because dyadic multiplies are
+    exact in binary and the additions happen in identical order, the
+    doubles agree bit-for-bit.
+
+    100 TB posture: the recurrence runs on a BOUNDED {HOLT_N}-point
+    window per series — the corpus collapses to |hours| rows first
+    (one map-side-combined aggregate + the gapfill spine), and the
+    fold is O({HOLT_N}) driver-free expression work; per-key
+    smoothing at scale is the same fold inside a groupBy(key)
+    collect_list of bounded windows."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    ).select((F.unix_micros("h") / 3_600_000_000).cast("bigint").alias("t"))
+    hourly = (
+        e.where(F.col("event_type") == XCORR_X)
+        .groupBy(
+            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3_600_000_000)
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    tmax = spine.agg(F.max("t").alias("tmax"))
+    tail = (
+        spine.crossJoin(F.broadcast(tmax))
+        .where(F.col("t") > F.col("tmax") - HOLT_N)
+        .join(hourly, "t", "left")
+        .select("t", F.coalesce("x", F.lit(0)).cast("double").alias("x"))
+    )
+    arr = tail.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "x"))), lambda s: s["x"]
+        ).alias("xs")
+    )
+    folded = arr.select(
+        F.expr(
+            """
+            aggregate(
+                slice(xs, 2, size(xs) - 1),
+                named_struct('l', CAST(element_at(xs, 1) AS DOUBLE),
+                             'tr', CAST(element_at(xs, 2) - element_at(xs, 1) AS DOUBLE)),
+                (acc, x) -> named_struct(
+                    'l', x / 4.0D + 3.0D * (acc.l + acc.tr) / 4.0D,
+                    'tr', (x / 4.0D + 3.0D * (acc.l + acc.tr) / 4.0D - acc.l) / 8.0D
+                          + 7.0D * acc.tr / 8.0D)
+            ) AS st
+            """
+        )
+    )
+    return folded.select(
+        F.lit(HOLT_N).cast("bigint").alias("n_hours"),
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.tr"), 6).alias("trend"),
+        F.round(F.col("st.l") + 24.0 * F.col("st.tr"), 6).alias("forecast_24h"),
+    )
