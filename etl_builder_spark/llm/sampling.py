@@ -345,3 +345,55 @@ def sample_stratified_quota(spark, sf_dir):
         .where(F.col("rnk") <= 100)
         .select("doc_id", "lang", "n_chars", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+#: PPSWOR sample size and the uniform-hash granularity
+PPSWOR_K = 200
+PPSWOR_MOD = 10_000
+
+
+@register(
+    "sample_priority_ppswor",
+    oracle=f"""
+        WITH pri AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w_cents,
+                   (o_orderkey * 2654435761) % 4294967296 % {PPSWOR_MOD} + 1 AS u
+            FROM orders
+        )
+        SELECT o_orderkey, w_cents,
+               ROUND(CAST(w_cents AS DOUBLE) / u, 6) AS priority
+        FROM pri
+        ORDER BY CAST(w_cents AS DOUBLE) / u DESC, o_orderkey
+        LIMIT {PPSWOR_K}
+    """,
+    tags=("SAMPLE-ppswor",),
+)
+def sample_priority_ppswor(spark, sf_dir):
+    """Priority (PPSWOR — probability proportional to size, without
+    replacement) sampling: each order draws a pinned pseudo-uniform
+    u from the Knuth mixer of its key and gets priority w/u; the
+    global top-{PPSWOR_K} by priority IS a PPS sample (Ohlsson /
+    Rosén sequential Poisson sampling, public literature) — the
+    weighted-reservoir pattern for building value-representative
+    subsets of a 100 TB fact table in one pass.  Deterministic: the
+    mixer is exact integer arithmetic, both engines compute the SAME
+    double division, and ties break on the key.
+
+    100 TB posture: priorities are expression-side; the global top-k
+    is TakeOrderedAndProject (per-partition heaps + a k-row driver
+    merge — the topk_global plan), so nothing resembling a global
+    sort or a collect touches the full table."""
+    o = load_table(spark, sf_dir, "orders")
+    w = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    u = F.pmod(F.pmod(F.col("o_orderkey") * 2654435761, F.lit(4294967296)), F.lit(PPSWOR_MOD)) + 1
+    pri = o.select("o_orderkey", w.alias("w_cents"), u.alias("u")).select(
+        "o_orderkey",
+        "w_cents",
+        (F.col("w_cents").cast("double") / F.col("u")).alias("p_raw"),
+    )
+    return (
+        pri.orderBy(F.col("p_raw").desc(), "o_orderkey")
+        .limit(PPSWOR_K)
+        .select("o_orderkey", "w_cents", F.round(F.col("p_raw"), 6).alias("priority"))
+    )

@@ -174,3 +174,117 @@ def geo_nearest_poi_grid(spark, sf_dir):
         .where(F.col("r") == 1)
         .select("user_id", F.col("poi_id").alias("nearest_poi"), "dist")
     )
+
+
+#: geohash parameters: 20 bits per axis -> 40 bits -> 8 base32 chars
+GH_BITS = 20
+GH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_interleave(lon_e: str, lat_e: str, shift_op: str) -> str:
+    """Fixed 40-term bit-interleave expression (lon on even bit
+    positions from the MSB, per the geohash spec).  ``shift_op``
+    selects engine syntax: DuckDB infix shifts vs Spark shiftleft()."""
+    terms = []
+    for k in range(GH_BITS):
+        if shift_op == "infix":
+            terms.append(f"((({lon_e} >> {k}) & 1) << {2 * k + 1})")
+            terms.append(f"((({lat_e} >> {k}) & 1) << {2 * k})")
+        else:
+            terms.append(f"shiftleft(shiftright({lon_e}, {k}) & 1, {2 * k + 1})")
+            terms.append(f"shiftleft(shiftright({lat_e}, {k}) & 1, {2 * k})")
+    return " + ".join(terms)
+
+
+def _gh_chars(code_e: str) -> str:
+    """8 base32 chars from the 40-bit code, MSB first (engine-neutral:
+    substr/concat/% behave identically on non-negative ints)."""
+    parts = [
+        f"substr('{GH_BASE32}', CAST((({code_e}) >> {35 - 5 * c}) % 32 AS INT) + 1, 1)"
+        for c in range(8)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _gh_chars_spark(code_e: str) -> str:
+    parts = [
+        f"substr('{GH_BASE32}', CAST(shiftright({code_e}, {35 - 5 * c}) % 32 AS INT) + 1, 1)"
+        for c in range(8)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+@register(
+    "geo_geohash_encode",
+    oracle=f"""
+        WITH pts AS (
+            SELECT DISTINCT user_id,
+                   user_id * 37 % 18000 AS klat,
+                   user_id * 91 % 36000 AS klon
+            FROM events
+        ),
+        q AS (
+            SELECT user_id,
+                   CAST(klat AS DOUBLE) / 100 - 90 AS lat,
+                   CAST(klon AS DOUBLE) / 100 - 180 AS lon,
+                   klat * 1048576 // 18000 AS ilat,
+                   klon * 1048576 // 36000 AS ilon
+            FROM pts
+        ),
+        enc AS (
+            SELECT user_id, lat, lon,
+                   {_gh_interleave('ilon', 'ilat', 'infix')} AS code
+            FROM q
+        )
+        SELECT user_id, lat, lon,
+               CAST(code AS BIGINT) AS gh_code,
+               {_gh_chars('code')} AS geohash8,
+               substr({_gh_chars('code')}, 1, 4) AS geohash4
+        FROM enc
+    """,
+    tags=("GEO-geohash",),
+)
+def geo_geohash_encode(spark, sf_dir):
+    """Geohash encoding as PURE INTEGER expressions: quantize each
+    axis to {GH_BITS} bits with the exact integer identity
+    k·2^{GH_BITS} div range (the synthetic coordinates are integer
+    hundredths, so no float touches the quantizer), interleave with a
+    fixed 40-term shift-and-mask expression (lon on even bit
+    positions from the MSB, per the geohash spec), and map 5-bit
+    groups through the standard base32 alphabet.  Geohash prefixes
+    ARE the spatial bucketing key geo_grid_radius_join builds ad hoc
+    — shared cell prefixes = spatial locality.
+
+    100 TB posture: fully expression-side (whole-stage codegen, zero
+    UDFs, zero shuffles beyond the distinct); the encoder is the
+    standard layout key for spatial bucketing/Z-ordering of a lake
+    table — etl_zorder_interleave's machinery with the geodetic
+    quantizer in front.  Ref: public geohash spec (Niemeyer);
+    the bit layout is property-tested against a pure-Python encoder."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        (F.col("user_id") * 37 % 18000).alias("klat"),
+        (F.col("user_id") * 91 % 36000).alias("klon"),
+    ).distinct()
+    q = pts.select(
+        "user_id",
+        (F.col("klat").cast("double") / 100 - 90).alias("lat"),
+        (F.col("klon").cast("double") / 100 - 180).alias("lon"),
+        F.expr("klat * 1048576 div 18000").alias("ilat"),
+        F.expr("klon * 1048576 div 36000").alias("ilon"),
+    )
+    enc = q.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.expr(_gh_interleave("ilon", "ilat", "fn")).alias("code"),
+    )
+    return enc.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.col("code").cast("bigint").alias("gh_code"),
+        F.expr(_gh_chars_spark("code")).alias("geohash8"),
+        F.expr(f"substr({_gh_chars_spark('code')}, 1, 4)").alias("geohash4"),
+    )

@@ -1031,3 +1031,64 @@ def dq_table_fingerprint(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(h32.cast("decimal(38,0)")).cast("string").alias("fingerprint"),
     )
+
+
+#: the declarative rule table for dq_cross_field_rules: (id, name,
+#: violation predicate) — predicates are written once and rendered
+#: into BOTH engines, so the rule set can't drift between them.
+CROSS_FIELD_RULES = (
+    (1, "discount_out_of_band", "l_discount < 0 OR l_discount > 0.1"),
+    (2, "tax_negative", "l_tax < 0"),
+    (3, "quantity_out_of_domain", "l_quantity < 1 OR l_quantity > 50"),
+    (4, "price_not_positive", "l_extendedprice <= 0"),
+    (5, "deep_discount_small_lot", "l_discount > 0.05 AND l_quantity < 5"),
+    (6, "taxed_more_than_discounted", "l_tax > l_discount + 0.05"),
+)
+
+
+@register(
+    "dq_cross_field_rules",
+    oracle=f"""
+        WITH flags AS (
+            SELECT
+                {", ".join(f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS v{rid}" for rid, _, pred in CROSS_FIELD_RULES)},
+                CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem
+        )
+        SELECT * FROM (
+            {" UNION ALL ".join(f"SELECT CAST({rid} AS BIGINT) AS rule_id, '{name}' AS rule_name, v{rid} AS n_violations, ROUND(CAST(v{rid} AS DOUBLE) / n, 6) AS violation_share FROM flags" for rid, name, _ in CROSS_FIELD_RULES)}
+        )
+    """,
+    tags=("DQ-rules",),
+)
+def dq_cross_field_rules(spark, sf_dir):
+    """Declarative cross-field rule engine: a TABLE of boolean
+    predicates (range checks, domain checks, business-logic
+    cross-field rules) evaluated in ONE conditional aggregate over
+    lineitem — the data-contract gate pattern, where adding a rule
+    adds a counter, never a scan.  The predicate strings are rendered
+    into both engines from the same tuple, so the rule set cannot
+    drift between the engine and its oracle.
+
+    100 TB posture: |rules| counters in one map-side-combined pass;
+    the per-rule report is an |rules|-row constant-width result.
+    Quarantine routing (dq_quarantine_split) composes by reusing the
+    same predicates as filters."""
+    l = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("bigint").alias(f"v{rid}")
+        for rid, _, pred in CROSS_FIELD_RULES
+    ]
+    flags = l.agg(*aggs, F.count(F.lit(1)).cast("bigint").alias("n"))
+    rows = None
+    for rid, name, _ in CROSS_FIELD_RULES:
+        r = flags.select(
+            F.lit(rid).cast("bigint").alias("rule_id"),
+            F.lit(name).alias("rule_name"),
+            F.col(f"v{rid}").alias("n_violations"),
+            F.round(F.col(f"v{rid}").cast("double") / F.col("n"), 6).alias(
+                "violation_share"
+            ),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows

@@ -540,3 +540,170 @@ def etl_partition_skew_report(spark, sf_dir):
             6,
         ).alias("size_gini"),
     )
+
+
+#: candidate sort keys for the compression planner: name -> (band
+#: expression [contiguous coarse prefix of the order], order columns)
+RUN_CANDIDATES = (
+    ("shipdate", "date_trunc('month', l_shipdate)", ("l_shipdate",)),
+    ("partkey", "l_partkey // 1000", ("l_partkey",)),
+    ("flag_status", "l_returnflag", ("l_returnflag", "l_linestatus")),
+)
+#: measured columns whose post-sort run counts drive the decision
+RUN_MEASURED = (
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    ("l_partkey", "CAST(l_partkey AS VARCHAR)"),
+    ("l_quantity", "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)"),
+)
+
+
+def _run_counts_oracle() -> str:
+    parts = []
+    for kname, _, ordcols in RUN_CANDIDATES:
+        # (l_orderkey, l_linenumber) is NOT unique in the corpus, so the
+        # tiebreak closes over every MEASURED column too: residual ties
+        # then have identical measured values and the run count is
+        # tie-order-invariant in both engines.
+        order = (
+            ", ".join(ordcols)
+            + ", l_orderkey, l_linenumber, l_returnflag, l_linestatus,"
+            + " l_partkey, l_quantity"
+        )
+        for mname, mexpr in RUN_MEASURED:
+            parts.append(f"""
+                SELECT '{kname}' AS sort_key, '{mname}' AS column_name,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(CASE WHEN prev IS NULL OR prev <> v
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+                FROM (
+                    SELECT {mexpr} AS v,
+                           LAG({mexpr}) OVER (ORDER BY {order}) AS prev
+                    FROM lineitem
+                )""")
+    return f"""
+        SELECT sort_key, column_name, n_rows, n_runs,
+               ROUND(CAST(n_rows AS DOUBLE) / n_runs, 6) AS avg_run_len
+        FROM ({" UNION ALL ".join(parts)})
+    """
+
+
+@register(
+    "etl_sort_key_run_counts",
+    oracle=_run_counts_oracle(),
+    tags=("ETL-layout",),
+)
+def etl_sort_key_run_counts(spark, sf_dir):
+    """Sort-key compression planner: for each CANDIDATE sort order of
+    the lake table, count the RLE runs every hot column would compress
+    into — n_runs(column | order) is exactly the run count an
+    RLE/dictionary parquet encoder sees after a re-sort, so the
+    candidate with the longest average runs is the cheapest layout
+    (the decision behind choosing Z-order vs linear sort keys;
+    etl_zorder_interleave builds the multi-dim variant).
+
+    Runs are counted WITHOUT an unpartitioned window: each candidate
+    order gets a CONTIGUOUS coarse band (month / key-range / leading
+    column); within-band boundaries come from one banded lag pass,
+    and the band-to-band seams are reconciled by comparing each
+    band's first row against the previous band's last row on a
+    |bands|-row frame.  runs = within-band run starts + seam
+    continuations corrected — exact integers, proven against the
+    oracle's single-window global lag.
+
+    100 TB posture: one parquet scan feeds all candidates (projected
+    + persisted); each candidate costs one hash exchange on its band
+    key and a within-band sort — the same shuffle the actual re-sort
+    write would pay, so the planner is a dry run of the layout job
+    itself."""
+    from pyspark.sql import Window
+
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_shipdate", "l_partkey", "l_returnflag", "l_linestatus",
+            "l_quantity", "l_orderkey", "l_linenumber",
+        )
+        .persist()
+    )
+    measured = [(m, F.expr(e.replace("VARCHAR", "STRING"))) for m, e in RUN_MEASURED]
+    out = None
+    for kname, band_e, ordcols in RUN_CANDIDATES:
+        order = [F.col(c) for c in ordcols] + [
+            F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_returnflag"),
+            F.col("l_linestatus"), F.col("l_partkey"), F.col("l_quantity"),
+        ]
+        base = l.select(
+            F.expr(band_e.replace(" // ", " div ")).alias("band"),
+            "l_shipdate", "l_partkey", "l_returnflag", "l_linestatus",
+            "l_quantity", "l_orderkey", "l_linenumber",
+            *[e.alias(f"m_{m}") for m, e in measured],
+        )
+        w = Window.partitionBy("band").orderBy(*order)
+        prev = F.lag(F.struct(*[F.col(f"m_{m}") for m, _ in measured])).over(w)
+        rn_a = F.row_number().over(w)
+        rn_d = F.row_number().over(
+            Window.partitionBy("band").orderBy(*[c.desc() for c in order])
+        )
+        tagged = base.select(
+            "band",
+            rn_a.alias("rn_a"),
+            rn_d.alias("rn_d"),
+            prev.alias("prev"),
+            *[F.col(f"m_{m}") for m, _ in measured],
+        ).persist()
+        within = tagged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col("prev").isNull()
+                        | (F.col(f"prev.m_{m}") != F.col(f"m_{m}")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"starts_{m}")
+                for m, _ in measured
+            ],
+        )
+        # band seams: first row of band b vs last row of band b-1 — a
+        # run "start" counted above at each band head is NOT a global
+        # start when the seam values match; subtract those.
+        heads = tagged.where(F.col("rn_a") == 1).select(
+            "band", *[F.col(f"m_{m}").alias(f"h_{m}") for m, _ in measured]
+        )
+        tails = tagged.where(F.col("rn_d") == 1).select(
+            "band", *[F.col(f"m_{m}").alias(f"t_{m}") for m, _ in measured]
+        )
+        bw = Window.orderBy("band")
+        seams = (
+            heads.join(tails, "band")
+            .select(
+                "band",
+                *[F.col(f"h_{m}") for m, _ in measured],
+                *[F.lag(f"t_{m}").over(bw).alias(f"pt_{m}") for m, _ in measured],
+            )
+            .agg(
+                *[
+                    F.sum(
+                        F.when(F.col(f"pt_{m}") == F.col(f"h_{m}"), 1).otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias(f"cont_{m}")
+                    for m, _ in measured
+                ]
+            )
+        )
+        joined = within.crossJoin(seams)
+        for m, _ in measured:
+            runs = F.col(f"starts_{m}") - F.col(f"cont_{m}")
+            r = joined.select(
+                F.lit(kname).alias("sort_key"),
+                F.lit(m).alias("column_name"),
+                F.col("n_rows"),
+                runs.cast("bigint").alias("n_runs"),
+                F.round(F.col("n_rows").cast("double") / runs, 6).alias("avg_run_len"),
+            )
+            out = r if out is None else out.unionAll(r)
+    return out
