@@ -1433,3 +1433,164 @@ def dedup_image_whash_hamming(spark, sf_dir):
     return cand.select("asset_a", "asset_b", ham.alias("hamming")).where(
         F.col("hamming") <= 2
     )
+
+
+@register(
+    "multimodal_audio_zero_crossings",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, (doc_id % 20 + 2) * 160 AS n
+            FROM documents WHERE doc_id < 400
+        ),
+        frames AS (
+            SELECT doc_id, n, k.i AS k,
+                   (SELECT SUM(CASE WHEN
+                        (((doc_id * 31 + (k.i * 160 + j.i) * 17) % 65536 - 32768) < 0)
+                        <> (((doc_id * 31 + (k.i * 160 + j.i - 1) * 17) % 65536 - 32768) < 0)
+                        THEN 1 ELSE 0 END)
+                    FROM unnest(range(1, 160)) AS j(i)) AS zc
+            FROM base, unnest(range(0, n // 160)) AS k(i)
+        )
+        SELECT doc_id AS asset_id,
+               CAST(MIN(n) // 160 AS BIGINT) AS n_frames,
+               CAST(SUM(zc) AS BIGINT) AS total_zc,
+               CAST(MAX(zc) AS BIGINT) AS max_frame_zc,
+               ROUND(CAST(SUM(zc) AS DOUBLE) / (MIN(n) // 160), 6) AS mean_frame_zc
+        FROM frames GROUP BY doc_id
+    """,
+    tags=("I-audio",),
+)
+def multimodal_audio_zero_crossings(spark, sf_dir):
+    """Zero-crossing rate through the real WAV codec path — the
+    classic spectral-proxy feature every VAD/music-speech
+    discriminator pairs with frame energy (multimodal_audio_vad_energy
+    shares the 160-sample framing): per frame, the count of sign flips
+    between consecutive decoded int16 samples; per asset, total/max/
+    mean frame ZCR.  Counts are exact integers; the oracle recomputes
+    the crossings symbolically from the PCM fixture formula, so hash
+    equality proves encode → decode → framing → feature end-to-end.
+
+    100 TB posture: per-asset Arrow mapInPandas seam (one pass, typed
+    rows out); the crossing count is one vectorized numpy comparison
+    inside the executor — no sample-level rows ever shuffle."""
+    from etl_builder_spark.llm.codecs import decode_wav, encode_wav
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("asset_id", "n_frames", "total_zc", "max_frame_zc", "mean_frame_zc")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = (did % 20 + 2) * 160
+                j = np.arange(n, dtype=np.int64)
+                samples = ((did * 31 + j * 17) % 65536 - 32768).astype(np.int16)
+                dec, _rate = decode_wav(encode_wav(samples))
+                frames = dec.astype(np.int64).reshape(-1, 160)
+                neg = frames < 0
+                zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+                out["asset_id"].append(did)
+                out["n_frames"].append(int(len(zc)))
+                out["total_zc"].append(int(zc.sum()))
+                out["max_frame_zc"].append(int(zc.max()))
+                out["mean_frame_zc"].append(round(float(zc.sum()) / len(zc), 6))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        work,
+        "asset_id long, n_frames long, total_zc long, max_frame_zc long,"
+        " mean_frame_zc double",
+    )
+
+
+def _haar_sample(j: str) -> str:
+    """Symbolic decoded PCM sample expression (the audio fixture)."""
+    return f"((doc_id * 31 + ({j}) * 17) % 65536 - 32768)"
+
+
+def _haar_energy_sql() -> tuple[str, str, str]:
+    """Per-8-sample-block Haar detail energies as fixed expressions of
+    the 8 symbolic samples (b.i = block index)."""
+    s = [_haar_sample(f"b.i * 8 + {i}") for i in range(8)]
+    e1 = " + ".join(f"({s[2*i]} - {s[2*i+1]}) * ({s[2*i]} - {s[2*i+1]})" for i in range(4))
+    p = [f"({s[2*i]} + {s[2*i+1]})" for i in range(4)]
+    e2 = " + ".join(f"({p[2*i]} - {p[2*i+1]}) * ({p[2*i]} - {p[2*i+1]})" for i in range(2))
+    q = [f"({p[0]} + {p[1]})", f"({p[2]} + {p[3]})"]
+    e3 = f"({q[0]} - {q[1]}) * ({q[0]} - {q[1]})"
+    return e1, e2, e3
+
+
+HAAR_E1, HAAR_E2, HAAR_E3 = _haar_energy_sql()
+
+
+@register(
+    "multimodal_audio_haar_bands",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, (doc_id % 20 + 2) * 160 AS n
+            FROM documents WHERE doc_id < 400
+        ),
+        blocks AS (
+            SELECT doc_id, n,
+                   {HAAR_E1} AS e1, {HAAR_E2} AS e2, {HAAR_E3} AS e3
+            FROM base, unnest(range(0, n // 8)) AS b(i)
+        )
+        SELECT doc_id AS asset_id,
+               CAST(MIN(n) // 8 AS BIGINT) AS n_blocks,
+               CAST(SUM(e1) AS BIGINT) AS energy_hi,
+               CAST(SUM(e2) AS BIGINT) AS energy_mid,
+               CAST(SUM(e3) AS BIGINT) AS energy_lo
+        FROM blocks GROUP BY doc_id
+    """,
+    tags=("I-audio",),
+)
+def multimodal_audio_haar_bands(spark, sf_dir):
+    """3-level Haar wavelet band energies through the real WAV codec:
+    each 8-sample block of the decoded PCM yields 4 high-band, 2
+    mid-band and 1 low-band detail coefficients (±1 basis — pure
+    integer adds/subtracts, so energies are EXACT BIGINT), summed per
+    asset — the integer-exact skeleton of the subband features audio
+    curation uses for bandwidth/speech-music routing, sharing the
+    Walsh-Hadamard ±1-basis discipline of multimodal_image_whash.
+    The oracle recomputes every coefficient symbolically from the PCM
+    fixture, so hash equality proves encode → decode → transform
+    end-to-end.
+
+    100 TB posture: per-asset Arrow mapInPandas seam; the wavelet is
+    three numpy reshape-subtract passes inside the executor, emitting
+    one typed row per asset — no sample-level shuffle."""
+    from etl_builder_spark.llm.codecs import decode_wav, encode_wav
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("asset_id", "n_blocks", "energy_hi", "energy_mid", "energy_lo")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = (did % 20 + 2) * 160
+                j = np.arange(n, dtype=np.int64)
+                samples = ((did * 31 + j * 17) % 65536 - 32768).astype(np.int16)
+                dec, _rate = decode_wav(encode_wav(samples))
+                blocks = dec.astype(np.int64).reshape(-1, 8)
+                d1 = blocks[:, 0::2] - blocks[:, 1::2]
+                p1 = blocks[:, 0::2] + blocks[:, 1::2]
+                d2 = p1[:, 0::2] - p1[:, 1::2]
+                p2 = p1[:, 0::2] + p1[:, 1::2]
+                d3 = p2[:, 0::2] - p2[:, 1::2]
+                out["asset_id"].append(did)
+                out["n_blocks"].append(int(blocks.shape[0]))
+                out["energy_hi"].append(int((d1 * d1).sum()))
+                out["energy_mid"].append(int((d2 * d2).sum()))
+                out["energy_lo"].append(int((d3 * d3).sum()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        work,
+        "asset_id long, n_blocks long, energy_hi long, energy_mid long,"
+        " energy_lo long",
+    )
