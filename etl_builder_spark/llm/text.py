@@ -1468,3 +1468,271 @@ def text_lang_distribution_tv(spark, sf_dir):
             ).alias("tv_distance")
         )
     )
+
+
+@register(
+    "vocab_bpe_one_merge",
+    oracle="""
+        WITH words AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS word
+                FROM documents
+            )
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        pairs AS (
+            SELECT substr(word, i, 2) AS pair, freq
+            FROM words, unnest(range(1, length(word))) AS u(i)
+        ),
+        counted AS (
+            SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+            FROM pairs GROUP BY pair
+        ),
+        top1 AS (
+            SELECT pair AS mp, n AS mn FROM counted
+            ORDER BY n DESC, pair LIMIT 1
+        ),
+        merged AS (
+            SELECT replace(word, mp, '1') AS word, CAST(SUM(freq) AS BIGINT) AS freq
+            FROM words CROSS JOIN top1
+            GROUP BY 1
+        ),
+        pairs2 AS (
+            SELECT substr(word, i, 2) AS pair, freq
+            FROM merged, unnest(range(1, length(word))) AS u(i)
+        ),
+        counted2 AS (
+            SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+            FROM pairs2 GROUP BY pair
+        )
+        SELECT (SELECT mp FROM top1) AS merged_pair,
+               (SELECT mn FROM top1) AS merged_count,
+               pair, n, rank
+        FROM (
+            SELECT pair, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+            FROM counted2
+        ) WHERE rank <= 10
+    """,
+    tags=("I-bpe",),
+)
+def vocab_bpe_one_merge(spark, sf_dir):
+    """ONE full iteration of BPE training on top of
+    vocab_bpe_pair_counts: find the most frequent adjacent symbol
+    pair (count-desc, pair-asc determinism), FUSE it into the symbol
+    stream of every vocabulary word (string replace — the same
+    leftmost-non-overlapping greedy both engines implement), re-merge
+    the now-collapsed vocabulary, and recount pairs — emitting the
+    post-merge top-10 pair table, i.e. the input to merge #2.
+    Iterating this key IS the training loop.
+
+    100 TB posture: the working set never regrows past |vocabulary| —
+    the merge is an expression map over the (word, freq) table with
+    the 1-row winner broadcast, then the SAME bounded pair-count
+    shape; the corpus is touched once, in the initial word rollup.
+    This is exactly why production BPE trainers iterate on the
+    word-frequency table, not the corpus."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .persist()  # feeds pair count AND the merge map
+    )
+
+    def pair_counts(w):
+        return (
+            w.where(F.length("word") >= 2)
+            .select(
+                "word",
+                "freq",
+                F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+            )
+            .select(F.expr("substring(word, i, 2)").alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+        )
+
+    top1 = (
+        pair_counts(words)
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("mp"), F.col("n").alias("mn"))
+    )
+    merged = (
+        words.crossJoin(F.broadcast(top1))
+        .select(F.expr("replace(word, mp, '1')").alias("word"), "freq", "mp", "mn")
+        .groupBy("word", "mp", "mn")
+        .agg(F.sum("freq").cast("bigint").alias("freq"))
+    )
+    counted2 = (
+        merged.where(F.length("word") >= 2)
+        .select(
+            "word",
+            "freq",
+            "mp",
+            "mn",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "freq", "mp", "mn")
+        .groupBy("pair", "mp", "mn")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+    )
+    wk = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        counted2.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("mp").alias("merged_pair"),
+            F.col("mn").alias("merged_count"),
+            "pair",
+            "n",
+            "rank",
+        )
+    )
+
+
+#: Heaps'-law checkpoints: the corpus in doc_id-order deciles
+HEAPS_B = 10
+
+
+def _heaps_cums(pfx: str) -> list[str]:
+    """Fixed-order cumulative-sum expressions over the decile counters
+    (exact integer adds, identical association in both engines)."""
+    return [
+        "(" + " + ".join(f"{pfx}{j}" for j in range(i + 1)) + ")" for i in range(HEAPS_B)
+    ]
+
+
+def _heaps_fit_sql() -> str:
+    n_ = _heaps_cums("tb")
+    v_ = _heaps_cums("vb")
+    xs = [f"ln(CAST({e} AS DOUBLE))" for e in n_]
+    ys = [f"ln(CAST({e} AS DOUBLE))" for e in v_]
+    sx = " + ".join(xs)
+    sy = " + ".join(ys)
+    sxx = " + ".join(f"({x}) * ({x})" for x in xs)
+    sxy = " + ".join(f"({x}) * ({y})" for x, y in zip(xs, ys))
+    return f"""
+        SELECT CAST({HEAPS_B} AS BIGINT) AS n_points,
+               CAST({n_[-1]} AS BIGINT) AS tokens_total,
+               CAST({v_[-1]} AS BIGINT) AS vocab_total,
+               ROUND(({HEAPS_B}.0 * ({sxy}) - ({sx}) * ({sy}))
+                     / ({HEAPS_B}.0 * ({sxx}) - ({sx}) * ({sx})), 6) AS heaps_beta,
+               ROUND((({sy}) - (({HEAPS_B}.0 * ({sxy}) - ({sx}) * ({sy}))
+                                / ({HEAPS_B}.0 * ({sxx}) - ({sx}) * ({sx}))) * ({sx}))
+                     / {HEAPS_B}.0, 6) AS heaps_log_k
+        FROM wide
+    """
+
+
+@register(
+    "text_heaps_law_fit",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+        ),
+        toks AS (
+            SELECT LEAST((doc_id - lo) * {HEAPS_B} // (hi - lo + 1), {HEAPS_B - 1}) AS b,
+                   word
+            FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                FROM documents
+            ), bounds
+            WHERE word <> ''
+        ),
+        tb AS (
+            SELECT {", ".join(f"CAST(SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS tb{i}" for i in range(HEAPS_B))}
+            FROM toks
+        ),
+        firsts AS (SELECT word, MIN(b) AS fb FROM toks GROUP BY word),
+        vb AS (
+            SELECT {", ".join(f"CAST(SUM(CASE WHEN fb = {i} THEN 1 ELSE 0 END) AS BIGINT) AS vb{i}" for i in range(HEAPS_B))}
+            FROM firsts
+        ),
+        wide AS (SELECT * FROM tb CROSS JOIN vb)
+        {_heaps_fit_sql()}
+    """,
+    tags=("I-corpus",),
+)
+def text_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law fit V = k·N^beta for the corpus in doc_id order:
+    cumulative token count N and cumulative distinct-vocabulary size V
+    at {HEAPS_B} decile checkpoints, then an OLS fit of ln V on ln N —
+    the growth curve that sizes tokenizer vocabularies and predicts
+    how much NEW vocabulary another 10× of corpus will bring.  V at a
+    checkpoint needs no per-checkpoint distinct pass: a token is new
+    exactly at its FIRST bucket (min-bucket per word), so one
+    aggregate per side yields all {HEAPS_B} counters; cumulative sums
+    and the 10-point regression are fixed-order expressions (the
+    stats_anova_oneway pivot-to-columns discipline), so no float ever
+    crosses an aggregation.
+
+    100 TB posture: two map-side-combined aggregates over the token
+    stream (one direct, one on the |vocabulary| first-occurrence
+    frame) — the decile grid widens counters, never scans."""
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    toks = (
+        d.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("doc_id") - F.col("lo"))
+                    * HEAPS_B
+                    / (F.col("hi") - F.col("lo") + 1)
+                ),
+                F.lit(HEAPS_B - 1),
+            )
+            .cast("bigint")
+            .alias("b"),
+            F.explode(F.split(F.lower("text"), " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .persist()  # token-per-bucket AND first-occurrence sides
+    )
+    tb = toks.agg(
+        *[
+            F.sum(F.when(F.col("b") == i, 1).otherwise(0)).cast("bigint").alias(f"tb{i}")
+            for i in range(HEAPS_B)
+        ]
+    )
+    vb = (
+        toks.groupBy("word")
+        .agg(F.min("b").alias("fb"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("fb") == i, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"vb{i}")
+                for i in range(HEAPS_B)
+            ]
+        )
+    )
+    wide = tb.crossJoin(F.broadcast(vb))
+    n_ = _heaps_cums("tb")
+    v_ = _heaps_cums("vb")
+    xs = [f"ln(CAST({e} AS DOUBLE))" for e in n_]
+    ys = [f"ln(CAST({e} AS DOUBLE))" for e in v_]
+    sx = " + ".join(xs)
+    sy = " + ".join(ys)
+    sxx = " + ".join(f"({x}) * ({x})" for x in xs)
+    sxy = " + ".join(f"({x}) * ({y})" for x, y in zip(xs, ys))
+    beta = (
+        f"({HEAPS_B}.0D * ({sxy}) - ({sx}) * ({sy}))"
+        f" / ({HEAPS_B}.0D * ({sxx}) - ({sx}) * ({sx}))"
+    )
+    return wide.select(
+        F.lit(HEAPS_B).cast("bigint").alias("n_points"),
+        F.expr(n_[-1]).cast("bigint").alias("tokens_total"),
+        F.expr(v_[-1]).cast("bigint").alias("vocab_total"),
+        F.expr(f"round({beta}, 6)").alias("heaps_beta"),
+        F.expr(f"round((({sy}) - ({beta}) * ({sx})) / {HEAPS_B}.0D, 6)").alias(
+            "heaps_log_k"
+        ),
+    )
