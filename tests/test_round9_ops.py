@@ -1,0 +1,196 @@
+"""Round-9 operator tests: reference-implementation checks for the
+keys whose cross-engine parity alone can't prove correctness (both
+engines could share a wrong formula — the ts_business_days_diff
+lesson from round 8)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_DIR
+
+_settings = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _geohash_ref(lat: float, lon: float, precision: int = 8) -> str:
+    """Textbook bisection geohash encoder (public spec, Niemeyer)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    even = True
+    while len(bits) < precision * 5:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    out = []
+    for c in range(precision):
+        d = 0
+        for k in range(5):
+            d = d * 2 + bits[5 * c + k]
+        out.append(b32[d])
+    return "".join(out)
+
+
+def test_geohash_matches_reference_encoder(spark):
+    """Every emitted geohash8 equals the bisection reference on the
+    same synthetic (lat, lon) — proves the integer quantize+interleave
+    rewrite bit-for-bit, not just cross-engine agreement."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["geo_geohash_encode"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["geohash8"] == _geohash_ref(r["lat"], r["lon"]), (
+            r["user_id"],
+            r["lat"],
+            r["lon"],
+            r["geohash8"],
+        )
+        assert r["geohash4"] == r["geohash8"][:4]
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),   # sort key
+        st.integers(0, 2),   # measured value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(data=rows_strategy)
+@_settings
+def test_banded_run_count_identity(data):
+    """The banded runs identity (within-band starts − seam
+    continuations) equals the brute-force global run count for any
+    band split of a sorted sequence."""
+    data = sorted(data)
+    vals = [v for _, v in data]
+    runs = 1 + sum(1 for a, b in zip(vals, vals[1:]) if a != b)
+    # band by key value (contiguous in the sort order)
+    starts = 0
+    seams = 0
+    prev_tail = None
+    from itertools import groupby
+
+    for _, grp in groupby(data, key=lambda t: t[0]):
+        g = [v for _, v in grp]
+        starts += 1 + sum(1 for a, b in zip(g, g[1:]) if a != b)
+        if prev_tail is not None and g[0] == prev_tail:
+            seams += 1
+        prev_tail = g[-1]
+    assert starts - seams == runs
+
+
+def _holt_ref(xs, alpha=0.25, beta=0.125):
+    level = xs[0]
+    trend = xs[1] - xs[0]
+    for x in xs[1:]:
+        new_level = alpha * x + (1 - alpha) * (level + trend)
+        trend = beta * (new_level - level) + (1 - beta) * trend
+        level = new_level
+    return level, trend
+
+
+def test_holt_fold_matches_python_recurrence(spark):
+    """The array-fold Holt state equals the literal Python recurrence
+    (same dyadic coefficients, same init) on the real series."""
+    from etl_builder_spark.operators.timeseries import HOLT_N, XCORR_X  # noqa: F401
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    _ensure_loaded()
+    e = load_table(spark, SF_DIR, "events")
+    hourly = (
+        e.where(F.col("event_type") == XCORR_X)
+        .groupBy(
+            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3_600_000_000)
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    bounds = e.agg(
+        (F.unix_micros(F.date_trunc("hour", F.min("ts"))) / 3_600_000_000)
+        .cast("bigint")
+        .alias("lo"),
+        (F.unix_micros(F.date_trunc("hour", F.max("ts"))) / 3_600_000_000)
+        .cast("bigint")
+        .alias("hi"),
+    ).first()
+    by_t = {r["t"]: r["x"] for r in hourly}
+    ts = [t for t in range(bounds["lo"], bounds["hi"] + 1) if t > bounds["hi"] - HOLT_N]
+    xs = [float(by_t.get(t, 0)) for t in ts]
+    level, trend = _holt_ref(xs)
+    row = REGISTRY["ts_holt_linear_fold"].fn(spark, SF_DIR).first()
+    assert abs(row["level"] - round(level, 6)) < 1e-9
+    assert abs(row["trend"] - round(trend, 6)) < 1e-9
+
+
+def test_ppswor_is_weight_biased(spark):
+    """The PPSWOR sample's mean weight must exceed the population mean
+    weight (size-biased inclusion) — the statistical contract of the
+    sampler, beyond hash parity."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    _ensure_loaded()
+    samp = REGISTRY["sample_priority_ppswor"].fn(spark, SF_DIR)
+    m_s = samp.agg(F.avg("w_cents")).first()[0]
+    m_p = (
+        load_table(spark, SF_DIR, "orders")
+        .agg(F.avg(F.round(F.col("o_totalprice") * 100)))
+        .first()[0]
+    )
+    assert m_s > m_p
+
+
+def test_position_weights_sum_to_value(spark):
+    """Position-based attribution conserves value: summed credit over
+    channels equals the summed purchase value of attributed journeys
+    (to within per-touch cent rounding)."""
+    from etl_builder_spark.operators.funnel import _journey
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from pyspark.sql import functions as F
+
+    _ensure_loaded()
+    credited = (
+        REGISTRY["attribution_position_based"].fn(spark, SF_DIR)
+        .agg(F.sum("credit_cents"))
+        .first()[0]
+    )
+    journeys = (
+        _journey(spark, SF_DIR)
+        .select("user_id", "j", "vc")
+        .distinct()
+        .agg(F.sum("vc"))
+        .first()[0]
+    )
+    # each journey's credits can each round by <= 0.5 cent per touch
+    n_touches = _journey(spark, SF_DIR).count()
+    assert abs(credited - journeys) <= n_touches
