@@ -2062,3 +2062,135 @@ def ml_silhouette_labels(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         (F.sum(s).cast("double") / F.count(F.lit(1))).alias("mean_silhouette"),
     )
+
+
+#: k-means++ seed count
+KPP_K = 4
+
+
+def _kpp_dist(a: str, b: str) -> str:
+    """Symbolic squared distance between two DuckDB float lists — the
+    ml_confusion_matrix fold (prepend-0 left fold, so the addition
+    order matches Spark's aggregate())."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), (x, y) -> x + y)"
+    )
+
+
+def _kpp_oracle() -> str:
+    stages = [
+        "base AS (SELECT vec_id, embedding FROM embeddings)",
+        "c1 AS (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (
+            SELECT b.vec_id, b.embedding,
+                   ROUND({_kpp_dist('b.embedding', 'c.embedding')}, 9) AS dmin
+            FROM base b CROSS JOIN c1 c
+        )""",
+    ]
+    for k in range(2, KPP_K + 1):
+        stages.append(
+            f"""c{k} AS (
+                SELECT vec_id, embedding, dmin FROM d{k - 1}
+                ORDER BY dmin DESC, vec_id LIMIT 1
+            )"""
+        )
+        if k < KPP_K:
+            stages.append(
+                f"""d{k} AS (
+                    SELECT d.vec_id, d.embedding,
+                           LEAST(d.dmin,
+                                 ROUND({_kpp_dist('d.embedding', 'c.embedding')}, 9))
+                               AS dmin
+                    FROM d{k - 1} d CROSS JOIN c{k} c
+                )"""
+            )
+    selects = ["SELECT CAST(1 AS BIGINT) AS seed_rank, vec_id, 0.0 AS d2_at_pick FROM c1"]
+    for k in range(2, KPP_K + 1):
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT), vec_id, ROUND(dmin, 6) FROM c{k}"
+        )
+    return "WITH " + ",\n".join(stages) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "ml_kmeans_pp_seeding",
+    oracle=_kpp_oracle(),
+    tags=("ML-kmeans",),
+)
+def ml_kmeans_pp_seeding(spark, sf_dir):
+    """Deterministic k-means++ seeding ({KPP_K} seeds): seed 1 is the
+    lowest vec_id; each next seed is the FARTHEST point from the
+    chosen set (the argmax-d² variant of k-means++ — greedy farthest-
+    point traversal, public literature), with distances rounded 9 dp
+    before the argmax and ties broken by vec_id, so the selection is
+    bit-deterministic in both engines.  ml_kmeans_lloyd_exact consumes
+    seeds exactly like these; together they are the full distributed
+    k-means pipeline.
+
+    100 TB posture: K−1 passes over the corpus, each ONE broadcast of
+    the newly chosen 1-row center + a running elementwise LEAST of the
+    per-vector d² — the textbook scalable seeding (k-means∥ batches
+    several picks per pass; same plan with a multi-row broadcast).
+    The argmax is TakeOrderedAndProject, never a global sort."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def d2(vcol, ccol):
+        return F.aggregate(
+            F.zip_with(
+                _dbl(vcol), _dbl(ccol), lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    c1 = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cur = (
+        e.crossJoin(F.broadcast(c1))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(d2("embedding", "cemb"), 9).alias("dmin"),
+        )
+        .persist()
+    )
+    picks = [
+        c1.select(
+            F.lit(1).cast("bigint").alias("seed_rank"),
+            F.col("cid").alias("vec_id"),
+            F.lit(0.0).alias("d2_at_pick"),
+        )
+    ]
+    for k in range(2, KPP_K + 1):
+        ck = cur.orderBy(F.col("dmin").desc(), "vec_id").limit(1).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            F.col("dmin").alias("cd"),
+        )
+        picks.append(
+            ck.select(
+                F.lit(k).cast("bigint").alias("seed_rank"),
+                F.col("cid").alias("vec_id"),
+                F.round(F.col("cd"), 6).alias("d2_at_pick"),
+            )
+        )
+        if k < KPP_K:
+            cur = (
+                cur.crossJoin(F.broadcast(ck.select("cemb")))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    F.least(
+                        F.col("dmin"), F.round(d2("embedding", "cemb"), 9)
+                    ).alias("dmin"),
+                )
+                .persist()
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out

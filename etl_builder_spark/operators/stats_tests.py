@@ -324,3 +324,139 @@ def ml_quantile_regression_grid(spark, sf_dir):
             (F.col("loss_x10") == F.col("min_loss")).alias("is_best"),
         )
     )
+
+
+@register(
+    "stats_mutual_information_binned",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(l_quantity AS BIGINT) AS qx,
+                   CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS yb,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1, 2
+        ),
+        mx AS (SELECT qx, CAST(SUM(n) AS BIGINT) AS nx FROM cells GROUP BY qx),
+        my AS (SELECT yb, CAST(SUM(n) AS BIGINT) AS ny FROM cells GROUP BY yb),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+        terms AS (
+            SELECT CAST(ROUND(CAST(c.n AS DOUBLE) / t.nn
+                              * ln(CAST(c.n AS DOUBLE) * t.nn
+                                   / (CAST(x.nx AS DOUBLE) * y.ny)), 9)
+                        AS DECIMAL(28,9)) AS mi_term,
+                   c.qx, c.yb, c.n
+            FROM cells c
+            JOIN mx x ON c.qx = x.qx
+            JOIN my y ON c.yb = y.yb
+            CROSS JOIN tot t
+        ),
+        hx AS (
+            SELECT CAST(SUM(CAST(ROUND(-(CAST(nx AS DOUBLE) / t.nn)
+                                       * ln(CAST(nx AS DOUBLE) / t.nn), 9)
+                               AS DECIMAL(28,9))) AS DOUBLE) AS h
+            FROM mx CROSS JOIN tot t
+        ),
+        hy AS (
+            SELECT CAST(SUM(CAST(ROUND(-(CAST(ny AS DOUBLE) / t.nn)
+                                       * ln(CAST(ny AS DOUBLE) / t.nn), 9)
+                               AS DECIMAL(28,9))) AS DOUBLE) AS h
+            FROM my CROSS JOIN tot t
+        )
+        SELECT (SELECT nn FROM tot) AS n_rows,
+               CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_cells,
+               ROUND(CAST(SUM(mi_term) AS DOUBLE), 6) AS mutual_information,
+               ROUND((SELECT h FROM hx), 6) AS entropy_x,
+               ROUND((SELECT h FROM hy), 6) AS entropy_y,
+               ROUND(CAST(SUM(mi_term) AS DOUBLE)
+                     / sqrt((SELECT h FROM hx) * (SELECT h FROM hy)), 6)
+                   AS normalized_mi
+        FROM terms
+    """,
+    tags=("STATS-info",),
+)
+def stats_mutual_information_binned(spark, sf_dir):
+    """Mutual information between quantity and the 5000-wide price
+    band, from the stats_kendall_tau_binned contingency grid: MI =
+    Σ p_ij·ln(p_ij/(p_i·p_j)) plus both marginal entropies and the
+    normalized MI/√(H_x·H_y) — the dependence screen feature stores
+    run between candidate features and labels.  Float discipline
+    (policy §7.2): every cell/marginal term is ROUND(·,9)-ed into
+    DECIMAL(28,9) BEFORE summation, so the cross-row accumulation is
+    exact and order-free in both engines, and only the final
+    statistics divide/round.
+
+    100 TB posture: one hash aggregate collapses the corpus to the
+    bounded |quantity|×|band| grid; marginals and the term join are
+    broadcast-size; the entropy/MI reductions run on at most a few
+    thousand rows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        l.select(
+            F.col("l_quantity").cast("bigint").alias("qx"),
+            F.floor(F.col("l_extendedprice") / 5000).cast("bigint").alias("yb"),
+        )
+        .groupBy("qx", "yb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()  # feeds marginals, total, and the term join
+    )
+    mx = cells.groupBy("qx").agg(F.sum("n").cast("bigint").alias("nx"))
+    my = cells.groupBy("yb").agg(F.sum("n").cast("bigint").alias("ny"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nn"))
+    nn = F.col("nn")
+    mi_term = F.round(
+        F.col("n").cast("double")
+        / nn
+        * F.log(
+            F.col("n").cast("double") * nn / (F.col("nx").cast("double") * F.col("ny"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    terms = (
+        cells.join(F.broadcast(mx), "qx")
+        .join(F.broadcast(my), "yb")
+        .crossJoin(F.broadcast(tot))
+        .select(mi_term.alias("mi_term"))
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                -(F.col("nx").cast("double") / nn)
+                * F.log(F.col("nx").cast("double") / nn),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("hx"))
+    )
+    hy = (
+        my.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                -(F.col("ny").cast("double") / nn)
+                * F.log(F.col("ny").cast("double") / nn),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("hy"))
+    )
+    ncells = cells.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    mi = terms.agg(F.sum("mi_term").cast("double").alias("mi"))
+    return (
+        tot.crossJoin(F.broadcast(ncells))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            nn.alias("n_rows"),
+            F.col("n_cells"),
+            F.round(F.col("mi"), 6).alias("mutual_information"),
+            F.round(F.col("hx"), 6).alias("entropy_x"),
+            F.round(F.col("hy"), 6).alias("entropy_y"),
+            F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias(
+                "normalized_mi"
+            ),
+        )
+    )
