@@ -555,3 +555,94 @@ def fn_luhn_check(spark, sf_dir):
         .cast("bigint")
         .alias("expected_check_digit"),
     )
+
+
+@register(
+    "fn_iso_week_from_scratch",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                       AS dn
+            FROM orders
+        ),
+        thu AS (
+            SELECT d, dn,
+                   dn - (dn + 3) % 7 + 3 AS thursday_dn
+            FROM days
+        ),
+        iso AS (
+            SELECT d, dn, thursday_dn,
+                   EXTRACT(year FROM DATE '1970-01-01'
+                           + CAST(thursday_dn AS INT)) AS iso_year
+            FROM thu
+        ),
+        wk AS (
+            SELECT d, iso_year, thursday_dn,
+                   CAST(make_date(CAST(iso_year AS INT), 1, 4)
+                        - DATE '1970-01-01' AS BIGINT) AS jan4_dn
+            FROM iso
+        )
+        SELECT d AS order_date,
+               CAST(iso_year AS BIGINT) AS iso_year,
+               CAST((thursday_dn - (jan4_dn - (jan4_dn + 3) % 7)) // 7 + 1
+                    AS BIGINT) AS iso_week
+        FROM wk
+    """,
+    tags=("H-datetime",),
+)
+def fn_iso_week_from_scratch(spark, sf_dir):
+    """ISO-8601 week numbering REBUILT from integer day arithmetic
+    instead of each engine's calendar builtin (policy §7.2.7: same
+    formulation both sides beats same-named builtins, whose year-
+    boundary behaviors are the classic cross-engine trap): the ISO
+    week of a date is the week of its THURSDAY (dow from epoch-day
+    mod 7, 1970-01-01 anchored on a Thursday), the ISO year is that
+    Thursday's calendar year, and week 1 starts on the Monday of the
+    week containing Jan 4.  tests/ verifies the formula against
+    DuckDB's independent isoyear/week builtins over the whole corpus
+    — the cross-check cross-engine parity alone cannot provide.
+
+    100 TB posture: distinct-date frame (bounded by the calendar, not
+    the corpus) + pure codegen expressions; the formula is the
+    engine-portable partition key for ISO-week rollups."""
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(F.col("o_orderdate").cast("date").alias("d")).distinct()
+    dn = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    thu = days.select("d", dn.alias("dn")).select(
+        "d", "dn", (F.col("dn") - F.pmod(F.col("dn") + 3, F.lit(7)) + 3).alias("thursday_dn")
+    )
+    iso = thu.select(
+        "d",
+        "thursday_dn",
+        F.year(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("thursday_dn").cast("int"))
+        )
+        .cast("bigint")
+        .alias("iso_year"),
+    )
+    wk = iso.select(
+        "d",
+        "iso_year",
+        "thursday_dn",
+        F.datediff(
+            F.make_date(F.col("iso_year").cast("int"), F.lit(1), F.lit(4)),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("jan4_dn"),
+    )
+    return wk.select(
+        F.col("d").alias("order_date"),
+        "iso_year",
+        (
+            F.floor(
+                (
+                    F.col("thursday_dn")
+                    - (F.col("jan4_dn") - F.pmod(F.col("jan4_dn") + 3, F.lit(7)))
+                )
+                / 7
+            ).cast("bigint")
+            + 1
+        ).alias("iso_week"),
+    )

@@ -457,3 +457,98 @@ def join_temporal_overlap_pairs(spark, sf_dir):
         .distinct()
     )
     return pairs.groupBy("user_a", "user_b").agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
+def _bloom_probe_sql(key: str, masks_prefix: str) -> str:
+    """AND-of-4-depths Bloom membership expression over the pivoted
+    16-word mask row (engine-neutral: CASE + shifts + bit AND)."""
+    from etl_builder_spark.functions.sketches import BLOOM_M, CM_P, CM_PERMS
+
+    tests = []
+    for d, (a, b) in enumerate(CM_PERMS):
+        bit = f"(({a} * {key} + {b}) % {CM_P} % {BLOOM_M})"
+        word = " ".join(
+            f"WHEN {w} THEN {masks_prefix}{d}_{w}" for w in range(BLOOM_M // 64)
+        )
+        sel = f"CASE ({bit}) div 64 {word} END"
+        tests.append(f"(shiftright({sel}, CAST({bit} % 64 AS INT)) & 1) = 1")
+    return " AND ".join(tests)
+
+
+@register(
+    "join_bloom_prefiltered",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_nationkey < 8
+        GROUP BY s.s_suppkey, s.s_name
+    """,
+    tags=("C-bloom",),
+)
+def join_bloom_prefiltered(spark, sf_dir):
+    """Runtime Bloom-filter pre-join: the filtered supplier dim builds
+    a 256-bit exact Bloom (the sketch_bloom_exact hash family) that is
+    PIVOTED into one 16-word row, broadcast, and applied to lineitem
+    as a pure EXPRESSION before the join — the hand-rolled version of
+    the runtime row-group/semi-join filters engines inject around big
+    joins, with the no-false-negative property PROVEN every round:
+    the oracle is the plain join, so hash equality certifies the
+    prefilter dropped only rows the join would drop anyway (false
+    positives are harmlessly re-dropped by the join itself).
+
+    100 TB posture: the filter costs one broadcast of 16 BIGINTs and
+    4 integer hashes per fact row INSIDE the scan's codegen stage —
+    rows that fail never reach the join exchange, which is the whole
+    point when the dim filter is selective; the dim side is
+    broadcast, so the join itself is shuffle-free."""
+    from etl_builder_spark.functions.sketches import BLOOM_M, CM_P, CM_PERMS
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    dim = (
+        s.join(F.broadcast(n.where(F.col("n_nationkey") < 8)), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+        .persist()
+    )
+    perms = spark.createDataFrame(
+        [(d, a, b) for d, (a, b) in enumerate(CM_PERMS)], "d long, a long, b long"
+    )
+    bit = F.pmod(
+        F.pmod(F.col("a") * F.col("s_suppkey") + F.col("b"), F.lit(CM_P)), F.lit(BLOOM_M)
+    )
+    words = (
+        dim.crossJoin(F.broadcast(perms))
+        .select("d", bit.alias("bit"))
+        .select("d", F.floor(F.col("bit") / 64).cast("long").alias("w"),
+                F.expr("shiftleft(1L, CAST(bit % 64 AS INT))").alias("m"))
+        .groupBy("d", "w")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    masks_row = words.agg(
+        *[
+            F.coalesce(
+                F.max(F.when((F.col("d") == d) & (F.col("w") == w), F.col("mask"))),
+                F.lit(0).cast("long"),
+            ).alias(f"mask_{d}_{w}")
+            for d in range(len(CM_PERMS))
+            for w in range(BLOOM_M // 64)
+        ]
+    )
+    probe = _bloom_probe_sql("l_suppkey", "mask_")
+    filtered = l.crossJoin(F.broadcast(masks_row)).where(F.expr(probe))
+    from etl_builder_spark.policy import money
+
+    return (
+        filtered.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(money("l_extendedprice")).cast("double").alias("revenue"),
+        )
+    )

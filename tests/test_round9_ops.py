@@ -194,3 +194,48 @@ def test_position_weights_sum_to_value(spark):
     # each journey's credits can each round by <= 0.5 cent per touch
     n_touches = _journey(spark, SF_DIR).count()
     assert abs(credited - journeys) <= n_touches
+
+
+def test_iso_week_formula_matches_builtin(oracle):
+    """The integer ISO-week formula equals DuckDB's independent
+    isoyear/weekofyear builtins over 12 years spanning every
+    year-boundary shape (leap years, 53-week years)."""
+    q = """
+    WITH days AS (
+      SELECT unnest(generate_series(DATE '2018-01-01', DATE '2030-12-31',
+                                    INTERVAL 1 DAY))::DATE AS d
+    ), f AS (
+      SELECT d, CAST(d - DATE '1970-01-01' AS BIGINT) AS dn FROM days
+    ), t AS (
+      SELECT d, dn - (dn+3)%7 + 3 AS th FROM f
+    ), i AS (
+      SELECT d, th, EXTRACT(year FROM DATE '1970-01-01' + CAST(th AS INT)) AS iy
+      FROM t
+    ), w AS (
+      SELECT d, iy, th,
+             CAST(make_date(CAST(iy AS INT),1,4) - DATE '1970-01-01' AS BIGINT)
+                 AS j4
+      FROM i
+    )
+    SELECT COUNT(*) FROM w
+    WHERE iy <> isoyear(d)
+       OR ((th - (j4 - (j4+3)%7)) // 7 + 1) <> weekofyear(d)
+    """
+    assert oracle.sql(q).fetchall()[0][0] == 0
+
+
+def test_bloom_prefilter_is_selective(spark):
+    """The Bloom prefilter must actually DROP most non-matching fact
+    rows before the join (the point of the runtime filter): with an
+    8/25-nation dim, survivors should be well under half of lineitem."""
+    from etl_builder_spark.functions.sketches import BLOOM_M, CM_P, CM_PERMS  # noqa: F401
+    from etl_builder_spark.operators.joins import _bloom_probe_sql  # noqa: F401
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    _ensure_loaded()
+    total = load_table(spark, SF_DIR, "lineitem").count()
+    joined = REGISTRY["join_bloom_prefiltered"].fn(spark, SF_DIR)
+    survivors = joined.agg(F.sum("n_items")).first()[0]
+    assert survivors < total / 2
