@@ -217,7 +217,7 @@ def stats_permutation_test_pinned(spark, sf_dir):
     diffs = arms.select(
         "b",
         (F.col("sa").cast("double") / F.col("na") - F.col("sb").cast("double") / F.col("nb")).alias("diff"),
-    )
+    ).persist()  # 33 rows; obs + null-rank branches must not rescan events
     obs = diffs.where(F.col("b") == 0).select(F.col("diff").alias("obs_diff"))
     null = (
         diffs.where(F.col("b") > 0)
@@ -313,16 +313,18 @@ def ml_quantile_regression_grid(spark, sf_dir):
             F.sum(F.when(F.col("u") >= 0, 1).otherwise(0)).cast("bigint").alias("n_under"),
         )
     )
-    best = loss.agg(F.min("loss_x10").alias("min_loss"))
-    return (
-        loss.crossJoin(F.broadcast(best))
-        .select(
-            F.col("s").cast("bigint").alias("slope_cents"),
-            "loss_x10",
-            F.round(F.col("loss_x10").cast("double") / 1000, 2).alias("pinball_loss"),
-            "n_under",
-            (F.col("loss_x10") == F.col("min_loss")).alias("is_best"),
-        )
+    # argmin via a whole-frame window on the |grid|-row aggregate (a
+    # bounded slice — NOT a second scan of lineitem, which an agg-branch
+    # reuse would recompute at 100 TB)
+    from pyspark.sql import Window
+
+    min_loss = F.min("loss_x10").over(Window.partitionBy())
+    return loss.select(
+        F.col("s").cast("bigint").alias("slope_cents"),
+        "loss_x10",
+        F.round(F.col("loss_x10").cast("double") / 1000, 2).alias("pinball_loss"),
+        "n_under",
+        (F.col("loss_x10") == min_loss).alias("is_best"),
     )
 
 
