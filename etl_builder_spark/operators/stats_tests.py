@@ -462,3 +462,389 @@ def stats_mutual_information_binned(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "stats_cramers_v_corrected",
+    oracle="""
+        WITH cells AS (
+            SELECT l_returnflag AS r, l_linestatus AS c,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1, 2
+        ),
+        rt AS (SELECT r, CAST(SUM(n) AS BIGINT) AS nr FROM cells GROUP BY r),
+        ct AS (SELECT c, CAST(SUM(n) AS BIGINT) AS nc FROM cells GROUP BY c),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells),
+        terms AS (
+            SELECT CAST(ROUND(
+                       (cells.n - CAST(rt.nr AS DOUBLE) * ct.nc / tot.nt)
+                       * (cells.n - CAST(rt.nr AS DOUBLE) * ct.nc / tot.nt)
+                       / (CAST(rt.nr AS DOUBLE) * ct.nc / tot.nt), 9)
+                       AS DECIMAL(28,9)) AS term
+            FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+        ),
+        dims AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS nrow,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS ncol,
+                   (SELECT nt FROM tot) AS nt,
+                   (SELECT CAST(SUM(term) AS DOUBLE) FROM terms) AS chi2
+        )
+        SELECT nt AS n_rows, nrow, ncol,
+               ROUND(chi2, 6) AS chi2,
+               ROUND(sqrt(chi2 / nt
+                          / CASE WHEN nrow < ncol THEN nrow - 1
+                                 ELSE ncol - 1 END), 6) AS cramers_v,
+               ROUND(sqrt(
+                   GREATEST(0.0, chi2 / nt
+                            - CAST((nrow - 1) * (ncol - 1) AS DOUBLE)
+                              / (nt - 1))
+                   / CASE
+                       WHEN nrow - CAST((nrow - 1) * (nrow - 1) AS DOUBLE)
+                                   / (nt - 1)
+                            < ncol - CAST((ncol - 1) * (ncol - 1) AS DOUBLE)
+                                     / (nt - 1)
+                       THEN nrow - CAST((nrow - 1) * (nrow - 1) AS DOUBLE)
+                                   / (nt - 1) - 1
+                       ELSE ncol - CAST((ncol - 1) * (ncol - 1) AS DOUBLE)
+                                   / (nt - 1) - 1
+                     END), 6) AS cramers_v_corrected
+        FROM dims
+    """,
+    tags=("STATS-assoc",),
+)
+def stats_cramers_v_corrected(spark, sf_dir):
+    """Cramér's V effect size for the (l_returnflag × l_linestatus)
+    association, plus the Bergsma (2013) bias-corrected variant — the
+    standardized 0..1 companion to stats_chi_square_independence (chi2
+    alone grows with n; V is the comparable-across-tables number).
+
+    Exactness follows the chi-square key verbatim: the contingency
+    table, margins, and total are exact BIGINTs from ONE hash
+    aggregation; each cell term is a fixed double expression rounded
+    to 9 dp into DECIMAL(28,9) so the chi2 sum is order-free; V and
+    the corrected V are single float expressions of (chi2, n, r, c)
+    written identically in both engines, rounded once at 6 dp.
+
+    100 TB posture: identical to stats_chi_square_independence — one
+    map-side-combined aggregation to ≤ |R|·|C| cells, then arithmetic
+    on a broadcast-sized frame.  TPC-H's return-flag/line-status pair
+    has every cell populated, so the observed-cell join IS the full
+    grid (zero-observed cells would need the cross-join grid of the
+    margins — same tiny frame)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(F.col("l_returnflag").alias("r"), F.col("l_linestatus").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    rt = cells.groupBy("r").agg(F.sum("n").cast("bigint").alias("nr"))
+    ct = cells.groupBy("c").agg(F.sum("n").cast("bigint").alias("nc"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nt"))
+    exp = F.col("nr").cast("double") * F.col("nc") / F.col("nt")
+    terms = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 9)
+            .cast("decimal(28,9)")
+            .alias("term")
+        )
+        .agg(F.sum("term").cast("double").alias("chi2"))
+    )
+    dims = (
+        rt.agg(F.count(F.lit(1)).cast("bigint").alias("nrow"))
+        .crossJoin(F.broadcast(ct.agg(F.count(F.lit(1)).cast("bigint").alias("ncol"))))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(terms))
+    )
+    nrow, ncol, nt, chi2 = (
+        F.col("nrow"),
+        F.col("ncol"),
+        F.col("nt"),
+        F.col("chi2"),
+    )
+    phi2 = chi2 / nt
+    kmin1 = F.when(nrow < ncol, nrow - 1).otherwise(ncol - 1)
+    phi2c = F.greatest(
+        F.lit(0.0),
+        phi2 - ((nrow - 1) * (ncol - 1)).cast("double") / (nt - 1),
+    )
+    rc_ = nrow - ((nrow - 1) * (nrow - 1)).cast("double") / (nt - 1)
+    cc_ = ncol - ((ncol - 1) * (ncol - 1)).cast("double") / (nt - 1)
+    kminc = F.when(rc_ < cc_, rc_ - 1).otherwise(cc_ - 1)
+    return dims.select(
+        nt.alias("n_rows"),
+        nrow,
+        ncol,
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(phi2 / kmin1), 6).alias("cramers_v"),
+        F.round(F.sqrt(phi2c / kminc), 6).alias("cramers_v_corrected"),
+    )
+
+
+@register(
+    "stats_cohens_kappa",
+    oracle="""
+        WITH banded AS (
+            SELECT
+                CASE WHEN CAST(l_quantity AS BIGINT) <= 16 THEN 'low'
+                     WHEN CAST(l_quantity AS BIGINT) <= 33 THEN 'mid'
+                     ELSE 'high' END AS qb,
+                CASE WHEN CAST(ROUND(l_discount * 100, 0) AS BIGINT) <= 3
+                          THEN 'low'
+                     WHEN CAST(ROUND(l_discount * 100, 0) AS BIGINT) <= 7
+                          THEN 'mid'
+                     ELSE 'high' END AS db
+            FROM lineitem
+        ),
+        cells AS (
+            SELECT qb, db, CAST(COUNT(*) AS BIGINT) AS n
+            FROM banded GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT b AS band,
+                   CAST(SUM(CASE WHEN side = 'q' THEN n ELSE 0 END) AS BIGINT)
+                       AS rq,
+                   CAST(SUM(CASE WHEN side = 'd' THEN n ELSE 0 END) AS BIGINT)
+                       AS rd
+            FROM (
+                SELECT 'q' AS side, qb AS b, n FROM cells
+                UNION ALL
+                SELECT 'd' AS side, db AS b, n FROM cells
+            )
+            GROUP BY b
+        ),
+        stats AS (
+            SELECT
+                (SELECT CAST(SUM(n) AS BIGINT) FROM cells) AS nt,
+                (SELECT CAST(SUM(CASE WHEN qb = db THEN n ELSE 0 END)
+                             AS BIGINT) FROM cells) AS diag,
+                (SELECT CAST(SUM(rq * rd) AS BIGINT) FROM margins) AS chance
+        )
+        SELECT nt AS n_rows, diag AS n_agree,
+               ROUND(CAST(diag AS DOUBLE) / nt, 6) AS p_observed,
+               ROUND(CAST(chance AS DOUBLE) / nt / nt, 6) AS p_chance,
+               ROUND((CAST(nt AS DOUBLE) * diag - chance)
+                     / (CAST(nt AS DOUBLE) * nt - chance), 6) AS kappa
+        FROM stats
+    """,
+    tags=("STATS-assoc",),
+)
+def stats_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between two banded classifications of
+    each lineitem — quantity tercile (1–16 / 17–33 / 34–50) vs
+    discount band (≤3% / 4–7% / ≥8%) — the chance-corrected agreement
+    statistic used to audit whether two labeling pipelines agree
+    beyond what their marginal label rates force.
+
+    Exactness: the float l_discount is snapped to integer percent via
+    ROUND(·*100) BEFORE banding (no float threshold compares); the 3×3
+    contingency, both margins, the diagonal, and Σ rq·rd are exact
+    BIGINTs, so kappa = (n·diag − Σrq·rd)/(n² − Σrq·rd) is ONE float
+    division of exact integers, rounded once.  n² and n·diag stay
+    under int64 through ~3e9 rows; past that the documented swap is
+    DECIMAL(38,0) for the two products (stats_ratio_delta_ci
+    precedent).
+
+    100 TB posture: one map-side-combined aggregation to ≤9 cells;
+    margins and the kappa arithmetic run on that broadcast-sized cell
+    frame — no second scan, no window, no shuffle beyond the 9-group
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    d = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    qb = F.when(q <= 16, "low").when(q <= 33, "mid").otherwise("high")
+    db = F.when(d <= 3, "low").when(d <= 7, "mid").otherwise("high")
+    cells = (
+        li.select(qb.alias("qb"), db.alias("db"))
+        .groupBy("qb", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    margins = (
+        cells.select(F.lit("q").alias("side"), F.col("qb").alias("b"), "n")
+        .unionAll(cells.select(F.lit("d").alias("side"), F.col("db").alias("b"), "n"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("side") == "q", F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rq"),
+            F.sum(F.when(F.col("side") == "d", F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rd"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("qb") == F.col("db"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("diag"),
+    )
+    chance = margins.agg(F.sum(F.col("rq") * F.col("rd")).cast("bigint").alias("chance"))
+    nt, diag, ch = F.col("nt"), F.col("diag"), F.col("chance")
+    return (
+        tot.crossJoin(F.broadcast(chance))
+        .select(
+            nt.alias("n_rows"),
+            diag.alias("n_agree"),
+            F.round(diag.cast("double") / nt, 6).alias("p_observed"),
+            F.round(ch.cast("double") / nt / nt, 6).alias("p_chance"),
+            F.round(
+                (nt.cast("double") * diag - ch) / (nt.cast("double") * nt - ch), 6
+            ).alias("kappa"),
+        )
+    )
+
+
+@register(
+    "ml_mcc_binary_gate",
+    oracle="""
+        WITH conf AS (
+            SELECT
+                CAST(SUM(CASE WHEN l_returnflag = 'R'
+                              AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) >= 6
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN l_returnflag <> 'R'
+                              AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) >= 6
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN l_returnflag = 'R'
+                              AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) < 6
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(SUM(CASE WHEN l_returnflag <> 'R'
+                              AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) < 6
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM lineitem
+        )
+        SELECT tp, fp, fn, tn,
+               ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_,
+               ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_,
+               ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+               ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                     / (sqrt(CAST(tp + fp AS DOUBLE))
+                        * sqrt(CAST(tp + fn AS DOUBLE))
+                        * sqrt(CAST(tn + fp AS DOUBLE))
+                        * sqrt(CAST(tn + fn AS DOUBLE))), 6) AS mcc
+        FROM conf
+    """,
+    tags=("ML-eval",),
+)
+def ml_mcc_binary_gate(spark, sf_dir):
+    """Matthews correlation coefficient (plus precision/recall/F1) for
+    the fixed binary rule "discount ≥ 6% predicts a returned line"
+    against the l_returnflag='R' truth — the single-number classifier
+    audit that, unlike F1, stays honest under class imbalance
+    (completes ml_confusion_matrix, which reports the matrix without
+    the coefficient).
+
+    Exactness: the float discount snaps to integer percent before the
+    threshold (no float compares); TP/FP/FN/TN are exact BIGINTs from
+    ONE conditional aggregate; MCC's denominator multiplies the four
+    marginal square roots SEPARATELY — tp·tn and fp·fn are the only
+    products formed (≤ n²; int64-safe through ~3e9 rows, DECIMAL swap
+    documented in stats_cohens_kappa) and sqrt(a)·sqrt(b)·sqrt(c)·
+    sqrt(d) avoids forming the n⁴ product that would overflow ANY
+    fixed-width integer.  One fixed float expression per metric,
+    rounded once.
+
+    100 TB posture: a single map-side-combined 4-accumulator pass —
+    the cheapest possible full-corpus audit; the final row is
+    driver-free arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    truth = F.col("l_returnflag") == "R"
+    pred = F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 6
+    conf = li.agg(
+        F.sum(F.when(truth & pred, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(~truth & pred, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(truth & ~pred, 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when(~truth & ~pred, 1).otherwise(0)).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn_, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return conf.select(
+        tp,
+        fp,
+        fn_,
+        tn,
+        F.round(tp.cast("double") / (tp + fp), 6).alias("precision_"),
+        F.round(tp.cast("double") / (tp + fn_), 6).alias("recall_"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn_), 6).alias("f1"),
+        F.round(
+            (tp.cast("double") * tn - fp.cast("double") * fn_)
+            / (
+                F.sqrt((tp + fp).cast("double"))
+                * F.sqrt((tp + fn_).cast("double"))
+                * F.sqrt((tn + fp).cast("double"))
+                * F.sqrt((tn + fn_).cast("double"))
+            ),
+            6,
+        ).alias("mcc"),
+    )
+
+
+@register(
+    "stats_grubbs_extreme",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s1,
+                   CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                 AS DECIMAL(38,0))
+                            * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+                       AS s2,
+                   CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS mx,
+                   CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS mn
+            FROM orders
+        )
+        SELECT n,
+               ROUND(CAST(s1 AS DOUBLE) / n / 100, 6) AS mean_price,
+               ROUND(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) / 100, 6)
+                   AS stddev_price,
+               ROUND(CAST(mx AS DOUBLE) / 100, 2) AS max_price,
+               ROUND(CAST(mn AS DOUBLE) / 100, 2) AS min_price,
+               ROUND((mx - CAST(s1 AS DOUBLE) / n)
+                     / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 6)
+                   AS g_high,
+               ROUND((CAST(s1 AS DOUBLE) / n - mn)
+                     / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 6)
+                   AS g_low
+        FROM m
+    """,
+    tags=("STATS-tests",),
+)
+def stats_grubbs_extreme(spark, sf_dir):
+    """Grubbs extreme-studentized-deviate statistics for o_totalprice:
+    how many sample standard deviations the most extreme high and low
+    order sit from the mean — the single-outlier screen run before
+    trusting a mean-based metric (complements dq_outlier_iqr's
+    rank-based fences with the parametric test statistic).
+
+    Exactness: prices become exact integer CENTS; n, Σx, max, min are
+    BIGINT and Σx² accumulates as DECIMAL(38,0) (cents² ~2.6e15 ×
+    1.5e6 rows at sf1 ≈ 4e21 — far inside 38 digits through any
+    realistic corpus) before ONE cast to double; both Grubbs ratios
+    are fixed float expressions of the five exact numbers, identical
+    in both engines, rounded once at 6 dp.
+
+    100 TB posture: one map-side-combined pass, five accumulators, a
+    1-row result — max/min/mean/variance all ride the same exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    c = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    m = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(c).cast("bigint").alias("s1"),
+        F.sum(c.cast("decimal(38,0)") * c).cast("double").alias("s2"),
+        F.max(c).cast("bigint").alias("mx"),
+        F.min(c).cast("bigint").alias("mn"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mx, mn = F.col("mx"), F.col("mn")
+    sd = F.sqrt((s2 - s1.cast("double") * s1 / n) / (n - 1))
+    return m.select(
+        n,
+        F.round(s1.cast("double") / n / 100, 6).alias("mean_price"),
+        F.round(sd / 100, 6).alias("stddev_price"),
+        F.round(mx.cast("double") / 100, 2).alias("max_price"),
+        F.round(mn.cast("double") / 100, 2).alias("min_price"),
+        F.round((mx - s1.cast("double") / n) / sd, 6).alias("g_high"),
+        F.round((s1.cast("double") / n - mn) / sd, 6).alias("g_low"),
+    )

@@ -239,3 +239,129 @@ def test_bloom_prefilter_is_selective(spark):
     joined = REGISTRY["join_bloom_prefiltered"].fn(spark, SF_DIR)
     survivors = joined.agg(F.sum("n_items")).first()[0]
     assert survivors < total / 2
+
+
+def test_cohens_kappa_matches_reference(spark):
+    """kappa recomputed from raw pandas labels with the textbook
+    sklearn-style formula (Po - Pe)/(1 - Pe) — independent of the
+    integer cross-product route both engines share."""
+    import pandas as pd
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_quantity", "l_discount")
+        .toPandas()
+    )
+    q = pdf["l_quantity"].astype("int64")
+    d = (pdf["l_discount"] * 100).round(0).astype("int64")
+    qb = pd.cut(q, [0, 16, 33, 10**9], labels=["low", "mid", "high"])
+    db = pd.cut(d, [-1, 3, 7, 10**9], labels=["low", "mid", "high"])
+    n = len(pdf)
+    po = float((qb.astype(str) == db.astype(str)).mean())
+    pe = sum(
+        float((qb == b).mean()) * float((db == b).mean())
+        for b in ("low", "mid", "high")
+    )
+    kappa_ref = (po - pe) / (1 - pe)
+    row = REGISTRY["stats_cohens_kappa"].fn(spark, SF_DIR).first()
+    assert row["n_rows"] == n
+    assert abs(row["p_observed"] - po) < 1e-6
+    assert abs(row["p_chance"] - pe) < 1e-6
+    assert abs(row["kappa"] - kappa_ref) < 1e-6
+
+
+def test_mcc_matches_reference(spark):
+    """MCC recomputed from the raw confusion counts with the direct
+    (tp*tn - fp*fn)/sqrt(...) formula in Python floats; also checks
+    the confusion counts against a pandas crosstab."""
+    import math
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_discount")
+        .toPandas()
+    )
+    truth = pdf["l_returnflag"] == "R"
+    pred = (pdf["l_discount"] * 100).round(0).astype("int64") >= 6
+    tp = int((truth & pred).sum())
+    fp = int((~truth & pred).sum())
+    fn = int((truth & ~pred).sum())
+    tn = int((~truth & ~pred).sum())
+    mcc_ref = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    row = REGISTRY["ml_mcc_binary_gate"].fn(spark, SF_DIR).first()
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    assert abs(row["mcc"] - mcc_ref) < 1e-6
+    assert abs(row["f1"] - 2 * tp / (2 * tp + fp + fn)) < 1e-6
+
+
+def test_grubbs_matches_reference(spark):
+    """Grubbs G statistics recomputed with numpy mean/std (ddof=1) on
+    the exact-cents series — validates the shifted-moments variance
+    path against the naive two-pass reference."""
+    import numpy as np
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = load_table(spark, SF_DIR, "orders").select("o_totalprice").toPandas()
+    cents = (pdf["o_totalprice"].astype("float64") * 100).round(0).astype("int64")
+    x = cents.to_numpy(dtype="float64")
+    mean, sd = x.mean(), x.std(ddof=1)
+    g_high_ref = (x.max() - mean) / sd
+    g_low_ref = (mean - x.min()) / sd
+    row = REGISTRY["stats_grubbs_extreme"].fn(spark, SF_DIR).first()
+    assert row["n"] == len(x)
+    assert abs(row["g_high"] - g_high_ref) < 1e-6
+    assert abs(row["g_low"] - g_low_ref) < 1e-6
+    assert abs(row["mean_price"] - mean / 100) < 1e-5
+
+
+def test_cramers_v_matches_reference(spark):
+    """Cramér's V and the bias-corrected variant recomputed from a
+    pandas crosstab with the textbook chi2 double loop (Bergsma 2013
+    correction) — independent of the shared SQL expression shape."""
+    import math
+
+    import pandas as pd
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .toPandas()
+    )
+    ct = pd.crosstab(pdf["l_returnflag"], pdf["l_linestatus"])
+    n = int(ct.to_numpy().sum())
+    r, c = ct.shape
+    chi2 = 0.0
+    for i in range(r):
+        for j in range(c):
+            exp = ct.iloc[i].sum() * ct.iloc[:, j].sum() / n
+            # mirror the operator's 9-dp per-term rounding so the
+            # order-free DECIMAL sum is reproduced exactly
+            chi2 += round((ct.iloc[i, j] - exp) ** 2 / exp, 9)
+    phi2 = chi2 / n
+    v_ref = math.sqrt(phi2 / min(r - 1, c - 1))
+    phi2c = max(0.0, phi2 - (r - 1) * (c - 1) / (n - 1))
+    rc = r - (r - 1) ** 2 / (n - 1)
+    cc = c - (c - 1) ** 2 / (n - 1)
+    vc_ref = math.sqrt(phi2c / (min(rc, cc) - 1))
+    row = REGISTRY["stats_cramers_v_corrected"].fn(spark, SF_DIR).first()
+    assert row["n_rows"] == n and (row["nrow"], row["ncol"]) == (r, c)
+    assert abs(row["chi2"] - chi2) < 1e-5
+    assert abs(row["cramers_v"] - v_ref) < 1e-6
+    assert abs(row["cramers_v_corrected"] - vc_ref) < 1e-6
