@@ -2194,3 +2194,107 @@ def ml_kmeans_pp_seeding(spark, sf_dir):
     for p in picks[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register(
+    "ml_linreg_normal_eq",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sx1,
+                   CAST(SUM(CAST(CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sx2,
+                   CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s11,
+                   CAST(SUM(CAST(CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS DECIMAL(38,0)) * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) AS s22,
+                   CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)) * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) AS s12,
+                   CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) AS s1y,
+                   CAST(SUM(CAST(CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) AS s2y,
+                   CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) AS syy
+            FROM lineitem
+        ),
+        c AS (
+            SELECT n,
+                   s11 - sx1 * sx1 / n AS c11,
+                   s22 - sx2 * sx2 / n AS c22,
+                   s12 - sx1 * sx2 / n AS c12,
+                   s1y - sx1 * sy / n AS c1y,
+                   s2y - sx2 * sy / n AS c2y,
+                   syy - sy * sy / n AS cyy,
+                   sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my
+            FROM m
+        ),
+        b AS (
+            SELECT n, cyy, c1y, c2y, mx1, mx2, my,
+                   (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+                   (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+            FROM c
+        )
+        SELECT n,
+               ROUND((my - b1 * mx1 - b2 * mx2) / 100, 6) AS intercept_dollars,
+               ROUND(b1 / 100, 6) AS coef_qty_dollars,
+               ROUND(b2 / 100, 6) AS coef_disc_pt_dollars,
+               ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
+        FROM b
+    """,
+    tags=("ML-regression",),
+)
+def ml_linreg_normal_eq(spark, sf_dir):
+    """Two-feature ordinary least squares by the closed-form normal
+    equations: l_extendedprice ~ l_quantity + discount-percent,
+    solved exactly from sufficient statistics — the distributed way
+    to fit a small linear model (no gradient iterations, no driver
+    collect; GLM-by-moments is also how Spark MLlib's
+    WeightedLeastSquares normal-equation solver works internally).
+
+    Exactness: price snaps to integer CENTS and discount to integer
+    PERCENT before any product; all ten sufficient statistics (n, two
+    first moments, y, and the six second moments) accumulate as
+    DECIMAL(38,0) products of exact integers — order-free, no float
+    enters until the single cast of each finished sum (Σy·y ≈ 1e14
+    per row needs the decimal width at 100 TB row counts; int64 would
+    overflow past ~9e4 rows of cents²).  The centered 2×2 Cramer
+    solve, intercept, and R² are ONE fixed float expression of those
+    ten numbers, identical in both engines, rounded once at 6 dp.
+
+    100 TB posture: a single map-side-combined aggregation — ten
+    accumulators riding one exchange to a 1-row frame; adding
+    features grows the accumulator count quadratically but the scan
+    count stays ONE (the normal-equation advantage over SGD at this
+    scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("bigint")
+    x2 = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    d = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d(x1)).cast("double").alias("sx1"),
+        F.sum(d(x2)).cast("double").alias("sx2"),
+        F.sum(d(y)).cast("double").alias("sy"),
+        F.sum(d(x1) * x1).cast("double").alias("s11"),
+        F.sum(d(x2) * x2).cast("double").alias("s22"),
+        F.sum(d(x1) * x2).cast("double").alias("s12"),
+        F.sum(d(x1) * y).cast("double").alias("s1y"),
+        F.sum(d(x2) * y).cast("double").alias("s2y"),
+        F.sum(d(y) * y).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    sx1, sx2, sy = F.col("sx1"), F.col("sx2"), F.col("sy")
+    c11 = F.col("s11") - sx1 * sx1 / n
+    c22 = F.col("s22") - sx2 * sx2 / n
+    c12 = F.col("s12") - sx1 * sx2 / n
+    c1y = F.col("s1y") - sx1 * sy / n
+    c2y = F.col("s2y") - sx2 * sy / n
+    cyy = F.col("syy") - sy * sy / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    return m.select(
+        n,
+        F.round((sy / n - b1 * sx1 / n - b2 * sx2 / n) / 100, 6).alias(
+            "intercept_dollars"
+        ),
+        F.round(b1 / 100, 6).alias("coef_qty_dollars"),
+        F.round(b2 / 100, 6).alias("coef_disc_pt_dollars"),
+        F.round((b1 * c1y + b2 * c2y) / cyy, 6).alias("r2"),
+    )

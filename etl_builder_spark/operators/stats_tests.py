@@ -848,3 +848,158 @@ def stats_grubbs_extreme(spark, sf_dir):
         F.round((mx - s1.cast("double") / n) / sd, 6).alias("g_high"),
         F.round((s1.cast("double") / n - mn) / sd, 6).alias("g_low"),
     )
+
+
+@register(
+    "stats_bh_fdr",
+    oracle="""
+        WITH per AS (
+            SELECT p_brand AS brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(s1) AS BIGINT) AS t1,
+                   CAST(SUM(s2) AS BIGINT) AS t2,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM per
+        ),
+        z AS (
+            SELECT brand, n, nt - n AS nr, m,
+                   CAST(s1 AS DOUBLE) / n AS mb,
+                   CAST(t1 - s1 AS DOUBLE) / (nt - n) AS mr,
+                   (s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS vb,
+                   ((t2 - s2) - CAST(t1 - s1 AS DOUBLE) * (t1 - s1) / (nt - n))
+                       / (nt - n - 1) AS vr
+            FROM per CROSS JOIN tot
+        ),
+        p AS (
+            SELECT brand, n, m,
+                   ROUND((mb - mr) / sqrt(vb / n + vr / nr), 6) AS z_welch,
+                   CAST(ROUND(exp(-((mb - mr) / sqrt(vb / n + vr / nr))
+                                  * ((mb - mr) / sqrt(vb / n + vr / nr)) / 2),
+                              9) AS DECIMAL(18,9)) AS p_bound
+            FROM z
+        ),
+        ranked AS (
+            SELECT brand, n, m, z_welch, p_bound,
+                   CAST(ROW_NUMBER() OVER (ORDER BY p_bound, brand) AS BIGINT)
+                       AS p_rank
+            FROM p
+        ),
+        kstar AS (
+            SELECT COALESCE(MAX(CASE WHEN CAST(p_bound AS DOUBLE)
+                                          <= 0.10 * p_rank / m
+                                     THEN p_rank END), 0) AS k
+            FROM ranked
+        )
+        SELECT brand, n, z_welch,
+               CAST(p_bound AS DOUBLE) AS p_bound, p_rank,
+               ROUND(0.10 * p_rank / m, 9) AS bh_threshold,
+               p_rank <= k AS rejected
+        FROM ranked CROSS JOIN kstar
+        ORDER BY p_rank
+    """,
+    tags=("STATS-multiplicity",),
+)
+def stats_bh_fdr(spark, sf_dir):
+    """Benjamini–Hochberg FDR control over the 25-brand family of
+    Welch z-tests "does this brand's mean order quantity differ from
+    the rest of the catalog?" — the multiple-comparisons step every
+    per-segment metrics dashboard needs before flagging segments
+    (step-up procedure: reject the k smallest p-values where k is the
+    LARGEST rank with p_(k) ≤ α·k/m, α = 0.10).
+
+    The per-test "p-value" is the Gaussian Chernoff tail bound
+    exp(−z²/2) — monotone in |z| (so the BH ordering and rejection
+    SET equal those of the exact two-sided normal p up to the
+    documented threshold calibration) and, unlike Φ, an expression
+    both engines evaluate bit-identically (neither Spark SQL nor
+    DuckDB exposes erf; policy §7.2 forbids per-engine special
+    functions).
+
+    Exactness: quantity moments per brand are exact BIGINTs from ONE
+    lineitem⋈part aggregation; complement moments are exact
+    subtractions of the 25-row totals (no second scan); z and the
+    bound are fixed float expressions rounded once (6 dp / 9 dp into
+    DECIMAL so the rank ORDER BY compares exact decimals, brand as
+    total tiebreaker); k* is a MAX over the 25-row frame.
+
+    100 TB posture: part broadcasts into lineitem (brand is the only
+    column kept), one map-side-combined aggregation to 25 groups, and
+    the whole BH machinery — ranking, thresholds, k*, rejection —
+    runs on that broadcast-sized frame.  Σq² ≤ 2500·n stays inside
+    int64 through ~3.6e15 rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q = F.col("l_quantity").cast("bigint")
+    per = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(q).cast("bigint").alias("s1"),
+            F.sum(q * q).cast("bigint").alias("s2"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s1").cast("bigint").alias("t1"),
+        F.sum("s2").cast("bigint").alias("t2"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    n, nt = F.col("n"), F.col("nt")
+    s1, s2 = F.col("s1"), F.col("s2")
+    t1, t2 = F.col("t1"), F.col("t2")
+    nr = nt - n
+    mb = s1.cast("double") / n
+    mr = (t1 - s1).cast("double") / nr
+    vb = (s2 - s1.cast("double") * s1 / n) / (n - 1)
+    vr = ((t2 - s2) - (t1 - s1).cast("double") * (t1 - s1) / nr) / (nr - 1)
+    zexpr = (mb - mr) / F.sqrt(vb / n + vr / nr)
+    p = j.select(
+        "brand",
+        "n",
+        "m",
+        F.round(zexpr, 6).alias("z_welch"),
+        F.round(F.exp(-zexpr * zexpr / 2), 9)
+        .cast("decimal(18,9)")
+        .alias("p_bound"),
+    )
+    ranked = p.withColumn(
+        "p_rank",
+        F.row_number().over(Window.orderBy("p_bound", "brand")).cast("bigint"),
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_bound").cast("double")
+                    <= 0.10 * F.col("p_rank") / F.col("m"),
+                    F.col("p_rank"),
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "brand",
+            "n",
+            "z_welch",
+            F.col("p_bound").cast("double").alias("p_bound"),
+            "p_rank",
+            F.round(0.10 * F.col("p_rank") / F.col("m"), 9).alias("bh_threshold"),
+            (F.col("p_rank") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )

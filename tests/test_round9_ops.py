@@ -365,3 +365,73 @@ def test_cramers_v_matches_reference(spark):
     assert abs(row["chi2"] - chi2) < 1e-5
     assert abs(row["cramers_v"] - v_ref) < 1e-6
     assert abs(row["cramers_v_corrected"] - vc_ref) < 1e-6
+
+
+def test_linreg_matches_numpy_lstsq(spark):
+    """The Cramer normal-equation coefficients must match
+    numpy.linalg.lstsq on the raw design matrix (independent linear-
+    algebra route; also checks R² against the residual definition)."""
+    import numpy as np
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    x1 = pdf["l_quantity"].astype("float64").to_numpy()
+    x2 = (pdf["l_discount"] * 100).round(0).astype("float64").to_numpy()
+    y = (pdf["l_extendedprice"].astype("float64") * 100).round(0).to_numpy()
+    A = np.column_stack([np.ones_like(x1), x1, x2])
+    coef, _, _, _ = np.linalg.lstsq(A, y, rcond=None)
+    pred = A @ coef
+    r2_ref = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    row = REGISTRY["ml_linreg_normal_eq"].fn(spark, SF_DIR).first()
+    assert abs(row["intercept_dollars"] - coef[0] / 100) < 1e-4
+    assert abs(row["coef_qty_dollars"] - coef[1] / 100) < 1e-5
+    assert abs(row["coef_disc_pt_dollars"] - coef[2] / 100) < 1e-4
+    assert abs(row["r2"] - r2_ref) < 1e-6
+
+
+def test_bh_fdr_matches_reference_procedure(spark):
+    """The rejection set must equal the textbook step-up procedure
+    applied in plain Python to the operator's own (p_bound, rank)
+    columns, AND the z statistics must match a pandas groupby Welch
+    recomputation."""
+    import numpy as np
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    out = REGISTRY["stats_bh_fdr"].fn(spark, SF_DIR).toPandas()
+    m = len(out)
+    assert m == 25
+    # textbook BH step-up on the reported p-values
+    ps = out.sort_values("p_rank")["p_bound"].to_numpy()
+    ks = [k + 1 for k in range(m) if ps[k] <= 0.10 * (k + 1) / m]
+    kstar = max(ks) if ks else 0
+    expect = {
+        row["brand"]: row["p_rank"] <= kstar for _, row in out.iterrows()
+    }
+    got = {row["brand"]: bool(row["rejected"]) for _, row in out.iterrows()}
+    assert got == expect
+    # Welch z recomputed from raw data for one arbitrary brand
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey", "l_quantity")
+    pt = load_table(spark, SF_DIR, "part").select("p_partkey", "p_brand")
+    pdf = li.join(pt, li["l_partkey"] == pt["p_partkey"]).toPandas()
+    brand = out.iloc[0]["brand"]
+    a = pdf.loc[pdf["p_brand"] == brand, "l_quantity"].astype("float64")
+    b = pdf.loc[pdf["p_brand"] != brand, "l_quantity"].astype("float64")
+    z_ref = (a.mean() - b.mean()) / np.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    z_got = float(out.loc[out["brand"] == brand, "z_welch"].iloc[0])
+    assert abs(z_got - z_ref) < 1e-5
+    assert abs(
+        float(out.loc[out["brand"] == brand, "p_bound"].iloc[0])
+        - np.exp(-z_ref * z_ref / 2)
+    ) < 1e-6
