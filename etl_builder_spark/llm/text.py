@@ -1736,3 +1736,193 @@ def text_heaps_law_fit(spark, sf_dir):
             "heaps_log_k"
         ),
     )
+
+
+@register(
+    "text_bleu_corpus_pairs",
+    oracle="""
+        WITH pairs AS (
+            SELECT doc_id AS pair_id, lang, text AS cand,
+                   LEAD(text) OVER (PARTITION BY lang ORDER BY doc_id) AS ref
+            FROM documents
+        ),
+        p AS (SELECT * FROM pairs WHERE ref IS NOT NULL),
+        cl AS (
+            SELECT pair_id, lang, 'c' AS side,
+                   string_split(lower(cand), ' ') AS l
+            FROM p
+            UNION ALL
+            SELECT pair_id, lang, 'r' AS side,
+                   string_split(lower(ref), ' ') AS l
+            FROM p
+        ),
+        toks AS (
+            SELECT pair_id, lang, side, l[i.i] AS tok, i.i AS pos
+            FROM cl,
+                 LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) i
+        ),
+        grams AS (
+            SELECT pair_id, lang, side, 1 AS n, tok AS gram FROM toks
+            UNION ALL
+            SELECT pair_id, lang, side, 2 AS n,
+                   tok || ' ' || LEAD(tok) OVER
+                       (PARTITION BY pair_id, side ORDER BY pos) AS gram
+            FROM toks
+        ),
+        g AS (SELECT * FROM grams WHERE gram IS NOT NULL),
+        counts AS (
+            SELECT pair_id, lang, n, gram,
+                   CAST(SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cn,
+                   CAST(SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS rn
+            FROM g GROUP BY pair_id, lang, n, gram
+        ),
+        per_lang AS (
+            SELECT lang,
+                   CAST(SUM(CASE WHEN n = 1 THEN LEAST(cn, rn) END) AS BIGINT) AS clip1,
+                   CAST(SUM(CASE WHEN n = 1 THEN cn END) AS BIGINT) AS tot1,
+                   CAST(SUM(CASE WHEN n = 2 THEN LEAST(cn, rn) END) AS BIGINT) AS clip2,
+                   CAST(SUM(CASE WHEN n = 2 THEN cn END) AS BIGINT) AS tot2,
+                   CAST(SUM(CASE WHEN n = 1 THEN rn END) AS BIGINT) AS rlen
+            FROM counts GROUP BY lang
+        )
+        SELECT lang,
+               CAST((SELECT COUNT(*) FROM p WHERE p.lang = per_lang.lang)
+                    AS BIGINT) AS n_pairs,
+               clip1, tot1, clip2, tot2,
+               ROUND(CAST(clip1 AS DOUBLE) / tot1, 6) AS p1,
+               ROUND(CAST(clip2 AS DOUBLE) / tot2, 6) AS p2,
+               ROUND(exp(LEAST(0.0, 1.0 - CAST(rlen AS DOUBLE) / tot1)), 6)
+                   AS brevity_penalty,
+               CASE WHEN clip1 = 0 OR clip2 = 0 THEN 0.0
+                    ELSE ROUND(exp(LEAST(0.0, 1.0 - CAST(rlen AS DOUBLE) / tot1))
+                               * exp((ln(CAST(clip1 AS DOUBLE) / tot1)
+                                      + ln(CAST(clip2 AS DOUBLE) / tot2)) / 2), 6)
+               END AS bleu2
+        FROM per_lang
+        ORDER BY lang
+    """,
+    tags=("I-texteval",),
+)
+def text_bleu_corpus_pairs(spark, sf_dir):
+    """Corpus-level BLEU-2 between each document and its successor in
+    the same language — the Papineni (2002) machinery (modified/
+    clipped n-gram precision, corpus-pooled counts, brevity penalty,
+    geometric mean) run as pure relational algebra; point it at a
+    (model_output, reference) pair table and it is the standard
+    generation-eval metric at any scale.
+
+    Construction: pairs via LEAD over (lang, doc_id); unigrams AND
+    bigrams from ONE ordinal token explode (bigrams are tok+LEAD(tok)
+    over the per-(pair, side) position window — identical in both
+    engines, no lambda-index dialect differences); clipped counts are
+    LEAST(cand_n, ref_n) per distinct gram, pooled per language
+    before the ratio (corpus BLEU, not sentence-BLEU averaging).
+
+    Exactness: every count is an exact BIGINT; p1, p2, BP, and the
+    geometric mean are ONE fixed float expression each, rounded once;
+    zero clipped mass short-circuits to 0.0 (log guard).
+
+    100 TB posture: the explode shuffles on (pair, side) — token-
+    count bounded, not pair-count² — and the gram-count aggregate is
+    map-side combined; per-language pooling reduces to |langs| rows
+    before any float math.  The per-doc windows order WITHIN one
+    document's tokens (bounded frames), never globally."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    p = (
+        d.select(
+            F.col("doc_id").alias("pair_id"),
+            "lang",
+            F.col("text").alias("cand"),
+            F.lead("text").over(w).alias("ref"),
+        )
+        .where(F.col("ref").isNotNull())
+        .persist()
+    )
+    toks = (
+        p.select(
+            "pair_id",
+            "lang",
+            F.lit("c").alias("side"),
+            F.posexplode(F.split(F.lower(F.col("cand")), " ")).alias("pos0", "tok"),
+        )
+        .unionAll(
+            p.select(
+                "pair_id",
+                "lang",
+                F.lit("r").alias("side"),
+                F.posexplode(F.split(F.lower(F.col("ref")), " ")).alias("pos0", "tok"),
+            )
+        )
+        .select("pair_id", "lang", "side", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    wg = Window.partitionBy("pair_id", "side").orderBy("pos")
+    grams = toks.select(
+        "pair_id", "lang", "side", F.lit(1).alias("n"), F.col("tok").alias("gram")
+    ).unionAll(
+        toks.select(
+            "pair_id",
+            "lang",
+            "side",
+            F.lit(2).alias("n"),
+            F.lead("tok").over(wg).alias("nxt"),
+            "tok",
+        )
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "pair_id",
+            "lang",
+            "side",
+            "n",
+            F.concat_ws(" ", F.col("tok"), F.col("nxt")).alias("gram"),
+        )
+    )
+    counts = grams.groupBy("pair_id", "lang", "n", "gram").agg(
+        F.sum(F.when(F.col("side") == "c", 1).otherwise(0)).cast("bigint").alias("cn"),
+        F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).cast("bigint").alias("rn"),
+    )
+    per_lang = counts.groupBy("lang").agg(
+        F.sum(F.when(F.col("n") == 1, F.least("cn", "rn"))).cast("bigint").alias("clip1"),
+        F.sum(F.when(F.col("n") == 1, F.col("cn"))).cast("bigint").alias("tot1"),
+        F.sum(F.when(F.col("n") == 2, F.least("cn", "rn"))).cast("bigint").alias("clip2"),
+        F.sum(F.when(F.col("n") == 2, F.col("cn"))).cast("bigint").alias("tot2"),
+        F.sum(F.when(F.col("n") == 1, F.col("rn"))).cast("bigint").alias("rlen"),
+    )
+    npairs = p.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    clip1, tot1 = F.col("clip1"), F.col("tot1")
+    clip2, tot2 = F.col("clip2"), F.col("tot2")
+    bp = F.exp(F.least(F.lit(0.0), 1.0 - F.col("rlen").cast("double") / tot1))
+    return (
+        per_lang.join(F.broadcast(npairs), "lang")
+        .select(
+            "lang",
+            "n_pairs",
+            "clip1",
+            "tot1",
+            "clip2",
+            "tot2",
+            F.round(clip1.cast("double") / tot1, 6).alias("p1"),
+            F.round(clip2.cast("double") / tot2, 6).alias("p2"),
+            F.round(bp, 6).alias("brevity_penalty"),
+            F.when((clip1 == 0) | (clip2 == 0), F.lit(0.0))
+            .otherwise(
+                F.round(
+                    bp
+                    * F.exp(
+                        (
+                            F.log(clip1.cast("double") / tot1)
+                            + F.log(clip2.cast("double") / tot2)
+                        )
+                        / 2
+                    ),
+                    6,
+                )
+            )
+            .alias("bleu2"),
+        )
+        .orderBy("lang")
+    )

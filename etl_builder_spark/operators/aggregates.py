@@ -1577,3 +1577,88 @@ def agg_hhi_concentration(spark, sf_dir):
             (F.lit(1.0) / hhi).alias("effective_n"),
         )
     )
+
+
+@register(
+    "agg_theil_atkinson",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS x
+            FROM orders GROUP BY o_custkey
+        ),
+        terms AS (
+            SELECT x,
+                   CAST(ROUND(x * ln(CAST(x AS DOUBLE)), 6)
+                        AS DECIMAL(38,6)) AS xlnx,
+                   CAST(ROUND(ln(CAST(x AS DOUBLE)), 9)
+                        AS DECIMAL(28,9)) AS lnx
+            FROM rev
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(xlnx) AS DOUBLE) AS sxlnx,
+                   CAST(SUM(lnx) AS DOUBLE) AS slnx
+            FROM terms
+        )
+        SELECT n AS n_customers,
+               ROUND(CAST(sx AS DOUBLE) / n / 100, 6) AS mean_revenue,
+               ROUND(sxlnx / sx - ln(CAST(sx AS DOUBLE) / n), 6) AS theil_t,
+               ROUND(slnx / n - ln(CAST(sx AS DOUBLE) / n), 6)
+                   AS mean_log_deviation_neg,
+               ROUND(1.0 - exp(slnx / n) / (CAST(sx AS DOUBLE) / n), 6)
+                   AS atkinson_eps1
+        FROM m
+    """,
+    tags=("D-inequality",),
+)
+def agg_theil_atkinson(spark, sf_dir):
+    """Theil-T index, (negated) mean-log-deviation, and the Atkinson
+    ε=1 index of per-customer revenue concentration — the
+    decomposable inequality family that complements
+    agg_gini_revenue_banded (Gini needs a global rank; Theil/Atkinson
+    are pure moment statistics, ONE scan, no window at any scale):
+    T = Σxᵢln xᵢ/Σx − ln μ, MLD = ln μ − (1/n)Σln xᵢ, A₁ = 1 − g/μ
+    with g the geometric mean.
+
+    Exactness: per-customer revenue is an exact BIGINT in cents; the
+    two transcendental per-row terms (x·ln x, ln x) are each rounded
+    ONCE to a fixed scale and summed as DECIMALs — the round-then-
+    DECIMAL idiom that makes the float-in-nature sums order-free and
+    bit-identical across engines; every downstream expression is one
+    fixed float formula of (n, Σx, Σx ln x, Σln x).  Scale note:
+    cents·ln(cents) ≤ ~2e10·24, so DECIMAL(38,6) holds Σ x·ln x
+    through ~1e23 — any corpus.
+
+    Note the cents units cancel where they should: T and A₁ are
+    scale-invariant (computed on cents, reported as-is);
+    mean_log_deviation_neg reports (1/n)Σln x − ln μ = −MLD so all
+    three indices share one sign convention (≤ 0 ⇔ equality
+    direction) without a cross-engine subtraction-order hazard."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice") * 100).cast("bigint").alias("x")
+    )
+    x = F.col("x")
+    terms = rev.select(
+        x,
+        F.round(x * F.log(x.cast("double")), 6).cast("decimal(38,6)").alias("xlnx"),
+        F.round(F.log(x.cast("double")), 9).cast("decimal(28,9)").alias("lnx"),
+    )
+    m = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum("xlnx").cast("double").alias("sxlnx"),
+        F.sum("lnx").cast("double").alias("slnx"),
+    )
+    n, sx = F.col("n"), F.col("sx")
+    mu = sx.cast("double") / n
+    return m.select(
+        n.alias("n_customers"),
+        F.round(mu / 100, 6).alias("mean_revenue"),
+        F.round(F.col("sxlnx") / sx - F.log(mu), 6).alias("theil_t"),
+        F.round(F.col("slnx") / n - F.log(mu), 6).alias("mean_log_deviation_neg"),
+        F.round(F.lit(1.0) - F.exp(F.col("slnx") / n) / mu, 6).alias("atkinson_eps1"),
+    )

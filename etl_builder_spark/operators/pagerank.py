@@ -954,3 +954,104 @@ def graph_degree_assortativity(spark, sf_dir):
             6,
         ).alias("assortativity_r"),
     )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+        WITH {_EDGES_SQL},
+        sym AS (
+            SELECT u, v FROM edges
+            UNION ALL
+            SELECT v AS u, u AS v FROM edges
+        ),
+        l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+        l1 AS (
+            SELECT l.node,
+                   LEAST(l.lab, COALESCE(MIN(nb.lab), l.lab)) AS lab
+            FROM l0 l
+            LEFT JOIN sym s ON s.u = l.node
+            LEFT JOIN l0 nb ON nb.node = s.v
+            GROUP BY l.node, l.lab
+        ),
+        l2 AS (
+            SELECT l.node,
+                   LEAST(l.lab, COALESCE(MIN(nb.lab), l.lab)) AS lab
+            FROM l1 l
+            LEFT JOIN sym s ON s.u = l.node
+            LEFT JOIN l1 nb ON nb.node = s.v
+            GROUP BY l.node, l.lab
+        ),
+        l3 AS (
+            SELECT l.node,
+                   LEAST(l.lab, COALESCE(MIN(nb.lab), l.lab)) AS lab
+            FROM l2 l
+            LEFT JOIN sym s ON s.u = l.node
+            LEFT JOIN l2 nb ON nb.node = s.v
+            GROUP BY l.node, l.lab
+        )
+        SELECT lab AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MIN(node) AS BIGINT) AS min_node,
+               CAST(MAX(node) AS BIGINT) AS max_node
+        FROM l3
+        GROUP BY lab
+        HAVING COUNT(*) >= 3
+    """,
+    tags=("GR-labelprop",),
+)
+def graph_label_propagation(spark, sf_dir):
+    """Three synchronous rounds of min-label propagation over the
+    co-purchase graph — the hash-to-min kernel every distributed
+    connected-components / community-seeding job starts from (each
+    node adopts the smallest label in its closed neighborhood; after
+    r rounds a node's label is the minimum node id within graph
+    distance r).  Reported as label clusters of size ≥ 3 with their
+    node-id spans — the stable aggregate view (per-node labels are
+    the intermediate).
+
+    Exactness: labels are node ids (exact BIGINT); every round is a
+    LEAST/MIN lattice operation — no floats anywhere, and synchronous
+    rounds make the result iteration-order-free by construction
+    (unlike asynchronous LPA, which is famously nondeterministic).
+
+    100 TB posture: each round is ONE shuffle pair (labels⋈edges on
+    node, then a node-keyed min aggregate) — the textbook
+    Pregel-on-relations layout; r rounds = r bounded shuffles with
+    label frames that only ever shrink in distinct values.  The
+    degree-skew hazard (hub nodes fanning labels) rides the same AQE
+    skew-split as the pagerank kernel; full convergence would loop
+    `while changed > 0` over the same round body (graph diameter
+    iterations), the 3-round truncation keeps the declared key's plan
+    statically analyzable."""
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(3):
+        nb_min = (
+            sym.join(labels.withColumnRenamed("node", "v2"), sym["v"] == F.col("v2"))
+            .groupBy("u")
+            .agg(F.min("lab").alias("nb_lab"))
+        )
+        labels = (
+            labels.join(nb_min, labels["node"] == nb_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nb_lab"), F.col("lab"))
+                ).alias("lab"),
+            )
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .where(F.col("n_members") >= 3)
+    )

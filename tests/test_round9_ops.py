@@ -435,3 +435,125 @@ def test_bh_fdr_matches_reference_procedure(spark):
         float(out.loc[out["brand"] == brand, "p_bound"].iloc[0])
         - np.exp(-z_ref * z_ref / 2)
     ) < 1e-6
+
+
+def test_label_propagation_matches_bfs_reference(spark):
+    """After 3 synchronous min-label rounds, a node's label must be
+    the minimum node id within graph distance 3 — checked against a
+    plain-Python BFS on the same edge set."""
+    from collections import defaultdict
+
+    from etl_builder_spark.operators.pagerank import _copurchase_edges
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    edges = _copurchase_edges(spark, SF_DIR).collect()
+    adj = defaultdict(set)
+    for r in edges:
+        adj[r["u"]].add(r["v"])
+        adj[r["v"]].add(r["u"])
+    # reference: min node id within distance <= 3
+    ref_label = {}
+    for start in adj:
+        seen = {start}
+        frontier = {start}
+        for _ in range(3):
+            frontier = {w for x in frontier for w in adj[x]} - seen
+            seen |= frontier
+        ref_label[start] = min(seen)
+    clusters = defaultdict(list)
+    for node, lab in ref_label.items():
+        clusters[lab].append(node)
+    expect = {
+        lab: (len(ns), min(ns), max(ns))
+        for lab, ns in clusters.items()
+        if len(ns) >= 3
+    }
+    out = REGISTRY["graph_label_propagation"].fn(spark, SF_DIR).collect()
+    got = {r["label"]: (r["n_members"], r["min_node"], r["max_node"]) for r in out}
+    assert got == expect
+
+
+def test_theil_atkinson_matches_numpy(spark):
+    """Theil T and Atkinson(1) recomputed with numpy on the raw
+    per-customer revenue — the direct (1/n)Σ(x/μ)ln(x/μ) route,
+    independent of the moment decomposition."""
+    import numpy as np
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg({"o_totalprice": "sum"})
+        .toPandas()
+    )
+    x = (pdf.iloc[:, 1].astype("float64") * 100).round(0).to_numpy()
+    mu = x.mean()
+    theil_ref = float(np.mean(x / mu * np.log(x / mu)))
+    atkinson_ref = 1 - float(np.exp(np.mean(np.log(x)))) / mu
+    row = REGISTRY["agg_theil_atkinson"].fn(spark, SF_DIR).first()
+    assert row["n_customers"] == len(x)
+    assert abs(row["theil_t"] - theil_ref) < 1e-5
+    assert abs(row["atkinson_eps1"] - atkinson_ref) < 1e-5
+    assert abs(row["mean_log_deviation_neg"] - float(
+        np.mean(np.log(x)) - np.log(mu)
+    )) < 1e-5
+
+
+def test_bleu_matches_python_reference(spark):
+    """Corpus BLEU-2 per language recomputed with a plain-Python
+    Papineni implementation (Counter clipping, corpus pooling,
+    brevity penalty) over the same LEAD pairing."""
+    import math
+    from collections import Counter, defaultdict
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    by_lang = defaultdict(list)
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        by_lang[r["lang"]].append(r["text"])
+    stats = {}
+    for lang, texts in by_lang.items():
+        clip = [0, 0]
+        tot = [0, 0]
+        rlen = 0
+        for cand, ref in zip(texts, texts[1:]):
+            ct = cand.lower().split(" ")
+            rt = ref.lower().split(" ")
+            rlen += len(rt)
+            for n in (1, 2):
+                cg = Counter(tuple(ct[i : i + n]) for i in range(len(ct) - n + 1))
+                rg = Counter(tuple(rt[i : i + n]) for i in range(len(rt) - n + 1))
+                clip[n - 1] += sum(min(c, rg[g]) for g, c in cg.items())
+                tot[n - 1] += sum(cg.values())
+        p1 = clip[0] / tot[0]
+        p2 = clip[1] / tot[1]
+        bp = math.exp(min(0.0, 1.0 - rlen / tot[0]))
+        bleu = 0.0 if not clip[0] or not clip[1] else bp * math.exp(
+            (math.log(p1) + math.log(p2)) / 2
+        )
+        stats[lang] = (len(texts) - 1, clip[0], tot[0], clip[1], tot[1], p1, p2, bleu)
+    out = REGISTRY["text_bleu_corpus_pairs"].fn(spark, SF_DIR).collect()
+    assert len(out) == len(stats)
+    for r in out:
+        n_pairs, c1, t1, c2, t2, p1, p2, bleu = stats[r["lang"]]
+        assert (r["n_pairs"], r["clip1"], r["tot1"], r["clip2"], r["tot2"]) == (
+            n_pairs,
+            c1,
+            t1,
+            c2,
+            t2,
+        )
+        assert abs(r["p1"] - p1) < 1e-6
+        assert abs(r["p2"] - p2) < 1e-6
+        assert abs(r["bleu2"] - bleu) < 1e-6
