@@ -1926,3 +1926,86 @@ def text_bleu_corpus_pairs(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_hapax_diversity",
+    oracle="""
+        WITH tok AS (
+            SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok WHERE token <> ''
+            GROUP BY lang, token
+        ),
+        m AS (
+            SELECT lang,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS vocab,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS hapax,
+                   CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dis_legomena,
+                   CAST(SUM(c * (c - 1)) AS BIGINT) AS s2
+            FROM counts GROUP BY lang
+        )
+        SELECT lang, n_tokens, vocab, hapax, dis_legomena,
+               ROUND(CAST(hapax AS DOUBLE) / vocab, 6) AS hapax_ratio,
+               ROUND(CAST(vocab AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+               ROUND(CAST(s2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE)
+                     * (n_tokens - 1)), 9) AS simpson_index,
+               ROUND(CAST(hapax AS DOUBLE) / n_tokens, 6) AS good_turing_p0
+        FROM m
+        ORDER BY lang
+    """,
+    tags=("I-diversity",),
+)
+def text_hapax_diversity(spark, sf_dir):
+    """Per-language lexical-diversity profile: hapax/dis legomena
+    counts, type–token ratio, Simpson's concentration index
+    D = Σc(c−1)/(N(N−1)), and the Good–Turing unseen-mass estimate
+    p₀ = hapax/N — the corpus-health numbers a tokenizer/vocab
+    decision reads (a high hapax ratio means the tail is noise or the
+    corpus is undersized; Simpson's inverse is the effective vocab).
+
+    Exactness: every statistic is a fixed float expression of exact
+    BIGINT count-of-count aggregates; Σc(c−1) stays int64-safe while
+    the most frequent token is under ~3e9 occurrences (the documented
+    DECIMAL(38,0) swap applies past that).
+
+    100 TB posture: one token explode → one (lang, token) map-side-
+    combined aggregate (the same shuffle class as wordcount) → a
+    |langs|-row moment frame.  The count-of-count form never
+    materializes a sorted frequency list (unlike the Zipf-fit key,
+    which needs ranks)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    counts = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    c = F.col("c")
+    m = counts.groupBy("lang").agg(
+        F.sum(c).cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(c == 1, 1).otherwise(0)).cast("bigint").alias("hapax"),
+        F.sum(F.when(c == 2, 1).otherwise(0)).cast("bigint").alias("dis_legomena"),
+        F.sum(c * (c - 1)).cast("bigint").alias("s2"),
+    )
+    n, v, h = F.col("n_tokens"), F.col("vocab"), F.col("hapax")
+    return m.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        "dis_legomena",
+        F.round(h.cast("double") / v, 6).alias("hapax_ratio"),
+        F.round(v.cast("double") / n, 6).alias("type_token_ratio"),
+        F.round(F.col("s2").cast("double") / (n.cast("double") * (n - 1)), 9).alias(
+            "simpson_index"
+        ),
+        F.round(h.cast("double") / n, 6).alias("good_turing_p0"),
+    ).orderBy("lang")

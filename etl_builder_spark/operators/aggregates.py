@@ -1662,3 +1662,92 @@ def agg_theil_atkinson(spark, sf_dir):
         F.round(F.col("slnx") / n - F.log(mu), 6).alias("mean_log_deviation_neg"),
         F.round(F.lit(1.0) - F.exp(F.col("slnx") / n) / mu, 6).alias("atkinson_eps1"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag AS flag,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice, l_orderkey,
+                                               l_linenumber) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        ),
+        bounds AS (
+            SELECT flag,
+                   CAST(MIN(n) AS BIGINT) AS n_rows,
+                   CAST(MIN(n) * 5 // 100 AS BIGINT) AS k,
+                   MAX(CASE WHEN rn = n * 5 // 100 + 1 THEN v END) AS lo,
+                   MAX(CASE WHEN rn = n - n * 5 // 100 THEN v END) AS hi
+            FROM ranked GROUP BY flag
+        )
+        SELECT r.flag, b.n_rows, b.k,
+               CAST(b.lo AS DOUBLE) AS lo_clamp,
+               CAST(b.hi AS DOUBLE) AS hi_clamp,
+               CAST(SUM(CASE WHEN r.rn <= b.k THEN b.lo
+                             WHEN r.rn > b.n_rows - b.k THEN b.hi
+                             ELSE r.v END) AS DOUBLE) / b.n_rows
+                   AS winsorized_mean,
+               CAST(SUM(r.v) AS DOUBLE) / b.n_rows AS plain_mean
+        FROM ranked r JOIN bounds b ON r.flag = b.flag
+        GROUP BY r.flag, b.n_rows, b.k, b.lo, b.hi
+    """,
+    tags=("D-winsorized",),
+)
+def agg_winsorized_mean(spark, sf_dir):
+    """5% two-sided WINSORIZED mean per return flag — the companion
+    to agg_trimmed_mean that CLAMPS the tails to the boundary order
+    statistics instead of dropping them (keeps n constant, the robust
+    estimate regulators and A/B platforms usually specify).
+
+    Exactness: boundaries are the literal k+1-th and (n−k)-th order
+    statistics (exact DECIMAL values picked by integer rank equality
+    — no percentile interpolation, no floats until the final
+    division); the clamped sum is an exact DECIMAL accumulation.
+    Rank ties pin on the unique (orderkey, linenumber) key.
+
+    100 TB posture: ONE rank window per group (same cost class as
+    agg_trimmed_mean) feeding two group-keyed aggregates; the bounds
+    frame is |groups| rows and broadcasts back onto the ranked rows —
+    no second sort, no driver round-trip."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        money("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("flag").agg(
+        F.min("n").cast("bigint").alias("n_rows"),
+        F.floor(F.min("n") * 5 / 100).cast("bigint").alias("k"),
+        F.max(F.when(F.col("rn") == F.floor(F.col("n") * 5 / 100) + 1, F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - F.floor(F.col("n") * 5 / 100), F.col("v"))).alias("hi"),
+    )
+    b = F.broadcast(bounds)
+    j = ranked.join(b, "flag")
+    clamped = (
+        F.when(F.col("rn") <= F.col("k"), F.col("lo"))
+        .when(F.col("rn") > F.col("n_rows") - F.col("k"), F.col("hi"))
+        .otherwise(F.col("v"))
+    )
+    return j.groupBy("flag", "n_rows", "k", "lo", "hi").agg(
+        F.sum(clamped).cast("double").alias("wsum"),
+        F.sum("v").cast("double").alias("psum"),
+    ).select(
+        "flag",
+        "n_rows",
+        "k",
+        F.col("lo").cast("double").alias("lo_clamp"),
+        F.col("hi").cast("double").alias("hi_clamp"),
+        (F.col("wsum") / F.col("n_rows")).alias("winsorized_mean"),
+        (F.col("psum") / F.col("n_rows")).alias("plain_mean"),
+    )

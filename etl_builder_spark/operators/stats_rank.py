@@ -528,3 +528,212 @@ def stats_ratio_delta_ci(spark, sf_dir):
         F.round(sxd / F.col("sy") / 100, 6).alias("ratio"),
         F.round(se, 6).alias("se_ratio"),
     )
+
+
+@register(
+    "stats_qq_deciles",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderpriority, o_totalprice FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        qa AS (
+            SELECT quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ql
+            FROM g WHERE o_orderpriority = '1-URGENT'
+        ),
+        qb AS (
+            SELECT quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ql
+            FROM g WHERE o_orderpriority = '5-LOW'
+        ),
+        q AS (
+            SELECT d.d,
+                   ROUND(qa.ql[d.d], 6) AS q_urgent,
+                   ROUND(qb.ql[d.d], 6) AS q_low
+            FROM (SELECT unnest(generate_series(1, 9)) AS d) d,
+                 qa, qb
+        )
+        SELECT CAST(d AS BIGINT) AS decile, q_urgent, q_low,
+               ROUND(q_urgent - q_low, 6) AS qq_diff
+        FROM q
+        ORDER BY d
+    """,
+    tags=("STATS-qq",),
+)
+def stats_qq_deciles(spark, sf_dir):
+    """Quantile–quantile table at the nine deciles for o_totalprice,
+    URGENT vs LOW priority — the distribution-shape comparison a KS
+    statistic summarizes into one number, laid out as the QQ pairs an
+    analyst actually plots (a straight q_urgent ≈ q_low line means
+    the arms match; a fanning diff means tail divergence).
+
+    Exactness: both engines compute type-7 linearly interpolated
+    quantiles (Spark `percentile` ↔ DuckDB `quantile_cont` — the
+    agg_percentile-verified parity), rounded once at 6 dp; the decile
+    grid is a literal 1..9 frame so the whole result is 9 rows.
+
+    100 TB posture: ONE aggregate per arm computes all nine deciles
+    in a single pass (percentile takes the array of fractions —
+    no nine-sort blowup), then a 9-row unpivot/join; the exact
+    order-statistic sort per arm is the same cost class as D10."""
+    o = load_table(spark, sf_dir, "orders")
+    fracs = [i / 10.0 for i in range(1, 10)]
+    agg = (
+        o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.round(F.percentile("o_totalprice", F.lit(f)), 6).alias(f"q{i}")
+                for i, f in enumerate(fracs, start=1)
+            ]
+        )
+    )
+    # unpivot the two 9-quantile rows into the 9-row QQ frame
+    stacked = agg.select(
+        "o_orderpriority",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("decile"),
+                        F.col(f"q{i}").alias("q"),
+                    )
+                    for i in range(1, 10)
+                ]
+            )
+        ).alias("s"),
+    ).select("o_orderpriority", "s.decile", "s.q")
+    u = stacked.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "decile", F.col("q").alias("q_urgent")
+    )
+    lo = stacked.where(F.col("o_orderpriority") == "5-LOW").select(
+        "decile", F.col("q").alias("q_low")
+    )
+    return (
+        u.join(lo, "decile")
+        .select(
+            "decile",
+            "q_urgent",
+            "q_low",
+            F.round(F.col("q_urgent") - F.col("q_low"), 6).alias("qq_diff"),
+        )
+        .orderBy("decile")
+    )
+
+
+#: Wasserstein bin width in dollars — fixed engine-independent edges,
+#: same monitor-never-drifts rationale as dq_distribution_drift.
+W1_BIN = 10_000
+
+
+@register(
+    "stats_wasserstein_binned",
+    oracle=f"""
+        WITH g AS (
+            SELECT o_orderpriority AS arm,
+                   CAST(FLOOR(o_totalprice / {W1_BIN}) AS BIGINT) AS bin
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        h AS (
+            SELECT bin,
+                   CAST(SUM(CASE WHEN arm = '1-URGENT' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS na,
+                   CAST(SUM(CASE WHEN arm = '5-LOW' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nb
+            FROM g GROUP BY bin
+        ),
+        t AS (
+            SELECT CAST(SUM(na) AS BIGINT) AS ta,
+                   CAST(SUM(nb) AS BIGINT) AS tb FROM h
+        ),
+        c AS (
+            SELECT bin,
+                   SUM(na) OVER (ORDER BY bin) AS ca,
+                   SUM(nb) OVER (ORDER BY bin) AS cb
+            FROM h
+        ),
+        terms AS (
+            SELECT CAST(ROUND(abs(CAST(ca AS DOUBLE) / ta
+                                  - CAST(cb AS DOUBLE) / tb), 9)
+                        AS DECIMAL(28,9)) AS term
+            FROM c CROSS JOIN t
+        )
+        SELECT (SELECT ta FROM t) AS n_urgent,
+               (SELECT tb FROM t) AS n_low,
+               CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_bins,
+               ROUND(CAST(SUM(term) AS DOUBLE) * {W1_BIN}, 6) AS w1_dollars
+        FROM terms
+    """,
+    tags=("STATS-wasserstein",),
+)
+def stats_wasserstein_binned(spark, sf_dir):
+    """Earth-mover (1-Wasserstein) distance between the URGENT and
+    LOW o_totalprice distributions on a fixed ${W1_BIN:,}-wide grid —
+    the drift metric that, unlike KS (max CDF gap) or PSI (density
+    ratio), weighs HOW FAR probability mass moved, in dollars:
+    W₁ = binwidth · Σ_bins |CDF_a − CDF_b| for binned distributions.
+
+    Exactness: both histograms come from ONE conditional aggregate on
+    exact integer bins; cumulative counts are exact BIGINT running
+    sums over the bounded bin frame (≤ ~60 occupied bins — the
+    win_unpartitioned_caution bounded-slice exemption); each |CDF
+    gap| is one float expression rounded to 9 dp into DECIMAL so the
+    final sum is order-free.
+
+    100 TB posture: the full scan reduces map-side to |bins| rows;
+    everything after is arithmetic on a broadcast-sized frame.  The
+    fixed grid (never data-dependent quantiles) keeps the monitor
+    comparable across runs — the dq_distribution_drift design rule."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    h = (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / W1_BIN).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+            .cast("bigint")
+            .alias("na"),
+            F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0))
+            .cast("bigint")
+            .alias("nb"),
+        )
+    )
+    t = h.agg(
+        F.sum("na").cast("bigint").alias("ta"),
+        F.sum("nb").cast("bigint").alias("tb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "bin",
+        F.sum("na").over(wc).alias("ca"),
+        F.sum("nb").over(wc).alias("cb"),
+    )
+    terms = c.crossJoin(F.broadcast(t)).select(
+        "ta",
+        "tb",
+        "n_bins",
+        F.round(
+            F.abs(
+                F.col("ca").cast("double") / F.col("ta")
+                - F.col("cb").cast("double") / F.col("tb")
+            ),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("term"),
+    )
+    return terms.groupBy("ta", "tb", "n_bins").agg(
+        F.round(F.sum("term").cast("double") * W1_BIN, 6).alias("w1_dollars")
+    ).select(
+        F.col("ta").alias("n_urgent"),
+        F.col("tb").alias("n_low"),
+        "n_bins",
+        "w1_dollars",
+    )

@@ -557,3 +557,116 @@ def test_bleu_matches_python_reference(spark):
         assert abs(r["p1"] - p1) < 1e-6
         assert abs(r["p2"] - p2) < 1e-6
         assert abs(r["bleu2"] - bleu) < 1e-6
+
+
+def test_winsorized_mean_matches_scipy_style_reference(spark):
+    """Winsorized mean recomputed with the textbook clamp-at-order-
+    statistics definition in numpy (mirrors scipy.stats.mstats.
+    winsorize with k = floor(0.05 n) per tail)."""
+    import numpy as np
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .toPandas()
+    )
+    out = {r["flag"]: r for r in REGISTRY["agg_winsorized_mean"].fn(spark, SF_DIR).collect()}
+    for flag, grp in pdf.groupby("l_returnflag"):
+        v = np.sort(grp["l_extendedprice"].to_numpy(dtype="float64"))
+        n = len(v)
+        k = n * 5 // 100
+        w = v.copy()
+        w[:k] = v[k]
+        w[n - k :] = v[n - k - 1]
+        r = out[flag]
+        assert r["n_rows"] == n and r["k"] == k
+        assert abs(r["lo_clamp"] - v[k]) < 1e-9
+        assert abs(r["hi_clamp"] - v[n - k - 1]) < 1e-9
+        assert abs(r["winsorized_mean"] - w.mean()) < 1e-6
+
+
+def test_wasserstein_matches_scipy_style_reference(spark):
+    """W1 recomputed on the binned empirical CDFs with numpy —
+    cumsum/abs/sum, the scipy.stats.wasserstein_distance formula
+    restricted to the same fixed grid (with the operator's 9-dp
+    per-term rounding)."""
+    import numpy as np
+
+    from etl_builder_spark.operators.stats_rank import W1_BIN
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .toPandas()
+    )
+    a = pdf.loc[pdf["o_orderpriority"] == "1-URGENT", "o_totalprice"].to_numpy()
+    b = pdf.loc[pdf["o_orderpriority"] == "5-LOW", "o_totalprice"].to_numpy()
+    bins_a = np.floor(a / W1_BIN).astype("int64")
+    bins_b = np.floor(b / W1_BIN).astype("int64")
+    grid = np.unique(np.concatenate([bins_a, bins_b]))
+    ca = np.cumsum([(bins_a == g).sum() for g in grid]) / len(a)
+    cb = np.cumsum([(bins_b == g).sum() for g in grid]) / len(b)
+    w1_ref = float(np.round(np.abs(ca - cb), 9).sum() * W1_BIN)
+    row = REGISTRY["stats_wasserstein_binned"].fn(spark, SF_DIR).first()
+    assert (row["n_urgent"], row["n_low"]) == (len(a), len(b))
+    assert row["n_bins"] == len(grid)
+    assert abs(row["w1_dollars"] - w1_ref) < 1e-4
+
+
+def test_qq_deciles_match_numpy_quantiles(spark):
+    """Both arms' deciles recomputed with numpy's linear (type-7)
+    quantile — the same convention Spark `percentile` and DuckDB
+    `quantile_cont` implement."""
+    import numpy as np
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .toPandas()
+    )
+    a = pdf.loc[pdf["o_orderpriority"] == "1-URGENT", "o_totalprice"].to_numpy()
+    b = pdf.loc[pdf["o_orderpriority"] == "5-LOW", "o_totalprice"].to_numpy()
+    out = REGISTRY["stats_qq_deciles"].fn(spark, SF_DIR).collect()
+    assert [r["decile"] for r in out] == list(range(1, 10))
+    for r in out:
+        f = r["decile"] / 10.0
+        assert abs(r["q_urgent"] - np.quantile(a, f, method="linear")) < 1e-5
+        assert abs(r["q_low"] - np.quantile(b, f, method="linear")) < 1e-5
+
+
+def test_hapax_diversity_matches_counter_reference(spark):
+    """Diversity profile recomputed with collections.Counter per
+    language — hapax, TTR, Simpson, Good-Turing p0."""
+    from collections import Counter, defaultdict
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    docs = load_table(spark, SF_DIR, "documents").select("lang", "text").collect()
+    toks = defaultdict(Counter)
+    for r in docs:
+        toks[r["lang"]].update(t for t in r["text"].lower().split(" ") if t)
+    out = {r["lang"]: r for r in REGISTRY["text_hapax_diversity"].fn(spark, SF_DIR).collect()}
+    assert set(out) == set(toks)
+    for lang, c in toks.items():
+        n = sum(c.values())
+        vocab = len(c)
+        hapax = sum(1 for v in c.values() if v == 1)
+        simpson = sum(v * (v - 1) for v in c.values()) / (n * (n - 1))
+        r = out[lang]
+        assert (r["n_tokens"], r["vocab"], r["hapax"]) == (n, vocab, hapax)
+        assert abs(r["simpson_index"] - simpson) < 1e-9
+        assert abs(r["type_token_ratio"] - vocab / n) < 1e-6
+        assert abs(r["good_turing_p0"] - hapax / n) < 1e-6
