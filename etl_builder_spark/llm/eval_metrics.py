@@ -2298,3 +2298,134 @@ def ml_linreg_normal_eq(spark, sf_dir):
         F.round(b2 / 100, 6).alias("coef_disc_pt_dollars"),
         F.round((b1 * c1y + b2 * c2y) / cyy, 6).alias("r2"),
     )
+
+
+#: target-encoding smoothing prior weight (pseudo-observations)
+TE_PRIOR_M = 20
+
+
+@register(
+    "ml_target_encoding_kfold",
+    oracle=f"""
+        WITH base AS (
+            SELECT p_brand AS brand,
+                   CAST((instr('0123456789abcdef',
+                               substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                          || CAST(l_linenumber AS VARCHAR)
+                                          || ':te'), 1, 1)) - 1) % 5
+                        AS BIGINT) AS fold,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS y
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        bf AS (
+            SELECT brand, fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_bf,
+                   CAST(SUM(y) AS BIGINT) AS s_bf
+            FROM base GROUP BY brand, fold
+        ),
+        b AS (
+            SELECT brand,
+                   CAST(SUM(n_bf) AS BIGINT) AS n_b,
+                   CAST(SUM(s_bf) AS BIGINT) AS s_b
+            FROM bf GROUP BY brand
+        ),
+        g AS (
+            SELECT CAST(SUM(n_bf) AS BIGINT) AS n_g,
+                   CAST(SUM(s_bf) AS BIGINT) AS s_g
+            FROM bf
+        )
+        SELECT bf.brand, bf.fold, bf.n_bf AS n_in_fold,
+               b.n_b - bf.n_bf AS n_out_of_fold,
+               ROUND(CAST(b.s_b - bf.s_bf AS DOUBLE)
+                     / (b.n_b - bf.n_bf) / 100, 6) AS oof_mean,
+               ROUND((CAST(b.s_b - bf.s_bf AS DOUBLE) / 100
+                      + {TE_PRIOR_M} * (CAST(s_g AS DOUBLE) / n_g / 100))
+                     / (b.n_b - bf.n_bf + {TE_PRIOR_M}), 6)
+                   AS encoding_smoothed
+        FROM bf JOIN b USING (brand) CROSS JOIN g
+        ORDER BY bf.brand, bf.fold
+    """,
+    tags=("ML-features",),
+)
+def ml_target_encoding_kfold(spark, sf_dir):
+    """K-fold out-of-fold target encoding of p_brand against the
+    l_extendedprice target — the leakage-safe categorical feature
+    every tabular-ML pipeline builds at scale: a row in fold f gets
+    its category encoded by the target mean computed WITHOUT fold f,
+    shrunk toward the global mean with m={TE_PRIOR_M} pseudo-counts
+    (the Micci-Barreca smoothing).
+
+    Fold assignment is the repo's engine-independent hash idiom —
+    first hex digit of md5(orderkey:linenumber:'te') mod 5 — so both
+    engines (and any re-run at any partitioning) agree row-for-row.
+
+    Exactness: per-(brand, fold) counts and cent-sums are exact
+    BIGINTs from ONE aggregation; out-of-fold sums are exact
+    subtractions of the per-brand totals (no per-fold rescan — the
+    complement trick, same as stats_bh_fdr); the two reported means
+    are single float divisions rounded once.
+
+    100 TB posture: part broadcasts into lineitem; ONE map-side-
+    combined aggregation to |brands|·K cells; everything downstream
+    is arithmetic on that broadcast-sized frame.  Applying the
+    encoding to rows is then a broadcast join of this table on
+    (brand, fold) — no shuffle of the fact side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                        F.lit(":te"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    bf = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("p_brand").alias("brand"), fold.alias("fold"), y.alias("y"))
+        .groupBy("brand", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bf"),
+            F.sum("y").cast("bigint").alias("s_bf"),
+        )
+        .persist()
+    )
+    b = bf.groupBy("brand").agg(
+        F.sum("n_bf").cast("bigint").alias("n_b"),
+        F.sum("s_bf").cast("bigint").alias("s_b"),
+    )
+    g = bf.agg(
+        F.sum("n_bf").cast("bigint").alias("n_g"),
+        F.sum("s_bf").cast("bigint").alias("s_g"),
+    )
+    oof_n = F.col("n_b") - F.col("n_bf")
+    oof_s = (F.col("s_b") - F.col("s_bf")).cast("double")
+    gmean = F.col("s_g").cast("double") / F.col("n_g") / 100
+    return (
+        bf.join(F.broadcast(b), "brand")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "brand",
+            "fold",
+            F.col("n_bf").alias("n_in_fold"),
+            oof_n.alias("n_out_of_fold"),
+            F.round(oof_s / oof_n / 100, 6).alias("oof_mean"),
+            F.round(
+                (oof_s / 100 + TE_PRIOR_M * gmean) / (oof_n + TE_PRIOR_M), 6
+            ).alias("encoding_smoothed"),
+        )
+        .orderBy("brand", "fold")
+    )

@@ -879,3 +879,153 @@ def attribution_time_decay(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "seq_markov_stationary",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events
+        ),
+        cells AS (
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rowtot AS (
+            SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n
+            FROM cells GROUP BY 1
+        ),
+        p AS (
+            SELECT c.from_type, c.to_type,
+                   CAST(ROUND(CAST(c.n AS DOUBLE) / r.row_n, 6)
+                        AS DECIMAL(10,6)) AS p
+            FROM cells c JOIN rowtot r USING (from_type)
+        ),
+        states AS (SELECT DISTINCT from_type AS s FROM cells),
+        ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+        v0 AS (
+            SELECT s, CAST(ROUND(1.0 / k, 9) AS DECIMAL(20,9)) AS v
+            FROM states CROSS JOIN ns
+        ),
+        v1 AS (
+            SELECT st.s,
+                   CAST(COALESCE(SUM(CAST(ROUND(v0.v * p.p, 9)
+                                          AS DECIMAL(20,9))), 0)
+                        AS DECIMAL(20,9)) AS v
+            FROM states st
+            LEFT JOIN p ON p.to_type = st.s
+            LEFT JOIN v0 ON v0.s = p.from_type
+            GROUP BY st.s
+        ),
+        v2 AS (
+            SELECT st.s,
+                   CAST(COALESCE(SUM(CAST(ROUND(v1.v * p.p, 9)
+                                          AS DECIMAL(20,9))), 0)
+                        AS DECIMAL(20,9)) AS v
+            FROM states st
+            LEFT JOIN p ON p.to_type = st.s
+            LEFT JOIN v1 ON v1.s = p.from_type
+            GROUP BY st.s
+        ),
+        v3 AS (
+            SELECT st.s,
+                   CAST(COALESCE(SUM(CAST(ROUND(v2.v * p.p, 9)
+                                          AS DECIMAL(20,9))), 0)
+                        AS DECIMAL(20,9)) AS v
+            FROM states st
+            LEFT JOIN p ON p.to_type = st.s
+            LEFT JOIN v2 ON v2.s = p.from_type
+            GROUP BY st.s
+        )
+        SELECT v0.s AS state,
+               CAST(v0.v AS DOUBLE) AS p0,
+               CAST(v1.v AS DOUBLE) AS p1,
+               CAST(v2.v AS DOUBLE) AS p2,
+               CAST(v3.v AS DOUBLE) AS p3
+        FROM v0 JOIN v1 ON v1.s = v0.s
+                JOIN v2 ON v2.s = v0.s
+                JOIN v3 ON v3.s = v0.s
+        ORDER BY state
+    """,
+    tags=("seq-markov",),
+)
+def seq_markov_stationary(spark, sf_dir):
+    """Power iteration toward the stationary distribution of the
+    seq_transition_matrix chain: three synchronous vᵀP steps from the
+    uniform vector — the "where does traffic settle" number behind
+    journey equilibrium analysis (and structurally the same
+    relational matvec as graph_pagerank_fixed, on a state space
+    instead of a node space).
+
+    Exactness: after ONE rounding of each transition probability to
+    DECIMAL(10,6), every iteration is pure decimal arithmetic —
+    products rounded once to 9 dp, exact decimal sums — so there is
+    NO float accumulation order anywhere; both engines carry
+    bit-identical vectors through all three steps.  Absorbing states
+    (no outgoing mass reaching them) coalesce to exact 0.  Width
+    note: (20,9)·(10,6) keeps the product at precision 31 ≤ 38 —
+    wider operands would trip Spark's allowPrecisionLoss scale
+    clipping (product scale silently truncates to 6) and break
+    cross-engine parity.
+
+    100 TB posture: the LEAD pairing shuffles once on user_id (the
+    unavoidable sequence sort); everything downstream lives on the
+    |states|² cell frame — broadcast-sized for any real event
+    taxonomy.  More iterations = more 25-row joins, not more scans;
+    convergence to the true stationary vector is geometric in the
+    spectral gap."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    cells = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    rowtot = cells.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("row_n"))
+    p = (
+        cells.join(rowtot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.round(F.col("n").cast("double") / F.col("row_n"), 6)
+            .cast("decimal(10,6)")
+            .alias("p"),
+        )
+        .persist()
+    )
+    states = cells.select(F.col("from_type").alias("s")).distinct().persist()
+    k = states.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    v = states.crossJoin(F.broadcast(k)).select(
+        "s", F.round(F.lit(1.0) / F.col("k"), 9).cast("decimal(20,9)").alias("v")
+    )
+    vs = [v]
+    for _ in range(3):
+        prev = vs[-1]
+        nxt = (
+            states.join(p, p["to_type"] == states["s"], "left")
+            .join(prev.withColumnRenamed("s", "ps"), F.col("from_type") == F.col("ps"), "left")
+            .groupBy("s")
+            .agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("v") * F.col("p"), 9).cast("decimal(20,9)")),
+                    F.lit(0),
+                )
+                .cast("decimal(20,9)")
+                .alias("v")
+            )
+        )
+        vs.append(nxt)
+    out = vs[0].select("s", F.col("v").cast("double").alias("p0"))
+    for i, vi in enumerate(vs[1:], start=1):
+        out = out.join(
+            vi.select("s", F.col("v").cast("double").alias(f"p{i}")), "s"
+        )
+    return out.select(
+        F.col("s").alias("state"), "p0", "p1", "p2", "p3"
+    ).orderBy("state")

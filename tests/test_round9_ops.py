@@ -670,3 +670,80 @@ def test_hapax_diversity_matches_counter_reference(spark):
         assert abs(r["simpson_index"] - simpson) < 1e-9
         assert abs(r["type_token_ratio"] - vocab / n) < 1e-6
         assert abs(r["good_turing_p0"] - hapax / n) < 1e-6
+
+
+def test_markov_stationary_matches_numpy_power_iteration(spark):
+    """The three-step vector must match numpy matrix powers applied
+    to the SAME 6-dp-rounded transition matrix (with the operator's
+    9-dp per-product rounding reproduced), and row mass must stay
+    ~1 at every step."""
+    import numpy as np
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    tm = REGISTRY["seq_transition_matrix"].fn(spark, SF_DIR).collect()
+    states = sorted({r["from_type"] for r in tm})
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for r in tm:
+        P[idx[r["from_type"]], idx[r["to_type"]]] = r["p_transition"]
+    v = np.full(len(states), round(1.0 / len(states), 9))
+    vecs = [v.copy()]
+    for _ in range(3):
+        v = np.array(
+            [np.sum(np.round(v * P[:, j], 9)) for j in range(len(states))]
+        )
+        vecs.append(v.copy())
+    out = REGISTRY["seq_markov_stationary"].fn(spark, SF_DIR).collect()
+    assert [r["state"] for r in out] == states
+    for r in out:
+        i = idx[r["state"]]
+        for k in range(4):
+            assert abs(r[f"p{k}"] - vecs[k][i]) < 1e-9
+    for k in range(4):
+        assert abs(sum(r[f"p{k}"] for r in out) - 1.0) < 1e-4
+
+
+def test_target_encoding_is_leakage_free_and_consistent(spark):
+    """Identities the encoding must satisfy: per-brand fold counts sum
+    to the brand total; the out-of-fold mean never uses in-fold rows
+    (checked by recomputing one brand's encoding from raw pandas with
+    the same md5 fold rule); smoothing pulls toward the global mean
+    (encoding lies between oof_mean and global mean)."""
+    import hashlib
+
+    from etl_builder_spark.llm.eval_metrics import TE_PRIOR_M
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    out = REGISTRY["ml_target_encoding_kfold"].fn(spark, SF_DIR).toPandas()
+    assert len(out) == 125 and set(out["fold"]) == set(range(5))
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+        .toPandas()
+    )
+    pt = load_table(spark, SF_DIR, "part").select("p_partkey", "p_brand").toPandas()
+    df = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    df["fold"] = [
+        (int(hashlib.md5(f"{ok}:{ln}:te".encode()).hexdigest()[0], 16)) % 5
+        for ok, ln in zip(df["l_orderkey"], df["l_linenumber"])
+    ]
+    df["y"] = (df["l_extendedprice"].astype("float64") * 100).round(0)
+    gmean = df["y"].mean() / 100
+    brand = out.iloc[0]["brand"]
+    sub = df[df["p_brand"] == brand]
+    for fold in range(5):
+        oof = sub[sub["fold"] != fold]
+        row = out[(out["brand"] == brand) & (out["fold"] == fold)].iloc[0]
+        assert row["n_in_fold"] == (sub["fold"] == fold).sum()
+        assert row["n_out_of_fold"] == len(oof)
+        assert abs(row["oof_mean"] - oof["y"].mean() / 100) < 1e-5
+        enc_ref = (oof["y"].sum() / 100 + TE_PRIOR_M * gmean) / (
+            len(oof) + TE_PRIOR_M
+        )
+        assert abs(row["encoding_smoothed"] - enc_ref) < 1e-5
+        lo, hi = sorted([row["oof_mean"], gmean])
+        assert lo - 1e-6 <= row["encoding_smoothed"] <= hi + 1e-6
