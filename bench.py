@@ -87,6 +87,13 @@ HEADLINE = [
     "sketch_count_min_exact",        # D13 pinned-hash CM twin (r8b)
     "pipeline_curation_accounting",  # I  gate→dedup→pack ledger (r8b)
     "multimodal_image_whash",        # I  WHT perceptual hash (r8b)
+    "stats_bh_fdr",                  # STATS BH step-up over Welch family (r9)
+    "graph_label_propagation",       # GR 3-round min-label Pregel (r9)
+    "ml_target_encoding_kfold",      # ML out-of-fold target encoding (r9)
+    "text_bleu_corpus_pairs",        # I  corpus BLEU-2 eval (r9)
+    "ml_linreg_normal_eq",           # ML one-pass normal-equation OLS (r9)
+    "agg_winsorized_mean",           # D  order-statistic winsorize (r9)
+    "seq_markov_stationary",         # SEQ decimal-exact power iteration (r9)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched
@@ -113,6 +120,8 @@ TPCH = [
     "tpch_q11_part_value",
     "tpch_q16_supplier_counts",
     "tpch_q20_potential_promotion",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
 ]
 
 
