@@ -1003,3 +1003,267 @@ def stats_bh_fdr(spark, sf_dir):
         )
         .orderBy("p_rank")
     )
+
+
+@register(
+    "stats_ate_stratified",
+    oracle="""
+        WITH base AS (
+            SELECT CASE WHEN CAST(l_quantity AS BIGINT) <= 16 THEN 'low'
+                        WHEN CAST(l_quantity AS BIGINT) <= 33 THEN 'mid'
+                        ELSE 'high' END AS stratum,
+                   CASE WHEN CAST(ROUND(l_discount * 100, 0) AS BIGINT) >= 6
+                        THEN 1 ELSE 0 END AS t,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+            FROM lineitem
+        ),
+        s AS (
+            SELECT stratum,
+                   CAST(COUNT(*) AS BIGINT) AS n_s,
+                   CAST(SUM(t) AS BIGINT) AS n_t,
+                   CAST(SUM(t * y) AS BIGINT) AS r_t,
+                   CAST(SUM(1 - t) AS BIGINT) AS n_c,
+                   CAST(SUM((1 - t) * y) AS BIGINT) AS r_c
+            FROM base GROUP BY stratum
+        ),
+        tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM s),
+        rows_ AS (
+            SELECT stratum, n_s, n_t, n_c,
+                   ROUND(CAST(r_t AS DOUBLE) / n_t, 6) AS rate_treated,
+                   ROUND(CAST(r_c AS DOUBLE) / n_c, 6) AS rate_control,
+                   ROUND(CAST(r_t AS DOUBLE) / n_t
+                         - CAST(r_c AS DOUBLE) / n_c, 6) AS stratum_diff,
+                   ROUND(CAST(n_s AS DOUBLE) / tot.n
+                         * (CAST(r_t AS DOUBLE) / n_t
+                            - CAST(r_c AS DOUBLE) / n_c), 9)
+                       AS ate_contribution
+            FROM s CROSS JOIN tot
+        )
+        SELECT stratum, n_s, n_t, n_c, rate_treated, rate_control,
+               stratum_diff, ate_contribution
+        FROM rows_
+        UNION ALL
+        SELECT 'ALL' AS stratum,
+               CAST(SUM(n_s) AS BIGINT), CAST(SUM(n_t) AS BIGINT),
+               CAST(SUM(n_c) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE),
+               ROUND(SUM(ate_contribution), 9)
+        FROM rows_
+        ORDER BY stratum
+    """,
+    tags=("STATS-causal",),
+)
+def stats_ate_stratified(spark, sf_dir):
+    """Stratified (standardized) average-treatment-effect estimate:
+    does a deep discount (≥6%) change the return rate, adjusting for
+    quantity tercile as the confounder?  Per stratum the raw
+    treated/control rate gap, weighted by stratum prevalence —
+    algebraically identical to inverse-propensity weighting when the
+    propensity model is saturated on the strata, so this IS the IPTW
+    estimator for discrete confounders (completes
+    ml_covariate_balance_smd, which checks balance but not the
+    effect).
+
+    Exactness: all cell counts come from ONE conditional aggregate
+    (the ml_mcc_binary_gate discount snap); rates and contributions
+    are fixed float expressions of exact BIGINTs rounded once; the
+    ALL row is the exact sum of the 9-dp contribution decimals.
+
+    100 TB posture: one map-side-combined pass to |strata| rows —
+    the cheapest possible adjusted-effect estimate; the union'd
+    summary row aggregates the 3-row frame, not the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    stratum = F.when(q <= 16, "low").when(q <= 33, "mid").otherwise("high")
+    t = F.when(F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 6, 1).otherwise(0)
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    s = (
+        li.select(stratum.alias("stratum"), t.alias("t"), y.alias("y"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_s"),
+            F.sum("t").cast("bigint").alias("n_t"),
+            F.sum(F.col("t") * F.col("y")).cast("bigint").alias("r_t"),
+            F.sum(1 - F.col("t")).cast("bigint").alias("n_c"),
+            F.sum((1 - F.col("t")) * F.col("y")).cast("bigint").alias("r_c"),
+        )
+    )
+    tot = s.agg(F.sum("n_s").cast("bigint").alias("n"))
+    rt = F.col("r_t").cast("double") / F.col("n_t")
+    rc = F.col("r_c").cast("double") / F.col("n_c")
+    rows = s.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_s",
+        "n_t",
+        "n_c",
+        F.round(rt, 6).alias("rate_treated"),
+        F.round(rc, 6).alias("rate_control"),
+        F.round(rt - rc, 6).alias("stratum_diff"),
+        F.round(F.col("n_s").cast("double") / F.col("n") * (rt - rc), 9).alias(
+            "ate_contribution"
+        ),
+    )
+    summary = rows.agg(
+        F.sum("n_s").cast("bigint").alias("n_s"),
+        F.sum("n_t").cast("bigint").alias("n_t"),
+        F.sum("n_c").cast("bigint").alias("n_c"),
+        F.round(F.sum("ate_contribution"), 9).alias("ate_contribution"),
+    ).select(
+        F.lit("ALL").alias("stratum"),
+        "n_s",
+        "n_t",
+        "n_c",
+        F.lit(None).cast("double").alias("rate_treated"),
+        F.lit(None).cast("double").alias("rate_control"),
+        F.lit(None).cast("double").alias("stratum_diff"),
+        "ate_contribution",
+    )
+    return rows.unionByName(summary).orderBy("stratum")
+
+
+@register(
+    "stats_diff_in_diff",
+    oracle="""
+        WITH base AS (
+            SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+                   CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                        THEN 1 ELSE 0 END AS post,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS y
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        ),
+        cells AS (
+            SELECT g, post,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS s1,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS s2
+            FROM base GROUP BY g, post
+        ),
+        m AS (
+            SELECT g, post, n,
+                   CAST(s1 AS DOUBLE) / n AS mean_c,
+                   (s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS var_c
+            FROM cells
+        ),
+        wide AS (
+            SELECT
+                (SELECT n FROM m WHERE g = 1 AND post = 0) AS n_t_pre,
+                (SELECT n FROM m WHERE g = 1 AND post = 1) AS n_t_post,
+                (SELECT n FROM m WHERE g = 0 AND post = 0) AS n_c_pre,
+                (SELECT n FROM m WHERE g = 0 AND post = 1) AS n_c_post,
+                (SELECT mean_c FROM m WHERE g = 1 AND post = 0) AS m_t_pre,
+                (SELECT mean_c FROM m WHERE g = 1 AND post = 1) AS m_t_post,
+                (SELECT mean_c FROM m WHERE g = 0 AND post = 0) AS m_c_pre,
+                (SELECT mean_c FROM m WHERE g = 0 AND post = 1) AS m_c_post,
+                (SELECT var_c / n FROM m WHERE g = 1 AND post = 0) AS v_t_pre,
+                (SELECT var_c / n FROM m WHERE g = 1 AND post = 1) AS v_t_post,
+                (SELECT var_c / n FROM m WHERE g = 0 AND post = 0) AS v_c_pre,
+                (SELECT var_c / n FROM m WHERE g = 0 AND post = 1) AS v_c_post
+        )
+        SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+               ROUND((m_t_post - m_t_pre) / 100, 6) AS delta_treated,
+               ROUND((m_c_post - m_c_pre) / 100, 6) AS delta_control,
+               ROUND(((m_t_post - m_t_pre) - (m_c_post - m_c_pre)) / 100, 6)
+                   AS did_estimate,
+               ROUND(sqrt(v_t_pre + v_t_post + v_c_pre + v_c_post) / 100, 6)
+                   AS did_se
+        FROM wide
+    """,
+    tags=("STATS-causal",),
+)
+def stats_diff_in_diff(spark, sf_dir):
+    """Two-period two-group difference-in-differences on mean order
+    value: BUILDING-segment customers (treated) vs the rest, 1996
+    (pre) vs 1997 (post) — the workhorse quasi-experimental estimator
+    for "did the thing we changed for group T move their metric
+    beyond the market trend", with the standard four-cell normal SE
+    √(Σ var_cell/n_cell).
+
+    Exactness: prices snap to cents; each of the four cells gets
+    exact (n, Σy, Σy²-as-DECIMAL(38,0)) from ONE conditional
+    aggregate after the broadcast customer join; means, the DiD
+    contrast, and the delta-method SE are fixed float expressions of
+    those twelve exact numbers, rounded once.
+
+    100 TB posture: one fact scan (date-range partition-prunable) ⋈
+    broadcast dimension → 4-cell aggregate; the pivot to wide runs on
+    the 4-row frame via conditional MIN (no second scan)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    g = F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+    post = F.when(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"), 1
+    ).otherwise(0)
+    y = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    cells = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(g.alias("g"), post.alias("post"), y.alias("y"))
+        .groupBy("g", "post")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("s1"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    m = cells.select(
+        "g",
+        "post",
+        n,
+        (s1.cast("double") / n).alias("mean_c"),
+        ((s2 - s1.cast("double") * s1 / n) / (n - 1)).alias("var_c"),
+    )
+
+    def cell(gv, pv, col, alias):
+        return F.min(
+            F.when((F.col("g") == gv) & (F.col("post") == pv), F.col(col))
+        ).alias(alias)
+
+    wide = m.agg(
+        cell(1, 0, "n", "n_t_pre"),
+        cell(1, 1, "n", "n_t_post"),
+        cell(0, 0, "n", "n_c_pre"),
+        cell(0, 1, "n", "n_c_post"),
+        cell(1, 0, "mean_c", "m_t_pre"),
+        cell(1, 1, "mean_c", "m_t_post"),
+        cell(0, 0, "mean_c", "m_c_pre"),
+        cell(0, 1, "mean_c", "m_c_post"),
+        F.min(
+            F.when((F.col("g") == 1) & (F.col("post") == 0), F.col("var_c") / F.col("n"))
+        ).alias("v_t_pre"),
+        F.min(
+            F.when((F.col("g") == 1) & (F.col("post") == 1), F.col("var_c") / F.col("n"))
+        ).alias("v_t_post"),
+        F.min(
+            F.when((F.col("g") == 0) & (F.col("post") == 0), F.col("var_c") / F.col("n"))
+        ).alias("v_c_pre"),
+        F.min(
+            F.when((F.col("g") == 0) & (F.col("post") == 1), F.col("var_c") / F.col("n"))
+        ).alias("v_c_post"),
+    )
+    dt = F.col("m_t_post") - F.col("m_t_pre")
+    dc = F.col("m_c_post") - F.col("m_c_pre")
+    return wide.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.round(dt / 100, 6).alias("delta_treated"),
+        F.round(dc / 100, 6).alias("delta_control"),
+        F.round((dt - dc) / 100, 6).alias("did_estimate"),
+        F.round(
+            F.sqrt(
+                F.col("v_t_pre") + F.col("v_t_post") + F.col("v_c_pre") + F.col("v_c_post")
+            )
+            / 100,
+            6,
+        ).alias("did_se"),
+    )

@@ -747,3 +747,105 @@ def test_target_encoding_is_leakage_free_and_consistent(spark):
         assert abs(row["encoding_smoothed"] - enc_ref) < 1e-5
         lo, hi = sorted([row["oof_mean"], gmean])
         assert lo - 1e-6 <= row["encoding_smoothed"] <= hi + 1e-6
+
+
+def test_isotonic_matches_pava_reference(spark):
+    """The minimax closed form must equal the literal sequential
+    pool-adjacent-violators sweep (weighted) on the same bucket
+    rates — the textbook algorithm the operator deliberately avoids
+    running."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = REGISTRY["ml_isotonic_calibration_pava"].fn(spark, SF_DIR).collect()
+    out = sorted(out, key=lambda r: r["quantity"])
+    # sequential PAVA on (rate, weight) blocks
+    blocks = [
+        {"w": r["n"], "s": r["r"], "qs": [r["quantity"]]} for r in out
+    ]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i]["s"] * blocks[i + 1]["w"] > blocks[i + 1]["s"] * blocks[i]["w"]:
+            blocks[i]["w"] += blocks[i + 1]["w"]
+            blocks[i]["s"] += blocks[i + 1]["s"]
+            blocks[i]["qs"] += blocks[i + 1]["qs"]
+            del blocks[i + 1]
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    ref = {}
+    for blk in blocks:
+        for q in blk["qs"]:
+            ref[q] = blk["s"] / blk["w"]
+    for r in out:
+        assert abs(r["iso_rate"] - ref[r["quantity"]]) < 1e-6
+    # monotone non-decreasing by construction
+    rates = [r["iso_rate"] for r in out]
+    assert all(a <= b + 1e-9 for a, b in zip(rates, rates[1:]))
+
+
+def test_ate_stratified_identities(spark):
+    """The ALL row equals the sum of stratum contributions AND the
+    pandas recomputation of the standardization formula; each
+    stratum's counts partition the corpus."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    out = REGISTRY["stats_ate_stratified"].fn(spark, SF_DIR).toPandas()
+    strata = out[out["stratum"] != "ALL"]
+    allrow = out[out["stratum"] == "ALL"].iloc[0]
+    assert allrow["n_s"] == strata["n_s"].sum()
+    assert abs(allrow["ate_contribution"] - strata["ate_contribution"].sum()) < 1e-9
+    pdf = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_quantity", "l_discount", "l_returnflag")
+        .toPandas()
+    )
+    q = pdf["l_quantity"].astype("int64")
+    t = ((pdf["l_discount"] * 100).round(0).astype("int64") >= 6)
+    y = pdf["l_returnflag"] == "R"
+    s = q.map(lambda v: "low" if v <= 16 else ("mid" if v <= 33 else "high"))
+    ate_ref = 0.0
+    for name, grp in pdf.assign(s=s, t=t, y=y).groupby("s"):
+        rt = grp.loc[grp["t"], "y"].mean()
+        rc = grp.loc[~grp["t"], "y"].mean()
+        ate_ref += len(grp) / len(pdf) * (rt - rc)
+        row = strata[strata["stratum"] == name].iloc[0]
+        assert abs(row["rate_treated"] - rt) < 1e-6
+        assert abs(row["rate_control"] - rc) < 1e-6
+    assert abs(allrow["ate_contribution"] - ate_ref) < 1e-6
+
+
+def test_diff_in_diff_matches_pandas_reference(spark):
+    """DiD point estimate and SE recomputed from the four raw cells
+    with pandas mean/var."""
+    import math
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    o = load_table(spark, SF_DIR, "orders").toPandas()
+    c = load_table(spark, SF_DIR, "customer").toPandas()
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    df = df[
+        (df["o_orderdate"] >= "1996-01-01") & (df["o_orderdate"] < "1998-01-01")
+    ].copy()
+    df["g"] = (df["c_mktsegment"] == "BUILDING").astype(int)
+    df["post"] = (df["o_orderdate"] >= "1997-01-01").astype(int)
+    df["y"] = (df["o_totalprice"].astype("float64") * 100).round(0)
+    cells = {}
+    for (g, post), grp in df.groupby(["g", "post"]):
+        cells[(g, post)] = (len(grp), grp["y"].mean(), grp["y"].var(ddof=1))
+    did_ref = (
+        (cells[(1, 1)][1] - cells[(1, 0)][1])
+        - (cells[(0, 1)][1] - cells[(0, 0)][1])
+    ) / 100
+    se_ref = math.sqrt(sum(v / n for n, _, v in cells.values())) / 100
+    row = REGISTRY["stats_diff_in_diff"].fn(spark, SF_DIR).first()
+    assert row["n_t_pre"] == cells[(1, 0)][0]
+    assert row["n_c_post"] == cells[(0, 1)][0]
+    assert abs(row["did_estimate"] - did_ref) < 1e-4
+    assert abs(row["did_se"] - se_ref) < 1e-4
