@@ -141,3 +141,116 @@ def sim_label_centroids(spark, sf_dir):
 # form here only re-paired each vector with its own planted copy by id
 # (a verification, not a search); the replacement finds near-dup pairs
 # via sign-LSH banded candidate generation — the actual operator.
+
+
+#: RRF smoothing constant (the k=60 from Cormack et al. 2009)
+RRF_K = 60
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        probes AS (SELECT vec_id AS probe_id, v AS pv FROM vecs WHERE vec_id < 5),
+        sims AS (
+            SELECT probe_id, vec_id AS cand_id,
+                   ROUND(list_dot_product(pv, v)
+                         / (sqrt(list_dot_product(pv, pv))
+                            * sqrt(list_dot_product(v, v))), 6) AS cos_sim,
+                   ROUND(list_dot_product(pv, pv)
+                         - 2 * list_dot_product(pv, v)
+                         + list_dot_product(v, v), 6) AS l2_sq
+            FROM probes JOIN vecs ON vec_id <> probe_id
+        ),
+        ranked AS (
+            SELECT probe_id, cand_id, cos_sim, l2_sq,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cos_sim DESC, cand_id)
+                       AS rank_cos,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY l2_sq, cand_id) AS rank_l2
+            FROM sims
+        ),
+        fused AS (
+            SELECT probe_id, cand_id, rank_cos, rank_l2,
+                   CAST(ROUND(1.0 / ({RRF_K} + rank_cos)
+                              + 1.0 / ({RRF_K} + rank_l2), 9)
+                        AS DECIMAL(18,9)) AS rrf
+            FROM ranked
+        )
+        SELECT probe_id, cand_id, rank_cos, rank_l2,
+               CAST(rrf AS DOUBLE) AS rrf_score, fused_rank
+        FROM (
+            SELECT probe_id, cand_id, rank_cos, rank_l2, rrf,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY rrf DESC, cand_id)
+                       AS fused_rank
+            FROM fused
+        )
+        WHERE fused_rank <= 10
+    """,
+    tags=("I-fusion",),
+)
+def sim_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval rankings — cosine
+    similarity and squared Euclidean distance — into one hybrid
+    top-10 per probe: RRF(d) = Σ_r 1/(k + rank_r(d)), k={RRF_K}
+    (Cormack 2009), the standard way production search fuses BM25
+    with a vector ranker without score calibration.  Cosine and L2
+    genuinely disagree here (embeddings are NOT unit-norm), so the
+    fusion is non-trivial.
+
+    Determinism: both base similarities round at 6 dp with vec_id
+    tiebreaks (the sim_topk_cosine_sql contract), ranks are then
+    exact integers, and the RRF score — a sum of two exact rationals
+    — rounds once at 9 dp into DECIMAL before the fused ordering.
+    L2² uses ‖p‖²−2p·v+‖v‖² so all three terms are the SAME
+    sequential-fold dot products the cosine uses (no separate
+    subtract-then-square fold whose float order could differ).
+
+    100 TB posture: one broadcast probe join computes BOTH rankings
+    from shared dot products (no second candidate scan); per-probe
+    windows are partitioned (never global); at corpus scale each
+    ranker would come from its index (IVF / LSH keys here) and this
+    operator fuses their candidate lists — the shape is identical."""
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
+    probes = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    j = vecs.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+    pv, v = F.col("pv"), F.col("v")
+    sims = j.select(
+        "probe_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(dot(pv, v) / (F.sqrt(dot(pv, pv)) * F.sqrt(dot(v, v))), 6).alias(
+            "cos_sim"
+        ),
+        F.round(dot(pv, pv) - 2 * dot(pv, v) + dot(v, v), 6).alias("l2_sq"),
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "cand_id")
+    wl = Window.partitionBy("probe_id").orderBy("l2_sq", "cand_id")
+    ranked = sims.select(
+        "probe_id",
+        "cand_id",
+        F.row_number().over(wc).alias("rank_cos"),
+        F.row_number().over(wl).alias("rank_l2"),
+    )
+    rrf = F.round(
+        1.0 / (RRF_K + F.col("rank_cos")) + 1.0 / (RRF_K + F.col("rank_l2")), 9
+    ).cast("decimal(18,9)")
+    wf = Window.partitionBy("probe_id").orderBy(F.desc("rrf"), "cand_id")
+    return (
+        ranked.select("probe_id", "cand_id", "rank_cos", "rank_l2", rrf.alias("rrf"))
+        .select(
+            "probe_id",
+            "cand_id",
+            "rank_cos",
+            "rank_l2",
+            F.col("rrf").cast("double").alias("rrf_score"),
+            F.row_number().over(wf).alias("fused_rank"),
+        )
+        .where(F.col("fused_rank") <= 10)
+    )

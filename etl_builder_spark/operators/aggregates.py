@@ -1751,3 +1751,107 @@ def agg_winsorized_mean(spark, sf_dir):
         (F.col("wsum") / F.col("n_rows")).alias("winsorized_mean"),
         (F.col("psum") / F.col("n_rows")).alias("plain_mean"),
     )
+
+
+@register(
+    "agg_price_volume_mix",
+    oracle="""
+        WITH base AS (
+            SELECT p_brand AS brand,
+                   CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                        THEN 1 ELSE 0 END AS yr,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS rev_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+        ),
+        cells AS (
+            SELECT brand, yr,
+                   CAST(SUM(q) AS BIGINT) AS qty,
+                   CAST(SUM(rev_cents) AS BIGINT) AS rev
+            FROM base GROUP BY brand, yr
+        ),
+        wide AS (
+            SELECT brand,
+                   CAST(SUM(CASE WHEN yr = 0 THEN qty END) AS BIGINT) AS q0,
+                   CAST(SUM(CASE WHEN yr = 1 THEN qty END) AS BIGINT) AS q1,
+                   CAST(SUM(CASE WHEN yr = 0 THEN rev END) AS BIGINT) AS r0,
+                   CAST(SUM(CASE WHEN yr = 1 THEN rev END) AS BIGINT) AS r1
+            FROM cells GROUP BY brand
+        )
+        SELECT brand,
+               ROUND(CAST(r0 AS DOUBLE) / 100, 2) AS rev_1996,
+               ROUND(CAST(r1 AS DOUBLE) / 100, 2) AS rev_1997,
+               ROUND(CAST(r1 - r0 AS DOUBLE) / 100, 2) AS delta_total,
+               ROUND((CAST(q1 - q0 AS DOUBLE) * r0 / q0) / 100, 6)
+                   AS volume_effect,
+               ROUND(CAST(q1 AS DOUBLE)
+                     * (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0)
+                     / 100, 6) AS price_effect
+        FROM wide
+        ORDER BY brand
+    """,
+    tags=("D-pvm",),
+)
+def agg_price_volume_mix(spark, sf_dir):
+    """Price–volume decomposition of per-brand revenue change,
+    1996 → 1997: Δrevenue = volume effect (Δqty at the OLD average
+    unit price) + price effect (new qty × Δ average unit price) — the
+    finance bridge ("waterfall") explaining WHY revenue moved, with
+    the two effects summing exactly to the total change by
+    construction (Laspeyres volume / Paasche price split).
+
+    Exactness: quantities and cent-revenues are exact BIGINTs from
+    ONE conditional aggregate per (brand, year); the two effects are
+    fixed float expressions of four exact integers, rounded once at
+    6 dp (delta_total at 2 dp is exact cents).  The additivity
+    identity vol + price = Δ holds to float exactness — tested, not
+    assumed.
+
+    100 TB posture: part broadcasts into the date-pruned lineitem
+    scan; ONE map-side-combined aggregation to |brands|×2 cells, the
+    year pivot via conditional sums on the 50-row frame — never a
+    self-join of two year scans."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = F.when(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"), 1
+    ).otherwise(0)
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    cells = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select(
+            F.col("p_brand").alias("brand"),
+            yr.alias("yr"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            rev.alias("rev_cents"),
+        )
+        .groupBy("brand", "yr")
+        .agg(
+            F.sum("q").cast("bigint").alias("qty"),
+            F.sum("rev_cents").cast("bigint").alias("rev"),
+        )
+    )
+    wide = cells.groupBy("brand").agg(
+        F.sum(F.when(F.col("yr") == 0, F.col("qty"))).cast("bigint").alias("q0"),
+        F.sum(F.when(F.col("yr") == 1, F.col("qty"))).cast("bigint").alias("q1"),
+        F.sum(F.when(F.col("yr") == 0, F.col("rev"))).cast("bigint").alias("r0"),
+        F.sum(F.when(F.col("yr") == 1, F.col("rev"))).cast("bigint").alias("r1"),
+    )
+    q0, q1, r0, r1 = F.col("q0"), F.col("q1"), F.col("r0"), F.col("r1")
+    return wide.select(
+        "brand",
+        F.round(r0.cast("double") / 100, 2).alias("rev_1996"),
+        F.round(r1.cast("double") / 100, 2).alias("rev_1997"),
+        F.round((r1 - r0).cast("double") / 100, 2).alias("delta_total"),
+        F.round(((q1 - q0).cast("double") * r0 / q0) / 100, 6).alias("volume_effect"),
+        F.round(
+            q1.cast("double") * (r1.cast("double") / q1 - r0.cast("double") / q0) / 100,
+            6,
+        ).alias("price_effect"),
+    ).orderBy("brand")

@@ -1267,3 +1267,88 @@ def stats_diff_in_diff(spark, sf_dir):
             6,
         ).alias("did_se"),
     )
+
+
+@register(
+    "stats_odds_ratio_ci",
+    oracle="""
+        WITH conf AS (
+            SELECT
+                CAST(SUM(CASE WHEN l_returnflag = 'R'
+                              AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) >= 6
+                              THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                CAST(SUM(CASE WHEN l_returnflag <> 'R'
+                              AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) >= 6
+                              THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                CAST(SUM(CASE WHEN l_returnflag = 'R'
+                              AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) < 6
+                              THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CAST(SUM(CASE WHEN l_returnflag <> 'R'
+                              AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) < 6
+                              THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM lineitem
+        )
+        SELECT a, b, c, d,
+               ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+                   AS odds_ratio,
+               ROUND(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)), 6)
+                   AS log_or,
+               ROUND(sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d), 6) AS se_log_or,
+               ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                         - 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+                   AS or_ci_lo,
+               ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                         + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+                   AS or_ci_hi,
+               ROUND((CAST(a AS DOUBLE) / (a + b))
+                     / (CAST(c AS DOUBLE) / (c + d)), 6) AS relative_risk
+        FROM conf
+    """,
+    tags=("STATS-2x2",),
+)
+def stats_odds_ratio_ci(spark, sf_dir):
+    """Odds ratio with the Woolf 95% log-normal confidence interval
+    (plus relative risk) for the 2×2 table "deep discount (≥6%) ×
+    returned line" — the epidemiology/AB-analysis companion to
+    stats_two_proportion_z: OR with CI exp(ln OR ± z·√(1/a+1/b+1/c+
+    1/d)) is THE effect-size report for binary×binary exposure data.
+
+    Exactness: the four cells are exact BIGINTs from ONE conditional
+    aggregate (the ml_mcc_binary_gate discount snap); OR, its log,
+    the Woolf SE, and both CI bounds are fixed float expressions
+    with the z constant 1.959964 written as the SAME literal in both
+    engines, rounded once.
+
+    100 TB posture: a single map-side-combined 4-accumulator pass;
+    all statistics are driver-free arithmetic on the 1-row frame.
+    Zero cells (possible on filtered corpora) would need the
+    Haldane–Anscombe +0.5 correction — on TPC-H every cell is
+    populated; documenting rather than silently correcting keeps the
+    estimator the textbook one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    truth = F.col("l_returnflag") == "R"
+    exposed = F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 6
+    conf = li.agg(
+        F.sum(F.when(truth & exposed, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(~truth & exposed, 1).otherwise(0)).cast("bigint").alias("b"),
+        F.sum(F.when(truth & ~exposed, 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(~truth & ~exposed, 1).otherwise(0)).cast("bigint").alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    or_ = a.cast("double") * d / (b.cast("double") * c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    z = F.lit(1.959964)
+    return conf.select(
+        a,
+        b,
+        c,
+        d,
+        F.round(or_, 6).alias("odds_ratio"),
+        F.round(F.log(or_), 6).alias("log_or"),
+        F.round(se, 6).alias("se_log_or"),
+        F.round(F.exp(F.log(or_) - z * se), 6).alias("or_ci_lo"),
+        F.round(F.exp(F.log(or_) + z * se), 6).alias("or_ci_hi"),
+        F.round((a.cast("double") / (a + b)) / (c.cast("double") / (c + d)), 6).alias(
+            "relative_risk"
+        ),
+    )

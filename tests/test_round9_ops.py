@@ -849,3 +849,118 @@ def test_diff_in_diff_matches_pandas_reference(spark):
     assert row["n_c_post"] == cells[(0, 1)][0]
     assert abs(row["did_estimate"] - did_ref) < 1e-4
     assert abs(row["did_se"] - se_ref) < 1e-4
+
+
+def test_rrf_fusion_matches_python_reference(spark):
+    """Fused ranking recomputed in plain Python from the raw vectors:
+    cosine ranking, L2 ranking, 1/(60+r) sums, top-10."""
+    import numpy as np
+
+    from etl_builder_spark.llm.similarity import RRF_K
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    rows = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in rows}
+    out = REGISTRY["sim_rrf_fusion"].fn(spark, SF_DIR).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == {0, 1, 2, 3, 4}
+    for pid, got in by_probe.items():
+        p = vecs[pid]
+        cands = [(cid, v) for cid, v in vecs.items() if cid != pid]
+        cos = {
+            cid: round(float(p @ v / (np.linalg.norm(p) * np.linalg.norm(v))), 6)
+            for cid, v in cands
+        }
+        l2 = {
+            cid: round(float(p @ p - 2 * (p @ v) + v @ v), 6) for cid, v in cands
+        }
+        rank_cos = {
+            cid: i + 1
+            for i, (cid, _) in enumerate(
+                sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))
+            )
+        }
+        rank_l2 = {
+            cid: i + 1
+            for i, (cid, _) in enumerate(
+                sorted(l2.items(), key=lambda kv: (kv[1], kv[0]))
+            )
+        }
+        rrf = {
+            cid: round(1 / (RRF_K + rank_cos[cid]) + 1 / (RRF_K + rank_l2[cid]), 9)
+            for cid in cos
+        }
+        top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = sorted(got, key=lambda r: r["fused_rank"])
+        assert [r["cand_id"] for r in got] == [cid for cid, _ in top]
+        for r, (cid, score) in zip(got, top):
+            assert abs(r["rrf_score"] - score) < 1e-9
+            assert r["rank_cos"] == rank_cos[cid] and r["rank_l2"] == rank_l2[cid]
+
+
+def test_odds_ratio_matches_reference(spark):
+    """OR / RR / Woolf CI recomputed from the raw 2x2 with plain
+    math on pandas counts."""
+    import math
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_discount")
+        .toPandas()
+    )
+    t = pdf["l_returnflag"] == "R"
+    e = (pdf["l_discount"] * 100).round(0).astype("int64") >= 6
+    a, b = int((t & e).sum()), int((~t & e).sum())
+    c, d = int((t & ~e).sum()), int((~t & ~e).sum())
+    or_ref = a * d / (b * c)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    row = REGISTRY["stats_odds_ratio_ci"].fn(spark, SF_DIR).first()
+    assert (row["a"], row["b"], row["c"], row["d"]) == (a, b, c, d)
+    assert abs(row["odds_ratio"] - or_ref) < 1e-6
+    assert abs(row["or_ci_lo"] - math.exp(math.log(or_ref) - 1.959964 * se)) < 1e-5
+    assert abs(row["or_ci_hi"] - math.exp(math.log(or_ref) + 1.959964 * se)) < 1e-5
+    assert abs(row["relative_risk"] - (a / (a + b)) / (c / (c + d))) < 1e-6
+    # CI must bracket the point estimate
+    assert row["or_ci_lo"] < row["odds_ratio"] < row["or_ci_hi"]
+
+
+def test_price_volume_mix_additivity(spark):
+    """The decomposition identity: volume_effect + price_effect ==
+    delta_total for every brand (to rounding), and totals recompute
+    from raw pandas."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    out = REGISTRY["agg_price_volume_mix"].fn(spark, SF_DIR).toPandas()
+    assert len(out) == 25
+    resid = (out["volume_effect"] + out["price_effect"] - out["delta_total"]).abs()
+    assert resid.max() < 1e-4
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    pt = load_table(spark, SF_DIR, "part").select("p_partkey", "p_brand").toPandas()
+    df = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    df = df[(df["l_shipdate"] >= "1996-01-01") & (df["l_shipdate"] < "1998-01-01")]
+    brand = out.iloc[0]["brand"]
+    sub = df[df["p_brand"] == brand]
+    pre = sub[sub["l_shipdate"] < "1997-01-01"]
+    post = sub[sub["l_shipdate"] >= "1997-01-01"]
+    r0 = (pre["l_extendedprice"].astype("float64") * 100).round(0).sum()
+    r1 = (post["l_extendedprice"].astype("float64") * 100).round(0).sum()
+    row = out[out["brand"] == brand].iloc[0]
+    assert abs(row["rev_1996"] - r0 / 100) < 0.01
+    assert abs(row["rev_1997"] - r1 / 100) < 0.01
+    q0, q1 = pre["l_quantity"].sum(), post["l_quantity"].sum()
+    vol_ref = (q1 - q0) * (r0 / q0) / 100
+    assert abs(row["volume_effect"] - vol_ref) < 1e-4
