@@ -440,18 +440,18 @@ def test_recursive_cte_plans_union_loop(spark):
 #: additions must come with a bounded-frame justification.
 UNPARTITIONED_WINDOW_ALLOWLIST = frozenset({
     "agg_abc_classification",
+    "agg_equidepth_histogram",  # lag over the EQD_BINS-row edge frame only
+    "etl_sort_key_run_counts",  # seam lag over the |bands|-row head/tail frame
+    "ml_isotonic_calibration_pava",  # prefix sums over the <=50-bucket frame
+    "ml_quantile_regression_grid",  # argmin over the 9-row slope-grid aggregate
+    "stats_bh_fdr",  # rank over the 25-brand p-value frame
+    "stats_wasserstein_binned",  # CDF running sum over the <=~60-bin frame
+    "vocab_bpe_one_merge",  # merge pick over the |pair-vocab| frame
     "agg_gini_revenue",
     "agg_share_of_hierarchy",
-    "agg_trimmed_mean",
-    "agg_weighted_median",
-    "cohort_weekly_retention",
-    "dedup_cluster_representative",
-    "dq_value_topk",
     "etl_partition_skew_report",  # rank over the |partitions| census
     "etl_surrogate_keys",
     "funnel_three_stage",
-    "ml_auc_one_vs_rest",
-    "ml_confusion_matrix",
     "ml_lift_gain_deciles",
     "ml_lift_gain_deciles_bucketed",  # 10-row decile cumulative only
     "ml_rfm_segmentation",
@@ -672,16 +672,26 @@ def test_rfm_bucketed_has_no_window(spark):
 
 def _window_args_partitioned(plan_text: str) -> list[bool]:
     """For each Window node's Arguments line: True iff it carries a
-    partition spec.  Formatted plans render a PARTITIONED window as
-    `...], [partCols], [orderCols]` (three trailing bracket groups) and
-    an UNPARTITIONED one as `...], [orderCols]` (two)."""
-    import re
-
+    partition spec.  The trailing-bracket-group heuristic is ambiguous
+    (a PARTITIONED window with no ORDER BY — count(1) OVER (PARTITION
+    BY f) — renders with TWO groups, same as an unpartitioned ordered
+    one), so inspect the windowspecdefinition itself: its arguments
+    before specifiedwindowframe are partition columns (bare refs) then
+    sort items (marked ASC/DESC); a window is partitioned iff the
+    FIRST argument is not a sort item and not the frame."""
     out = []
     for ln in plan_text.splitlines():
         if "windowspecdefinition" not in ln or not ln.strip().startswith("Arguments"):
             continue
-        out.append(bool(re.search(r"\], \[[^\[\]]*\], \[[^\[\]]*\]$", ln.rstrip())))
+        spec = ln.split("windowspecdefinition(", 1)[1]
+        cols = spec.split(", specifiedwindowframe", 1)[0]
+        first = cols.split(",", 1)[0]
+        partitioned = (
+            not cols.startswith("specifiedwindowframe")
+            and " ASC" not in first
+            and " DESC" not in first
+        )
+        out.append(partitioned)
     return out
 
 
