@@ -2009,3 +2009,147 @@ def text_hapax_diversity(spark, sf_dir):
         ),
         F.round(h.cast("double") / n, 6).alias("good_turing_p0"),
     ).orderBy("lang")
+
+
+@register(
+    "text_js_divergence_langs",
+    oracle="""
+        WITH tc AS (
+            SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (
+                SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ) WHERE token <> ''
+            GROUP BY lang, token
+        ),
+        tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY lang),
+        pairs AS (
+            SELECT a.lang AS la, b.lang AS lb
+            FROM tot a JOIN tot b ON a.lang < b.lang
+        ),
+        left_ AS (
+            SELECT p.la, p.lb, t.token, t.c AS ca
+            FROM pairs p JOIN tc t ON t.lang = p.la
+        ),
+        right_ AS (
+            SELECT p.la, p.lb, t.token, t.c AS cb
+            FROM pairs p JOIN tc t ON t.lang = p.lb
+        ),
+        merged AS (
+            SELECT COALESCE(l.la, r.la) AS la, COALESCE(l.lb, r.lb) AS lb,
+                   COALESCE(l.ca, 0) AS ca, COALESCE(r.cb, 0) AS cb
+            FROM left_ l
+            FULL OUTER JOIN right_ r
+              ON l.la = r.la AND l.lb = r.lb AND l.token = r.token
+        ),
+        terms AS (
+            SELECT m.la, m.lb, ta.n AS na, tb.n AS nb,
+                   CAST(ROUND(
+                       CASE WHEN m.ca = 0 THEN 0.0
+                            ELSE (CAST(m.ca AS DOUBLE) / ta.n)
+                                 * ln((CAST(m.ca AS DOUBLE) / ta.n)
+                                      / ((CAST(m.ca AS DOUBLE) / ta.n
+                                          + CAST(m.cb AS DOUBLE) / tb.n) / 2))
+                       END
+                       + CASE WHEN m.cb = 0 THEN 0.0
+                              ELSE (CAST(m.cb AS DOUBLE) / tb.n)
+                                   * ln((CAST(m.cb AS DOUBLE) / tb.n)
+                                        / ((CAST(m.ca AS DOUBLE) / ta.n
+                                            + CAST(m.cb AS DOUBLE) / tb.n) / 2))
+                         END, 9) AS DECIMAL(28,9)) AS term
+            FROM merged m
+            JOIN tot ta ON ta.lang = m.la
+            JOIN tot tb ON tb.lang = m.lb
+        )
+        SELECT la AS lang_a, lb AS lang_b, na AS n_tokens_a, nb AS n_tokens_b,
+               ROUND(CAST(SUM(term) AS DOUBLE) / 2, 6) AS js_divergence,
+               ROUND(sqrt(CAST(SUM(term) AS DOUBLE) / 2 / ln(2.0)), 6)
+                   AS js_distance_bits
+        FROM terms
+        GROUP BY la, lb, na, nb
+        ORDER BY la, lb
+    """,
+    tags=("I-distribution",),
+)
+def text_js_divergence_langs(spark, sf_dir):
+    """Jensen–Shannon divergence between every pair of language
+    unigram distributions — the smoothed, symmetric, always-finite KL
+    relative of text_lang_distribution_tv: JSD(P,Q) = ½Σp ln(p/m) +
+    ½Σq ln(q/m) with m = (p+q)/2, plus the √(JSD/ln2) metric form in
+    bits (the actual distance function used for corpus clustering).
+    Zero-mass tokens contribute their exact limit 0 — no Laplace
+    smoothing needed, unlike raw KL (which is infinite off-support).
+
+    Exactness: counts and totals are exact BIGINTs; each token's
+    summand is ONE fixed float expression of four exact integers,
+    rounded to 9 dp into DECIMAL so the cross-token sum is order-free
+    (the stats_cramers_v term idiom); the ÷2, the sqrt, and the final
+    rounding happen once on the |pairs|-row frame.
+
+    100 TB posture: identical to the TV key — one token aggregation,
+    pair expansion bounded by |langs|², per-pair full-outer merge on
+    token (hash exchange on the vocab, not the corpus), map-side-
+    combined term sums to |pairs| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    tot = tc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n")).persist()
+    a, b = tot.alias("a"), tot.alias("b")
+    pairs = a.join(b, F.col("a.lang") < F.col("b.lang")).select(
+        F.col("a.lang").alias("la"), F.col("b.lang").alias("lb")
+    )
+    left = pairs.join(tc, tc["lang"] == pairs["la"]).select(
+        "la", "lb", "token", F.col("c").alias("ca")
+    )
+    right = pairs.join(tc, tc["lang"] == pairs["lb"]).select(
+        F.col("la").alias("rla"), F.col("lb").alias("rlb"),
+        F.col("token").alias("rtoken"), F.col("c").alias("cb"),
+    )
+    merged = left.join(
+        right,
+        (F.col("la") == F.col("rla"))
+        & (F.col("lb") == F.col("rlb"))
+        & (F.col("token") == F.col("rtoken")),
+        "full",
+    ).select(
+        F.coalesce(F.col("la"), F.col("rla")).alias("la"),
+        F.coalesce(F.col("lb"), F.col("rlb")).alias("lb"),
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    ta = tot.select(F.col("lang").alias("la"), F.col("n").alias("na"))
+    tb = tot.select(F.col("lang").alias("lb"), F.col("n").alias("nb"))
+    j = merged.join(F.broadcast(ta), "la").join(F.broadcast(tb), "lb")
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    m = (p + q) / 2
+    term = (
+        F.when(F.col("ca") == 0, F.lit(0.0)).otherwise(p * F.log(p / m))
+        + F.when(F.col("cb") == 0, F.lit(0.0)).otherwise(q * F.log(q / m))
+    )
+    terms = j.select(
+        "la", "lb", "na", "nb",
+        F.round(term, 9).cast("decimal(28,9)").alias("term"),
+    )
+    s = F.sum("term").cast("double")
+    return (
+        terms.groupBy("la", "lb", "na", "nb")
+        .agg(
+            F.round(s / 2, 6).alias("js_divergence"),
+            F.round(F.sqrt(s / 2 / F.log(F.lit(2.0))), 6).alias("js_distance_bits"),
+        )
+        .select(
+            F.col("la").alias("lang_a"),
+            F.col("lb").alias("lang_b"),
+            F.col("na").alias("n_tokens_a"),
+            F.col("nb").alias("n_tokens_b"),
+            "js_divergence",
+            "js_distance_bits",
+        )
+        .orderBy("lang_a", "lang_b")
+    )

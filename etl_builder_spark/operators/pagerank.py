@@ -1055,3 +1055,85 @@ def graph_label_propagation(spark, sf_dir):
         )
         .where(F.col("n_members") >= 3)
     )
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        a1 AS (
+            SELECT p, CAST(COUNT(*) AS BIGINT) AS a FROM edges GROUP BY p
+        ),
+        h1 AS (
+            SELECT e.o, CAST(SUM(a1.a) AS BIGINT) AS h
+            FROM edges e JOIN a1 ON a1.p = e.p
+            GROUP BY e.o
+        ),
+        a2 AS (
+            SELECT e.p, CAST(SUM(h1.h) AS BIGINT) AS a
+            FROM edges e JOIN h1 ON h1.o = e.o
+            GROUP BY e.p
+        ),
+        tot AS (SELECT CAST(SUM(a) AS BIGINT) AS s FROM a2)
+        SELECT p AS part_id, a1.a AS degree, a2.a AS authority_2,
+               ROUND(CAST(a2.a AS DOUBLE) / tot.s, 9) AS authority_norm
+        FROM a2 JOIN a1 USING (p) CROSS JOIN tot
+        ORDER BY a2.a DESC, p
+        LIMIT 20
+    """,
+    tags=("GR-hits",),
+)
+def graph_hits_hubs_authorities(spark, sf_dir):
+    """One-and-a-half Kleinberg HITS iterations over the order→part
+    bipartite graph, in EXACT integers: starting from unit hub scores,
+    a₁(p) = in-degree, h₁(o) = Σ a₁ over the order's parts, a₂(p) =
+    Σ h₁ over the part's orders — so a₂ counts length-3 alternating
+    paths into p, the unnormalized second-iteration authority (the
+    same trick graph_katz_centrality uses to stay float-free:
+    normalization is ONE final division, not a per-step rescale,
+    because HITS' ranking is invariant to positive scaling).
+    Top-20 authorities = the structurally central catalog items.
+
+    Exactness: every score is an exact BIGINT walk count (Σdeg² ≤
+    n·max_deg² — int64-safe far past any corpus); the reported
+    normalized share divides two exact integers once at 9 dp; the
+    top-20 pins ties on part id.
+
+    100 TB posture: two hash-join+aggregate rounds over the edge
+    list (the canonical bipartite matvec — shuffle on p, then o,
+    then p); TakeOrderedAndProject for the top-20, never a global
+    sort.  Hub-side skew (mega-orders) rides AQE; more iterations =
+    more edge-frame passes, converging to the principal eigenvector
+    direction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct().persist()
+    a1 = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    h1 = (
+        edges.join(a1.withColumnRenamed("p", "p2"), edges["p"] == F.col("p2"))
+        .groupBy("o")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    a2 = (
+        edges.join(h1.withColumnRenamed("o", "o2"), edges["o"] == F.col("o2"))
+        .groupBy("p")
+        .agg(F.sum("h").cast("bigint").alias("a2"))
+    )
+    tot = a2.agg(F.sum("a2").cast("bigint").alias("s"))
+    return (
+        a2.join(a1.withColumnRenamed("a", "degree"), "p")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p").alias("part_id"),
+            "degree",
+            F.col("a2").alias("authority_2"),
+            F.round(F.col("a2").cast("double") / F.col("s"), 9).alias(
+                "authority_norm"
+            ),
+        )
+        .orderBy(F.col("authority_2").desc(), "part_id")
+        .limit(20)
+    )

@@ -964,3 +964,89 @@ def test_price_volume_mix_additivity(spark):
     q0, q1 = pre["l_quantity"].sum(), post["l_quantity"].sum()
     vol_ref = (q1 - q0) * (r0 / q0) / 100
     assert abs(row["volume_effect"] - vol_ref) < 1e-4
+
+
+def test_js_divergence_matches_scipy_style_reference(spark):
+    """JSD recomputed per pair with numpy over dense unigram vectors
+    (the scipy.spatial.distance.jensenshannon formula squared), with
+    the operator's 9-dp per-term rounding reproduced; bounds 0 <= JSD
+    <= ln 2 must hold."""
+    import math
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    docs = load_table(spark, SF_DIR, "documents").select("lang", "text").collect()
+    cnt = defaultdict(Counter)
+    for r in docs:
+        cnt[r["lang"]].update(t for t in r["text"].lower().split(" ") if t)
+    out = REGISTRY["text_js_divergence_langs"].fn(spark, SF_DIR).collect()
+    assert len(out) == 10
+    for r in out:
+        ca, cb = cnt[r["lang_a"]], cnt[r["lang_b"]]
+        na, nb = sum(ca.values()), sum(cb.values())
+        assert (r["n_tokens_a"], r["n_tokens_b"]) == (na, nb)
+        s = 0.0
+        for t in set(ca) | set(cb):
+            p, q = ca[t] / na, cb[t] / nb
+            m = (p + q) / 2
+            term = (p * math.log(p / m) if p else 0.0) + (
+                q * math.log(q / m) if q else 0.0
+            )
+            s += round(term, 9)
+        jsd = s / 2
+        assert abs(r["js_divergence"] - jsd) < 1e-6
+        assert -1e-9 <= r["js_divergence"] <= math.log(2) + 1e-9
+        assert abs(r["js_distance_bits"] - math.sqrt(jsd / math.log(2))) < 1e-6
+    # sanity vs numpy on one pair (dense vectors, no rounding)
+    r = out[0]
+    ca, cb = cnt[r["lang_a"]], cnt[r["lang_b"]]
+    toks = sorted(set(ca) | set(cb))
+    p = np.array([ca[t] for t in toks], dtype=float)
+    p /= p.sum()
+    q = np.array([cb[t] for t in toks], dtype=float)
+    q /= q.sum()
+    m = (p + q) / 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jsd_np = float(
+            np.nansum(np.where(p > 0, p * np.log(p / m), 0.0))
+            + np.nansum(np.where(q > 0, q * np.log(q / m), 0.0))
+        ) / 2
+    assert abs(r["js_divergence"] - jsd_np) < 1e-5
+
+
+def test_hits_matches_python_reference(spark):
+    """a2 recomputed as L^T L L^T 1 with plain dict adjacency, and the
+    integer scores must rank identically to two float HITS iterations
+    with per-step normalization (scale invariance)."""
+    from collections import defaultdict
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    edges = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    parts_of = defaultdict(set)
+    orders_of = defaultdict(set)
+    for r in edges:
+        parts_of[r["l_orderkey"]].add(r["l_partkey"])
+        orders_of[r["l_partkey"]].add(r["l_orderkey"])
+    a1 = {p: len(os_) for p, os_ in orders_of.items()}
+    h1 = {o: sum(a1[p] for p in ps) for o, ps in parts_of.items()}
+    a2 = {p: sum(h1[o] for o in os_) for p, os_ in orders_of.items()}
+    top = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    out = REGISTRY["graph_hits_hubs_authorities"].fn(spark, SF_DIR).collect()
+    assert [(r["part_id"], r["authority_2"]) for r in out] == top
+    tot = sum(a2.values())
+    for r in out:
+        assert r["degree"] == a1[r["part_id"]]
+        assert abs(r["authority_norm"] - a2[r["part_id"]] / tot) < 1e-9
