@@ -2353,7 +2353,7 @@ def ml_target_encoding_kfold(spark, sf_dir):
     l_extendedprice target — the leakage-safe categorical feature
     every tabular-ML pipeline builds at scale: a row in fold f gets
     its category encoded by the target mean computed WITHOUT fold f,
-    shrunk toward the global mean with m={TE_PRIOR_M} pseudo-counts
+    shrunk toward the global mean with m=20 pseudo-counts
     (the Micci-Barreca smoothing).
 
     Fold assignment is the repo's engine-independent hash idiom —

@@ -197,7 +197,7 @@ RRF_K = 60
 def sim_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion of two retrieval rankings — cosine
     similarity and squared Euclidean distance — into one hybrid
-    top-10 per probe: RRF(d) = Σ_r 1/(k + rank_r(d)), k={RRF_K}
+    top-10 per probe: RRF(d) = Σ_r 1/(k + rank_r(d)), k=60
     (Cormack 2009), the standard way production search fuses BM25
     with a vector ranker without score calibration.  Cosine and L2
     genuinely disagree here (embeddings are NOT unit-norm), so the

@@ -670,7 +670,7 @@ W1_BIN = 10_000
 )
 def stats_wasserstein_binned(spark, sf_dir):
     """Earth-mover (1-Wasserstein) distance between the URGENT and
-    LOW o_totalprice distributions on a fixed ${W1_BIN:,}-wide grid —
+    LOW o_totalprice distributions on a fixed $10,000-wide grid —
     the drift metric that, unlike KS (max CDF gap) or PSI (density
     ratio), weighs HOW FAR probability mass moved, in dollars:
     W₁ = binwidth · Σ_bins |CDF_a − CDF_b| for binned distributions.
@@ -736,4 +736,101 @@ def stats_wasserstein_binned(spark, sf_dir):
         F.col("tb").alias("n_low"),
         "n_bins",
         "w1_dollars",
+    )
+
+
+@register(
+    "stats_tukey_hsd_grid",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderpriority AS arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+            FROM orders GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(CAST(s * s AS DOUBLE) / n) AS DOUBLE) AS q,
+                   (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                                 * CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE) FROM orders) AS sxx
+            FROM g
+        ),
+        mse AS (
+            SELECT (sxx - q) / (nt - (SELECT COUNT(*) FROM g)) AS mse FROM tot
+        )
+        SELECT a.arm AS arm_a, b.arm AS arm_b, a.n AS n_a, b.n AS n_b,
+               ROUND(a.s / a.n, 6) AS mean_a,
+               ROUND(b.s / b.n, 6) AS mean_b,
+               ROUND(a.s / a.n - b.s / b.n, 6) AS mean_diff,
+               ROUND(abs(a.s / a.n - b.s / b.n)
+                     / sqrt(mse.mse / 2 * (1.0 / a.n + 1.0 / b.n)), 6)
+                   AS q_stat
+        FROM g a JOIN g b ON a.arm < b.arm CROSS JOIN mse
+        ORDER BY arm_a, arm_b
+    """,
+    tags=("STATS-anova",),
+)
+def stats_tukey_hsd_grid(spark, sf_dir):
+    """Tukey honestly-significant-difference grid: the studentized
+    range statistic q = |x̄ᵢ − x̄ⱼ| / √(MSE/2·(1/nᵢ+1/nⱼ)) for all ten
+    priority-arm pairs — the post-hoc step that tells you WHICH arms
+    differ after stats_anova_oneway's F says SOMETHING does (the
+    Tukey–Kramer form handles the unequal nᵢ).  Compare q against the
+    studentized-range critical value q(α, k, N−k) ≈ 3.86 at α=.05,
+    k=5, N→∞.
+
+    Exactness: per-arm (n, Σx) and the global Σx² reuse the ANOVA
+    exact-moment discipline (DECIMAL sums, floats only in final
+    expressions); MSE = (Σx² − ΣSᵢ²/nᵢ)/(N−k) is one fixed float
+    expression and every pair statistic is another, rounded once.
+
+    100 TB posture: ONE data pass (the 5-arm aggregate + the global
+    Σx² ride the same scan in the Spark plan via two aggregates over
+    a shared cached projection); the pair grid is a self-join of the
+    5-row frame.  More arms grow the grid quadratically but the scan
+    count stays constant."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("arm"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    ).persist()
+    g = o.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("s"),
+    ).persist()
+    sxx = o.agg(F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"))
+    tot = (
+        g.agg(
+            F.sum("n").cast("bigint").alias("nt"),
+            F.sum(F.col("s") * F.col("s") / F.col("n")).cast("double").alias("q"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+        .crossJoin(F.broadcast(sxx))
+        .select(
+            ((F.col("sxx") - F.col("q")) / (F.col("nt") - F.col("k"))).alias("mse")
+        )
+    )
+    a, b = g.alias("a"), g.alias("b")
+    ma = F.col("a.s") / F.col("a.n")
+    mb = F.col("b.s") / F.col("b.n")
+    return (
+        a.join(b, F.col("a.arm") < F.col("b.arm"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a.arm").alias("arm_a"),
+            F.col("b.arm").alias("arm_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(ma, 6).alias("mean_a"),
+            F.round(mb, 6).alias("mean_b"),
+            F.round(ma - mb, 6).alias("mean_diff"),
+            F.round(
+                F.abs(ma - mb)
+                / F.sqrt(
+                    F.col("mse") / 2 * (1.0 / F.col("a.n") + 1.0 / F.col("b.n"))
+                ),
+                6,
+            ).alias("q_stat"),
+        )
+        .orderBy("arm_a", "arm_b")
     )

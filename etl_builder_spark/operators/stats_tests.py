@@ -1352,3 +1352,184 @@ def stats_odds_ratio_ci(spark, sf_dir):
             "relative_risk"
         ),
     )
+
+
+@register(
+    "stats_mcnemar_paired",
+    oracle="""
+        WITH paired AS (
+            SELECT CASE WHEN CAST(l_quantity AS BIGINT) > 25
+                        THEN 1 ELSE 0 END AS pred_a,
+                   CASE WHEN CAST(ROUND(l_discount * 100, 0) AS BIGINT) >= 5
+                        THEN 1 ELSE 0 END AS pred_b
+            FROM lineitem
+        ),
+        cells AS (
+            SELECT
+                CAST(SUM(CASE WHEN pred_a = 1 AND pred_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                CAST(SUM(CASE WHEN pred_a = 1 AND pred_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                CAST(SUM(CASE WHEN pred_a = 0 AND pred_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                CAST(SUM(CASE WHEN pred_a = 0 AND pred_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+            FROM paired
+        )
+        SELECT n11, n10, n01, n00,
+               n10 + n01 AS n_discordant,
+               ROUND(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                     / (n10 + n01), 6) AS mcnemar_chi2,
+               ROUND((abs(CAST(n10 AS DOUBLE) - n01) - 1.0)
+                     * (abs(CAST(n10 AS DOUBLE) - n01) - 1.0)
+                     / (n10 + n01), 6) AS mcnemar_chi2_corrected,
+               ROUND(CAST(n10 AS DOUBLE) / n01, 6) AS discordant_odds
+        FROM cells
+    """,
+    tags=("STATS-paired",),
+)
+def stats_mcnemar_paired(spark, sf_dir):
+    """McNemar's test for PAIRED binary raters: do the two fixed rules
+    "quantity > 25" and "discount ≥ 5%" fire at the same marginal rate
+    on the same rows?  Unlike the chi-square independence test (which
+    compares unpaired groups), McNemar uses only the DISCORDANT cells:
+    χ² = (n₁₀−n₀₁)²/(n₁₀+n₀₁), with the Edwards continuity-corrected
+    variant — the standard way to compare two classifiers evaluated on
+    one dataset (Dietterich 1998).
+
+    Exactness: the 2×2 paired table is ONE conditional aggregate of
+    exact BIGINTs (discount snapped to integer percent first); the
+    statistic, its corrected form, and the discordant odds are fixed
+    float expressions rounded once.  (n₁₀−n₀₁)² ≤ n² — int64-safe to
+    ~3e9 rows, DECIMAL(38,0) swap documented past that
+    (stats_cohens_kappa precedent).
+
+    100 TB posture: one map-side-combined 4-accumulator pass; the
+    result is a 1-row frame of driver-free arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = F.when(F.col("l_quantity").cast("bigint") > 25, 1).otherwise(0)
+    pb = F.when(F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 5, 1).otherwise(0)
+    cells = li.select(pa.alias("pa"), pb.alias("pb")).agg(
+        F.sum(F.when((F.col("pa") == 1) & (F.col("pb") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when((F.col("pa") == 1) & (F.col("pb") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when((F.col("pa") == 0) & (F.col("pb") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when((F.col("pa") == 0) & (F.col("pb") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    n10, n01 = F.col("n10"), F.col("n01")
+    return cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (n10 + n01).alias("n_discordant"),
+        F.round(((n10 - n01) * (n10 - n01)).cast("double") / (n10 + n01), 6).alias(
+            "mcnemar_chi2"
+        ),
+        F.round(
+            (F.abs(n10.cast("double") - n01) - 1.0)
+            * (F.abs(n10.cast("double") - n01) - 1.0)
+            / (n10 + n01),
+            6,
+        ).alias("mcnemar_chi2_corrected"),
+        F.round(n10.cast("double") / n01, 6).alias("discordant_odds"),
+    )
+
+
+#: Hill estimator order-statistic count
+HILL_K = 100
+
+
+@register(
+    "stats_hill_tail_index",
+    oracle=f"""
+        WITH cents AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS x,
+                   o_orderkey
+            FROM orders
+        ),
+        topk AS (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, o_orderkey) AS rnk
+            FROM cents
+            ORDER BY x DESC, o_orderkey
+            LIMIT {HILL_K + 1}
+        ),
+        thresh AS (SELECT x AS xk FROM topk WHERE rnk = {HILL_K + 1}),
+        terms AS (
+            SELECT CAST(ROUND(ln(CAST(t.x AS DOUBLE) / th.xk), 9)
+                        AS DECIMAL(28,9)) AS term
+            FROM topk t CROSS JOIN thresh th
+            WHERE t.rnk <= {HILL_K}
+        )
+        SELECT {HILL_K} AS k,
+               ROUND((SELECT CAST(xk AS DOUBLE) / 100 FROM thresh), 2)
+                   AS threshold_price,
+               ROUND(CAST(SUM(term) AS DOUBLE) / {HILL_K}, 6) AS hill_gamma,
+               ROUND({HILL_K} / CAST(SUM(term) AS DOUBLE), 6) AS tail_alpha
+        FROM terms
+    """,
+    tags=("STATS-evt",),
+)
+def stats_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the price distribution's tail index from the
+    top k=100 order statistics: γ̂ = (1/k)Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎), and
+    α̂ = 1/γ̂ — the extreme-value-theory number behind "how heavy is
+    the tail" decisions (α < 2 ⇒ infinite variance ⇒ mean-based
+    monitors lie; complements text_zipf_fit, which fits the rank-
+    frequency law rather than the upper tail).
+
+    Exactness: prices snap to exact cents; the top-(k+1) slice is a
+    TakeOrderedAndProject with orderkey tiebreak (the F2 idiom — no
+    global sort, no full rank); each log-ratio is rounded once to
+    9 dp into DECIMAL so the k-term sum is order-free; γ̂ and α̂ are
+    single divisions.
+
+    100 TB posture: the only data-sized stage is the top-k+1
+    selection — per-partition heaps then a 101-row merge on
+    the driver-free reduce path; everything downstream runs on a
+    bounded frame.  k scales the estimator's bias/variance tradeoff,
+    not the scan count."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        "o_orderkey",
+    )
+    from pyspark.sql import Window
+
+    topk = (
+        cents.orderBy(F.col("x").desc(), "o_orderkey")
+        .limit(HILL_K + 1)
+        .select(
+            "x",
+            F.row_number()
+            .over(Window.orderBy(F.col("x").desc(), "o_orderkey"))
+            .alias("rnk"),
+        )
+    )
+    thresh = topk.where(F.col("rnk") == HILL_K + 1).select(F.col("x").alias("xk"))
+    terms = (
+        topk.where(F.col("rnk") <= HILL_K)
+        .crossJoin(F.broadcast(thresh))
+        .select(
+            F.round(F.log(F.col("x").cast("double") / F.col("xk")), 9)
+            .cast("decimal(28,9)")
+            .alias("term"),
+            "xk",
+        )
+    )
+    s = F.sum("term").cast("double")
+    return terms.groupBy("xk").agg(
+        F.round(s / HILL_K, 6).alias("hill_gamma"),
+        F.round(F.lit(float(HILL_K)) / s, 6).alias("tail_alpha"),
+    ).select(
+        F.lit(HILL_K).cast("bigint").alias("k"),
+        F.round(F.col("xk").cast("double") / 100, 2).alias("threshold_price"),
+        "hill_gamma",
+        "tail_alpha",
+    )

@@ -1050,3 +1050,89 @@ def test_hits_matches_python_reference(spark):
     for r in out:
         assert r["degree"] == a1[r["part_id"]]
         assert abs(r["authority_norm"] - a2[r["part_id"]] / tot) < 1e-9
+
+
+def test_mcnemar_matches_reference(spark):
+    """McNemar χ² (plain + corrected) recomputed from a pandas
+    crosstab of the two rules."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_quantity", "l_discount")
+        .toPandas()
+    )
+    pa = pdf["l_quantity"].astype("int64") > 25
+    pb = (pdf["l_discount"] * 100).round(0).astype("int64") >= 5
+    n10 = int((pa & ~pb).sum())
+    n01 = int((~pa & pb).sum())
+    row = REGISTRY["stats_mcnemar_paired"].fn(spark, SF_DIR).first()
+    assert (row["n10"], row["n01"]) == (n10, n01)
+    assert abs(row["mcnemar_chi2"] - (n10 - n01) ** 2 / (n10 + n01)) < 1e-5
+    assert abs(
+        row["mcnemar_chi2_corrected"] - (abs(n10 - n01) - 1) ** 2 / (n10 + n01)
+    ) < 1e-5
+    assert row["n11"] + row["n10"] + row["n01"] + row["n00"] == len(pdf)
+
+
+def test_hill_matches_numpy_reference(spark):
+    """Hill γ recomputed with numpy on the sorted top-101 cents (with
+    the operator's per-term 9-dp rounding), and 1/γ == α."""
+    import numpy as np
+
+    from etl_builder_spark.operators.stats_tests import HILL_K
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    x = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_totalprice")
+        .toPandas()["o_totalprice"]
+        .astype("float64")
+        * 100
+    ).round(0).to_numpy()
+    top = np.sort(x)[::-1][: HILL_K + 1]
+    gamma_ref = float(np.round(np.log(top[:HILL_K] / top[HILL_K]), 9).mean())
+    row = REGISTRY["stats_hill_tail_index"].fn(spark, SF_DIR).first()
+    assert row["k"] == HILL_K
+    assert abs(row["threshold_price"] - top[HILL_K] / 100) < 0.01
+    assert abs(row["hill_gamma"] - gamma_ref) < 1e-6
+    assert abs(row["tail_alpha"] - 1 / gamma_ref) < 1e-4
+
+
+def test_tukey_matches_scipy_style_reference(spark):
+    """q statistics recomputed with the textbook Tukey–Kramer formula
+    from raw pandas groups (same MSE as a one-way ANOVA residual)."""
+    import itertools
+    import math
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .toPandas()
+    )
+    groups = {k: g["o_totalprice"].to_numpy() for k, g in pdf.groupby("o_orderpriority")}
+    nt = len(pdf)
+    k = len(groups)
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+    mse = ssw / (nt - k)
+    out = {
+        (r["arm_a"], r["arm_b"]): r
+        for r in REGISTRY["stats_tukey_hsd_grid"].fn(spark, SF_DIR).collect()
+    }
+    assert len(out) == k * (k - 1) // 2
+    for a, b in itertools.combinations(sorted(groups), 2):
+        va, vb = groups[a], groups[b]
+        q_ref = abs(va.mean() - vb.mean()) / math.sqrt(
+            mse / 2 * (1 / len(va) + 1 / len(vb))
+        )
+        r = out[(a, b)]
+        assert abs(r["q_stat"] - q_ref) < 1e-4
+        assert abs(r["mean_diff"] - (va.mean() - vb.mean())) < 1e-3
