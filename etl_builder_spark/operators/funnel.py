@@ -1029,3 +1029,110 @@ def seq_markov_stationary(spark, sf_dir):
     return out.select(
         F.col("s").alias("state"), "p0", "p1", "p2", "p3"
     ).orderBy("state")
+
+
+@register(
+    "cohort_segment_migration",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey AS cust,
+                   CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                        THEN 1 ELSE 0 END AS yr,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+        ),
+        seg AS (
+            SELECT cust, yr,
+                   CASE WHEN cents < 10000000 THEN 'low'
+                        WHEN cents < 30000000 THEN 'mid'
+                        ELSE 'high' END AS seg
+            FROM spend
+        ),
+        wide AS (
+            SELECT COALESCE(a.cust, b.cust) AS cust,
+                   COALESCE(a.seg, 'absent') AS seg_1996,
+                   COALESCE(b.seg, 'absent') AS seg_1997
+            FROM (SELECT * FROM seg WHERE yr = 0) a
+            FULL OUTER JOIN (SELECT * FROM seg WHERE yr = 1) b
+              ON a.cust = b.cust
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wide)
+        SELECT seg_1996, seg_1997,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n, 6) AS share
+        FROM wide CROSS JOIN tot
+        GROUP BY seg_1996, seg_1997, tot.n
+        ORDER BY seg_1996, seg_1997
+    """,
+    tags=("cohort-migration",),
+)
+def cohort_segment_migration(spark, sf_dir):
+    """Customer value-segment migration matrix, 1996 → 1997: each
+    customer lands in a FIXED spend band (< $100k / $100–300k /
+    ≥ $300k, or 'absent') per year, and the matrix counts every
+    (from, to) flow — the churn/upgrade/downgrade view a retention
+    team reads ('high→absent' is the churn cell that matters).
+    Fixed bands, not terciles: data-dependent cutoffs would make the
+    matrix drift with the data it segments (the
+    dq_distribution_drift design rule) and would need a global
+    quantile pass.
+
+    Exactness: per-(customer, year) spend is an exact BIGINT cent
+    sum; banding is integer compares; the matrix and its shares are
+    exact counts with one float division.
+
+    100 TB posture: one date-pruned scan → (customer, year)
+    aggregate (map-side combined) → per-year split FULL OUTER joined
+    on customer (one co-partitioned shuffle — both sides already
+    hash on cust) → ≤16-cell matrix."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    yr = F.when(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"), 1
+    ).otherwise(0)
+    spend = (
+        o.select(
+            F.col("o_custkey").alias("cust"),
+            yr.alias("yr"),
+            (money("o_totalprice") * 100).alias("c"),
+        )
+        .groupBy("cust", "yr")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    seg = spend.select(
+        "cust",
+        "yr",
+        F.when(F.col("cents") < 10_000_000, "low")
+        .when(F.col("cents") < 30_000_000, "mid")
+        .otherwise("high")
+        .alias("seg"),
+    ).persist()
+    a = seg.where(F.col("yr") == 0).select("cust", F.col("seg").alias("sa"))
+    b = seg.where(F.col("yr") == 1).select(
+        F.col("cust").alias("custb"), F.col("seg").alias("sb")
+    )
+    wide = a.join(b, a["cust"] == b["custb"], "full").select(
+        F.coalesce(F.col("sa"), F.lit("absent")).alias("seg_1996"),
+        F.coalesce(F.col("sb"), F.lit("absent")).alias("seg_1997"),
+    )
+    tot = wide.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        wide.groupBy("seg_1996", "seg_1997")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg_1996",
+            "seg_1997",
+            "n_customers",
+            F.round(F.col("n_customers").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("seg_1996", "seg_1997")
+    )

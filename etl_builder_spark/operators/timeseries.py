@@ -2767,3 +2767,86 @@ def ts_holt_linear_fold(spark, sf_dir):
         F.round(F.col("st.tr"), 6).alias("trend"),
         F.round(F.col("st.l") + 24.0 * F.col("st.tr"), 6).alias("forecast_24h"),
     )
+
+
+@register(
+    "ts_interarrival_profile",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts)
+                        - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id))
+                        AS BIGINT) AS gap_us
+            FROM events
+        ),
+        g AS (SELECT event_type, gap_us FROM seq WHERE gap_us IS NOT NULL),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap_us) AS BIGINT) AS s1,
+                   CAST(SUM(CAST(gap_us AS DECIMAL(38,0)) * gap_us) AS DOUBLE)
+                       AS s2,
+                   CAST(MIN(gap_us) AS BIGINT) AS mn,
+                   CAST(MAX(gap_us) AS BIGINT) AS mx
+            FROM g GROUP BY event_type
+        )
+        SELECT event_type, n_gaps,
+               ROUND(CAST(s1 AS DOUBLE) / n_gaps / 1e6, 6) AS mean_gap_s,
+               ROUND(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_gaps)
+                          / (n_gaps - 1)) / 1e6, 6) AS sd_gap_s,
+               ROUND(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_gaps)
+                          / (n_gaps - 1))
+                     / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv,
+               ROUND(CAST(mn AS DOUBLE) / 1e6, 6) AS min_gap_s,
+               ROUND(CAST(mx AS DOUBLE) / 1e6, 6) AS max_gap_s
+        FROM m
+        ORDER BY event_type
+    """,
+    tags=("TS-interarrival",),
+)
+def ts_interarrival_profile(spark, sf_dir):
+    """Inter-arrival profile of the event stream, grouped by the type
+    of the ARRIVING event: mean/sd/min/max gap since the user's
+    previous event (any type) and the coefficient of variation — the
+    burstiness diagnostic behind session-timeout choices and queueing
+    models (CV ≈ 1 ⇒ Poisson-like memoryless arrivals; CV ≫ 1 ⇒
+    bursty/self-exciting — sessionize_events_gap's 30-min threshold
+    was read off this table's shape).
+
+    Exactness: gaps are exact µs integers from one per-user LAG;
+    moments accumulate as BIGINT / DECIMAL(38,0) (µs² ~1e12 per hour
+    of gap — decimal from the first product); every reported number
+    is a fixed float expression rounded once.
+
+    100 TB posture: the LAG shuffles once on user_id (the same
+    exchange sessionization pays — at scale the two share it); the
+    moment aggregate is map-side combined to |event types| rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "event_type",
+        (us - F.unix_micros(F.lag("ts").over(w))).cast("bigint").alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    g = F.col("gap_us")
+    m = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(g).cast("bigint").alias("s1"),
+        F.sum(g.cast("decimal(38,0)") * g).cast("double").alias("s2"),
+        F.min(g).cast("bigint").alias("mn"),
+        F.max(g).cast("bigint").alias("mx"),
+    )
+    n, s1, s2 = F.col("n_gaps"), F.col("s1"), F.col("s2")
+    sd = F.sqrt((s2 - s1.cast("double") * s1 / n) / (n - 1))
+    return m.select(
+        "event_type",
+        "n_gaps",
+        F.round(s1.cast("double") / n / 1e6, 6).alias("mean_gap_s"),
+        F.round(sd / 1e6, 6).alias("sd_gap_s"),
+        F.round(sd / (s1.cast("double") / n), 6).alias("cv"),
+        F.round(F.col("mn").cast("double") / 1e6, 6).alias("min_gap_s"),
+        F.round(F.col("mx").cast("double") / 1e6, 6).alias("max_gap_s"),
+    ).orderBy("event_type")

@@ -1136,3 +1136,67 @@ def test_tukey_matches_scipy_style_reference(spark):
         r = out[(a, b)]
         assert abs(r["q_stat"] - q_ref) < 1e-4
         assert abs(r["mean_diff"] - (va.mean() - vb.mean())) < 1e-3
+
+
+def test_interarrival_matches_pandas_reference(spark):
+    """Gap moments recomputed from pandas groupby-shift diffs."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    pdf["gap_us"] = (
+        pdf.groupby("user_id")["ts"].diff().dt.total_seconds() * 1e6
+    ).round(0)
+    g = pdf.dropna(subset=["gap_us"])
+    out = {r["event_type"]: r for r in REGISTRY["ts_interarrival_profile"].fn(spark, SF_DIR).collect()}
+    for et, grp in g.groupby("event_type"):
+        x = grp["gap_us"].astype("float64")
+        r = out[et]
+        assert r["n_gaps"] == len(x)
+        assert abs(r["mean_gap_s"] - x.mean() / 1e6) < 1e-5
+        assert abs(r["sd_gap_s"] - x.std(ddof=1) / 1e6) < 1e-5
+        assert abs(r["cv"] - x.std(ddof=1) / x.mean()) < 1e-5
+
+
+def test_segment_migration_is_a_partition(spark):
+    """Matrix cells partition the union of both years' customers;
+    shares sum to 1; the 'absent'→'absent' cell cannot exist; one
+    cell recomputed from raw pandas."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    out = REGISTRY["cohort_segment_migration"].fn(spark, SF_DIR).toPandas()
+    assert not (
+        (out["seg_1996"] == "absent") & (out["seg_1997"] == "absent")
+    ).any()
+    assert abs(out["share"].sum() - 1.0) < 1e-4
+    o = load_table(spark, SF_DIR, "orders").toPandas()
+    o = o[(o["o_orderdate"] >= "1996-01-01") & (o["o_orderdate"] < "1998-01-01")].copy()
+    o["yr"] = (o["o_orderdate"] >= "1997-01-01").astype(int)
+    o["cents"] = (o["o_totalprice"].astype("float64") * 100).round(0)
+    spend = o.groupby(["o_custkey", "yr"])["cents"].sum().reset_index()
+
+    def band(c):
+        return "low" if c < 10_000_000 else ("mid" if c < 30_000_000 else "high")
+
+    spend["seg"] = spend["cents"].map(band)
+    y0 = spend[spend["yr"] == 0].set_index("o_custkey")["seg"]
+    y1 = spend[spend["yr"] == 1].set_index("o_custkey")["seg"]
+    all_cust = set(y0.index) | set(y1.index)
+    assert out["n_customers"].sum() == len(all_cust)
+    from collections import Counter
+
+    ref = Counter(
+        (y0.get(c, "absent"), y1.get(c, "absent")) for c in all_cust
+    )
+    got = {
+        (r["seg_1996"], r["seg_1997"]): r["n_customers"] for _, r in out.iterrows()
+    }
+    assert got == dict(ref)
