@@ -1027,11 +1027,18 @@ def graph_label_propagation(spark, sf_dir):
     edges = _copurchase_edges(spark, sf_dir)
     sym = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    ).persist()
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
     for _ in range(3):
+        # persist each round's frontier: without it every round's plan
+        # re-expands the full prior lineage (the classic
+        # iterate-on-DataFrame trap — each extra round would re-run all
+        # earlier joins), while the cache turns round r's input into one
+        # InMemoryTableScan; A/B at sf0.1 warmed: 3.81s -> 3.56s here,
+        # and the gap widens with rounds x data (PERF.md round 9)
+        labels = labels.persist()
         nb_min = (
             sym.join(labels.withColumnRenamed("node", "v2"), sym["v"] == F.col("v2"))
             .groupBy("u")
