@@ -2548,3 +2548,119 @@ def ml_isotonic_calibration_pava(spark, sf_dir):
         )
         .orderBy("quantity")
     )
+
+
+#: ALS ridge regularizer
+ALS_LAMBDA = 0.1
+
+
+def _als_factor_sql(key: str, tag: str) -> str:
+    """Pinned 2-d item factor component in DuckDB SQL: one md5 hex
+    digit -> (2d-15)/30 in [-0.5, 0.5], exact DECIMAL(10,6)."""
+    return (
+        f"CAST(ROUND((2.0 * (instr('0123456789abcdef', "
+        f"substr(md5(CAST({key} AS VARCHAR) || ':{tag}'), 1, 1)) - 1) - 15.0)"
+        f" / 30.0, 6) AS DECIMAL(10,6))"
+    )
+
+
+@register(
+    "ml_als_user_step",
+    oracle=f"""
+        WITH r AS (
+            SELECT o_custkey AS user_id, l_partkey AS item,
+                   CAST(l_quantity AS BIGINT) AS y
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        f AS (
+            SELECT DISTINCT item,
+                   {_als_factor_sql('item', 'f1')} AS f1,
+                   {_als_factor_sql('item', 'f2')} AS f2
+            FROM r
+        ),
+        m AS (
+            SELECT r.user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(f.f1 * f.f1) AS DOUBLE) AS a11,
+                   CAST(SUM(f.f1 * f.f2) AS DOUBLE) AS a12,
+                   CAST(SUM(f.f2 * f.f2) AS DOUBLE) AS a22,
+                   CAST(SUM(f.f1 * r.y) AS DOUBLE) AS b1,
+                   CAST(SUM(f.f2 * r.y) AS DOUBLE) AS b2
+            FROM r JOIN f USING (item)
+            GROUP BY r.user_id
+        )
+        SELECT user_id, n_items,
+               ROUND(((a22 + {ALS_LAMBDA}) * b1 - a12 * b2)
+                     / ((a11 + {ALS_LAMBDA}) * (a22 + {ALS_LAMBDA})
+                        - a12 * a12), 6) AS w1,
+               ROUND(((a11 + {ALS_LAMBDA}) * b2 - a12 * b1)
+                     / ((a11 + {ALS_LAMBDA}) * (a22 + {ALS_LAMBDA})
+                        - a12 * a12), 6) AS w2
+        FROM m
+        ORDER BY user_id
+    """,
+    tags=("ML-als",),
+)
+def ml_als_user_step(spark, sf_dir):
+    """ONE user-side half-step of alternating least squares for
+    implicit matrix factorization: item factors held FIXED (pinned
+    2-d vectors from md5 hex digits, the repo's engine-independent
+    hash idiom), every user solves its own ridge system
+    w_u = (XᵤᵀXᵤ + λI)⁻¹ Xᵤᵀyᵤ in closed form — exactly the update
+    Spark MLlib's ALS runs per user per iteration, expressed as one
+    aggregation plus per-row 2×2 Cramer arithmetic (no solver, no
+    driver).  Ratings are order quantities on the customer×part
+    matrix.
+
+    Exactness: factor components are 6-dp decimals, so all five
+    normal-equation moments are EXACT decimal sums (f·f scale-12
+    products, f·y decimal×bigint) — float enters once per user in
+    the fixed Cramer expression, rounded once.  λ=0.1 keeps the 2×2
+    invertible even for single-item users.
+
+    100 TB posture: the factor table derives from a hash — at scale
+    it would be the previous iteration's item-factor table,
+    broadcast (or bucket-joined when factors outgrow broadcast); one
+    shuffle on user_id aggregates the five moments; the solve is
+    embarrassingly parallel row arithmetic.  Full ALS = alternate
+    this exact shape user↔item."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.col("l_quantity").cast("bigint").alias("y")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    r = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item"), "y"
+    )
+
+    def factor(tag):
+        d = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("item").cast("string"), F.lit(f":{tag}"))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return F.round((2.0 * d - 15.0) / 30.0, 6).cast("decimal(10,6)")
+
+    f = r.select("item").distinct().select(
+        "item", factor("f1").alias("f1"), factor("f2").alias("f2")
+    )
+    j = r.join(F.broadcast(f), "item")
+    m = j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("f1") * F.col("f1")).cast("double").alias("a11"),
+        F.sum(F.col("f1") * F.col("f2")).cast("double").alias("a12"),
+        F.sum(F.col("f2") * F.col("f2")).cast("double").alias("a22"),
+        F.sum(F.col("f1") * F.col("y")).cast("double").alias("b1"),
+        F.sum(F.col("f2") * F.col("y")).cast("double").alias("b2"),
+    )
+    a11 = F.col("a11") + ALS_LAMBDA
+    a22 = F.col("a22") + ALS_LAMBDA
+    a12, b1, b2 = F.col("a12"), F.col("b1"), F.col("b2")
+    det = a11 * a22 - a12 * a12
+    return m.select(
+        "user_id",
+        "n_items",
+        F.round((a22 * b1 - a12 * b2) / det, 6).alias("w1"),
+        F.round((a11 * b2 - a12 * b1) / det, 6).alias("w2"),
+    ).orderBy("user_id")

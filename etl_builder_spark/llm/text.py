@@ -2153,3 +2153,173 @@ def text_js_divergence_langs(spark, sf_dir):
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+#: TextRank vertex floor and damping
+TR_MIN_COUNT = 5
+TR_DAMP = 0.85
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ),
+        adj AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+            WHERE t[i] <> '' AND t[i + 1] <> '' AND t[i] <> t[i + 1]
+        ),
+        vc AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT w1 AS w FROM adj UNION ALL SELECT w2 AS w FROM adj
+            ) GROUP BY w HAVING COUNT(*) >= {TR_MIN_COUNT}
+        ),
+        edges AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS wt FROM (
+                SELECT w1, w2 FROM adj
+                UNION ALL
+                SELECT w2 AS w1, w1 AS w2 FROM adj
+            )
+            WHERE w1 IN (SELECT w FROM vc) AND w2 IN (SELECT w FROM vc)
+            GROUP BY w1, w2
+        ),
+        outw AS (
+            SELECT w1, CAST(SUM(wt) AS BIGINT) AS ow FROM edges GROUP BY w1
+        ),
+        s0 AS (SELECT w AS token, CAST(1.0 AS DECIMAL(20,9)) AS s FROM vc),
+        s1 AS (
+            SELECT v.token,
+                   CAST(ROUND(0.15 + {TR_DAMP} * COALESCE(SUM(
+                       CAST(ROUND(CAST(s0.s AS DOUBLE) * e.wt / o.ow, 9)
+                            AS DECIMAL(20,9))), 0), 9) AS DECIMAL(20,9)) AS s
+            FROM s0 v
+            LEFT JOIN edges e ON e.w2 = v.token
+            LEFT JOIN outw o ON o.w1 = e.w1
+            LEFT JOIN s0 ON s0.token = e.w1
+            GROUP BY v.token
+        ),
+        s2 AS (
+            SELECT v.token,
+                   CAST(ROUND(0.15 + {TR_DAMP} * COALESCE(SUM(
+                       CAST(ROUND(CAST(s1b.s AS DOUBLE) * e.wt / o.ow, 9)
+                            AS DECIMAL(20,9))), 0), 9) AS DECIMAL(20,9)) AS s
+            FROM s1 v
+            LEFT JOIN edges e ON e.w2 = v.token
+            LEFT JOIN outw o ON o.w1 = e.w1
+            LEFT JOIN s1 s1b ON s1b.token = e.w1
+            GROUP BY v.token
+        )
+        SELECT s2.token, vc.c AS n_occurrences,
+               CAST(s2.s AS DOUBLE) AS textrank
+        FROM s2 JOIN vc ON vc.w = s2.token
+        ORDER BY s2.s DESC, s2.token
+        LIMIT 20
+    """,
+    tags=("I-keywords",),
+)
+def text_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — adjacent-token edges (both
+    directions, count-weighted, vertices floored at 5
+    occurrences), two damped rank rounds from the unit vector, top-20
+    words.  The graph-centrality complement to text_rake_keyphrases
+    (degree/frequency scoring) and text_keyword_topk (tf-idf): a word
+    ranks high when VARIED high-scoring words sit next to it.
+
+    Exactness: edge weights and out-strengths are exact BIGINTs; each
+    round's contribution s_v·w/out_v is ONE float expression rounded
+    to 9 dp into DECIMAL(20,9) before the exact sum (the
+    graph_pagerank_fixed idiom), so the vector is bit-identical
+    across engines after every round — with an EXPLICIT ROUND before
+    every decimal-width cast, because Spark's cast rounds half-up
+    while DuckDB's cast TRUNCATES (measured; round() is half-up in
+    both, so rounding must happen as a function, never as a cast);
+    the top-20 orders by the exact decimal with token tiebreak.
+
+    100 TB posture: one token explode → edge aggregate (map-side
+    combined, shuffle on the word pair); each round is one
+    edges⋈scores hash join + word-keyed aggregate over the
+    |vocabulary|-bounded frame, never the corpus; TakeOrdered for
+    the final 20."""
+    from pyspark.sql import Window  # noqa: F401  (module convention)
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "w")
+    )
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        toks.select("doc_id", "pos", "w", F.lead("w").over(wn).alias("w2"))
+        .where(
+            (F.col("w") != "") & (F.col("w2").isNotNull()) & (F.col("w2") != "")
+            & (F.col("w") != F.col("w2"))
+        )
+        .select(F.col("w").alias("w1"), "w2")
+        .persist()
+    )
+    vc = (
+        adj.select(F.col("w1").alias("w"))
+        .unionAll(adj.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .where(F.col("c") >= TR_MIN_COUNT)
+        .persist()
+    )
+    both = adj.unionAll(adj.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
+    edges = (
+        both.join(F.broadcast(vc.select(F.col("w").alias("w1"))), "w1")
+        .join(F.broadcast(vc.select(F.col("w").alias("w2"))), "w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wt"))
+        .persist()
+    )
+    outw = edges.groupBy("w1").agg(F.sum("wt").cast("bigint").alias("ow"))
+    s = vc.select(
+        F.col("w").alias("token"), F.lit(1.0).cast("decimal(20,9)").alias("s")
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(outw, "w1")
+            .join(s.withColumnRenamed("token", "src"), F.col("src") == F.col("w1"))
+            .select(
+                F.col("w2").alias("token"),
+                F.round(F.col("s").cast("double") * F.col("wt") / F.col("ow"), 9)
+                .cast("decimal(20,9)")
+                .alias("c9"),
+            )
+            .groupBy("token")
+            .agg(F.sum("c9").alias("inmass"))
+        )
+        # decimal literals, not float: 0.15 + 0.85·x must be EXACT
+        # decimal arithmetic (DuckDB parses the literals as DECIMAL;
+        # a double-path Spark twin disagrees in the 9th dp)
+        s = (
+            s.select("token")
+            .join(contrib, "token", "left")
+            .select(
+                "token",
+                F.round(
+                    F.lit("0.15").cast("decimal(3,2)")
+                    + F.lit("0.85").cast("decimal(3,2)")
+                    * F.coalesce(F.col("inmass"), F.lit(0).cast("decimal(20,9)")),
+                    9,
+                )
+                .cast("decimal(20,9)")
+                .alias("s"),
+            )
+            .persist()
+        )
+    return (
+        s.join(vc.withColumnRenamed("w", "token"), "token")
+        .select(
+            "token",
+            F.col("c").alias("n_occurrences"),
+            F.col("s").cast("double").alias("textrank"),
+        )
+        .orderBy(F.col("s").desc(), "token")
+        .limit(20)
+        .drop("s")
+    )

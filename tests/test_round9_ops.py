@@ -1200,3 +1200,87 @@ def test_segment_migration_is_a_partition(spark):
         (r["seg_1996"], r["seg_1997"]): r["n_customers"] for _, r in out.iterrows()
     }
     assert got == dict(ref)
+
+
+def test_als_step_matches_numpy_solve(spark):
+    """Per-user ridge solution recomputed with numpy.linalg.solve on
+    the raw (factor, rating) rows for a sample of users, factors
+    rebuilt with hashlib."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_builder_spark.llm.eval_metrics import ALS_LAMBDA
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    ).toPandas()
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey").toPandas()
+    df = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+
+    def factor(item, tag):
+        d = int(hashlib.md5(f"{item}:{tag}".encode()).hexdigest()[0], 16)
+        return round((2.0 * d - 15.0) / 30.0, 6)
+
+    out = {r["user_id"]: r for r in REGISTRY["ml_als_user_step"].fn(spark, SF_DIR).collect()}
+    users = list(out)[:25]
+    for u in users:
+        sub = df[df["o_custkey"] == u]
+        X = np.array(
+            [[factor(it, "f1"), factor(it, "f2")] for it in sub["l_partkey"]]
+        )
+        y = sub["l_quantity"].to_numpy(dtype="float64")
+        A = X.T @ X + ALS_LAMBDA * np.eye(2)
+        w = np.linalg.solve(A, X.T @ y)
+        r = out[u]
+        assert r["n_items"] == len(sub)
+        assert abs(r["w1"] - w[0]) < 1e-4
+        assert abs(r["w2"] - w[1]) < 1e-4
+
+
+def test_textrank_matches_python_reference(spark):
+    """Two damped rounds recomputed in plain Python over the same
+    floored co-occurrence graph, with the operator's per-edge 9-dp
+    rounding and per-round 9-dp score rounding reproduced."""
+    from collections import Counter, defaultdict
+
+    from etl_builder_spark.llm.text import TR_DAMP, TR_MIN_COUNT
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    pair_counts = Counter()
+    occ = Counter()
+    for r in docs:
+        t = r["text"].lower().split(" ")
+        for a, b in zip(t, t[1:]):
+            if a and b and a != b:
+                pair_counts[(a, b)] += 1
+                occ[a] += 1
+                occ[b] += 1
+    keep = {w for w, c in occ.items() if c >= TR_MIN_COUNT}
+    edges = Counter()
+    for (a, b), c in pair_counts.items():
+        if a in keep and b in keep:
+            edges[(a, b)] += c
+            edges[(b, a)] += c
+    outw = defaultdict(int)
+    for (a, _), c in edges.items():
+        outw[a] += c
+    s = {w: 1.0 for w in keep}
+    for _ in range(2):
+        inmass = defaultdict(float)
+        for (a, b), c in edges.items():
+            inmass[b] += round(s[a] * c / outw[a], 9)
+        s = {w: round(0.15 + TR_DAMP * round(inmass[w], 9), 9) for w in keep}
+    top = sorted(s.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    out = REGISTRY["text_textrank_keywords"].fn(spark, SF_DIR).collect()
+    assert [(r["token"], round(r["textrank"], 9)) for r in out] == [
+        (w, v) for w, v in top
+    ]
+    for r in out:
+        assert r["n_occurrences"] == occ[r["token"]]
