@@ -1594,3 +1594,105 @@ def multimodal_audio_haar_bands(spark, sf_dir):
         "asset_id long, n_blocks long, energy_hi long, energy_mid long,"
         " energy_lo long",
     )
+
+
+@register(
+    "multimodal_keyframe_argmax",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 8 + 6 AS n_frames,
+                   doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h
+            FROM documents WHERE doc_id < 200
+        ),
+        tv AS (
+            SELECT doc_id, f.i AS f, f.i // 3 AS shot,
+                   (SELECT SUM(ABS(
+                        (doc_id * 13 + (f.i // 3) * 50 + f.i * 7
+                         + r.i * 31 + (c.i + 1) * 17 + ch.i * 97) % 256
+                        - (doc_id * 13 + (f.i // 3) * 50 + f.i * 7
+                           + r.i * 31 + c.i * 17 + ch.i * 97) % 256))
+                    FROM unnest(range(0, h)) AS r(i),
+                         unnest(range(0, w - 1)) AS c(i),
+                         unnest(range(0, 3)) AS ch(i)) AS tv
+            FROM base, unnest(range(0, n_frames)) AS f(i)
+        )
+        SELECT doc_id AS asset_id, CAST(shot AS BIGINT) AS shot,
+               CAST(MIN(CASE WHEN (tv, -f) = mx THEN f END) AS BIGINT)
+                   AS keyframe,
+               CAST(MAX(tv) AS BIGINT) AS keyframe_tv,
+               CAST(COUNT(*) AS BIGINT) AS n_frames_in_shot
+        FROM (
+            SELECT doc_id, shot, f, tv,
+                   MAX((tv, -f)) OVER (PARTITION BY doc_id, shot) AS mx
+            FROM tv
+        )
+        GROUP BY doc_id, shot
+        ORDER BY asset_id, shot
+    """,
+    tags=("I-video",),
+)
+def multimodal_keyframe_argmax(spark, sf_dir):
+    """Keyframe selection — the step after multimodal_shot_boundaries
+    in every video curation pipeline: within each 3-frame shot, pick
+    the sharpest frame by total-variation proxy (sum of absolute
+    horizontal pixel deltas, the no-deps stand-in for Laplacian
+    sharpness), ties to the EARLIEST frame.  Frames flow through the
+    real PPM encode→decode codec (per-frame f·7 term varies pixels
+    WITHIN a shot, so the argmax is non-degenerate), and the oracle
+    recomputes every TV sum symbolically from the pattern arithmetic.
+
+    The argmax is the de-windowed max(struct(tv, −f)) idiom
+    (map-side combinable, VERDICT r4 item 4) — the Spark side carries
+    NO per-frame window at all.
+
+    100 TB posture: decode + TV stay inside Arrow batches per asset
+    (pixels never shuffle); the only exchange carries (asset, shot,
+    frame, tv) rows — frame-count-sized — into a (asset, shot)
+    aggregate.  Real decoders swap into the same mapInPandas seam
+    (multimodal_decode_meta's contract)."""
+    from etl_builder_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_builder_spark.llm.codecs import decode_ppm, encode_ppm
+
+        for pdf in batches:
+            ids, fr, tvs = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf, w, h = did % 8 + 6, did % 5 + 4, did % 3 + 3
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                for f in range(nf):
+                    px = (
+                        (did * 13 + (f // 3) * 50 + f * 7 + r * 31 + c * 17 + ch * 97)
+                        % 256
+                    ).astype(np.uint8)
+                    dec = decode_ppm(encode_ppm(px)).astype(np.int64)
+                    tv = int(np.abs(np.diff(dec, axis=1)).sum())
+                    ids.append(did)
+                    fr.append(f)
+                    tvs.append(tv)
+            yield pd.DataFrame({"doc_id": ids, "f": fr, "tv": tvs})
+
+    fs = d.mapInPandas(work, "doc_id long, f long, tv long")
+    picked = (
+        fs.groupBy(
+            F.col("doc_id").alias("asset_id"),
+            (F.col("f") / 3).cast("bigint").alias("shot"),
+        )
+        .agg(
+            F.max(F.struct(F.col("tv"), (-F.col("f")).alias("negf"))).alias("mx"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames_in_shot"),
+        )
+        .select(
+            "asset_id",
+            "shot",
+            (-F.col("mx.negf")).cast("bigint").alias("keyframe"),
+            F.col("mx.tv").cast("bigint").alias("keyframe_tv"),
+            "n_frames_in_shot",
+        )
+    )
+    return picked.orderBy("asset_id", "shot")

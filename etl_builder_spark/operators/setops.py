@@ -97,3 +97,59 @@ def set_intersect_all(spark, sf_dir):
         F.col("o_orderpriority").alias("priority")
     )
     return f.intersectAll(hi)
+
+
+@register(
+    "set_symmetric_diff",
+    oracle="""
+        WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                     AND o_orderdate <  TIMESTAMP '1997-01-01'),
+        b AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate <  TIMESTAMP '1998-01-01')
+        SELECT custkey, side FROM (
+            SELECT custkey, 'only_1996' AS side FROM a
+            WHERE custkey NOT IN (SELECT custkey FROM b)
+            UNION ALL
+            SELECT custkey, 'only_1997' AS side FROM b
+            WHERE custkey NOT IN (SELECT custkey FROM a)
+        )
+        ORDER BY custkey, side
+    """,
+    tags=("G5",),
+)
+def set_symmetric_diff(spark, sf_dir):
+    """Symmetric difference with provenance — (A∖B) ∪ (B∖A), each row
+    tagged with WHICH side it came from: the reconciliation query
+    behind "keys present in exactly one of two systems/periods"
+    audits (completes the G family: union/intersect/except in set and
+    multiset forms, now the xor).  Here: customers who ordered in
+    1996 xor 1997 — the churned + newly-acquired sets in one result.
+
+    Plans as two anti joins over the deduplicated sides; both sides
+    hash on the same key so the anti joins share one
+    co-partitioning, and the side tag is a literal, never a second
+    pass.  At 100 TB the two period scans partition-prune to their
+    date ranges."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def active(lo, hi):
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    a = active("1996-01-01", "1997-01-01")
+    b = active("1997-01-01", "1998-01-01")
+    only_a = a.join(b, "custkey", "left_anti").select(
+        "custkey", F.lit("only_1996").alias("side")
+    )
+    only_b = b.join(a, "custkey", "left_anti").select(
+        "custkey", F.lit("only_1997").alias("side")
+    )
+    return only_a.unionByName(only_b).orderBy("custkey", "side")

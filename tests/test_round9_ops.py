@@ -1284,3 +1284,56 @@ def test_textrank_matches_python_reference(spark):
     ]
     for r in out:
         assert r["n_occurrences"] == occ[r["token"]]
+
+
+def test_keyframe_argmax_matches_reference(spark):
+    """Keyframes recomputed in plain Python over the same synthetic
+    frames + codec path: per (asset, shot) max TV, earliest-frame
+    ties."""
+    import numpy as np
+
+    from etl_builder_spark.llm.codecs import decode_ppm, encode_ppm
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = {
+        (r["asset_id"], r["shot"]): r
+        for r in REGISTRY["multimodal_keyframe_argmax"].fn(spark, SF_DIR).collect()
+    }
+    # spot-check a handful of assets end-to-end
+    for did in (0, 7, 42, 123, 199):
+        nf, w, h = did % 8 + 6, did % 5 + 4, did % 3 + 3
+        r = np.arange(h)[:, None, None]
+        c = np.arange(w)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        best = {}
+        for f in range(nf):
+            px = (
+                (did * 13 + (f // 3) * 50 + f * 7 + r * 31 + c * 17 + ch * 97) % 256
+            ).astype(np.uint8)
+            dec = decode_ppm(encode_ppm(px)).astype(np.int64)
+            tv = int(np.abs(np.diff(dec, axis=1)).sum())
+            shot = f // 3
+            if shot not in best or tv > best[shot][1]:
+                best[shot] = (f, tv)
+        for shot, (kf, tv) in best.items():
+            row = out[(did, shot)]
+            assert (row["keyframe"], row["keyframe_tv"]) == (kf, tv)
+
+
+def test_symmetric_diff_partitions_correctly(spark):
+    """Every reported custkey is active in exactly one period, and the
+    counts match a pandas set computation."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    o = load_table(spark, SF_DIR, "orders").select("o_custkey", "o_orderdate").toPandas()
+    a = set(o.loc[(o["o_orderdate"] >= "1996-01-01") & (o["o_orderdate"] < "1997-01-01"), "o_custkey"])
+    b = set(o.loc[(o["o_orderdate"] >= "1997-01-01") & (o["o_orderdate"] < "1998-01-01"), "o_custkey"])
+    out = REGISTRY["set_symmetric_diff"].fn(spark, SF_DIR).collect()
+    got_a = {r["custkey"] for r in out if r["side"] == "only_1996"}
+    got_b = {r["custkey"] for r in out if r["side"] == "only_1997"}
+    assert got_a == a - b
+    assert got_b == b - a
+    assert not (got_a & got_b)
