@@ -213,3 +213,84 @@ def sql_udf_registered(spark, sf_dir):
         FROM orders WHERE o_orderkey < 2000
         """
     )
+
+
+def _nation_gap(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+    import pandas as pd
+
+    nk = (
+        left["c_nationkey"].iloc[0]
+        if len(left)
+        else right["s_nationkey"].iloc[0]
+    )
+    c_n, s_n = len(left), len(right)
+    c_bal = float(left["c_acctbal"].sum()) if c_n else 0.0
+    s_bal = float(right["s_acctbal"].sum()) if s_n else 0.0
+    return pd.DataFrame(
+        {
+            "nationkey": [int(nk)],
+            "n_customers": [c_n],
+            "n_suppliers": [s_n],
+            "customer_balance": [round(c_bal, 2)],
+            "supplier_balance": [round(s_bal, 2)],
+            "balance_gap": [round(c_bal - s_bal, 2)],
+        }
+    )
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+        WITH c AS (
+            SELECT c_nationkey AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+                       AS customer_balance
+            FROM customer GROUP BY 1
+        ),
+        s AS (
+            SELECT s_nationkey AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+                       AS supplier_balance
+            FROM supplier GROUP BY 1
+        )
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+               COALESCE(c.n_customers, 0) AS n_customers,
+               COALESCE(s.n_suppliers, 0) AS n_suppliers,
+               COALESCE(c.customer_balance, 0.0) AS customer_balance,
+               COALESCE(s.supplier_balance, 0.0) AS supplier_balance,
+               ROUND(COALESCE(c.customer_balance, 0.0)
+                     - COALESCE(s.supplier_balance, 0.0), 2) AS balance_gap
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    tags=("K-cogroup",),
+)
+def udf_cogrouped_map(spark, sf_dir):
+    """The COGROUPED pandas seam — ``groupBy(k).cogroup(other.
+    groupBy(k)).applyInPandas(fn)``: for every key, BOTH sides' rows
+    arrive as two aligned pandas frames in one Python call.  This is
+    the API for per-key logic that needs two tables at once (custom
+    as-of merges, per-entity reconciliation, trajectory alignment)
+    without pre-joining — here a per-nation customer-vs-supplier
+    balance reconciliation, with the SQL twin (two aggregates + full
+    outer join) hashing the seam end-to-end, empty-side keys
+    included.
+
+    100 TB posture: one hash exchange per side on the cogroup key
+    (exactly what the equivalent join would pay), Arrow batches per
+    key group, Python parallelism = executor cores.  Per-key frames
+    must fit executor memory — the same contract as applyInPandas,
+    hence the aggregate-sized demo; at scale pre-reduce each side
+    first (as any cogroup consumer should)."""
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    s = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    schema = (
+        "nationkey bigint, n_customers bigint, n_suppliers bigint, "
+        "customer_balance double, supplier_balance double, balance_gap double"
+    )
+    return (
+        c.groupBy("c_nationkey")
+        .cogroup(s.groupBy("s_nationkey"))
+        .applyInPandas(_nation_gap, schema)
+    )

@@ -1337,3 +1337,55 @@ def test_symmetric_diff_partitions_correctly(spark):
     assert got_a == a - b
     assert got_b == b - a
     assert not (got_a & got_b)
+
+
+def test_cogrouped_map_handles_empty_sides(spark):
+    """The cogroup seam must emit rows for keys present on only ONE
+    side — checked against pandas set arithmetic, plus balance spot
+    checks."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    c = load_table(spark, SF_DIR, "customer").select("c_nationkey", "c_acctbal").toPandas()
+    s = load_table(spark, SF_DIR, "supplier").select("s_nationkey", "s_acctbal").toPandas()
+    out = {r["nationkey"]: r for r in REGISTRY["udf_cogrouped_map"].fn(spark, SF_DIR).collect()}
+    assert set(out) == set(c["c_nationkey"]) | set(s["s_nationkey"])
+    for nk, r in out.items():
+        cc = c[c["c_nationkey"] == nk]
+        ss = s[s["s_nationkey"] == nk]
+        assert r["n_customers"] == len(cc) and r["n_suppliers"] == len(ss)
+        assert abs(r["customer_balance"] - round(float(cc["c_acctbal"].sum()), 2)) < 0.01
+        assert abs(r["balance_gap"] - (r["customer_balance"] - r["supplier_balance"])) < 0.015
+
+
+def test_woe_iv_matches_reference(spark):
+    """WOE/IV recomputed from pandas counts with the textbook
+    formulas; IV total equals the term sum and is non-negative."""
+    import math
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_quantity", "l_returnflag")
+        .toPandas()
+    )
+    pdf["bin"] = pdf["l_quantity"].astype("int64") // 10
+    pdf["bad"] = (pdf["l_returnflag"] == "R").astype(int)
+    tg = int((1 - pdf["bad"]).sum())
+    tb = int(pdf["bad"].sum())
+    out = REGISTRY["ml_feature_binning_woe"].fn(spark, SF_DIR).collect()
+    iv_sum = 0.0
+    for r in out:
+        grp = pdf[pdf["bin"] == r["bin"]]
+        ng, nb = int((1 - grp["bad"]).sum()), int(grp["bad"].sum())
+        assert (r["n_good"], r["n_bad"]) == (ng, nb)
+        woe_ref = math.log((ng / tg) / (nb / tb))
+        assert abs(r["woe"] - woe_ref) < 1e-6
+        iv_sum += round((ng / tg - nb / tb) * woe_ref, 9)
+    for r in out:
+        assert abs(r["iv_total"] - iv_sum) < 1e-6
+    assert out[0]["iv_total"] >= -1e-9
