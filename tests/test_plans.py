@@ -445,6 +445,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = frozenset({
     "ml_isotonic_calibration_pava",  # prefix sums over the <=50-bucket frame
     "ml_quantile_regression_grid",  # argmin over the 9-row slope-grid aggregate
     "stats_bh_fdr",  # rank over the 25-brand p-value frame
+    "stats_hill_tail_index",  # rank over the LIMIT-101 top-k slice
     "stats_wasserstein_binned",  # CDF running sum over the <=~60-bin frame
     "vocab_bpe_one_merge",  # merge pick over the |pair-vocab| frame
     "agg_gini_revenue",
