@@ -2766,3 +2766,125 @@ def ml_feature_binning_woe(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+#: learning-curve sample fractions (per-mille to stay integer-exact)
+LC_FRACS = (100, 250, 500, 1000)
+
+
+def _lc_u_sql() -> str:
+    return (
+        "list_reduce(list_transform(list_filter(string_split_regex("
+        "substr(md5(CAST(l_orderkey AS VARCHAR) || ':' "
+        "|| CAST(l_linenumber AS VARCHAR) || ':lc'), 1, 8), ''), "
+        "c -> c <> ''), c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+        "(a, x) -> a * 16 + x)"
+    )
+
+
+@register(
+    "ml_learning_curve_subsample",
+    oracle=f"""
+        WITH base AS (
+            SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t,
+                   CASE WHEN CAST(ROUND(l_discount * 100, 0) AS BIGINT) >= 6
+                        THEN 1 ELSE 0 END AS p,
+                   {_lc_u_sql()} AS h
+            FROM lineitem
+        ),
+        grid AS (SELECT unnest([{', '.join(str(f) for f in LC_FRACS)}]) AS pm),
+        cells AS (
+            SELECT g.pm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(t * p) AS BIGINT) AS tp,
+                   CAST(SUM((1 - t) * p) AS BIGINT) AS fp,
+                   CAST(SUM(t * (1 - p)) AS BIGINT) AS fn,
+                   CAST(SUM((1 - t) * (1 - p)) AS BIGINT) AS tn
+            FROM base b JOIN grid g ON b.h * 1000 < g.pm * 4294967296
+            GROUP BY g.pm
+        )
+        SELECT CAST(pm AS BIGINT) AS frac_permille, n, tp, fp, fn, tn,
+               ROUND(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy,
+               ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                     / (sqrt(CAST(tp + fp AS DOUBLE))
+                        * sqrt(CAST(tp + fn AS DOUBLE))
+                        * sqrt(CAST(tn + fp AS DOUBLE))
+                        * sqrt(CAST(tn + fn AS DOUBLE))), 6) AS mcc
+        FROM cells
+        ORDER BY pm
+    """,
+    tags=("ML-eval",),
+)
+def ml_learning_curve_subsample(spark, sf_dir):
+    """Learning-curve sweep: the ml_mcc_binary_gate metric evaluated
+    on NESTED hash subsamples at 10% / 25% / 50% / 100% — the "is the
+    metric stable yet, or do we need more eval data" diagnostic every
+    large-scale evaluation runs before trusting a number.  Nested by
+    construction (one uniform per row, thresholds compare against the
+    SAME draw), so each curve point is a superset of the previous —
+    the variance you see is sample-size, never re-draw noise.
+
+    The row uniform is the repo's engine-independent idiom (first 8
+    md5 hex digits as a 32-bit integer); the threshold compare is the
+    EXACT integer cross-product h·1000 < pm·2³² — no float fraction,
+    no boundary ambiguity.
+
+    100 TB posture: ONE scan; the ×|grid| expansion is a broadcast
+    join that collapses inside map-side combine (the stump-scan
+    shape) — shuffle carries 4 counters × |grid| groups; metric
+    arithmetic runs on the 4-row frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    p = F.when(F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 6, 1).otherwise(0)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                    F.lit(":lc"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = li.select(t.alias("t"), p.alias("p"), h.alias("h"))
+    grid = spark.createDataFrame([(f,) for f in LC_FRACS], "pm long")
+    cells = (
+        base.join(
+            F.broadcast(grid), base["h"] * 1000 < F.col("pm") * 4294967296
+        )
+        .groupBy("pm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("t") * F.col("p")).cast("bigint").alias("tp"),
+            F.sum((1 - F.col("t")) * F.col("p")).cast("bigint").alias("fp"),
+            F.sum(F.col("t") * (1 - F.col("p"))).cast("bigint").alias("fn"),
+            F.sum((1 - F.col("t")) * (1 - F.col("p"))).cast("bigint").alias("tn"),
+        )
+    )
+    tp, fp, fn_, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    n = F.col("n")
+    return cells.select(
+        F.col("pm").cast("bigint").alias("frac_permille"),
+        n,
+        tp,
+        fp,
+        fn_,
+        tn,
+        F.round((tp + tn).cast("double") / n, 6).alias("accuracy"),
+        F.round(
+            (tp.cast("double") * tn - fp.cast("double") * fn_)
+            / (
+                F.sqrt((tp + fp).cast("double"))
+                * F.sqrt((tp + fn_).cast("double"))
+                * F.sqrt((tn + fp).cast("double"))
+                * F.sqrt((tn + fn_).cast("double"))
+            ),
+            6,
+        ).alias("mcc"),
+    ).orderBy("frac_permille")

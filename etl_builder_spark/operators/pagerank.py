@@ -1144,3 +1144,130 @@ def graph_hits_hubs_authorities(spark, sf_dir):
         .orderBy(F.col("authority_2").desc(), "part_id")
         .limit(20)
     )
+
+
+@register(
+    "graph_modularity_score",
+    oracle=f"""
+        WITH {_EDGES_SQL},
+        sym AS (
+            SELECT u, v FROM edges
+            UNION ALL
+            SELECT v AS u, u AS v FROM edges
+        ),
+        l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+        l1 AS (
+            SELECT l.node, LEAST(l.lab, COALESCE(MIN(nb.lab), l.lab)) AS lab
+            FROM l0 l
+            LEFT JOIN sym s ON s.u = l.node
+            LEFT JOIN l0 nb ON nb.node = s.v
+            GROUP BY l.node, l.lab
+        ),
+        l2 AS (
+            SELECT l.node, LEAST(l.lab, COALESCE(MIN(nb.lab), l.lab)) AS lab
+            FROM l1 l
+            LEFT JOIN sym s ON s.u = l.node
+            LEFT JOIN l1 nb ON nb.node = s.v
+            GROUP BY l.node, l.lab
+        ),
+        l3 AS (
+            SELECT l.node, LEAST(l.lab, COALESCE(MIN(nb.lab), l.lab)) AS lab
+            FROM l2 l
+            LEFT JOIN sym s ON s.u = l.node
+            LEFT JOIN l2 nb ON nb.node = s.v
+            GROUP BY l.node, l.lab
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM sym),
+        within AS (
+            SELECT la.lab, CAST(COUNT(*) AS BIGINT) AS e_in2
+            FROM sym s
+            JOIN l3 la ON la.node = s.u
+            JOIN l3 lb ON lb.node = s.v
+            WHERE la.lab = lb.lab
+            GROUP BY la.lab
+        ),
+        degsum AS (
+            SELECT l3.lab, CAST(COUNT(*) AS BIGINT) AS d_c
+            FROM sym s JOIN l3 ON l3.node = s.u
+            GROUP BY l3.lab
+        )
+        SELECT d.lab AS community,
+               COALESCE(w.e_in2, 0) // 2 AS e_within,
+               d.d_c AS degree_sum,
+               ROUND(CAST(COALESCE(w.e_in2, 0) AS DOUBLE) / m.m2
+                     - (CAST(d.d_c AS DOUBLE) / m.m2)
+                       * (CAST(d.d_c AS DOUBLE) / m.m2), 9) AS q_contribution
+        FROM degsum d
+        LEFT JOIN within w ON w.lab = d.lab
+        CROSS JOIN m
+        ORDER BY community
+    """,
+    tags=("GR-modularity",),
+)
+def graph_modularity_score(spark, sf_dir):
+    """Newman modularity of the graph_label_propagation communities:
+    per community c, Q_c = e_c/m − (d_c/2m)² (within-community edge
+    share minus the null-model expectation) — the number that tells
+    you whether the propagation found real structure (ΣQ_c near 0 ⇒
+    no better than random) and the objective Louvain greedily climbs;
+    this key scores, Louvain would iterate re-assignment on the same
+    frames.
+
+    Exactness: within-edge counts and degree sums are exact BIGINTs
+    on the directed-both-ways edge list (e_in2 = 2e_c, m2 = 2m, so
+    e_in2/m2 = e_c/m with no halving divisions); each contribution is
+    one fixed float expression rounded at 9 dp.
+
+    100 TB posture: reuses the label-propagation rounds (per-round
+    persisted frontier), then ONE edges⋈labels⋈labels hash join pair
+    for within-counts and one edges⋈labels for degree sums — the
+    same shuffle class as a single propagation round."""
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(3):
+        labels = labels.persist()
+        nb_min = (
+            sym.join(labels.withColumnRenamed("node", "v2"), sym["v"] == F.col("v2"))
+            .groupBy("u")
+            .agg(F.min("lab").alias("nb_lab"))
+        )
+        labels = labels.join(nb_min, labels["node"] == nb_min["u"], "left").select(
+            "node",
+            F.least(F.col("lab"), F.coalesce(F.col("nb_lab"), F.col("lab"))).alias(
+                "lab"
+            ),
+        )
+    labels = labels.persist()
+    m2 = sym.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+    la = labels.select(F.col("node").alias("u"), F.col("lab").alias("la"))
+    lb = labels.select(F.col("node").alias("v"), F.col("lab").alias("lb"))
+    within = (
+        sym.join(la, "u")
+        .join(lb, "v")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lab"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in2"))
+    )
+    degsum = (
+        sym.join(la, "u")
+        .groupBy(F.col("la").alias("lab"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    j = degsum.join(within, "lab", "left").crossJoin(F.broadcast(m2))
+    e_in2 = F.coalesce(F.col("e_in2"), F.lit(0).cast("bigint"))
+    dc, m2c = F.col("d_c"), F.col("m2")
+    return j.select(
+        F.col("lab").alias("community"),
+        F.floor(e_in2 / 2).cast("bigint").alias("e_within"),
+        dc.alias("degree_sum"),
+        F.round(
+            e_in2.cast("double") / m2c
+            - (dc.cast("double") / m2c) * (dc.cast("double") / m2c),
+            9,
+        ).alias("q_contribution"),
+    ).orderBy("community")

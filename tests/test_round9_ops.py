@@ -1389,3 +1389,77 @@ def test_woe_iv_matches_reference(spark):
     for r in out:
         assert abs(r["iv_total"] - iv_sum) < 1e-6
     assert out[0]["iv_total"] >= -1e-9
+
+
+def test_modularity_matches_networkx_style_reference(spark):
+    """Modularity contributions recomputed in plain Python (the
+    networkx.algorithms.community.modularity formula) from the SAME
+    BFS-derived labels the label-propagation test verifies."""
+    from collections import defaultdict
+
+    from etl_builder_spark.operators.pagerank import _copurchase_edges
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    edges = _copurchase_edges(spark, SF_DIR).collect()
+    adj = defaultdict(set)
+    for r in edges:
+        adj[r["u"]].add(r["v"])
+        adj[r["v"]].add(r["u"])
+    lab = {}
+    for start in adj:
+        seen, frontier = {start}, {start}
+        for _ in range(3):
+            frontier = {w for x in frontier for w in adj[x]} - seen
+            seen |= frontier
+        lab[start] = min(seen)
+    m = len(edges)
+    e_within = defaultdict(int)
+    d_c = defaultdict(int)
+    for r in edges:
+        if lab[r["u"]] == lab[r["v"]]:
+            e_within[lab[r["u"]]] += 1
+    for node, neigh in adj.items():
+        d_c[lab[node]] += len(neigh)
+    out = {r["community"]: r for r in REGISTRY["graph_modularity_score"].fn(spark, SF_DIR).collect()}
+    assert set(out) == set(d_c)
+    q_total = 0.0
+    for c, r in out.items():
+        q_ref = e_within[c] / m - (d_c[c] / (2 * m)) ** 2
+        assert r["e_within"] == e_within[c] and r["degree_sum"] == d_c[c]
+        assert abs(r["q_contribution"] - q_ref) < 1e-9
+        q_total += q_ref
+    # min-label CC after 3 rounds groups whole components: Q must be
+    # strongly positive on this clustered co-purchase graph
+    assert q_total > 0.3
+
+
+def test_learning_curve_is_nested_and_converges(spark):
+    """Subsamples must be NESTED (n and every confusion cell
+    monotonically non-decreasing in the fraction), the 100% point
+    must equal ml_mcc_binary_gate exactly, and sample sizes must be
+    within binomial noise of the fraction."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = sorted(
+        REGISTRY["ml_learning_curve_subsample"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["frac_permille"],
+    )
+    assert [r["frac_permille"] for r in out] == [100, 250, 500, 1000]
+    for a, b in zip(out, out[1:]):
+        for c in ("n", "tp", "fp", "fn", "tn"):
+            assert a[c] <= b[c]
+    full = REGISTRY["ml_mcc_binary_gate"].fn(spark, SF_DIR).first()
+    last = out[-1]
+    assert (last["tp"], last["fp"], last["fn"], last["tn"]) == (
+        full["tp"],
+        full["fp"],
+        full["fn"],
+        full["tn"],
+    )
+    assert abs(last["mcc"] - full["mcc"]) < 1e-9
+    n_full = last["n"]
+    for r in out[:-1]:
+        expect = n_full * r["frac_permille"] / 1000
+        assert abs(r["n"] - expect) < 5 * (expect**0.5) + 10
