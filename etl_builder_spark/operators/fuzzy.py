@@ -429,3 +429,177 @@ def er_blocking_quality_report(spark, sf_dir):
             "precision_"
         ),
     )
+
+
+@register(
+    "er_fellegi_sunter_em",
+    oracle=f"""
+        WITH everything AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+            FROM customer
+            UNION ALL
+            SELECT c_custkey + {ER_OFFSET},
+                   substr(c_name, 1, length(c_name) - 1) || 'X',
+                   c_nationkey,
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+            FROM customer
+        ),
+        blocked AS (
+            SELECT *, substr(c_name, 10, 8) AS block_key FROM everything
+        ),
+        pairs AS (
+            SELECT CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+                        THEN 1 ELSE 0 END AS name_agree,
+                   CASE WHEN a.c_nationkey = b.c_nationkey
+                        THEN 1 ELSE 0 END AS nation_agree,
+                   CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END
+                       AS bal_agree,
+                   (CASE WHEN levenshtein(a.c_name, b.c_name) = 0
+                         THEN {FS_W_NAME_EXACT!r}
+                         WHEN levenshtein(a.c_name, b.c_name) <= 2
+                         THEN {FS_W_NAME_CLOSE!r}
+                         ELSE {FS_W_NAME_FAR!r} END
+                    + CASE WHEN a.c_nationkey = b.c_nationkey
+                           THEN {FS_W_NATION_AGREE!r}
+                           ELSE {FS_W_NATION_DISAGREE!r} END
+                    + CASE WHEN a.bal_band = b.bal_band
+                           THEN {FS_W_BAL_AGREE!r}
+                           ELSE {FS_W_BAL_DISAGREE!r} END) AS score
+            FROM blocked a JOIN blocked b
+              ON a.block_key = b.block_key AND a.c_custkey < b.c_custkey
+        ),
+        cls AS (
+            SELECT name_agree, nation_agree, bal_agree,
+                   CASE WHEN score >= {FS_MATCH_T!r} THEN 1 ELSE 0 END AS m
+            FROM pairs
+        ),
+        counts AS (
+            SELECT CAST(SUM(m) AS BIGINT) AS n_match,
+                   CAST(SUM(1 - m) AS BIGINT) AS n_non,
+                   CAST(SUM(m * name_agree) AS BIGINT) AS am_name,
+                   CAST(SUM((1 - m) * name_agree) AS BIGINT) AS au_name,
+                   CAST(SUM(m * nation_agree) AS BIGINT) AS am_nation,
+                   CAST(SUM((1 - m) * nation_agree) AS BIGINT) AS au_nation,
+                   CAST(SUM(m * bal_agree) AS BIGINT) AS am_bal,
+                   CAST(SUM((1 - m) * bal_agree) AS BIGINT) AS au_bal
+            FROM cls
+        ),
+        feat AS (
+            SELECT 'name_close' AS feature, am_name AS am, au_name AS au,
+                   n_match, n_non FROM counts
+            UNION ALL
+            SELECT 'nation', am_nation, au_nation, n_match, n_non FROM counts
+            UNION ALL
+            SELECT 'bal_band', am_bal, au_bal, n_match, n_non FROM counts
+        )
+        SELECT feature, n_match, n_non, am AS n_agree_match,
+               au AS n_agree_non,
+               ROUND((am + 0.5) / (n_match + 1.0), 6) AS m_hat,
+               ROUND((au + 0.5) / (n_non + 1.0), 6) AS u_hat,
+               ROUND(ln(((am + 0.5) / (n_match + 1.0))
+                        / ((au + 0.5) / (n_non + 1.0))) / ln(2.0), 6)
+                   AS weight_agree_bits
+        FROM feat
+        ORDER BY feature
+    """,
+    tags=("ER-linkage",),
+)
+def er_fellegi_sunter_em(spark, sf_dir):
+    """One distributed M-step of Fellegi–Sunter EM: hard-classify the
+    er_weighted_linkage candidate pairs with the CURRENT weights
+    (match ⇔ score ≥ 7), then re-estimate each feature's
+    m̂ = P(agree | match) and û = P(agree | non-match) and the
+    refreshed log₂ agreement weights — the update loop Splink et al.
+    run until the weights stabilize, here as pure relational algebra
+    (the docstring note on er_weighted_linkage promised this step;
+    iterating = re-running this key with the new literals).
+    Haldane +0.5/+1 smoothing keeps every estimate finite when a
+    feature never (dis)agrees within a class.
+
+    Exactness: the eight agreement×class counts are exact BIGINTs
+    from ONE conditional aggregate over the same blocked pair frame;
+    m̂/û/weights are fixed float expressions of those integers,
+    rounded once.
+
+    100 TB posture: identical candidate bound to the parent (block
+    join, never all-pairs); the E-step adds NOTHING to the pair scan
+    (classification is an expression), and the M-step reduces
+    map-side to a 1-row frame unpivoted to 3 feature rows."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    )
+    dirty = base.select(
+        (F.col("c_custkey") + ER_OFFSET).alias("c_custkey"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, F.length("c_name") - 1), F.lit("X")
+        ).alias("c_name"),
+        "c_nationkey",
+        "bal_band",
+    )
+    blocked = base.unionByName(dirty).withColumn(
+        "block_key", F.substring("c_name", 10, 8)
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ed = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    name_agree = F.when(ed <= 2, 1).otherwise(0)
+    nation_agree = F.when(F.col("a.c_nationkey") == F.col("b.c_nationkey"), 1).otherwise(0)
+    bal_agree = F.when(F.col("a.bal_band") == F.col("b.bal_band"), 1).otherwise(0)
+    score = (
+        F.when(ed == 0, FS_W_NAME_EXACT)
+        .when(ed <= 2, FS_W_NAME_CLOSE)
+        .otherwise(FS_W_NAME_FAR)
+        + F.when(nation_agree == 1, FS_W_NATION_AGREE).otherwise(FS_W_NATION_DISAGREE)
+        + F.when(bal_agree == 1, FS_W_BAL_AGREE).otherwise(FS_W_BAL_DISAGREE)
+    )
+    m = F.when(score >= FS_MATCH_T, 1).otherwise(0)
+    pairs = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        name_agree.alias("name_agree"),
+        nation_agree.alias("nation_agree"),
+        bal_agree.alias("bal_agree"),
+        m.alias("m"),
+    )
+    counts = pairs.agg(
+        F.sum("m").cast("bigint").alias("n_match"),
+        F.sum(1 - F.col("m")).cast("bigint").alias("n_non"),
+        F.sum(F.col("m") * F.col("name_agree")).cast("bigint").alias("am_name"),
+        F.sum((1 - F.col("m")) * F.col("name_agree")).cast("bigint").alias("au_name"),
+        F.sum(F.col("m") * F.col("nation_agree")).cast("bigint").alias("am_nation"),
+        F.sum((1 - F.col("m")) * F.col("nation_agree")).cast("bigint").alias("au_nation"),
+        F.sum(F.col("m") * F.col("bal_agree")).cast("bigint").alias("am_bal"),
+        F.sum((1 - F.col("m")) * F.col("bal_agree")).cast("bigint").alias("au_bal"),
+    )
+    feats = None
+    for name, am, au in (
+        ("name_close", "am_name", "au_name"),
+        ("nation", "am_nation", "au_nation"),
+        ("bal_band", "am_bal", "au_bal"),
+    ):
+        row = counts.select(
+            F.lit(name).alias("feature"),
+            "n_match",
+            "n_non",
+            F.col(am).alias("n_agree_match"),
+            F.col(au).alias("n_agree_non"),
+        )
+        feats = row if feats is None else feats.unionByName(row)
+    mh = (F.col("n_agree_match") + 0.5) / (F.col("n_match") + 1.0)
+    uh = (F.col("n_agree_non") + 0.5) / (F.col("n_non") + 1.0)
+    return feats.select(
+        "feature",
+        "n_match",
+        "n_non",
+        "n_agree_match",
+        "n_agree_non",
+        F.round(mh, 6).alias("m_hat"),
+        F.round(uh, 6).alias("u_hat"),
+        F.round(F.log(mh / uh) / F.log(F.lit(2.0)), 6).alias("weight_agree_bits"),
+    ).orderBy("feature")

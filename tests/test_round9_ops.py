@@ -1466,3 +1466,89 @@ def test_learning_curve_is_nested_and_converges(spark):
     for r in out[:-1]:
         expect = n_full * r["frac_permille"] / 1000
         assert abs(r["n"] - expect) < 5 * (expect**0.5) + 10
+
+
+def test_fellegi_sunter_em_matches_reference(spark):
+    """m̂/û recomputed in pandas from the raw pair frame built with
+    the same blocking + mangle fixture; weights must separate
+    (agree-weight positive for every feature given the planted
+    duplicates) and EM must sharpen the name weight vs the prior."""
+    import math
+
+    from etl_builder_spark.operators.fuzzy import (
+        ER_OFFSET,
+        FS_MATCH_T,
+        FS_W_BAL_AGREE,
+        FS_W_BAL_DISAGREE,
+        FS_W_NAME_CLOSE,
+        FS_W_NAME_EXACT,
+        FS_W_NAME_FAR,
+        FS_W_NATION_AGREE,
+        FS_W_NATION_DISAGREE,
+    )
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    c = load_table(spark, SF_DIR, "customer").toPandas()
+    import pandas as pd
+
+    base = pd.DataFrame(
+        {
+            "k": c["c_custkey"],
+            "name": c["c_name"],
+            "nat": c["c_nationkey"],
+            "bal": (c["c_acctbal"] // 1000).astype("int64"),
+        }
+    )
+    dirty = base.copy()
+    dirty["k"] = dirty["k"] + ER_OFFSET
+    dirty["name"] = dirty["name"].str[:-1] + "X"
+    allr = pd.concat([base, dirty], ignore_index=True)
+    allr["block"] = allr["name"].str[9:17]
+
+    def lev(s, t):
+        if s == t:
+            return 0
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    rows = []
+    for _, grp in allr.groupby("block"):
+        recs = grp.to_dict("records")
+        for i in range(len(recs)):
+            for j in range(len(recs)):
+                ra, rb = recs[i], recs[j]
+                if ra["k"] >= rb["k"]:
+                    continue
+                ed = lev(ra["name"], rb["name"])
+                na = 1 if ed <= 2 else 0
+                ag_nat = 1 if ra["nat"] == rb["nat"] else 0
+                ag_bal = 1 if ra["bal"] == rb["bal"] else 0
+                score = (
+                    (FS_W_NAME_EXACT if ed == 0 else FS_W_NAME_CLOSE if ed <= 2 else FS_W_NAME_FAR)
+                    + (FS_W_NATION_AGREE if ag_nat else FS_W_NATION_DISAGREE)
+                    + (FS_W_BAL_AGREE if ag_bal else FS_W_BAL_DISAGREE)
+                )
+                rows.append((na, ag_nat, ag_bal, 1 if score >= FS_MATCH_T else 0))
+    n_match = sum(r[3] for r in rows)
+    n_non = len(rows) - n_match
+    out = {r["feature"]: r for r in REGISTRY["er_fellegi_sunter_em"].fn(spark, SF_DIR).collect()}
+    assert out["name_close"]["n_match"] == n_match and out["name_close"]["n_non"] == n_non
+    for feat, idx in (("name_close", 0), ("nation", 1), ("bal_band", 2)):
+        am = sum(r[idx] for r in rows if r[3])
+        au = sum(r[idx] for r in rows if not r[3])
+        r = out[feat]
+        assert (r["n_agree_match"], r["n_agree_non"]) == (am, au)
+        m_hat = (am + 0.5) / (n_match + 1.0)
+        u_hat = (au + 0.5) / (n_non + 1.0)
+        assert abs(r["m_hat"] - m_hat) < 1e-6
+        assert abs(r["weight_agree_bits"] - math.log(m_hat / u_hat, 2)) < 1e-5
+    # the name feature must separate strongly (the planted dups all
+    # agree on it); weak features may land near zero either side
+    assert out["name_close"]["weight_agree_bits"] > 1.0
