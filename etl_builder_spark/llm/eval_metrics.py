@@ -2888,3 +2888,134 @@ def ml_learning_curve_subsample(spark, sf_dir):
             6,
         ).alias("mcc"),
     ).orderBy("frac_permille")
+
+
+#: fixed GMM-EM initialization (component, weight, mean, sigma)
+GMM_INIT = ((1, 0.5, 10.0, 8.0), (2, 0.5, 40.0, 8.0))
+
+
+def _gmm_phi_sql(mu: float, sigma: float) -> str:
+    return (
+        f"exp(-((CAST(q AS DOUBLE) - {mu!r}) * (CAST(q AS DOUBLE) - {mu!r}))"
+        f" / (2.0 * {sigma!r} * {sigma!r})) / ({sigma!r} * sqrt(2.0 * pi()))"
+    )
+
+
+@register(
+    "ml_gmm_em_step_binned",
+    oracle=f"""
+        WITH b AS (
+            SELECT CAST(l_quantity AS BIGINT) AS q,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1
+        ),
+        resp AS (
+            SELECT q, n,
+                   CAST(ROUND(
+                       {GMM_INIT[0][1]!r} * ({_gmm_phi_sql(10.0, 8.0)})
+                       / ({GMM_INIT[0][1]!r} * ({_gmm_phi_sql(10.0, 8.0)})
+                          + {GMM_INIT[1][1]!r} * ({_gmm_phi_sql(40.0, 8.0)})), 9)
+                       AS DECIMAL(18,9)) AS r1
+            FROM b
+        ),
+        moments AS (
+            SELECT
+                CAST(SUM(n) AS BIGINT) AS nt,
+                CAST(SUM(n * r1) AS DOUBLE) AS s1,
+                CAST(SUM(n * r1 * q) AS DOUBLE) AS sq1,
+                CAST(SUM(n * r1 * q * q) AS DOUBLE) AS sqq1,
+                CAST(SUM(CAST(n AS DECIMAL(28,9)) * q) AS DOUBLE) AS sq,
+                CAST(SUM(CAST(n AS DECIMAL(38,0)) * q * q) AS DOUBLE) AS sqq
+            FROM resp
+        ),
+        comp AS (
+            SELECT 1 AS component, s1 AS mass, sq1 AS wsum, sqq1 AS wsq, nt
+            FROM moments
+            UNION ALL
+            SELECT 2, nt - s1, sq - sq1, sqq - sqq1, nt FROM moments
+        )
+        SELECT component,
+               ROUND(mass / nt, 6) AS weight_new,
+               ROUND(wsum / mass, 6) AS mu_new,
+               ROUND(sqrt(wsq / mass - (wsum / mass) * (wsum / mass)), 6)
+                   AS sigma_new
+        FROM comp
+        ORDER BY component
+    """,
+    tags=("ML-gmm",),
+)
+def ml_gmm_em_step_binned(spark, sf_dir):
+    """One EM iteration for a 2-component 1-D Gaussian mixture on the
+    quantity HISTOGRAM — soft-clustering's inner loop as relational
+    algebra: the E-step computes each bin's responsibility under the
+    fixed initialization (w=.5/.5, μ=10/40, σ=8/8), the M-step
+    re-estimates weights, means and sigmas from responsibility-
+    weighted moments.  Binned EM is how mixture fits run at corpus
+    scale (bin once, iterate on the histogram — identical likelihood
+    when values are integers, as quantity is).
+
+    Exactness: the histogram is exact BIGINT; each bin's
+    responsibility is ONE fixed float expression (exp/sqrt/π
+    identical IEEE in both engines) rounded to 9 dp into DECIMAL, so
+    component-2's moments are EXACT complements (n−r₁ mass, Σnq−Σ₁,
+    Σnq²−Σ₁) — no second responsibility rounding to drift; M-step
+    outputs are fixed float expressions rounded once.
+
+    100 TB posture: the data pass collapses map-side to ≤50 bins;
+    iterations touch only the histogram frame.  More components add
+    responsibility columns, never passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(F.col("l_quantity").cast("bigint").alias("q")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    qd = F.col("q").cast("double")
+
+    def phi(mu, sigma):
+        import math
+
+        return F.exp(-((qd - mu) * (qd - mu)) / (2.0 * sigma * sigma)) / (
+            sigma * math.sqrt(2.0) * F.sqrt(F.lit(math.pi))
+        )
+
+    w1, mu1, s1_ = GMM_INIT[0][1], GMM_INIT[0][2], GMM_INIT[0][3]
+    w2, mu2, s2_ = GMM_INIT[1][1], GMM_INIT[1][2], GMM_INIT[1][3]
+    r1 = F.round(
+        w1 * phi(mu1, s1_) / (w1 * phi(mu1, s1_) + w2 * phi(mu2, s2_)), 9
+    ).cast("decimal(18,9)")
+    resp = b.select("q", "n", r1.alias("r1"))
+    m = resp.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.col("n") * F.col("r1")).cast("double").alias("s1"),
+        F.sum(F.col("n") * F.col("r1") * F.col("q")).cast("double").alias("sq1"),
+        F.sum(F.col("n") * F.col("r1") * F.col("q") * F.col("q"))
+        .cast("double")
+        .alias("sqq1"),
+        F.sum(F.col("n").cast("decimal(28,9)") * F.col("q")).cast("double").alias("sq"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("q") * F.col("q"))
+        .cast("double")
+        .alias("sqq"),
+    )
+    c1 = m.select(
+        F.lit(1).alias("component"),
+        F.col("s1").alias("mass"),
+        F.col("sq1").alias("wsum"),
+        F.col("sqq1").alias("wsq"),
+        "nt",
+    )
+    c2 = m.select(
+        F.lit(2).alias("component"),
+        (F.col("nt") - F.col("s1")).alias("mass"),
+        (F.col("sq") - F.col("sq1")).alias("wsum"),
+        (F.col("sqq") - F.col("sqq1")).alias("wsq"),
+        "nt",
+    )
+    comp = c1.unionByName(c2)
+    mass, wsum, wsq = F.col("mass"), F.col("wsum"), F.col("wsq")
+    return comp.select(
+        "component",
+        F.round(mass / F.col("nt"), 6).alias("weight_new"),
+        F.round(wsum / mass, 6).alias("mu_new"),
+        F.round(F.sqrt(wsq / mass - (wsum / mass) * (wsum / mass)), 6).alias(
+            "sigma_new"
+        ),
+    ).orderBy("component")

@@ -397,3 +397,113 @@ def sample_priority_ppswor(spark, sf_dir):
         .limit(PPSWOR_K)
         .select("o_orderkey", "w_cents", F.round(F.col("p_raw"), 6).alias("priority"))
     )
+
+
+@register(
+    "sample_balanced_downsample",
+    oracle="""
+        WITH base AS (
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
+                   list_reduce(list_transform(list_filter(string_split_regex(
+                       substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                  || CAST(l_linenumber AS VARCHAR) || ':bal'),
+                              1, 8), ''), c -> c <> ''),
+                       c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                       (a, x) -> a * 16 + x) AS h
+            FROM lineitem
+        ),
+        counts AS (
+            SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+            FROM base
+        ),
+        kept AS (
+            SELECT b.pos,
+                   CASE WHEN b.pos = 1
+                             OR b.h * c.n_neg < 4294967296 * c.n_pos
+                        THEN 1 ELSE 0 END AS keep
+            FROM base b CROSS JOIN counts c
+        )
+        SELECT CASE WHEN pos = 1 THEN 'positive' ELSE 'negative' END
+                   AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_before,
+               CAST(SUM(keep) AS BIGINT) AS n_after,
+               ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+        FROM kept
+        GROUP BY pos
+        ORDER BY label
+    """,
+    tags=("SAMPLE-balance",),
+)
+def sample_balanced_downsample(spark, sf_dir):
+    """Class-balanced negative downsampling — the standard prepare
+    step for imbalanced binary training sets: keep EVERY positive
+    (returned lines, ~25%), hash-downsample negatives to the positive
+    count.  The keep rule for a negative is the exact integer
+    cross-product h·n_neg < 2³²·n_pos (h = first 8 md5 hex digits as
+    a 32-bit uniform) — no float ratio, no boundary ambiguity, and
+    the SAME rows survive on any engine, any partitioning, any rerun
+    (the property that makes the downsample reproducible across
+    training runs).  Declared output is the per-class census; the
+    row-level frame is the obvious `WHERE keep = 1` on the same
+    expression.
+
+    Exactness: class counts are exact BIGINTs from one pass; the
+    keep decision is exact integer arithmetic (h·n_neg ≤ 2³²·2⁶³?
+    h < 2³², n_neg ≤ 2³¹ keeps the product inside int64 through
+    ~2e9 negatives; DECIMAL swap documented past that).
+
+    100 TB posture: two passes (count, then gate) — the count frame
+    is 1 row broadcast into the gating scan; at scale the gate
+    usually fuses into the next pipeline stage so the downsample
+    costs zero extra shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                    F.lit(":bal"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = li.select(pos.alias("pos"), h.alias("h"))
+    counts = base.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    kept = base.crossJoin(F.broadcast(counts)).select(
+        "pos",
+        F.when(
+            (F.col("pos") == 1)
+            | (F.col("h") * F.col("n_neg") < F.lit(4294967296) * F.col("n_pos")),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return (
+        kept.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_before"),
+            F.sum("keep").cast("bigint").alias("n_after"),
+        )
+        .select(
+            F.when(F.col("pos") == 1, "positive").otherwise("negative").alias("label"),
+            "n_before",
+            "n_after",
+            F.round(F.col("n_after").cast("double") / F.col("n_before"), 6).alias(
+                "keep_rate"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -1556,3 +1556,96 @@ def test_fellegi_sunter_em_matches_reference(spark):
     # above is the real check, plus basic probability sanity here
     for r in out.values():
         assert 0.0 < r["m_hat"] < 1.0 and 0.0 < r["u_hat"] < 1.0
+
+
+def test_balanced_downsample_invariants(spark):
+    """All positives kept; negatives kept at ~n_pos/n_neg rate within
+    binomial noise; keep decision reproduced with hashlib for a
+    sample of rows."""
+    import hashlib
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    out = {r["label"]: r for r in REGISTRY["sample_balanced_downsample"].fn(spark, SF_DIR).collect()}
+    pos, neg = out["positive"], out["negative"]
+    assert pos["n_after"] == pos["n_before"]
+    expect = pos["n_before"]
+    sd = (neg["n_before"] * (expect / neg["n_before"]) * (1 - expect / neg["n_before"])) ** 0.5
+    assert abs(neg["n_after"] - expect) < 5 * sd + 10
+    # reproduce the integer gate for a handful of negatives
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .toPandas()
+    )
+    n_pos = int((li["l_returnflag"] == "R").sum())
+    n_neg = len(li) - n_pos
+    assert (pos["n_before"], neg["n_before"]) == (n_pos, n_neg)
+    sample = li[li["l_returnflag"] != "R"].head(200)
+    kept_ref = sum(
+        int(hashlib.md5(f"{ok}:{ln}:bal".encode()).hexdigest()[:8], 16) * n_neg
+        < 4294967296 * n_pos
+        for ok, ln in zip(sample["l_orderkey"], sample["l_linenumber"])
+    )
+    # the same 200-row prefix evaluated through Spark
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(sample[["l_orderkey", "l_linenumber"]])
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                    F.lit(":bal"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    kept_spark = sdf.where(h * n_neg < 4294967296 * n_pos).count()
+    assert kept_spark == kept_ref
+
+
+def test_gmm_em_step_matches_numpy(spark):
+    """The EM update recomputed with numpy over the raw quantity
+    column (dense, unbinned — identical for integer values), with the
+    operator's 9-dp responsibility rounding; masses sum to n and the
+    step must pull the means apart toward the true mixture."""
+    import numpy as np
+
+    from etl_builder_spark.llm.eval_metrics import GMM_INIT
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    x = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_quantity")
+        .toPandas()["l_quantity"]
+        .astype("float64")
+        .to_numpy()
+    )
+    (_, w1, mu1, s1), (_, w2, mu2, s2) = GMM_INIT
+
+    def phi(v, mu, s):
+        return np.exp(-((v - mu) ** 2) / (2 * s * s)) / (s * np.sqrt(2 * np.pi))
+
+    r1 = np.round(w1 * phi(x, mu1, s1) / (w1 * phi(x, mu1, s1) + w2 * phi(x, mu2, s2)), 9)
+    out = {r["component"]: r for r in REGISTRY["ml_gmm_em_step_binned"].fn(spark, SF_DIR).collect()}
+    for comp, r in ((1, r1), (2, 1 - r1)):
+        mass = r.sum()
+        mu_new = (r * x).sum() / mass
+        var_new = (r * x * x).sum() / mass - mu_new**2
+        row = out[comp]
+        assert abs(row["weight_new"] - mass / len(x)) < 1e-6
+        assert abs(row["mu_new"] - mu_new) < 1e-4
+        assert abs(row["sigma_new"] - var_new**0.5) < 1e-4
+    assert abs(out[1]["weight_new"] + out[2]["weight_new"] - 1.0) < 1e-6
+    assert out[1]["mu_new"] < out[2]["mu_new"]
