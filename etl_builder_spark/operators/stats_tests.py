@@ -1533,3 +1533,169 @@ def stats_hill_tail_index(spark, sf_dir):
         "hill_gamma",
         "tail_alpha",
     )
+
+
+@register(
+    "stats_capture_recapture",
+    oracle="""
+        WITH flags AS (
+            SELECT o_custkey,
+                   MAX(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                             AND o_orderdate < TIMESTAMP '1997-01-01'
+                            THEN 1 ELSE 0 END) AS s1,
+                   MAX(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                             AND o_orderdate < TIMESTAMP '1998-01-01'
+                            THEN 1 ELSE 0 END) AS s2
+            FROM orders GROUP BY o_custkey
+        ),
+        m AS (
+            SELECT CAST(SUM(s1) AS BIGINT) AS n1,
+                   CAST(SUM(s2) AS BIGINT) AS n2,
+                   CAST(SUM(s1 * s2) AS BIGINT) AS m12,
+                   CAST(SUM(CASE WHEN s1 = 1 OR s2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS observed
+            FROM flags
+        )
+        SELECT n1, n2, m12, observed,
+               ROUND(CAST(n1 AS DOUBLE) * n2 / m12, 6) AS lincoln_petersen,
+               ROUND((n1 + 1.0) * (n2 + 1.0) / (m12 + 1.0) - 1.0, 6)
+                   AS chapman,
+               ROUND(sqrt((n1 + 1.0) * (n2 + 1.0)
+                          * (n1 - CAST(m12 AS DOUBLE)) * (n2 - m12)
+                          / ((m12 + 1.0) * (m12 + 1.0) * (m12 + 2.0))), 6)
+                   AS chapman_se
+        FROM m
+    """,
+    tags=("STATS-capture",),
+)
+def stats_capture_recapture(spark, sf_dir):
+    """Two-sample capture–recapture (Lincoln–Petersen + the Chapman
+    bias-corrected estimator with its SE): treat 1996 and 1997 active
+    customers as two capture occasions and estimate the TOTAL
+    population from the overlap — the mark-recapture method data
+    teams reuse to estimate true entity counts behind incomplete
+    extractions (how many real customers/entities exist given two
+    partial snapshots; also the standard estimator for residual
+    duplicates after a dedup pass: sample twice, count re-catches).
+
+    Exactness: per-customer capture flags are exact 0/1 MAX
+    aggregates from ONE date-pruned scan; n₁, n₂, m₁₂ and the
+    observed union are exact BIGINTs; the three estimators are fixed
+    float expressions rounded once.  Chapman is defined even at
+    m₁₂=0; the Lincoln–Petersen ratio would need m₁₂>0 (guaranteed
+    here, and the assumption to check is capture independence —
+    documented, not silently corrected).
+
+    100 TB posture: one map-side-combined pass to |customers| flags,
+    then a 4-accumulator reduce to a 1-row frame."""
+    o = load_table(spark, sf_dir, "orders")
+    in96 = (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    in97 = (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    flags = o.groupBy("o_custkey").agg(
+        F.max(F.when(in96, 1).otherwise(0)).alias("s1"),
+        F.max(F.when(in97, 1).otherwise(0)).alias("s2"),
+    )
+    m = flags.agg(
+        F.sum("s1").cast("bigint").alias("n1"),
+        F.sum("s2").cast("bigint").alias("n2"),
+        F.sum(F.col("s1") * F.col("s2")).cast("bigint").alias("m12"),
+        F.sum(F.when((F.col("s1") == 1) | (F.col("s2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("observed"),
+    )
+    n1, n2, m12 = F.col("n1"), F.col("n2"), F.col("m12")
+    return m.select(
+        n1,
+        n2,
+        m12,
+        "observed",
+        F.round(n1.cast("double") * n2 / m12, 6).alias("lincoln_petersen"),
+        F.round((n1 + 1.0) * (n2 + 1.0) / (m12 + 1.0) - 1.0, 6).alias("chapman"),
+        F.round(
+            F.sqrt(
+                (n1 + 1.0)
+                * (n2 + 1.0)
+                * (n1 - m12.cast("double"))
+                * (n2 - m12)
+                / ((m12 + 1.0) * (m12 + 1.0) * (m12 + 2.0))
+            ),
+            6,
+        ).alias("chapman_se"),
+    )
+
+
+@register(
+    "stats_cochran_q",
+    oracle="""
+        WITH rules AS (
+            SELECT CASE WHEN CAST(l_quantity AS BIGINT) > 25 THEN 1 ELSE 0 END
+                       AS r1,
+                   CASE WHEN CAST(ROUND(l_discount * 100, 0) AS BIGINT) >= 5
+                        THEN 1 ELSE 0 END AS r2,
+                   CASE WHEN CAST(l_extendedprice AS DECIMAL(18,2)) > 30000
+                        THEN 1 ELSE 0 END AS r3
+            FROM lineitem
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(r1) AS BIGINT) AS c1,
+                   CAST(SUM(r2) AS BIGINT) AS c2,
+                   CAST(SUM(r3) AS BIGINT) AS c3,
+                   CAST(SUM(r1 + r2 + r3) AS BIGINT) AS sr,
+                   CAST(SUM((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT) AS sr2
+            FROM rules
+        )
+        SELECT n, c1, c2, c3,
+               ROUND(2.0 * (3.0 * (CAST(c1 AS DOUBLE) * c1
+                                   + CAST(c2 AS DOUBLE) * c2
+                                   + CAST(c3 AS DOUBLE) * c3)
+                            - CAST(sr AS DOUBLE) * sr)
+                     / (3.0 * sr - sr2), 6) AS cochran_q
+        FROM m
+    """,
+    tags=("STATS-paired",),
+)
+def stats_cochran_q(spark, sf_dir):
+    """Cochran's Q — the k-treatment generalization of McNemar: do
+    THREE binary rules (quantity > 25, discount ≥ 5%, price > $30k)
+    fire at the same marginal rate on the same rows?  Q = (k−1)·
+    (k·ΣC_j² − (ΣC_j)²)/(k·ΣR_i − ΣR_i²) with row sums R_i ∈ {0..k},
+    ~χ²(k−1) under the null — the screen run before pairwise McNemars
+    (stats_mcnemar_paired is the k=2 cell of this family).
+
+    Exactness: column totals, ΣR and ΣR² are exact BIGINTs from ONE
+    conditional aggregate (R_i enters as the per-row integer sum, so
+    no per-row float ever exists); Q is a single fixed float
+    expression rounded once.  ΣC² ≤ n² — int64-safe through ~3e9
+    rows; the documented DECIMAL(38,0) swap applies past that.
+
+    100 TB posture: one map-side-combined pass, six accumulators, a
+    1-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r1 = F.when(F.col("l_quantity").cast("bigint") > 25, 1).otherwise(0)
+    r2 = F.when(F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 5, 1).otherwise(0)
+    r3 = F.when(F.col("l_extendedprice").cast("decimal(18,2)") > 30000, 1).otherwise(0)
+    rs = r1 + r2 + r3
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(r1).cast("bigint").alias("c1"),
+        F.sum(r2).cast("bigint").alias("c2"),
+        F.sum(r3).cast("bigint").alias("c3"),
+        F.sum(rs).cast("bigint").alias("sr"),
+        F.sum(rs * rs).cast("bigint").alias("sr2"),
+    )
+    c1, c2, c3 = F.col("c1"), F.col("c2"), F.col("c3")
+    sr, sr2 = F.col("sr"), F.col("sr2")
+    q = (
+        2.0
+        * (
+            3.0 * (c1.cast("double") * c1 + c2.cast("double") * c2 + c3.cast("double") * c3)
+            - sr.cast("double") * sr
+        )
+        / (3.0 * sr - sr2)
+    )
+    return m.select("n", c1, c2, c3, F.round(q, 6).alias("cochran_q"))

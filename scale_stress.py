@@ -364,6 +364,75 @@ def measure_rank_map(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_pregel_persist(spark, sf_dir: str) -> dict:
+    """Round-9 family: the iterate-on-DataFrame lineage trap, measured.
+    Three synchronous min-label rounds (the graph_label_propagation
+    kernel) over the token co-occurrence graph of the xN corpus —
+    per-copy vocabularies are disjoint, so the graph is N independent
+    copies and a well-behaved implementation scales ~linearly.  The
+    no-persist variant re-expands every prior round's joins inside each
+    new round's plan; the shipped per-round persist() cuts the lineage.
+    Both variants must produce an IDENTICAL component census."""
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "w"),
+    )
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        toks.select("doc_id", "pos", "w", F.lead("w").over(wn).alias("w2"))
+        .where((F.col("w") != "") & F.col("w2").isNotNull() & (F.col("w") != F.col("w2")))
+        .groupBy(F.col("w").alias("u"), F.col("w2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .select("u", "v")
+        .persist()
+    )
+    n_edges = adj.count()
+
+    def run(persist: bool):
+        sym = adj.unionAll(adj.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        if persist:
+            sym = sym.persist()
+        labels = sym.select(F.col("u").alias("node")).distinct().select(
+            "node", F.col("node").alias("lab")
+        )
+        for _ in range(3):
+            if persist:
+                labels = labels.persist()
+            nb = (
+                sym.join(labels.withColumnRenamed("node", "v2"), sym["v"] == F.col("v2"))
+                .groupBy("u")
+                .agg(F.min("lab").alias("nb_lab"))
+            )
+            labels = labels.join(nb, labels["node"] == nb["u"], "left").select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("nb_lab"), F.col("lab"))).alias("lab"),
+            )
+        census = labels.groupBy("lab").count()
+        return census.agg(
+            F.count(F.lit(1)).alias("n_labels"),
+            F.sum("count").alias("n_nodes"),
+        ).first()
+
+    (a, secs_nopersist) = timed(lambda: run(False))
+    spark.catalog.clearCache()
+    adj.persist()
+    adj.count()
+    (b, secs_persist) = timed(lambda: run(True))
+    spark.catalog.clearCache()
+    adj.unpersist()
+    return {
+        "n_input": n_edges,
+        "candidates": int(a["n_labels"]),
+        "identical": tuple(a) == tuple(b),
+        "seconds": secs_persist,
+        "seconds_parent": secs_nopersist,
+    }
+
+
 FAMILIES = {
     "minhash_banding": measure_minhash,
     "sign_lsh": measure_sign_lsh,
@@ -372,6 +441,7 @@ FAMILIES = {
     "semantic_blocks": measure_semantic_blocks,
     "banded_prefix": measure_banded_prefix,
     "rank_map": measure_rank_map,
+    "pregel_persist": measure_pregel_persist,
 }
 
 

@@ -1649,3 +1649,55 @@ def test_gmm_em_step_matches_numpy(spark):
         assert abs(row["sigma_new"] - var_new**0.5) < 1e-4
     assert abs(out[1]["weight_new"] + out[2]["weight_new"] - 1.0) < 1e-6
     assert out[1]["mu_new"] < out[2]["mu_new"]
+
+
+def test_capture_recapture_matches_reference(spark):
+    """Estimators recomputed from pandas sets; the Chapman estimate
+    must bracket the true observed-union lower bound."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    o = load_table(spark, SF_DIR, "orders").select("o_custkey", "o_orderdate").toPandas()
+    s1 = set(o.loc[(o["o_orderdate"] >= "1996-01-01") & (o["o_orderdate"] < "1997-01-01"), "o_custkey"])
+    s2 = set(o.loc[(o["o_orderdate"] >= "1997-01-01") & (o["o_orderdate"] < "1998-01-01"), "o_custkey"])
+    n1, n2, m12 = len(s1), len(s2), len(s1 & s2)
+    r = REGISTRY["stats_capture_recapture"].fn(spark, SF_DIR).first()
+    assert (r["n1"], r["n2"], r["m12"], r["observed"]) == (n1, n2, m12, len(s1 | s2))
+    assert abs(r["lincoln_petersen"] - n1 * n2 / m12) < 1e-4
+    chapman = (n1 + 1) * (n2 + 1) / (m12 + 1) - 1
+    assert abs(r["chapman"] - chapman) < 1e-4
+    # the estimated population can't be below what we directly saw
+    assert r["chapman"] >= len(s1 | s2) - 1e-6
+    assert r["chapman_se"] > 0
+
+
+def test_cochran_q_matches_reference(spark):
+    """Q recomputed from pandas rule columns with the textbook row/
+    column-sum formula; degenerate agreement (all rules equal) would
+    give denominator 0 — assert we're on the defined branch and that
+    Q >= 0."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    r1 = (pdf["l_quantity"].astype("int64") > 25).astype(int)
+    r2 = ((pdf["l_discount"] * 100).round(0).astype("int64") >= 5).astype(int)
+    r3 = (pdf["l_extendedprice"].astype("float64") > 30000).astype(int)
+    R = r1 + r2 + r3
+    k = 3
+    cs = [int(r1.sum()), int(r2.sum()), int(r3.sum())]
+    q_ref = (
+        (k - 1)
+        * (k * sum(c * c for c in cs) - sum(cs) ** 2)
+        / (k * int(R.sum()) - int((R * R).sum()))
+    )
+    row = REGISTRY["stats_cochran_q"].fn(spark, SF_DIR).first()
+    assert (row["c1"], row["c2"], row["c3"]) == tuple(cs)
+    assert abs(row["cochran_q"] - q_ref) < 1e-4
+    assert row["cochran_q"] >= 0
