@@ -709,3 +709,45 @@ def stream_watermark_lag_profile(spark, sf_dir):
         .groupBy("lag_bucket_s")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )
+
+
+@register(
+    "stream_hourly_unique_users_live",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS ws,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("J-distinct", "live-stream"),
+)
+def stream_hourly_unique_users_live(spark, sf_dir):
+    """Streaming EXACT count-distinct per tumbling hour — the live
+    DAU/hourly-actives dashboard shape.  Spark REFUSES
+    COUNT(DISTINCT) on streams outright (AnalysisException, measured),
+    so the real pattern is CHAINED STATEFUL OPERATORS:
+    dropDuplicates on (hour, user) deduplicates with keyed state,
+    then an ordinary streaming count aggregates the survivors — state
+    is the per-window key set either way, but expressed as two
+    composable operators the engine CAN run.  Complete-mode
+    availableNow replay equals the batch COUNT(DISTINCT) oracle
+    value-for-value.
+
+    100 TB posture: distinct state is NOT constant-size — it grows
+    with Σ|distinct users per open window|; a watermark on ts bounds
+    how many windows hold state, and the constant-state swap is
+    approx_count_distinct (the D3/D13 sketch family) or the
+    foreachBatch merge pattern when exactness is contractual.  The
+    declared key keeps the exact form so the oracle hashes."""
+    from etl_builder_spark.streaming.runtime import run_to_memory, stream_events
+
+    events = stream_events(spark, _staged_events_dir(sf_dir))
+    agg = (
+        events.select(
+            F.date_trunc("hour", F.col("ts")).alias("ws"), "user_id"
+        )
+        .dropDuplicates(["ws", "user_id"])
+        .groupBy("ws")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("unique_users"))
+    )
+    return run_to_memory(agg, mode="complete")
