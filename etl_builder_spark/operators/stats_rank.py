@@ -834,3 +834,177 @@ def stats_tukey_hsd_grid(spark, sf_dir):
         )
         .orderBy("arm_a", "arm_b")
     )
+
+
+#: ξ band width in cents — contiguous x-ranges so band seams are
+#: adjacent rows in the global x-order (the sort-key seam trick)
+XI_BAND_CENTS = 500_000
+
+
+@register(
+    "stats_xi_correlation",
+    oracle="""
+        WITH rows_ AS (
+            SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS x,
+                   CAST(l_quantity AS BIGINT) AS y,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        ymap AS (
+            SELECT y AS yv,
+                   CAST(SUM(COUNT(*)) OVER (ORDER BY y) AS BIGINT) AS c_le,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM rows_ GROUP BY y
+        ),
+        n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rows_),
+        ranked AS (
+            SELECT r.x, m.c_le AS r_i,
+                   n_.n - (m.c_le - m.cnt) AS l_i,
+                   LAG(m.c_le) OVER (ORDER BY r.x, r.l_orderkey,
+                                     r.l_linenumber) AS r_prev
+            FROM rows_ r JOIN ymap m ON m.yv = r.y CROSS JOIN n_
+        ),
+        num AS (
+            SELECT CAST(SUM(ABS(r_i - r_prev)) AS BIGINT) AS s_num
+            FROM ranked WHERE r_prev IS NOT NULL
+        ),
+        den AS (
+            SELECT CAST(SUM(CAST(cnt AS DECIMAL(38,0))
+                            * (n_.n - (c_le - cnt))
+                            * (n_.n - (n_.n - (c_le - cnt)))) AS DOUBLE) AS s_den
+            FROM ymap CROSS JOIN n_
+        )
+        SELECT n_.n AS n_rows, num.s_num,
+               ROUND(1.0 - CAST(n_.n AS DOUBLE) * num.s_num / (2.0 * den.s_den), 6)
+                   AS xi
+        FROM n_ CROSS JOIN num CROSS JOIN den
+    """,
+    tags=("STATS-rank",),
+)
+def stats_xi_correlation(spark, sf_dir):
+    """Chatterjee's ξ coefficient (JASA 2021) — the modern dependence
+    measure that detects ANY functional relationship y = f(x), not
+    just monotone ones (Spearman/Kendall read oscillating dependence
+    as zero): sort by x, walk the y-ranks, and score how much they
+    jump — ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ lᵢ(n−lᵢ)), the
+    tie-aware form (y = quantity is massively tied).  Here: how
+    strongly does extended price DETERMINE quantity.
+
+    The distributed trick is the numerator's consecutive-pair walk in
+    global x-order WITHOUT a global window: contiguous price bands
+    (FLOOR(cents/5e5)) make band seams adjacent rows, so Σ|Δr| =
+    within-band lag sums (partitioned windows) + |Δr| across each
+    band seam, reconciled on the |bands|-row head/tail frame — the
+    etl_sort_key_run_counts seam machinery applied to a statistic.
+    The oracle uses the naive single-window form; the banded Spark
+    sum must (and does) equal it exactly — integer ranks, no floats
+    until the final ξ expression.
+
+    Exactness: ranks rᵢ = #{y_j ≤ yᵢ} and lᵢ come from the 50-row y
+    cumulative map (exact BIGINT, broadcast); the numerator is an
+    exact integer; the denominator Σ cnt·l·(n−l) accumulates in
+    DECIMAL(38,0) (~n³ magnitude); ξ is one float expression rounded
+    once.
+
+    100 TB posture: one scan; the within-band windows partition on
+    the band key (each band a contiguous x-range — range-partition-
+    friendly); the seam frame is |bands| rows.  Band width trades
+    partition size against seam count exactly like the sort-key
+    planner's bands."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ymap = (
+        rows.groupBy(F.col("y").alias("yv"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "yv",
+            "cnt",
+            F.sum("cnt")
+            .over(
+                Window.orderBy("yv").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .cast("bigint")
+            .alias("c_le"),
+        )
+    )
+    n_df = rows.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        rows.join(F.broadcast(ymap), rows["y"] == ymap["yv"])
+        .select(
+            "x",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("c_le").alias("r_i"),
+            F.floor(F.col("x") / XI_BAND_CENTS).cast("bigint").alias("band"),
+        )
+        .persist()
+    )
+    wb = Window.partitionBy("band").orderBy("x", "l_orderkey", "l_linenumber")
+    tagged = ranked.select(
+        "band",
+        "r_i",
+        F.lag("r_i").over(wb).alias("r_prev"),
+        F.row_number().over(wb).alias("rn_a"),
+        F.row_number()
+        .over(
+            Window.partitionBy("band").orderBy(
+                F.col("x").desc(), F.col("l_orderkey").desc(), F.col("l_linenumber").desc()
+            )
+        )
+        .alias("rn_d"),
+    ).persist()
+    within = tagged.agg(
+        F.sum(F.when(F.col("r_prev").isNotNull(), F.abs(F.col("r_i") - F.col("r_prev"))))
+        .cast("bigint")
+        .alias("s_within")
+    )
+    heads = tagged.where(F.col("rn_a") == 1).select("band", F.col("r_i").alias("h_r"))
+    tails = tagged.where(F.col("rn_d") == 1).select(
+        F.col("band").alias("tband"), F.col("r_i").alias("t_r")
+    )
+    wseam = Window.orderBy("band")
+    seams = (
+        heads.join(tails, heads["band"] == tails["tband"])
+        .select("band", "h_r", "t_r")
+        .select("band", "h_r", F.lag("t_r").over(wseam).alias("prev_t"))
+        .agg(
+            F.sum(F.when(F.col("prev_t").isNotNull(), F.abs(F.col("h_r") - F.col("prev_t"))))
+            .cast("bigint")
+            .alias("s_seam")
+        )
+    )
+    den = ymap.crossJoin(F.broadcast(n_df)).agg(
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)")
+            * (F.col("n") - (F.col("c_le") - F.col("cnt")))
+            * (F.col("n") - (F.col("n") - (F.col("c_le") - F.col("cnt"))))
+        )
+        .cast("double")
+        .alias("s_den")
+    )
+    return (
+        within.crossJoin(F.broadcast(seams))
+        .crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("n").alias("n_rows"),
+            (F.col("s_within") + F.col("s_seam")).cast("bigint").alias("s_num"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n").cast("double")
+                * (F.col("s_within") + F.col("s_seam"))
+                / (2.0 * F.col("s_den")),
+                6,
+            ).alias("xi"),
+        )
+    )

@@ -1701,3 +1701,48 @@ def test_cochran_q_matches_reference(spark):
     assert (row["c1"], row["c2"], row["c3"]) == tuple(cs)
     assert abs(row["cochran_q"] - q_ref) < 1e-4
     assert row["cochran_q"] >= 0
+
+
+def test_xi_correlation_matches_numpy_reference(spark):
+    """ξ recomputed with numpy from the raw rows: sort by (x, key),
+    tie-aware Chatterjee formula — validates both the banded seam
+    numerator and the rank-map construction end-to-end."""
+    import numpy as np
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    pdf = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber")
+        .toPandas()
+    )
+    x = (pdf["l_extendedprice"].astype("float64") * 100).round(0).astype("int64")
+    y = pdf["l_quantity"].astype("int64").to_numpy()
+    order = np.lexsort(
+        (pdf["l_linenumber"].to_numpy(), pdf["l_orderkey"].to_numpy(), x.to_numpy())
+    )
+    y_sorted = y[order]
+    n = len(y)
+    # r_i = #{j: y_j <= y_i}; l_i = #{j: y_j >= y_i}
+    import collections
+
+    cnt = collections.Counter(y)
+    vals = sorted(cnt)
+    c_le = {}
+    acc = 0
+    for v in vals:
+        acc += cnt[v]
+        c_le[v] = acc
+    r = np.array([c_le[v] for v in y_sorted], dtype="int64")
+    l = np.array([n - (c_le[v] - cnt[v]) for v in y_sorted], dtype="int64")
+    s_num = int(np.abs(np.diff(r)).sum())
+    s_den = float(sum(cnt[v] * (n - (c_le[v] - cnt[v])) * (c_le[v] - cnt[v]) for v in vals))
+    # note: l*(n-l) with l = n - c_lt gives (n-c_lt)*c_lt
+    xi_ref = 1.0 - n * s_num / (2.0 * s_den)
+    row = REGISTRY["stats_xi_correlation"].fn(spark, SF_DIR).first()
+    assert row["n_rows"] == n
+    assert row["s_num"] == s_num
+    assert abs(row["xi"] - xi_ref) < 1e-6
+    assert -1.0 <= row["xi"] <= 1.0
