@@ -2850,3 +2850,143 @@ def ts_interarrival_profile(spark, sf_dir):
         F.round(F.col("mn").cast("double") / 1e6, 6).alias("min_gap_s"),
         F.round(F.col("mx").cast("double") / 1e6, 6).alias("max_gap_s"),
     ).orderBy("event_type")
+
+
+#: Kalman local-level model noise variances (fixed literals — both
+#: engines inject the same doubles)
+KALMAN_Q = 1.0
+KALMAN_R = 25.0
+
+
+@register(
+    "ts_kalman_local_level",
+    oracle=f"""
+        WITH RECURSIVE b AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT epoch_us(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)))
+                   // 3600000000 AS t
+            FROM b
+        ),
+        hourly AS (
+            SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events WHERE event_type = '{XCORR_X}'
+            GROUP BY 1
+        ),
+        tmax AS (SELECT MAX(t) AS tmax FROM spine),
+        tail AS (
+            SELECT s.t, CAST(COALESCE(h.x, 0) AS DOUBLE) AS x
+            FROM spine s LEFT JOIN hourly h ON h.t = s.t CROSS JOIN tmax
+            WHERE s.t > tmax.tmax - {HOLT_N}
+        ),
+        ordered AS (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY t) AS i FROM tail
+        ),
+        rec AS (
+            SELECT i, x,
+                   x AS xhat,
+                   CAST({KALMAN_R!r} AS DOUBLE) AS p
+            FROM ordered WHERE i = 1
+            UNION ALL
+            SELECT o.i, o.x,
+                   r.xhat + (r.p + {KALMAN_Q!r}) / (r.p + {KALMAN_Q!r} + {KALMAN_R!r})
+                            * (o.x - r.xhat) AS xhat,
+                   (1.0 - (r.p + {KALMAN_Q!r}) / (r.p + {KALMAN_Q!r} + {KALMAN_R!r}))
+                   * (r.p + {KALMAN_Q!r}) AS p
+            FROM rec r JOIN ordered o ON o.i = r.i + 1
+        )
+        SELECT CAST({HOLT_N} AS BIGINT) AS n_hours,
+               ROUND(xhat, 6) AS level,
+               ROUND(p, 6) AS level_var,
+               ROUND(xhat - 1.959964 * sqrt(p + {KALMAN_Q!r} + {KALMAN_R!r}), 6)
+                   AS predict_lo,
+               ROUND(xhat + 1.959964 * sqrt(p + {KALMAN_Q!r} + {KALMAN_R!r}), 6)
+                   AS predict_hi
+        FROM rec WHERE i = (SELECT MAX(i) FROM rec)
+    """,
+    tags=("TS-kalman",),
+)
+def ts_kalman_local_level(spark, sf_dir):
+    """A 1-D Kalman filter (local-level model, Q=1, R=25) over the
+    last 48 hours of the hourly event-count series — the recursive
+    state estimator behind online smoothing and anomaly gating:
+    K = (P+Q)/(P+Q+R), x̂ ← x̂ + K(z − x̂), P ← (1−K)(P+Q), reported
+    with the 95% one-step-ahead prediction interval.  Completes the
+    sequential-recurrence family next to ts_holt_linear_fold (Holt =
+    fixed-gain trend smoother; Kalman = adaptive gain that CONVERGES,
+    and P's trajectory is data-independent).
+
+    Cross-engine determinism: both engines run the SAME ordered
+    recursion (Spark: aggregate() left fold over the sorted bounded
+    array; DuckDB: recursive CTE) with identical double literals —
+    every step is the same IEEE ops in the same order, so the floats
+    agree bit-for-bit (the Holt-fold precedent, now with division in
+    the loop).
+
+    100 TB posture: identical to the Holt key — the corpus collapses
+    to |hours| rows, the fold is O(48) expression work; per-entity
+    filtering at scale = the same fold inside groupBy(key) over
+    collect_list of bounded windows."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    ).select((F.unix_micros("h") / 3_600_000_000).cast("bigint").alias("t"))
+    hourly = (
+        e.where(F.col("event_type") == XCORR_X)
+        .groupBy(
+            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3_600_000_000)
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    tmax = spine.agg(F.max("t").alias("tmax"))
+    tail = (
+        spine.crossJoin(F.broadcast(tmax))
+        .where(F.col("t") > F.col("tmax") - HOLT_N)
+        .join(hourly, "t", "left")
+        .select("t", F.coalesce("x", F.lit(0)).cast("double").alias("x"))
+    )
+    arr = tail.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "x"))), lambda s: s["x"]
+        ).alias("xs")
+    )
+    folded = arr.select(
+        F.expr(
+            f"""
+            aggregate(
+                slice(xs, 2, size(xs) - 1),
+                named_struct('xhat', CAST(element_at(xs, 1) AS DOUBLE),
+                             'p', CAST({KALMAN_R!r} AS DOUBLE)),
+                (acc, z) -> named_struct(
+                    'xhat', acc.xhat + (acc.p + {KALMAN_Q!r})
+                            / (acc.p + {KALMAN_Q!r} + {KALMAN_R!r})
+                            * (z - acc.xhat),
+                    'p', (1.0D - (acc.p + {KALMAN_Q!r})
+                          / (acc.p + {KALMAN_Q!r} + {KALMAN_R!r}))
+                         * (acc.p + {KALMAN_Q!r}))
+            ) AS st
+            """
+        )
+    )
+    pv = F.col("st.p")
+    return folded.select(
+        F.lit(HOLT_N).cast("bigint").alias("n_hours"),
+        F.round(F.col("st.xhat"), 6).alias("level"),
+        F.round(pv, 6).alias("level_var"),
+        F.round(
+            F.col("st.xhat") - 1.959964 * F.sqrt(pv + KALMAN_Q + KALMAN_R), 6
+        ).alias("predict_lo"),
+        F.round(
+            F.col("st.xhat") + 1.959964 * F.sqrt(pv + KALMAN_Q + KALMAN_R), 6
+        ).alias("predict_hi"),
+    )

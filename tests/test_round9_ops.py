@@ -1746,3 +1746,47 @@ def test_xi_correlation_matches_numpy_reference(spark):
     assert row["s_num"] == s_num
     assert abs(row["xi"] - xi_ref) < 1e-6
     assert -1.0 <= row["xi"] <= 1.0
+
+
+def test_kalman_matches_numpy_reference(spark):
+    """The filter recursion recomputed in plain Python over the same
+    48-hour tail (rebuilt from raw events with pandas), including the
+    convergence property P_t monotone under constant Q/R after the
+    first steps."""
+    import math
+
+    from etl_builder_spark.operators.timeseries import (
+        HOLT_N,
+        KALMAN_Q,
+        KALMAN_R,
+        XCORR_X,
+    )
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    e = load_table(spark, SF_DIR, "events").select("ts", "event_type").toPandas()
+    hours = e["ts"].dt.floor("h")
+    lo, hi = hours.min(), hours.max()
+    import pandas as pd
+
+    spine = pd.date_range(lo, hi, freq="h")
+    clicks = hours[e["event_type"] == XCORR_X].value_counts()
+    series = [float(clicks.get(t, 0)) for t in spine[-HOLT_N:]]
+    xhat, p = series[0], KALMAN_R
+    ps = [p]
+    for z in series[1:]:
+        k = (p + KALMAN_Q) / (p + KALMAN_Q + KALMAN_R)
+        xhat = xhat + k * (z - xhat)
+        p = (1 - k) * (p + KALMAN_Q)
+        ps.append(p)
+    row = REGISTRY["ts_kalman_local_level"].fn(spark, SF_DIR).first()
+    assert row["n_hours"] == HOLT_N
+    assert abs(row["level"] - xhat) < 1e-6
+    assert abs(row["level_var"] - p) < 1e-6
+    half = 1.959964 * math.sqrt(p + KALMAN_Q + KALMAN_R)
+    assert abs(row["predict_hi"] - (xhat + half)) < 1e-5
+    assert row["predict_lo"] < row["level"] < row["predict_hi"]
+    # Riccati convergence: after the first update, P decreases
+    # monotonically toward its fixed point
+    assert all(a >= b - 1e-12 for a, b in zip(ps[1:], ps[2:]))
