@@ -1699,3 +1699,141 @@ def stats_cochran_q(spark, sf_dir):
         / (3.0 * sr - sr2)
     )
     return m.select("n", c1, c2, c3, F.round(q, 6).alias("cochran_q"))
+
+
+#: O'Brien–Fleming two-sided boundaries for K=5 equally-spaced looks
+#: at overall alpha=0.05 (Pocock/OBF tables — fixed literals, both
+#: engines compare against the same doubles)
+OBF_BOUNDS = (4.877, 3.357, 2.680, 2.290, 2.031)
+
+
+@register(
+    "stats_group_sequential_looks",
+    oracle=f"""
+        WITH cells AS (
+            SELECT CAST(month(o_orderdate) AS BIGINT) AS look,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS t,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-06-01'
+        ),
+        per_month AS (
+            SELECT look,
+                   CAST(SUM(t) AS BIGINT) AS nt,
+                   CAST(SUM(t * y) AS BIGINT) AS yt,
+                   CAST(SUM(1 - t) AS BIGINT) AS nc,
+                   CAST(SUM((1 - t) * y) AS BIGINT) AS yc
+            FROM cells GROUP BY look
+        ),
+        cum AS (
+            SELECT look,
+                   CAST(SUM(nt) OVER (ORDER BY look) AS BIGINT) AS nt,
+                   CAST(SUM(yt) OVER (ORDER BY look) AS BIGINT) AS yt,
+                   CAST(SUM(nc) OVER (ORDER BY look) AS BIGINT) AS nc,
+                   CAST(SUM(yc) OVER (ORDER BY look) AS BIGINT) AS yc
+            FROM per_month
+        ),
+        z AS (
+            SELECT look, nt, nc,
+                   ROUND((CAST(yt AS DOUBLE) / nt - CAST(yc AS DOUBLE) / nc)
+                         / sqrt((CAST(yt + yc AS DOUBLE) / (nt + nc))
+                                * (1.0 - CAST(yt + yc AS DOUBLE) / (nt + nc))
+                                * (1.0 / nt + 1.0 / nc)), 6) AS z_k,
+                   CASE look {' '.join(f"WHEN {k + 1} THEN {b!r}" for k, b in enumerate(OBF_BOUNDS))} END
+                       AS boundary
+            FROM cum
+        )
+        SELECT look, nt AS n_treated, nc AS n_control, z_k, boundary,
+               (abs(z_k) >= boundary) AS crossed,
+               (SELECT MIN(look) FROM z z2
+                WHERE abs(z2.z_k) >= z2.boundary) AS first_crossing_look
+        FROM z
+        ORDER BY look
+    """,
+    tags=("STATS-sequential",),
+)
+def stats_group_sequential_looks(spark, sf_dir):
+    """Group-sequential A/B monitoring with O'Brien–Fleming stopping
+    boundaries: the two-proportion z statistic (does high order
+    priority shift the F-status rate?) evaluated at FIVE cumulative
+    monthly interim looks over 1996-H1, each |z_k| compared against
+    its OBF boundary (4.877 → 2.031; spend almost nothing early, the
+    final look costs ≈ the fixed test) — the peeking-safe experiment
+    readout, versus the naive repeated z-test that inflates false
+    positives ~3×.
+
+    Exactness: per-month cells are exact BIGINTs from ONE conditional
+    aggregate; cumulative looks are exact sums over the 5-row month
+    frame; z_k is one fixed float expression rounded once; the
+    boundaries are injected literals from the published OBF table.
+
+    100 TB posture: one date-pruned scan to a 5-row frame — the
+    entire sequential machinery (cumulation, boundaries, first-
+    crossing) is frame arithmetic; more looks = more rows in the
+    month frame, never more passes."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-06-01").cast("timestamp"))
+    )
+    t = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    per_month = (
+        o.select(F.month("o_orderdate").cast("bigint").alias("look"), t.alias("t"), y.alias("y"))
+        .groupBy("look")
+        .agg(
+            F.sum("t").cast("bigint").alias("nt"),
+            F.sum(F.col("t") * F.col("y")).cast("bigint").alias("yt"),
+            F.sum(1 - F.col("t")).cast("bigint").alias("nc"),
+            F.sum((1 - F.col("t")) * F.col("y")).cast("bigint").alias("yc"),
+        )
+    )
+    wc = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_month.select(
+        "look",
+        F.sum("nt").over(wc).cast("bigint").alias("nt"),
+        F.sum("yt").over(wc).cast("bigint").alias("yt"),
+        F.sum("nc").over(wc).cast("bigint").alias("nc"),
+        F.sum("yc").over(wc).cast("bigint").alias("yc"),
+    )
+    nt, yt, nc, yc = F.col("nt"), F.col("yt"), F.col("nc"), F.col("yc")
+    pool = (yt + yc).cast("double") / (nt + nc)
+    zk = F.round(
+        (yt.cast("double") / nt - yc.cast("double") / nc)
+        / F.sqrt(pool * (1.0 - pool) * (1.0 / nt + 1.0 / nc)),
+        6,
+    )
+    bound = F.col("look")
+    bexpr = None
+    for k, b in enumerate(OBF_BOUNDS, start=1):
+        bexpr = (
+            F.when(bound == k, F.lit(b)) if bexpr is None else bexpr.when(bound == k, F.lit(b))
+        )
+    z = cum.select(
+        "look",
+        nt.alias("n_treated"),
+        nc.alias("n_control"),
+        zk.alias("z_k"),
+        bexpr.alias("boundary"),
+    ).persist()
+    first = z.agg(
+        F.min(F.when(F.abs(F.col("z_k")) >= F.col("boundary"), F.col("look"))).alias(
+            "first_crossing_look"
+        )
+    )
+    return (
+        z.crossJoin(F.broadcast(first))
+        .select(
+            "look",
+            "n_treated",
+            "n_control",
+            "z_k",
+            "boundary",
+            (F.abs(F.col("z_k")) >= F.col("boundary")).alias("crossed"),
+            "first_crossing_look",
+        )
+        .orderBy("look")
+    )

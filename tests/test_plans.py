@@ -447,6 +447,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = frozenset({
     "stats_bh_fdr",  # rank over the 25-brand p-value frame
     "stats_hill_tail_index",  # rank over the LIMIT-101 top-k slice
     "stats_xi_correlation",  # 50-row y-rank map + |bands|-row seam lag
+    "stats_group_sequential_looks",  # cumulation over the 5-look month frame
     "stats_wasserstein_binned",  # CDF running sum over the <=~60-bin frame
     "vocab_bpe_one_merge",  # merge pick over the |pair-vocab| frame
     "agg_gini_revenue",

@@ -1790,3 +1790,44 @@ def test_kalman_matches_numpy_reference(spark):
     # Riccati convergence: after the first update, P decreases
     # monotonically toward its fixed point
     assert all(a >= b - 1e-12 for a, b in zip(ps[1:], ps[2:]))
+
+
+def test_group_sequential_matches_reference(spark):
+    """Each look's z recomputed from pandas cumulative cells with the
+    pooled two-proportion formula; boundaries must be the OBF
+    literals in order; first_crossing_look consistent with the
+    crossed flags."""
+    import math
+
+    from etl_builder_spark.operators.stats_tests import OBF_BOUNDS
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    o = load_table(spark, SF_DIR, "orders").toPandas()
+    o = o[(o["o_orderdate"] >= "1996-01-01") & (o["o_orderdate"] < "1996-06-01")].copy()
+    o["look"] = o["o_orderdate"].dt.month
+    o["t"] = o["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).astype(int)
+    o["y"] = (o["o_orderstatus"] == "F").astype(int)
+    out = sorted(
+        REGISTRY["stats_group_sequential_looks"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["look"],
+    )
+    assert [r["boundary"] for r in out] == list(OBF_BOUNDS)
+    crossing = None
+    for r in out:
+        sub = o[o["look"] <= r["look"]]
+        nt = int(sub["t"].sum())
+        nc = len(sub) - nt
+        yt = int(sub.loc[sub["t"] == 1, "y"].sum())
+        yc = int(sub.loc[sub["t"] == 0, "y"].sum())
+        pool = (yt + yc) / (nt + nc)
+        z_ref = (yt / nt - yc / nc) / math.sqrt(
+            pool * (1 - pool) * (1 / nt + 1 / nc)
+        )
+        assert (r["n_treated"], r["n_control"]) == (nt, nc)
+        assert abs(r["z_k"] - z_ref) < 1e-5
+        assert r["crossed"] == (abs(z_ref) >= r["boundary"] - 1e-9)
+        if r["crossed"] and crossing is None:
+            crossing = r["look"]
+    assert all(r["first_crossing_look"] == crossing for r in out)
