@@ -3019,3 +3019,149 @@ def ml_gmm_em_step_binned(spark, sf_dir):
             "sigma_new"
         ),
     ).orderBy("component")
+
+
+#: pinned unit-price for the fixed conformal base model (cents/qty) —
+#: a deliberately crude rule; conformal wraps ANY fixed predictor
+CONF_SLOPE_CENTS = 3_800_00
+
+
+@register(
+    "ml_conformal_split_interval",
+    oracle=f"""
+        WITH base AS (
+            SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS y,
+                   CAST(l_quantity AS BIGINT) * {CONF_SLOPE_CENTS} AS yhat,
+                   l_orderkey, l_linenumber,
+                   (instr('0123456789abcdef',
+                          substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                     || CAST(l_linenumber AS VARCHAR)
+                                     || ':conf'), 1, 1)) - 1) % 2 AS fold
+            FROM lineitem
+        ),
+        cal AS (
+            SELECT ABS(y - yhat) AS r, l_orderkey, l_linenumber
+            FROM base WHERE fold = 0
+        ),
+        n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cal),
+        ranked AS (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r, l_orderkey,
+                                         l_linenumber) AS rk
+            FROM cal
+        ),
+        qhat AS (
+            SELECT r AS q FROM ranked CROSS JOIN n_
+            WHERE rk = CAST(ceil(0.9 * (n + 1)) AS BIGINT)
+        ),
+        test AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN ABS(y - yhat) <= q.q
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS covered
+            FROM base CROSS JOIN qhat q
+            WHERE fold = 1
+        )
+        SELECT n_.n AS n_calibration, test.n_test,
+               ROUND(CAST(q.q AS DOUBLE) / 100, 2) AS qhat_dollars,
+               test.covered,
+               ROUND(CAST(test.covered AS DOUBLE) / test.n_test, 6)
+                   AS coverage
+        FROM n_ CROSS JOIN qhat q CROSS JOIN test
+    """,
+    tags=("ML-conformal",),
+)
+def ml_conformal_split_interval(spark, sf_dir):
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018):
+    hash-split the corpus 50/50, take the ⌈0.9(n+1)⌉-th order
+    statistic of the CALIBRATION fold's absolute residuals under a
+    FIXED base model (price ≈ $3 800·quantity — deliberately crude;
+    conformal wraps any predictor), and the interval ŷ ± q̂ is
+    guaranteed ≥90% coverage on exchangeable data REGARDLESS of how
+    wrong the model is — verified here by scoring the held-out fold.
+    This is the distribution-free uncertainty layer modern ML
+    pipelines bolt onto point predictors.
+
+    Exactness: residuals are exact integer cents (fixed integer
+    slope); the conformal quantile is a LITERAL order statistic — the
+    smallest residual value whose cumulative count reaches
+    ⌈0.9(n+1)⌉, picked from the per-DISTINCT-residual frame via
+    banded prefix counts (the agg_equidepth_histogram idiom — NO
+    row-level rank window anywhere; the oracle keeps the naive
+    single-window form and must agree exactly); the fold split is
+    the repo's md5 idiom; coverage is an exact count ratio.
+
+    100 TB posture: one scan feeds both folds (the fold flag is an
+    expression); the calibration quantile costs one hash aggregate
+    to the |distinct residuals| frame + the banded running count;
+    the held-out pass is a broadcast-q̂ conditional aggregate."""
+    from etl_builder_spark.operators.stats import banded_running
+
+    li = load_table(spark, sf_dir, "lineitem")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    yhat = F.col("l_quantity").cast("bigint") * CONF_SLOPE_CENTS
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                        F.lit(":conf"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    base = li.select(
+        y.alias("y"),
+        yhat.alias("yhat"),
+        "l_orderkey",
+        "l_linenumber",
+        fold.alias("fold"),
+    ).persist()
+    cal = base.where(F.col("fold") == 0).select(
+        F.abs(F.col("y") - F.col("yhat")).alias("r")
+    )
+    n_df = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per = cal.groupBy(F.col("r").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).persist()
+    run = banded_running(per, value_col="v", tiebreak_col="v", sum_col="cnt").select(
+        "v", F.col("run_sum").alias("c_le")
+    )
+    qhat = (
+        run.crossJoin(F.broadcast(n_df))
+        .where(F.col("c_le") >= F.ceil(0.9 * (F.col("n") + 1)).cast("bigint"))
+        .agg(F.min("v").alias("q"))
+    )
+    test = (
+        base.where(F.col("fold") == 1)
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.abs(F.col("y") - F.col("yhat")) <= F.col("q"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        n_df.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(test))
+        .select(
+            F.col("n").alias("n_calibration"),
+            "n_test",
+            F.round(F.col("q").cast("double") / 100, 2).alias("qhat_dollars"),
+            "covered",
+            F.round(F.col("covered").cast("double") / F.col("n_test"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

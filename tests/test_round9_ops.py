@@ -1831,3 +1831,43 @@ def test_group_sequential_matches_reference(spark):
         if r["crossed"] and crossing is None:
             crossing = r["look"]
     assert all(r["first_crossing_look"] == crossing for r in out)
+
+
+def test_conformal_matches_reference_and_covers(spark):
+    """q̂ and coverage recomputed in pandas with the textbook split-
+    conformal recipe; the guarantee coverage >= 0.9 − O(1/n) must
+    hold on the held-out fold."""
+    import hashlib
+
+    from etl_builder_spark.llm.eval_metrics import CONF_SLOPE_CENTS
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    y = (li["l_extendedprice"].astype("float64") * 100).round(0).astype("int64")
+    yhat = li["l_quantity"].astype("int64") * CONF_SLOPE_CENTS
+    fold = [
+        int(hashlib.md5(f"{ok}:{ln}:conf".encode()).hexdigest()[0], 16) % 2
+        for ok, ln in zip(li["l_orderkey"], li["l_linenumber"])
+    ]
+    import numpy as np
+
+    fold = np.array(fold)
+    resid = (y - yhat).abs().to_numpy()
+    cal = np.sort(resid[fold == 0])
+    n = len(cal)
+    import math
+
+    q_ref = int(cal[math.ceil(0.9 * (n + 1)) - 1])
+    test = resid[fold == 1]
+    cov_ref = float((test <= q_ref).mean())
+    row = REGISTRY["ml_conformal_split_interval"].fn(spark, SF_DIR).first()
+    assert row["n_calibration"] == n and row["n_test"] == len(test)
+    assert abs(row["qhat_dollars"] - q_ref / 100) < 0.01
+    assert abs(row["coverage"] - cov_ref) < 1e-6
+    assert row["coverage"] >= 0.9 - 3 / math.sqrt(n)
