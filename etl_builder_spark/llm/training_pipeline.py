@@ -511,3 +511,186 @@ def pipeline_curation_accounting(spark, sf_dir):
         .cast("bigint")
         .alias("n_shards_512"),
     )
+
+
+#: RAG context token budget
+RAG_BUDGET = 128
+
+
+@register(
+    "pipeline_rag_context_budget",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, t AS token
+            FROM documents, unnest(list_distinct(
+                string_split(lower(text), ' '))) AS u(t)
+            WHERE t <> ''
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM toks GROUP BY doc_id
+        ),
+        lens AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        probes AS (SELECT doc_id AS probe_id FROM documents WHERE doc_id < 5),
+        overlap AS (
+            SELECT p.probe_id, c.doc_id AS cand_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM probes p
+            JOIN toks pt ON pt.doc_id = p.probe_id
+            JOIN toks c ON c.token = pt.token AND c.doc_id <> p.probe_id
+            GROUP BY p.probe_id, c.doc_id
+        ),
+        scored AS (
+            SELECT o.probe_id, o.cand_id,
+                   ROUND(CAST(o.n_common AS DOUBLE)
+                         / (sp.n_distinct + sc.n_distinct - o.n_common), 6)
+                       AS jaccard
+            FROM overlap o
+            JOIN sizes sp ON sp.doc_id = o.probe_id
+            JOIN sizes sc ON sc.doc_id = o.cand_id
+        ),
+        ranked AS (
+            SELECT probe_id, cand_id, jaccard,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY jaccard DESC, cand_id) AS rnk
+            FROM scored
+        ),
+        top3 AS (
+            SELECT r.*, l.n_tokens,
+                   SUM(l.n_tokens) OVER (PARTITION BY r.probe_id
+                                         ORDER BY r.rnk) AS cum_tokens
+            FROM ranked r JOIN lens l ON l.doc_id = r.cand_id
+            WHERE r.rnk <= 3
+        )
+        SELECT probe_id,
+               CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+               CAST(SUM(CASE WHEN cum_tokens <= {RAG_BUDGET}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_in_context,
+               CAST(SUM(CASE WHEN cum_tokens <= {RAG_BUDGET}
+                             THEN n_tokens ELSE 0 END) AS BIGINT)
+                   AS context_tokens,
+               CAST(MIN(CASE WHEN rnk = 1 THEN cand_id END) AS BIGINT)
+                   AS top1_id,
+               MAX(CASE WHEN rnk = 1 THEN jaccard END) AS top1_jaccard
+        FROM top3
+        GROUP BY probe_id
+        ORDER BY probe_id
+    """,
+    tags=("I-rag",),
+)
+def pipeline_rag_context_budget(spark, sf_dir):
+    """The RAG assembly pipeline end-to-end as one declarative plan:
+    lexical retrieval (distinct-token Jaccard between each probe
+    document and the corpus, top-3 per probe), then CONTEXT PACKING —
+    retrieved docs enter the prompt in rank order while the running
+    token total fits the 128-token budget — and the per-probe context
+    census (docs retrieved vs docs that fit vs tokens used) that
+    context-window tuning reads.  Composes the engine's existing
+    primitives (token explode, candidate join, WindowGroupLimit
+    top-k, bounded running sum = the pack_context_windows idiom) into
+    the retrieval→budget→prompt shape every RAG service runs.
+
+    Exactness: overlap counts, set sizes and token lengths are exact
+    BIGINTs; Jaccard rounds once at 6 dp and ranks tie-pin on the
+    candidate id; the budget cut is integer arithmetic on the
+    ≤3-row-per-probe frame.
+
+    100 TB posture: the candidate join keys on TOKEN (an inverted-
+    index probe — cost bounded by posting-list sizes, never
+    |probes|×|corpus|); per-probe windows are partitioned and the
+    rank ≤ 3 plans as WindowGroupLimit; the packing window runs on
+    ≤3 rows per probe.  Swap the lexical scorer for the IVF/PQ keys
+    and the budget logic is unchanged."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias(
+                "token"
+            ),
+        )
+        .where(F.col("token") != "")
+        .persist()
+    )
+    sizes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+    lens = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    probes = d.where(F.col("doc_id") < 5).select(F.col("doc_id").alias("probe_id"))
+    pt = toks.join(F.broadcast(probes), toks["doc_id"] == probes["probe_id"]).select(
+        "probe_id", F.col("token").alias("ptoken")
+    )
+    cand = toks.select(F.col("doc_id").alias("cand_id"), F.col("token").alias("ctoken"))
+    overlap = (
+        pt.join(
+            cand,
+            (pt["ptoken"] == cand["ctoken"]) & (cand["cand_id"] != pt["probe_id"]),
+        )
+        .groupBy("probe_id", "cand_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sp = sizes.select(F.col("doc_id").alias("probe_id"), F.col("n_distinct").alias("np"))
+    sc = sizes.select(F.col("doc_id").alias("cand_id"), F.col("n_distinct").alias("nc"))
+    scored = (
+        overlap.join(F.broadcast(sp), "probe_id")
+        .join(sc, "cand_id")
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("np") + F.col("nc") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.desc("jaccard"), "cand_id")
+    ranked = scored.select(
+        "probe_id", "cand_id", "jaccard", F.row_number().over(wr).alias("rnk")
+    ).where(F.col("rnk") <= 3)
+    wp = Window.partitionBy("probe_id").orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    top3 = ranked.join(
+        lens.withColumnRenamed("doc_id", "cand_id"), "cand_id"
+    ).select(
+        "probe_id",
+        "cand_id",
+        "jaccard",
+        "rnk",
+        "n_tokens",
+        F.sum("n_tokens").over(wp).alias("cum_tokens"),
+    )
+    return (
+        top3.groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_retrieved"),
+            F.sum(F.when(F.col("cum_tokens") <= RAG_BUDGET, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in_context"),
+            F.sum(
+                F.when(F.col("cum_tokens") <= RAG_BUDGET, F.col("n_tokens")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("context_tokens"),
+            F.min(F.when(F.col("rnk") == 1, F.col("cand_id")))
+            .cast("bigint")
+            .alias("top1_id"),
+            F.max(F.when(F.col("rnk") == 1, F.col("jaccard"))).alias("top1_jaccard"),
+        )
+        .orderBy("probe_id")
+    )

@@ -1871,3 +1871,44 @@ def test_conformal_matches_reference_and_covers(spark):
     assert abs(row["qhat_dollars"] - q_ref / 100) < 0.01
     assert abs(row["coverage"] - cov_ref) < 1e-6
     assert row["coverage"] >= 0.9 - 3 / math.sqrt(n)
+
+
+def test_rag_context_budget_matches_reference(spark):
+    """Retrieval + packing recomputed in plain Python: distinct-token
+    Jaccard, top-3 by (score desc, id), greedy budget cut in rank
+    order."""
+    from etl_builder_spark.llm.training_pipeline import RAG_BUDGET
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    dsets = {
+        r["doc_id"]: set(t for t in r["text"].lower().split(" ") if t) for r in docs
+    }
+    dlens = {
+        r["doc_id"]: len([t for t in r["text"].lower().split(" ") if t]) for r in docs
+    }
+    out = {r["probe_id"]: r for r in REGISTRY["pipeline_rag_context_budget"].fn(spark, SF_DIR).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    for pid in out:
+        ps = dsets[pid]
+        scored = []
+        for cid, cs in dsets.items():
+            if cid == pid:
+                continue
+            common = len(ps & cs)
+            if common:
+                scored.append((round(common / len(ps | cs), 6), cid))
+        top3 = sorted(scored, key=lambda sc: (-sc[0], sc[1]))[:3]
+        cum, n_in, ctx = 0, 0, 0
+        for _, cid in top3:
+            cum += dlens[cid]
+            if cum <= RAG_BUDGET:
+                n_in += 1
+                ctx += dlens[cid]
+        r = out[pid]
+        assert r["n_retrieved"] == len(top3)
+        assert (r["n_in_context"], r["context_tokens"]) == (n_in, ctx)
+        assert r["top1_id"] == top3[0][1]
+        assert abs(r["top1_jaccard"] - top3[0][0]) < 1e-9
