@@ -94,6 +94,12 @@ HEADLINE = [
     "ml_linreg_normal_eq",           # ML one-pass normal-equation OLS (r9)
     "agg_winsorized_mean",           # D  order-statistic winsorize (r9)
     "seq_markov_stationary",         # SEQ decimal-exact power iteration (r9)
+    "stats_xi_correlation",          # STATS banded-seam Chatterjee xi (r9b)
+    "ml_conformal_split_interval",   # ML split-conformal banded quantile (r9b)
+    "graph_hits_hubs_authorities",   # GR bipartite HITS matvec (r9b)
+    "sim_rrf_fusion",                # I  hybrid-ranking RRF fusion (r9b)
+    "pipeline_rag_context_budget",   # I  retrieval + context packing (r9b)
+    "er_fellegi_sunter_em",          # ER distributed EM M-step (r9b)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched
