@@ -1855,3 +1855,102 @@ def agg_price_volume_mix(spark, sf_dir):
             6,
         ).alias("price_effect"),
     ).orderBy("brand")
+
+
+@register(
+    "agg_retention_ndr_grr",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey AS cust,
+                   CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                                 THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 ELSE 0 END) AS BIGINT) AS r96,
+                   CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                                 THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 ELSE 0 END) AS BIGINT) AS r97
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        ),
+        cohort AS (SELECT * FROM spend WHERE r96 > 0),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cohort,
+                   CAST(SUM(CASE WHEN r97 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_retained,
+                   CAST(SUM(r96) AS BIGINT) AS base_rev,
+                   CAST(SUM(r97) AS BIGINT) AS next_rev,
+                   CAST(SUM(LEAST(r96, r97)) AS BIGINT) AS floor_rev,
+                   CAST(SUM(CASE WHEN r97 > r96 THEN r97 - r96 ELSE 0 END)
+                        AS BIGINT) AS expansion,
+                   CAST(SUM(CASE WHEN r97 < r96 THEN r96 - r97 ELSE 0 END)
+                        AS BIGINT) AS contraction
+            FROM cohort
+        )
+        SELECT n_cohort, n_retained,
+               ROUND(CAST(base_rev AS DOUBLE) / 100, 2) AS base_revenue,
+               ROUND(CAST(next_rev AS DOUBLE) / 100, 2) AS next_revenue,
+               ROUND(CAST(next_rev AS DOUBLE) / base_rev, 6) AS ndr,
+               ROUND(CAST(floor_rev AS DOUBLE) / base_rev, 6) AS grr,
+               ROUND(CAST(expansion AS DOUBLE) / base_rev, 6)
+                   AS expansion_rate,
+               ROUND(CAST(contraction AS DOUBLE) / base_rev, 6)
+                   AS contraction_rate,
+               ROUND(CAST(n_retained AS DOUBLE) / n_cohort, 6)
+                   AS logo_retention
+        FROM m
+    """,
+    tags=("D-retention",),
+)
+def agg_retention_ndr_grr(spark, sf_dir):
+    """Net and gross revenue retention of the 1996 customer cohort
+    into 1997 — the SaaS-board metrics: NDR = next-period revenue of
+    the base cohort / base revenue (expansion can push it over 1);
+    GRR = Σ min(r₉₆, r₉₇)/Σ r₉₆ (caps each account at its base, so
+    churn+contraction only); plus the expansion/contraction
+    decomposition (NDR = GRR + expansion) and logo retention.
+
+    Exactness: per-customer period revenues are exact BIGINT cents
+    from ONE date-pruned conditional aggregate (no per-period rescan);
+    LEAST/GREATEST-style caps are integer ops; every rate divides two
+    exact integers, rounded once.  The identity NDR − GRR =
+    expansion_rate holds exactly in the integers — tested.
+
+    100 TB posture: one scan → customer-keyed aggregate (map-side
+    combined) → 1-row reduce.  Cohort membership (r₉₆ > 0) is a
+    filter on the aggregate, never a second pass."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cents = money("o_totalprice") * 100
+    post = F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    spend = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.when(~post, cents).otherwise(0)).cast("bigint").alias("r96"),
+        F.sum(F.when(post, cents).otherwise(0)).cast("bigint").alias("r97"),
+    )
+    cohort = spend.where(F.col("r96") > 0)
+    r96, r97 = F.col("r96"), F.col("r97")
+    m = cohort.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort"),
+        F.sum(F.when(r97 > 0, 1).otherwise(0)).cast("bigint").alias("n_retained"),
+        F.sum(r96).cast("bigint").alias("base_rev"),
+        F.sum(r97).cast("bigint").alias("next_rev"),
+        F.sum(F.least(r96, r97)).cast("bigint").alias("floor_rev"),
+        F.sum(F.when(r97 > r96, r97 - r96).otherwise(0)).cast("bigint").alias("expansion"),
+        F.sum(F.when(r97 < r96, r96 - r97).otherwise(0)).cast("bigint").alias("contraction"),
+    )
+    base = F.col("base_rev")
+    return m.select(
+        "n_cohort",
+        "n_retained",
+        F.round(base.cast("double") / 100, 2).alias("base_revenue"),
+        F.round(F.col("next_rev").cast("double") / 100, 2).alias("next_revenue"),
+        F.round(F.col("next_rev").cast("double") / base, 6).alias("ndr"),
+        F.round(F.col("floor_rev").cast("double") / base, 6).alias("grr"),
+        F.round(F.col("expansion").cast("double") / base, 6).alias("expansion_rate"),
+        F.round(F.col("contraction").cast("double") / base, 6).alias("contraction_rate"),
+        F.round(F.col("n_retained").cast("double") / F.col("n_cohort"), 6).alias(
+            "logo_retention"
+        ),
+    )

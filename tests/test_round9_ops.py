@@ -1912,3 +1912,32 @@ def test_rag_context_budget_matches_reference(spark):
         assert (r["n_in_context"], r["context_tokens"]) == (n_in, ctx)
         assert r["top1_id"] == top3[0][1]
         assert abs(r["top1_jaccard"] - top3[0][0]) < 1e-9
+
+
+def test_ndr_grr_identities_and_reference(spark):
+    """NDR − GRR must equal the expansion rate exactly (integer
+    identity); all rates recomputed from pandas."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    r = REGISTRY["agg_retention_ndr_grr"].fn(spark, SF_DIR).first()
+    assert abs((r["ndr"] - r["grr"]) - r["expansion_rate"]) < 2e-6
+    assert abs((1.0 - r["grr"]) - r["contraction_rate"]) < 2e-6
+    o = load_table(spark, SF_DIR, "orders").toPandas()
+    o = o[(o["o_orderdate"] >= "1996-01-01") & (o["o_orderdate"] < "1998-01-01")].copy()
+    o["cents"] = (o["o_totalprice"].astype("float64") * 100).round(0)
+    o["post"] = o["o_orderdate"] >= "1997-01-01"
+    g = o.groupby("o_custkey").apply(
+        lambda s: (s.loc[~s["post"], "cents"].sum(), s.loc[s["post"], "cents"].sum()),
+        include_groups=False,
+    )
+    pairs = [(a, b) for a, b in g if a > 0]
+    base = sum(a for a, _ in pairs)
+    nxt = sum(b for _, b in pairs)
+    floor = sum(min(a, b) for a, b in pairs)
+    assert r["n_cohort"] == len(pairs)
+    assert r["n_retained"] == sum(1 for _, b in pairs if b > 0)
+    assert abs(r["ndr"] - nxt / base) < 1e-6
+    assert abs(r["grr"] - floor / base) < 1e-6
+    assert 0.0 <= r["grr"] <= 1.0
