@@ -646,3 +646,77 @@ def fn_iso_week_from_scratch(spark, sf_dir):
             + 1
         ).alias("iso_week"),
     )
+
+
+@register(
+    "fn_uuid5_deterministic",
+    oracle="""
+        WITH h AS (
+            SELECT o_orderkey,
+                   md5('etl-builder:order:' || CAST(o_orderkey AS VARCHAR))
+                       AS hx
+            FROM orders WHERE o_orderkey <= 2000
+        )
+        SELECT o_orderkey,
+               substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+               || '5' || substr(hx, 14, 3) || '-'
+               || CASE substr(hx, 17, 1)
+                      WHEN '0' THEN '8' WHEN '1' THEN '9'
+                      WHEN '2' THEN 'a' WHEN '3' THEN 'b'
+                      WHEN '4' THEN '8' WHEN '5' THEN '9'
+                      WHEN '6' THEN 'a' WHEN '7' THEN 'b'
+                      WHEN '8' THEN '8' WHEN '9' THEN '9'
+                      WHEN 'a' THEN 'a' WHEN 'b' THEN 'b'
+                      WHEN 'c' THEN '8' WHEN 'd' THEN '9'
+                      WHEN 'e' THEN 'a' ELSE 'b' END
+               || substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS uuid5,
+               (length(hx) = 32) AS hash_ok
+        FROM h
+        ORDER BY o_orderkey
+    """,
+    tags=("H-uuid",),
+)
+def fn_uuid5_deterministic(spark, sf_dir):
+    """Deterministic namespaced UUID minting — RFC-4122 version-5
+    layout over md5(namespace:key): 8-4-4-4-12 grouping, version
+    nibble forced to 5, variant nibble forced into 8..b by masking
+    the top two bits (hex & 0x3 | 0x8, expressed as the 16-way CASE
+    both engines evaluate identically).  This is how pipelines mint
+    STABLE entity ids that agree across systems and re-runs without
+    coordination — the cross-system upgrade of etl_surrogate_keys
+    (whose ids are corpus-relative ranks).
+
+    Exactness: pure string surgery on the md5 hex — byte-identical
+    across engines by construction; the bounded slice keeps the
+    declared frame reviewable (the minting expression itself is
+    row-local and applies unchanged at any scale).
+
+    100 TB posture: expression-only (scan-shaped, zero shuffle);
+    collision behavior is md5's — fine for id minting, not for
+    adversarial inputs."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    hx = F.md5(F.concat(F.lit("etl-builder:order:"), F.col("o_orderkey").cast("string")))
+    variant_map = dict(zip("0123456789abcdef", "89ab89ab89ab89ab"))
+    v = F.substring(hx, 17, 1)
+    variant = None
+    for src_c, dst in variant_map.items():
+        variant = (
+            F.when(v == src_c, dst) if variant is None else variant.when(v == src_c, dst)
+        )
+    uuid5 = F.concat(
+        F.substring(hx, 1, 8),
+        F.lit("-"),
+        F.substring(hx, 9, 4),
+        F.lit("-5"),
+        F.substring(hx, 14, 3),
+        F.lit("-"),
+        variant,
+        F.substring(hx, 18, 3),
+        F.lit("-"),
+        F.substring(hx, 21, 12),
+    )
+    return o.select(
+        "o_orderkey",
+        uuid5.alias("uuid5"),
+        (F.length(hx) == 32).alias("hash_ok"),
+    ).orderBy("o_orderkey")

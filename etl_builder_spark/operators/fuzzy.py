@@ -603,3 +603,151 @@ def er_fellegi_sunter_em(spark, sf_dir):
         F.round(uh, 6).alias("u_hat"),
         F.round(F.log(mh / uh) / F.log(F.lit(2.0)), 6).alias("weight_agree_bits"),
     ).orderBy("feature")
+
+
+#: sorted-neighborhood window size (ranks)
+SN_WINDOW = 5
+
+
+@register(
+    "er_sorted_neighborhood",
+    oracle=f"""
+        WITH everything AS (
+            SELECT c_custkey, c_name FROM customer
+            UNION ALL
+            SELECT c_custkey + {ER_OFFSET}, c_name || 'X'
+            FROM customer
+        ),
+        keyed AS (
+            SELECT c_custkey, c_name,
+                   CAST(substr(c_name, 10, 8) AS BIGINT) AS sk
+            FROM everything
+        ),
+        ranked AS (
+            SELECT c_custkey, c_name,
+                   ROW_NUMBER() OVER (ORDER BY sk, c_name, c_custkey) AS rnk
+            FROM keyed
+        ),
+        pairs AS (
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name) AS ed
+            FROM ranked a JOIN ranked b
+              ON b.rnk > a.rnk AND b.rnk <= a.rnk + {SN_WINDOW}
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                   CAST(SUM(CASE WHEN ed <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_matches,
+                   CAST(SUM(CASE WHEN id_b = id_a + {ER_OFFSET}
+                                  AND ed <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_planted_found
+            FROM pairs
+        ),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted FROM customer)
+        SELECT {SN_WINDOW} AS window_size, n_candidates, n_matches,
+               n_planted_found, t.n_planted,
+               ROUND(CAST(n_planted_found AS DOUBLE) / t.n_planted, 6)
+                   AS recall,
+               ROUND(CAST(n_matches AS DOUBLE) / n_candidates, 6)
+                   AS match_density
+        FROM m CROSS JOIN t
+    """,
+    tags=("ER-blocking",),
+)
+def er_sorted_neighborhood(spark, sf_dir):
+    """The SORTED-NEIGHBORHOOD method (Hernández & Stolfo 1995) — the
+    third blocking strategy in the ER family, next to equality blocks
+    (er_blocked_fuzzy_match) and weighted evidence (er_weighted_
+    linkage): sort all records by a fuzzy key, compare each record
+    only to its w={SN_WINDOW} successors in rank order.  Catches
+    near-duplicates that equality blocking splits.  THIS key's
+    planted noise is an APPENDED suffix (name || 'X', edit distance
+    1) — the mangle keeps every sort digit, so each dirty record is
+    rank-ADJACENT to its original and w=5 recovers every planted
+    pair (recall 1.0 by construction); the sibling last-char-REPLACE
+    fixture (er_blocked_fuzzy_match) breaks the trailing digit —
+    there equality/prefix blocking wins instead, and the two keys
+    together are the method-selection story.
+
+    Scale construction: the global rank comes from banded_running on
+    the INTEGER name-prefix key (no unpartitioned window — the
+    Spearman rank-map discipline on an ER problem); neighborhood
+    pairs join on rank-bucket adjacency (bucket = rnk div w, each
+    rank meets only buckets b and b+1), so candidates are O(n·w) by
+    construction — the method's defining bound.
+
+    Exactness: ranks are exact integers over the total order
+    (prefix key, name, custkey); candidate/match/recall counts are
+    exact; the oracle uses the naive single-window rank and must
+    agree exactly."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select("c_custkey", "c_name")
+    dirty = base.select(
+        (F.col("c_custkey") + ER_OFFSET).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit("X")).alias("c_name"),
+    )
+    keyed = base.unionByName(dirty).select(
+        "c_custkey",
+        "c_name",
+        F.substring("c_name", 10, 8).cast("bigint").alias("sk"),
+    )
+    from etl_builder_spark.operators.stats import banded_running
+
+    # total order (sk, c_name, c_custkey): fold name+key into the
+    # tiebreak by ranking on sk with a composite tiebreak column
+    ranked = banded_running(
+        keyed.withColumn(
+            "tb", F.concat(F.col("c_name"), F.lit("#"), F.col("c_custkey").cast("string"))
+        ),
+        value_col="sk",
+        tiebreak_col="tb",
+    ).select("c_custkey", "c_name", F.col("rnk").alias("rnk"))
+    a = ranked.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.floor(F.col("rnk") / SN_WINDOW).cast("bigint").alias("bucket"),
+    )
+    b0 = ranked.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("rnk").alias("rnk_b"),
+        F.floor(F.col("rnk") / SN_WINDOW).cast("bigint").alias("bucket_b"),
+    )
+    pairs = None
+    for shift in (0, 1):
+        j = a.join(
+            b0,
+            (F.col("bucket_b") == F.col("bucket") + shift)
+            & (F.col("rnk_b") > F.col("rnk_a"))
+            & (F.col("rnk_b") <= F.col("rnk_a") + SN_WINDOW),
+        ).select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).alias("ed"),
+        )
+        pairs = j if pairs is None else pairs.unionAll(j)
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("ed") <= 2, 1).otherwise(0)).cast("bigint").alias("n_matches"),
+        F.sum(
+            F.when((F.col("id_b") == F.col("id_a") + ER_OFFSET) & (F.col("ed") <= 2), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_planted_found"),
+    )
+    t = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
+    return m.crossJoin(F.broadcast(t)).select(
+        F.lit(SN_WINDOW).cast("bigint").alias("window_size"),
+        "n_candidates",
+        "n_matches",
+        "n_planted_found",
+        "n_planted",
+        F.round(F.col("n_planted_found").cast("double") / F.col("n_planted"), 6).alias(
+            "recall"
+        ),
+        F.round(F.col("n_matches").cast("double") / F.col("n_candidates"), 6).alias(
+            "match_density"
+        ),
+    )

@@ -1941,3 +1941,61 @@ def test_ndr_grr_identities_and_reference(spark):
     assert abs(r["ndr"] - nxt / base) < 1e-6
     assert abs(r["grr"] - floor / base) < 1e-6
     assert 0.0 <= r["grr"] <= 1.0
+
+
+def test_uuid5_matches_python_uuid_layout(spark):
+    """The minted ids must parse as RFC-4122 UUIDs with version 5 and
+    variant in 8..b, and reproduce python's md5-based construction."""
+    import hashlib
+    import uuid as uuidlib
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = REGISTRY["fn_uuid5_deterministic"].fn(spark, SF_DIR).collect()
+    assert out and all(r["hash_ok"] for r in out)
+    for r in out[:50]:
+        u = uuidlib.UUID(r["uuid5"])
+        assert u.version == 5
+        assert r["uuid5"][19] in "89ab"
+        hx = hashlib.md5(f"etl-builder:order:{r['o_orderkey']}".encode()).hexdigest()
+        ref = (
+            hx[:8] + "-" + hx[8:12] + "-5" + hx[13:16] + "-"
+            + "89ab89ab89ab89ab"[int(hx[16], 16)] + hx[17:20] + "-" + hx[20:32]
+        )
+        assert r["uuid5"] == ref
+    # determinism across the frame: unique per key
+    assert len({r["uuid5"] for r in out}) == len(out)
+
+
+def test_sorted_neighborhood_matches_reference(spark):
+    """Candidate and planted-pair counts recomputed in plain Python
+    with the literal sort-then-window definition; the banded bucket
+    join must generate EXACTLY the |Δrank| <= w pair set."""
+    from etl_builder_spark.operators.fuzzy import ER_OFFSET, SN_WINDOW
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name").collect()
+    recs = [(r["c_custkey"], r["c_name"]) for r in c] + [
+        (r["c_custkey"] + ER_OFFSET, r["c_name"] + "X") for r in c
+    ]
+    keyed = sorted(
+        recs, key=lambda kv: (int(kv[1][9:17]), kv[1] + "#" + str(kv[0]))
+    )
+    n_cand = 0
+    n_planted_found = 0
+    for i, (ka, na) in enumerate(keyed):
+        for j in range(i + 1, min(i + SN_WINDOW + 1, len(keyed))):
+            kb, nb = keyed[j]
+            n_cand += 1
+            if kb == ka + ER_OFFSET and nb == na + "X":
+                n_planted_found += 1
+            if ka == kb + ER_OFFSET and na == nb + "X":
+                n_planted_found += 1
+    r = REGISTRY["er_sorted_neighborhood"].fn(spark, SF_DIR).first()
+    assert r["n_candidates"] == n_cand
+    assert r["n_planted_found"] == n_planted_found
+    assert r["n_planted"] == len(c)
+    assert r["recall"] == 1.0
