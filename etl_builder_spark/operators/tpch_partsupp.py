@@ -365,3 +365,94 @@ def tpch_q20_potential_promotion(spark, sf_dir):
     return eur.join(
         F.broadcast(qualifying), eur.s_suppkey == qualifying.ps_suppkey, "left_semi"
     ).select("s_name", "n_name")
+
+
+@register(
+    "agg_days_of_supply",
+    oracle=f"""
+        WITH {PARTSUPP_CTE},
+        onhand AS (
+            SELECT ps_partkey, CAST(SUM(ps_availqty) AS BIGINT) AS avail
+            FROM partsupp GROUP BY ps_partkey
+        ),
+        demand AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q365
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey
+        )
+        SELECT p.p_brand AS brand,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(o.avail) AS BIGINT) AS total_onhand,
+               CAST(SUM(d.q365) AS BIGINT) AS total_demand_365d,
+               ROUND(CAST(SUM(o.avail) AS DOUBLE) * 365 / SUM(d.q365), 6)
+                   AS days_of_supply,
+               ROUND(CAST(SUM(d.q365) AS DOUBLE) / SUM(o.avail), 6)
+                   AS annual_turnover
+        FROM onhand o
+        JOIN demand d ON d.l_partkey = o.ps_partkey
+        JOIN part p ON p.p_partkey = o.ps_partkey
+        GROUP BY p.p_brand
+        ORDER BY brand
+    """,
+    tags=("L-inventory",),
+)
+def agg_days_of_supply(spark, sf_dir):
+    """Days-of-supply / annual-turnover inventory table per brand:
+    on-hand quantity (summed over the derived partsupp's four
+    suppliers per part) against trailing-365-day lineitem demand —
+    the inventory-turnover analytic the partsupp table exists for
+    (completes the Q2/Q11/Q16/Q20 family with the operational view;
+    on this corpus supply dwarfs annual demand, which the turnover
+    column makes legible where a banded view would collapse).
+
+    Exactness: availability and demand are exact BIGINT sums through
+    the brand rollup; the two ratios are single float expressions
+    rounded once.
+
+    100 TB posture: partsupp derives from a projection of part (no
+    shuffle to build), demand is one date-pruned map-side-combined
+    aggregate, both join keys are partkey, and part's brand column
+    broadcasts — at scale the written bucketed partsupp co-locates
+    with a partkey-bucketed demand rollup, making the join
+    shuffle-free."""
+    ps = derived_partsupp(spark, sf_dir)
+    onhand = ps.groupBy("ps_partkey").agg(
+        F.sum("ps_availqty").cast("bigint").alias("avail")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    demand = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q365")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = (
+        onhand.join(demand, onhand["ps_partkey"] == demand["l_partkey"])
+        .join(F.broadcast(part), onhand["ps_partkey"] == part["p_partkey"])
+    )
+    return (
+        j.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("avail").cast("bigint").alias("total_onhand"),
+            F.sum("q365").cast("bigint").alias("total_demand_365d"),
+        )
+        .select(
+            "brand",
+            "n_parts",
+            "total_onhand",
+            "total_demand_365d",
+            F.round(
+                F.col("total_onhand").cast("double") * 365 / F.col("total_demand_365d"),
+                6,
+            ).alias("days_of_supply"),
+            F.round(
+                F.col("total_demand_365d").cast("double") / F.col("total_onhand"), 6
+            ).alias("annual_turnover"),
+        )
+        .orderBy("brand")
+    )
