@@ -1954,3 +1954,140 @@ def agg_retention_ndr_grr(spark, sf_dir):
             "logo_retention"
         ),
     )
+
+
+@register(
+    "agg_abc_xyz_matrix",
+    oracle="""
+        WITH parts AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT l_partkey, rev,
+                   CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       AS cum_rev,
+                   CAST(SUM(rev) OVER () AS DOUBLE) AS tot_rev
+            FROM parts
+        ),
+        abc AS (
+            SELECT l_partkey, rev,
+                   CASE WHEN cum_rev / tot_rev <= 0.8 THEN 'A'
+                        WHEN cum_rev / tot_rev <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM ranked
+        ),
+        monthly AS (
+            SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        xyz AS (
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_m,
+                   CAST(SUM(q) AS BIGINT) AS s1,
+                   CAST(SUM(q * q) AS BIGINT) AS s2
+            FROM monthly GROUP BY l_partkey
+        ),
+        classed AS (
+            SELECT a.abc_class,
+                   CASE WHEN x.n_m < 2 THEN 'Z'
+                        WHEN sqrt((x.s2 - CAST(x.s1 AS DOUBLE) * x.s1 / x.n_m)
+                                  / (x.n_m - 1))
+                             / (CAST(x.s1 AS DOUBLE) / x.n_m) < 0.5 THEN 'X'
+                        WHEN sqrt((x.s2 - CAST(x.s1 AS DOUBLE) * x.s1 / x.n_m)
+                                  / (x.n_m - 1))
+                             / (CAST(x.s1 AS DOUBLE) / x.n_m) < 1.0 THEN 'Y'
+                        ELSE 'Z' END AS xyz_class,
+                   a.rev
+            FROM abc a JOIN xyz x ON x.l_partkey = a.l_partkey
+        ),
+        tot AS (SELECT CAST(SUM(rev) AS DOUBLE) AS t FROM classed)
+        SELECT abc_class, xyz_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(CAST(SUM(rev) AS DOUBLE) / tot.t, 6) AS revenue_share
+        FROM classed CROSS JOIN tot
+        GROUP BY abc_class, xyz_class, tot.t
+        ORDER BY abc_class, xyz_class
+    """,
+    tags=("D-abcxyz",),
+)
+def agg_abc_xyz_matrix(spark, sf_dir):
+    """The ABC×XYZ planning matrix — the inventory-strategy grid:
+    ABC classes parts by cumulative revenue share (80/95 cuts, the
+    agg_abc_classification machinery) and XYZ by demand
+    PREDICTABILITY (coefficient of variation of monthly quantity:
+    X < 0.5 steady, Y < 1.0 variable, Z ≥ 1.0 erratic / too sparse
+    to judge); the 3×3 cell counts + revenue shares drive
+    stock-policy choices (AX = automate, CZ = make-to-order).
+
+    Exactness: revenue ranks cumulate through banded_running (exact
+    decimal, no unpartitioned window — the gini discipline, where
+    the parent ABC key keeps the allowlisted naive form); monthly
+    demand moments are exact BIGINTs; CV and the class cuts are
+    fixed float expressions of exact integers; cell aggregates are
+    exact with one rounded share.
+
+    100 TB posture: two map-side-combined aggregates over one fact
+    table (per-part revenue, per-part-month quantity) joined on
+    partkey; the classing is expression-only; output is ≤9 cells."""
+    from etl_builder_spark.operators.stats import banded_running
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_partkey").agg(
+        F.sum(money("l_extendedprice")).alias("rev")
+    ).persist()
+    ranked = banded_running(
+        parts, value_col="rev", tiebreak_col="l_partkey", descending=True,
+        sum_col="rev",
+    ).select("l_partkey", "rev", F.col("run_sum").alias("cum_rev"))
+    tot_rev = parts.agg(F.sum("rev").alias("tot_rev"))
+    share = F.col("cum_rev").cast("double") / F.col("tot_rev").cast("double")
+    abc = ranked.crossJoin(F.broadcast(tot_rev)).select(
+        "l_partkey",
+        "rev",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", F.col("l_shipdate")).alias("m")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    xyz = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_m"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
+    )
+    cv = F.sqrt(
+        (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_m"))
+        / (F.col("n_m") - 1)
+    ) / (F.col("s1").cast("double") / F.col("n_m"))
+    classed = abc.join(
+        xyz.withColumnRenamed("l_partkey", "pk"), abc["l_partkey"] == F.col("pk")
+    ).select(
+        "abc_class",
+        F.when(F.col("n_m") < 2, "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        "rev",
+    )
+    tot = classed.agg(F.sum("rev").cast("double").alias("t"))
+    return (
+        classed.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("double").alias("cell_rev"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "xyz_class",
+            "n_parts",
+            F.round(F.col("cell_rev") / F.col("t"), 6).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )

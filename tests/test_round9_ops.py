@@ -1999,3 +1999,47 @@ def test_sorted_neighborhood_matches_reference(spark):
     assert r["n_planted_found"] == n_planted_found
     assert r["n_planted"] == len(c)
     assert r["recall"] == 1.0
+
+
+def test_abc_xyz_matches_reference(spark):
+    """The matrix recomputed in pandas with the literal sort-cumsum
+    ABC and monthly-CV XYZ definitions; cells must partition all
+    parts with demand, and revenue shares must sum to 1."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_quantity", "l_shipdate")
+        .toPandas()
+    )
+    li["cents"] = (li["l_extendedprice"].astype("float64") * 100).round(0)
+    rev = li.groupby("l_partkey")["cents"].sum().sort_values(ascending=False)
+    # tiebreak on partkey within equal revenue
+    rev = rev.reset_index().sort_values(["cents", "l_partkey"], ascending=[False, True])
+    rev["cum"] = rev["cents"].cumsum()
+    tot = rev["cents"].sum()
+    import numpy as np
+
+    rev["abc"] = np.where(
+        rev["cum"] / tot <= 0.8, "A", np.where(rev["cum"] / tot <= 0.95, "B", "C")
+    )
+    li["m"] = li["l_shipdate"].dt.to_period("M")
+    monthly = li.groupby(["l_partkey", "m"])["l_quantity"].sum()
+
+    def xyz(grp):
+        if len(grp) < 2:
+            return "Z"
+        cv = grp.std(ddof=1) / grp.mean()
+        return "X" if cv < 0.5 else ("Y" if cv < 1.0 else "Z")
+
+    xyz_cls = monthly.groupby(level=0).apply(xyz)
+    df = rev.set_index("l_partkey").join(xyz_cls.rename("xyz"))
+    from collections import Counter
+
+    ref = Counter(zip(df["abc"], df["xyz"]))
+    out = REGISTRY["agg_abc_xyz_matrix"].fn(spark, SF_DIR).collect()
+    got = {(r["abc_class"], r["xyz_class"]): r["n_parts"] for r in out}
+    assert got == dict(ref)
+    assert abs(sum(r["revenue_share"] for r in out) - 1.0) < 1e-4
