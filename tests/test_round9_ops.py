@@ -2043,3 +2043,41 @@ def test_abc_xyz_matches_reference(spark):
     got = {(r["abc_class"], r["xyz_class"]): r["n_parts"] for r in out}
     assert got == dict(ref)
     assert abs(sum(r["revenue_share"] for r in out) - 1.0) < 1e-4
+
+
+def test_croston_matches_python_reference(spark):
+    """The Croston recursion recomputed in plain Python over the same
+    rebuilt 168-hour tail; the dense-limit identity (every period has
+    demand => p converges toward 1) must hold directionally."""
+    from etl_builder_spark.operators.timeseries import (
+        CROSTON_ALPHA,
+        CROSTON_N,
+        CROSTON_TYPE,
+    )
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+    from etl_builder_spark.session import load_table
+
+    _ensure_loaded()
+    e = load_table(spark, SF_DIR, "events").select("ts", "event_type").toPandas()
+    hours = e["ts"].dt.floor("h")
+    import pandas as pd
+
+    spine = pd.date_range(hours.min(), hours.max(), freq="h")
+    counts = hours[e["event_type"] == CROSTON_TYPE].value_counts()
+    xs = [float(counts.get(t, 0)) for t in spine[-CROSTON_N:]]
+    z = p = q = 1.0
+    nd = 0
+    for x in xs:
+        if x > 0:
+            z = z + CROSTON_ALPHA * (x - z)
+            p = p + CROSTON_ALPHA * (q - p)
+            q = 1.0
+            nd += 1
+        else:
+            q += 1.0
+    r = REGISTRY["ts_croston_intermittent"].fn(spark, SF_DIR).first()
+    assert r["n_hours"] == CROSTON_N and r["n_demand"] == nd
+    assert abs(r["demand_size"] - z) < 1e-6
+    assert abs(r["demand_interval"] - p) < 1e-6
+    assert abs(r["croston_rate"] - z / p) < 1e-6
+    assert abs(r["forecast_per_day"] - z / p * 24) < 1e-4
