@@ -1837,3 +1837,204 @@ def stats_group_sequential_looks(spark, sf_dir):
         )
         .orderBy("look")
     )
+
+
+@register(
+    "stats_bayes_beta_binomial",
+    oracle="""
+        WITH b AS (
+            SELECT p_brand AS brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        )
+        SELECT brand, n, s,
+               ROUND(CAST(s AS DOUBLE) / n, 6) AS mle_rate,
+               ROUND((s + 1.0) / (n + 2.0), 6) AS posterior_mean,
+               ROUND(sqrt((s + 1.0) * (n - s + 1.0)
+                          / ((n + 2.0) * (n + 2.0) * (n + 3.0))), 6)
+                   AS posterior_sd,
+               ROUND((s + 1.0) / (n + 2.0)
+                     - 1.959964 * sqrt((s + 1.0) * (n - s + 1.0)
+                          / ((n + 2.0) * (n + 2.0) * (n + 3.0))), 6)
+                   AS cred_lo,
+               ROUND((s + 1.0) / (n + 2.0)
+                     + 1.959964 * sqrt((s + 1.0) * (n - s + 1.0)
+                          / ((n + 2.0) * (n + 2.0) * (n + 3.0))), 6)
+                   AS cred_hi
+        FROM b
+        ORDER BY brand
+    """,
+    tags=("STATS-bayes",),
+)
+def stats_bayes_beta_binomial(spark, sf_dir):
+    """Beta-binomial posterior for each brand's return rate under the
+    uniform Beta(1,1) prior — the conjugate-Bayes rate table
+    (posterior mean (s+1)/(n+2) = Laplace's rule of succession,
+    exact Beta posterior sd, normal-approx 95% credible band) that a
+    dashboard shows INSTEAD of raw MLE rates when some segments are
+    small: the posterior is automatically regularized, and segments
+    with little data visibly carry wide bands.
+
+    Exactness: the per-brand (n, s) counts are exact BIGINTs from ONE
+    lineitem⋈part aggregation; every posterior quantity is a fixed
+    float expression of two integers (the Beta moments are closed
+    form — no sampling, no special functions), rounded once.
+
+    100 TB posture: part broadcasts; one map-side-combined aggregate
+    to 25 rows; the Bayes arithmetic is frame-local.  Hierarchical
+    priors fit on the same frame (see stats_empirical_bayes_shrinkage
+    for the method-of-moments version)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    n, s = F.col("n"), F.col("s")
+    pm = (s + 1.0) / (n + 2.0)
+    sd = F.sqrt((s + 1.0) * (n - s + 1.0) / ((n + 2.0) * (n + 2.0) * (n + 3.0)))
+    z = F.lit(1.959964)
+    return b.select(
+        "brand",
+        n,
+        s,
+        F.round(s.cast("double") / n, 6).alias("mle_rate"),
+        F.round(pm, 6).alias("posterior_mean"),
+        F.round(sd, 6).alias("posterior_sd"),
+        F.round(pm - z * sd, 6).alias("cred_lo"),
+        F.round(pm + z * sd, 6).alias("cred_hi"),
+    ).orderBy("brand")
+
+
+@register(
+    "stats_empirical_bayes_shrinkage",
+    oracle="""
+        WITH b AS (
+            SELECT p_brand AS brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        ),
+        g AS (
+            SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(CAST(ROUND(
+                       (CAST(s AS DOUBLE) / n
+                        - (SELECT CAST(SUM(s) AS DOUBLE) / SUM(n) FROM b))
+                       * (CAST(s AS DOUBLE) / n
+                          - (SELECT CAST(SUM(s) AS DOUBLE) / SUM(n) FROM b)), 12)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS ss_between,
+                   CAST(SUM(CAST(ROUND(
+                       CAST(s AS DOUBLE) / n * (1.0 - CAST(s AS DOUBLE) / n) / n,
+                       12) AS DECIMAL(28,12))) AS DOUBLE) AS mean_within
+            FROM b
+        ),
+        prior AS (
+            SELECT CAST(st AS DOUBLE) / nt AS mu,
+                   GREATEST(ss_between / (k - 1) - mean_within / k, 1e-12)
+                       AS tau2
+            FROM g
+        )
+        SELECT b.brand, b.n, b.s,
+               ROUND(CAST(b.s AS DOUBLE) / b.n, 6) AS mle_rate,
+               ROUND(p.mu, 6) AS prior_mean,
+               ROUND(p.tau2 / (p.tau2 + p.mu * (1.0 - p.mu) / b.n), 6)
+                   AS shrink_weight,
+               ROUND(p.mu + p.tau2 / (p.tau2 + p.mu * (1.0 - p.mu) / b.n)
+                     * (CAST(b.s AS DOUBLE) / b.n - p.mu), 6) AS eb_rate
+        FROM b CROSS JOIN prior p
+        ORDER BY b.brand
+    """,
+    tags=("STATS-bayes",),
+)
+def stats_empirical_bayes_shrinkage(spark, sf_dir):
+    """Empirical-Bayes shrinkage of per-brand return rates toward the
+    pooled mean — the James-Stein-style estimator behind 'small
+    segments get pulled to the prior': the between-brand variance τ²
+    is estimated from the data itself (method of moments: between-SS
+    minus average within-brand sampling variance), and each brand's
+    posterior is the precision-weighted blend
+    μ + w·(p̂ − μ), w = τ²/(τ² + p̂ sampling var).  Big-n brands keep
+    their MLE (w→1); a sparse brand would collapse to the pool.
+
+    Exactness: counts are exact BIGINTs; the two prior moments are
+    sums of per-brand float terms rounded to 12 dp into DECIMAL
+    (order-free, the round-then-DECIMAL idiom over the 25-row
+    frame); every output is one fixed float expression rounded once;
+    τ² floors at 1e-12 so the weight stays defined when brands are
+    homogeneous.
+
+    100 TB posture: ONE data pass to the 25-row frame; the prior fit
+    and the shrinkage are frame arithmetic — the whole hierarchical
+    model costs nothing beyond the rate table itself."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("s"),
+        )
+        .persist()
+    )
+    tot = b.agg(
+        F.sum("s").cast("bigint").alias("st"), F.sum("n").cast("bigint").alias("nt")
+    )
+    mu0 = F.col("st").cast("double") / F.col("nt")
+    withmu = b.crossJoin(F.broadcast(tot)).select(
+        "brand", "n", "s", mu0.alias("mu")
+    )
+    rate = F.col("s").cast("double") / F.col("n")
+    g = withmu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("mu").alias("mu"),
+        F.sum(
+            F.round((rate - F.col("mu")) * (rate - F.col("mu")), 12).cast(
+                "decimal(28,12)"
+            )
+        )
+        .cast("double")
+        .alias("ss_between"),
+        F.sum(
+            F.round(rate * (1.0 - rate) / F.col("n"), 12).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("mean_within"),
+    )
+    prior = g.select(
+        "mu",
+        F.greatest(
+            F.col("ss_between") / (F.col("k") - 1) - F.col("mean_within") / F.col("k"),
+            F.lit(1e-12),
+        ).alias("tau2"),
+    )
+    w = F.col("tau2") / (
+        F.col("tau2") + F.col("mu") * (1.0 - F.col("mu")) / F.col("n")
+    )
+    return (
+        b.crossJoin(F.broadcast(prior))
+        .select(
+            "brand",
+            "n",
+            "s",
+            F.round(rate, 6).alias("mle_rate"),
+            F.round(F.col("mu"), 6).alias("prior_mean"),
+            F.round(w, 6).alias("shrink_weight"),
+            F.round(F.col("mu") + w * (rate - F.col("mu")), 6).alias("eb_rate"),
+        )
+        .orderBy("brand")
+    )

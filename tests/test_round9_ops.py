@@ -2081,3 +2081,49 @@ def test_croston_matches_python_reference(spark):
     assert abs(r["demand_interval"] - p) < 1e-6
     assert abs(r["croston_rate"] - z / p) < 1e-6
     assert abs(r["forecast_per_day"] - z / p * 24) < 1e-4
+
+
+def test_beta_binomial_matches_reference(spark):
+    """Posterior mean/sd recomputed from the exact Beta(s+1, n-s+1)
+    moments in plain Python; the credible band must bracket both the
+    posterior mean and (for these large n) the MLE."""
+    import math
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = REGISTRY["stats_bayes_beta_binomial"].fn(spark, SF_DIR).collect()
+    assert len(out) == 25
+    for r in out:
+        a, b = r["s"] + 1, r["n"] - r["s"] + 1
+        mean = a / (a + b)
+        sd = math.sqrt(a * b / ((a + b) ** 2 * (a + b + 1)))
+        assert abs(r["posterior_mean"] - mean) < 1e-6
+        assert abs(r["posterior_sd"] - sd) < 1e-6
+        assert r["cred_lo"] < r["posterior_mean"] < r["cred_hi"]
+        assert r["cred_lo"] < r["mle_rate"] < r["cred_hi"]
+
+
+def test_eb_shrinkage_matches_reference_and_contracts(spark):
+    """τ², weights and shrunk rates recomputed in pandas with the
+    method-of-moments recipe (including the 12-dp term rounding);
+    every shrunk rate must lie between its MLE and the pooled mean."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = REGISTRY["stats_empirical_bayes_shrinkage"].fn(spark, SF_DIR).collect()
+    k = len(out)
+    st = sum(r["s"] for r in out)
+    nt = sum(r["n"] for r in out)
+    mu = st / nt
+    rates = [r["s"] / r["n"] for r in out]
+    ss_between = sum(round((p - mu) ** 2, 12) for p in rates)
+    mean_within = sum(round(p * (1 - p) / r["n"], 12) for p, r in zip(rates, out))
+    tau2 = max(ss_between / (k - 1) - mean_within / k, 1e-12)
+    for r, p in zip(out, rates):
+        w = tau2 / (tau2 + mu * (1 - mu) / r["n"])
+        eb = mu + w * (p - mu)
+        assert abs(r["shrink_weight"] - w) < 1e-5
+        assert abs(r["eb_rate"] - eb) < 1e-5
+        lo, hi = sorted([p, mu])
+        assert lo - 1e-9 <= r["eb_rate"] <= hi + 1e-9
