@@ -1429,3 +1429,66 @@ def test_dbscan_grid_matches_bruteforce(spark, coords):
             adj = [label[j] for j in ball(i) if j in cores]
             want[i] = (False, min(adj) if adj else -1)
     assert got == want, (got, want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 8)),
+        min_size=3,
+        max_size=60,
+    )
+)
+@_settings
+def test_xi_banded_seam_numerator_matches_naive(spark, rows):
+    """The stats_xi_correlation seam decomposition — within-band lag
+    sums + band-boundary |Δr| — must equal the naive global
+    consecutive-pair sum for ARBITRARY (x, y) data and any band
+    assignment, because bands are contiguous x-ranges.  Hypothesis
+    over random integer series."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(rows)], columns=["k", "x", "y"]
+    )
+    # y-rank map (c_le) as the operator builds it
+    c_le = pdf.groupby("y").size().sort_index().cumsum().to_dict()
+    pdf["r"] = pdf["y"].map(c_le)
+    ordered = pdf.sort_values(["x", "k"]).reset_index(drop=True)
+    naive = int(ordered["r"].diff().abs().dropna().sum())
+
+    sdf = spark.createDataFrame(pdf)
+    banded = sdf.withColumn("band", (F.col("x") / 7).cast("bigint"))
+    wb = Window.partitionBy("band").orderBy("x", "k")
+    tagged = banded.select(
+        "band",
+        "r",
+        F.lag("r").over(wb).alias("r_prev"),
+        F.row_number().over(wb).alias("rn_a"),
+        F.row_number()
+        .over(Window.partitionBy("band").orderBy(F.col("x").desc(), F.col("k").desc()))
+        .alias("rn_d"),
+    )
+    within = tagged.agg(
+        F.sum(
+            F.when(F.col("r_prev").isNotNull(), F.abs(F.col("r") - F.col("r_prev")))
+        ).alias("s")
+    ).first()["s"] or 0
+    heads = tagged.where(F.col("rn_a") == 1).select("band", F.col("r").alias("h"))
+    tails = tagged.where(F.col("rn_d") == 1).select(
+        F.col("band").alias("tb"), F.col("r").alias("t")
+    )
+    wseam = Window.orderBy("band")
+    seam_row = (
+        heads.join(tails, heads["band"] == tails["tb"])
+        .select("band", "h", F.lag("t").over(wseam).alias("pt"))
+        .agg(
+            F.sum(
+                F.when(F.col("pt").isNotNull(), F.abs(F.col("h") - F.col("pt")))
+            ).alias("s")
+        )
+        .first()["s"]
+        or 0
+    )
+    assert int(within) + int(seam_row) == naive
