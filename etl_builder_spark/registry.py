@@ -26,18 +26,37 @@ class QuerySpec:
     fn: SparkQuery
     oracle: str | None  # DuckDB ANSI SQL; None → driver's weaker rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Round the key was first declared.  Never-sampled keys are graded
+    # OLDEST-DECLARED-FIRST (VERDICT r9 item 1): a key that has waited
+    # since round N must outrank a key declared in round N+1, regardless
+    # of name, so new registrations can never crowd the backlog out of
+    # the driver's first-50 sample window.  Default 9 = "declared in or
+    # before round 9" (the rounds that predate this field).
+    declared: int = 9
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> Callable[[SparkQuery], SparkQuery]:
-    """Decorator: register a declared query under SURVEY §2 key ``name``."""
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    declared: int = 9,
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator: register a declared query under SURVEY §2 key ``name``.
+
+    ``declared`` is the round the key is first registered in (default 9
+    covers every key that predates the field); it only affects grading
+    order among never-driver-sampled keys — oldest declaration first.
+    """
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query key: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tuple(tags))
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tuple(tags), declared=declared
+        )
         return fn
 
     return deco
@@ -397,23 +416,25 @@ def _ordered_items() -> list[tuple[str, QuerySpec]]:
         tail = [(k, spec) for k, spec in REGISTRY.items() if k not in seen]
         return head + tail
 
-    # Tiebreaks, in order: (1) position in the legacy static tuple —
-    # among equally-never-sampled keys, ones that have WAITED since a
-    # prior round (they're in the tuple) outrank keys registered this
-    # round (absent → tail), so a round's new registrations can't crowd
-    # out the longest-unsampled backlog; (2) NAME, not registration
-    # position — registration order shifts with which module happens to
-    # import first (__spark_entry__ pulls in operators.aggregates before
+    # Tiebreaks, in order: (1) DECLARATION ROUND (QuerySpec.declared) —
+    # among equally-never-sampled keys, a key that has waited since an
+    # older round outranks one declared this round, so new registrations
+    # can never crowd the longest-unsampled backlog out of the driver's
+    # first-50 window (VERDICT r9 item 1); (2) position in the legacy
+    # static tuple; (3) NAME, not registration position — registration
+    # order shifts with which module happens to import first
+    # (__spark_entry__ pulls in operators.aggregates before
     # _ensure_loaded runs), and the driver must see the same order
     # selfcheck/tests saw.
     legacy_pos = {k: i for i, k in enumerate(_GRADING_PRIORITY)}
 
-    def sort_key(item: tuple[str, QuerySpec]) -> tuple[int, int, int, str]:
+    def sort_key(item: tuple[str, QuerySpec]) -> tuple[int, int, int, int, str]:
         name, spec = item
         rows_only = 1 if spec.oracle is None else 0
         return (
             rows_only,
             last.get(name, 0),
+            spec.declared,
             legacy_pos.get(name, len(_GRADING_PRIORITY)),
             name,
         )

@@ -118,6 +118,41 @@ def test_grading_priority_order():
     # sampled exact keys are ordered by oldest last-grading round
     sampled_rounds = [last[k] for k in exact if last.get(k, 0) > 0]
     assert sampled_rounds == sorted(sampled_rounds)
+    # among never-sampled exact keys, OLDEST DECLARATION ROUND leads
+    # (VERDICT r9 item 1): a round-10 registration must never displace a
+    # key that has waited in the backlog since round 9 or earlier.
+    never_declared = [specs[k].declared for k in never]
+    assert never_declared == sorted(never_declared), (
+        "never-sampled keys must be ordered oldest-declared-first"
+    )
+
+
+def test_every_registering_module_is_imported():
+    """_ensure_loaded()'s import list is hand-maintained (VERDICT r9
+    item 7): a new module that calls @register but is missing from the
+    list would silently drop its keys from queries().  Glob the package
+    for `@register(` call sites and assert each module's keys actually
+    made it into the loaded registry."""
+    import re
+    from pathlib import Path
+
+    from etl_builder_spark import registry
+
+    registry._ensure_loaded()
+    pkg = Path(registry.__file__).resolve().parent
+    name_pat = re.compile(r"@register\(\s*[\"']([A-Za-z0-9_]+)[\"']")
+    missing = []
+    for py in pkg.rglob("*.py"):
+        text = py.read_text()
+        if "@register(" not in text:
+            continue
+        keys = name_pat.findall(text)
+        # every key this module declares must be present in REGISTRY —
+        # which can only happen if _ensure_loaded imported the module
+        for k in keys:
+            if k not in registry.REGISTRY:
+                missing.append((str(py.relative_to(pkg)), k))
+    assert not missing, f"modules register keys never loaded: {missing}"
 
 
 def test_spec_compiler_equals_fluent_on_random_op_chains(engine):
