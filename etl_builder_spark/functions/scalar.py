@@ -649,7 +649,8 @@ def fn_iso_week_from_scratch(spark, sf_dir):
 
 
 @register(
-    "fn_uuid5_deterministic",
+    "fn_uuid3_deterministic",
+    declared=10,
     oracle="""
         WITH h AS (
             SELECT o_orderkey,
@@ -659,7 +660,7 @@ def fn_iso_week_from_scratch(spark, sf_dir):
         )
         SELECT o_orderkey,
                substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
-               || '5' || substr(hx, 14, 3) || '-'
+               || '3' || substr(hx, 14, 3) || '-'
                || CASE substr(hx, 17, 1)
                       WHEN '0' THEN '8' WHEN '1' THEN '9'
                       WHEN '2' THEN 'a' WHEN '3' THEN 'b'
@@ -669,17 +670,20 @@ def fn_iso_week_from_scratch(spark, sf_dir):
                       WHEN 'a' THEN 'a' WHEN 'b' THEN 'b'
                       WHEN 'c' THEN '8' WHEN 'd' THEN '9'
                       WHEN 'e' THEN 'a' ELSE 'b' END
-               || substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS uuid5,
+               || substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS uuid3,
                (length(hx) = 32) AS hash_ok
         FROM h
         ORDER BY o_orderkey
     """,
     tags=("H-uuid",),
 )
-def fn_uuid5_deterministic(spark, sf_dir):
-    """Deterministic namespaced UUID minting — RFC-4122 version-5
-    layout over md5(namespace:key): 8-4-4-4-12 grouping, version
-    nibble forced to 5, variant nibble forced into 8..b by masking
+def fn_uuid3_deterministic(spark, sf_dir):
+    """Deterministic namespaced UUID minting — RFC-4122 version-3
+    layout over md5(namespace:key) (v3 IS the MD5 name-based version;
+    renamed from the round-9 `fn_uuid5_deterministic` per ADVICE r9 —
+    stamping '5' on an MD5-derived hash misstated the derivation):
+    8-4-4-4-12 grouping, version nibble forced to 3, variant nibble
+    forced into 8..b by masking
     the top two bits (hex & 0x3 | 0x8, expressed as the 16-way CASE
     both engines evaluate identically).  This is how pipelines mint
     STABLE entity ids that agree across systems and re-runs without
@@ -703,11 +707,11 @@ def fn_uuid5_deterministic(spark, sf_dir):
         variant = (
             F.when(v == src_c, dst) if variant is None else variant.when(v == src_c, dst)
         )
-    uuid5 = F.concat(
+    uuid3 = F.concat(
         F.substring(hx, 1, 8),
         F.lit("-"),
         F.substring(hx, 9, 4),
-        F.lit("-5"),
+        F.lit("-3"),
         F.substring(hx, 14, 3),
         F.lit("-"),
         variant,
@@ -717,6 +721,6 @@ def fn_uuid5_deterministic(spark, sf_dir):
     )
     return o.select(
         "o_orderkey",
-        uuid5.alias("uuid5"),
+        uuid3.alias("uuid3"),
         (F.length(hx) == 32).alias("hash_ok"),
     ).orderBy("o_orderkey")

@@ -15,6 +15,8 @@ map-side-combine form, VERDICT r4 item 4).
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import functions as F
 
 from etl_builder_spark.llm.similarity import _dbl
@@ -2309,11 +2311,12 @@ TE_PRIOR_M = 20
     oracle=f"""
         WITH base AS (
             SELECT p_brand AS brand,
-                   CAST((instr('0123456789abcdef',
-                               substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
-                                          || CAST(l_linenumber AS VARCHAR)
-                                          || ':te'), 1, 1)) - 1) % 5
-                        AS BIGINT) AS fold,
+                   list_reduce(list_transform(list_filter(string_split_regex(
+                       substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                  || CAST(l_linenumber AS VARCHAR) || ':te'),
+                              1, 8), ''), c -> c <> ''),
+                       c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                       (a, x) -> a * 16 + x) % 5 AS fold,
                    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
                         AS BIGINT) AS y
             FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -2357,8 +2360,12 @@ def ml_target_encoding_kfold(spark, sf_dir):
     (the Micci-Barreca smoothing).
 
     Fold assignment is the repo's engine-independent hash idiom —
-    first hex digit of md5(orderkey:linenumber:'te') mod 5 — so both
+    first 8 hex digits of md5(orderkey:linenumber:'te') as a 32-bit
+    integer, mod 5 (the sample_balanced_downsample idiom) — so both
     engines (and any re-run at any partitioning) agree row-for-row.
+    ADVICE r9: a single hex digit mod 5 (16 % 5 ≠ 0) gave fold 0 a
+    4/16 share vs 3/16 for folds 1–4; 2³² % 5 = 1 leaves only a
+    ~2⁻³² residual bias.
 
     Exactness: per-(brand, fold) counts and cent-sums are exact
     BIGINTs from ONE aggregation; out-of-fold sums are exact
@@ -2385,7 +2392,7 @@ def ml_target_encoding_kfold(spark, sf_dir):
                     )
                 ),
                 1,
-                1,
+                8,
             ),
             16,
             10,
@@ -2893,11 +2900,17 @@ def ml_learning_curve_subsample(spark, sf_dir):
 #: fixed GMM-EM initialization (component, weight, mean, sigma)
 GMM_INIT = ((1, 0.5, 10.0, 8.0), (2, 0.5, 40.0, 8.0))
 
+#: Gaussian normalizer denominators, precomputed ONCE in Python and
+#: injected as the SAME binary64 literal into both engines (ADVICE r9:
+#: Spark's sigma*sqrt(2)*sqrt(pi) vs DuckDB's sigma*sqrt(2*pi()) could
+#: differ by ~1 ulp and break hash parity at a 9-dp rounding tie).
+_GMM_DENOM = {c[3]: c[3] * _math.sqrt(2.0 * _math.pi) for c in GMM_INIT}
+
 
 def _gmm_phi_sql(mu: float, sigma: float) -> str:
     return (
         f"exp(-((CAST(q AS DOUBLE) - {mu!r}) * (CAST(q AS DOUBLE) - {mu!r}))"
-        f" / (2.0 * {sigma!r} * {sigma!r})) / ({sigma!r} * sqrt(2.0 * pi()))"
+        f" / (2.0 * {sigma!r} * {sigma!r})) / {_GMM_DENOM[sigma]!r}"
     )
 
 
@@ -2971,10 +2984,10 @@ def ml_gmm_em_step_binned(spark, sf_dir):
     qd = F.col("q").cast("double")
 
     def phi(mu, sigma):
-        import math
-
-        return F.exp(-((qd - mu) * (qd - mu)) / (2.0 * sigma * sigma)) / (
-            sigma * math.sqrt(2.0) * F.sqrt(F.lit(math.pi))
+        # denominator is the SAME precomputed binary64 literal the oracle
+        # embeds (_GMM_DENOM) — identical IEEE by construction (ADVICE r9)
+        return F.exp(-((qd - mu) * (qd - mu)) / (2.0 * sigma * sigma)) / F.lit(
+            _GMM_DENOM[sigma]
         )
 
     w1, mu1, s1_ = GMM_INIT[0][1], GMM_INIT[0][2], GMM_INIT[0][3]

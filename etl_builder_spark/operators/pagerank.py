@@ -56,6 +56,17 @@ _GRAPH_CACHE: dict = {}
 def _graph_state(spark, sf_dir):
     key = (spark.sparkContext.applicationId, str(sf_dir))
     if key not in _GRAPH_CACHE:
+        # Bound the memo to the MOST RECENT key (ADVICE r9): a long-lived
+        # session sweeping many sf_dirs must not accumulate persisted edge
+        # tables in executor memory.  Iteration reuse only ever needs the
+        # current graph; evicted frames are explicitly unpersisted.
+        for stale_key in list(_GRAPH_CACHE):
+            stale_edges, stale_outdeg = _GRAPH_CACHE.pop(stale_key)
+            for frame in (stale_edges, stale_outdeg):
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass  # frame's session may already be stopped
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         pairs = (

@@ -1943,29 +1943,30 @@ def test_ndr_grr_identities_and_reference(spark):
     assert 0.0 <= r["grr"] <= 1.0
 
 
-def test_uuid5_matches_python_uuid_layout(spark):
-    """The minted ids must parse as RFC-4122 UUIDs with version 5 and
-    variant in 8..b, and reproduce python's md5-based construction."""
+def test_uuid3_matches_python_uuid_layout(spark):
+    """The minted ids must parse as RFC-4122 UUIDs with version 3 (the
+    MD5 name-based version — ADVICE r9 rename) and variant in 8..b, and
+    reproduce python's md5-based construction."""
     import hashlib
     import uuid as uuidlib
 
     from etl_builder_spark.registry import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
-    out = REGISTRY["fn_uuid5_deterministic"].fn(spark, SF_DIR).collect()
+    out = REGISTRY["fn_uuid3_deterministic"].fn(spark, SF_DIR).collect()
     assert out and all(r["hash_ok"] for r in out)
     for r in out[:50]:
-        u = uuidlib.UUID(r["uuid5"])
-        assert u.version == 5
-        assert r["uuid5"][19] in "89ab"
+        u = uuidlib.UUID(r["uuid3"])
+        assert u.version == 3
+        assert r["uuid3"][19] in "89ab"
         hx = hashlib.md5(f"etl-builder:order:{r['o_orderkey']}".encode()).hexdigest()
         ref = (
-            hx[:8] + "-" + hx[8:12] + "-5" + hx[13:16] + "-"
+            hx[:8] + "-" + hx[8:12] + "-3" + hx[13:16] + "-"
             + "89ab89ab89ab89ab"[int(hx[16], 16)] + hx[17:20] + "-" + hx[20:32]
         )
-        assert r["uuid5"] == ref
+        assert r["uuid3"] == ref
     # determinism across the frame: unique per key
-    assert len({r["uuid5"] for r in out}) == len(out)
+    assert len({r["uuid3"] for r in out}) == len(out)
 
 
 def test_sorted_neighborhood_matches_reference(spark):
