@@ -96,3 +96,86 @@ def fn_json_variant(spark, sf_dir):
         "event_id",
         F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k_val"),
     )
+
+
+def _bigram_udtf():
+    """Word-bigram exploder UDTF, built lazily (DDL parse needs a
+    session).  Emits (doc_id, pos, bigram) — one row per adjacent
+    token pair, 1-based position of the pair's first token."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", IntegerType()),
+            StructField("bigram", StringType()),
+        ]
+    )
+
+    @udtf(returnType=schema)
+    class BigramExplode:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield doc_id, i + 1, toks[i] + " " + toks[i + 1]
+
+    return BigramExplode
+
+
+@register(
+    "udtf_ngram_explode",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 50
+        ),
+        i AS (
+            SELECT doc_id, toks,
+                   unnest(range(1, len(toks))) AS p
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(p AS INTEGER) AS pos,
+               toks[p] || ' ' || toks[p + 1] AS bigram
+        FROM i
+    """,
+    tags=("K4", "TEXT-ngram"),
+    declared=10,
+)
+def udtf_ngram_explode(spark, sf_dir):
+    """Table-function n-gram exploder (SURVEY §2 K4, VERDICT r9 item
+    5): a real `@udtf` class emits one row per adjacent word pair with
+    its 1-based position; the oracle derives the identical row set
+    declaratively (split → positional unnest → neighbor index).  This
+    is the row-EXPANDING Python seam (1 input row → n-1 output rows)
+    complementing udtf_tokenize_pos, and the relational shape under
+    every n-gram feature builder (shingling, PMI, language models).
+
+    Exactness: pure string surgery on single-space-tokenized text —
+    the UDTF's split(' ') and the oracle's string_split agree
+    byte-for-byte, and position arithmetic is integer-exact.
+
+    100 TB posture: the UDTF crosses the Python boundary as Arrow
+    batches (ArrowEvalPythonUDTF — the session pins the conf;
+    BatchEvalPython stays banned repo-wide); the expansion is
+    embarrassingly row-local (zero shuffle), so the operator scales as
+    a map stage.  Production n-gramming would stay JVM-side via
+    split+posexplode+array-zip; the UDTF is the demonstration that the
+    Python table-function path produces relationally identical output."""
+    spark.udtf.register("bigram_explode", _bigram_udtf())
+    load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50).createOrReplaceTempView(
+        "docs_head_bigram"
+    )
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.pos, t.bigram
+        FROM docs_head_bigram d, LATERAL bigram_explode(d.doc_id, d.text) t
+        """
+    )
