@@ -43,6 +43,28 @@ SPARSE_DF_CEILING = 10_000
 TOP_PAIRS = 50
 
 
+def shingle_tf(d):
+    """Token-trigram shingle term frequencies — one (doc_id, token, tf)
+    row per distinct shingle per doc, PERSISTED (three consumers: df,
+    norms, both dot-product sides).  Shared by the registered operator
+    and scale_stress's ``sparse_inverted`` family so the measured
+    scaling curve exercises the exact shipped code path."""
+    t = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    return (
+        d.where(F.size(t) >= 3)
+        .select("doc_id", F.explode(tri).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+
+
 @register(
     "sim_sparse_tfidf_pairs",
     oracle=f"""
@@ -97,20 +119,7 @@ def sim_sparse_tfidf_pairs(spark, sf_dir):
     over trigram-shingle sparse vectors, candidates from an inverted
     shingle index (see module docstring for the scale analysis)."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-        ),
-    )
-    sh = (
-        d.where(F.size(t) >= 3)
-        .select("doc_id", F.explode(tri).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
-    )
+    sh = shingle_tf(d)
     # df derives from the persisted tf frame (one row per (doc, token))
     # — no second corpus shingle pass.
     dfreq = (

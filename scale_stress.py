@@ -433,6 +433,49 @@ def measure_pregel_persist(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_sparse_inverted(spark, sf_dir: str) -> dict:
+    """The DF-ceiling inverted trigram index (VERDICT r9 item 6) — the
+    candidate generator shared by sim_sparse_tfidf_pairs AND
+    dedup_text_containment / dedup_ngram_jaccard: a pair is scored only
+    if it shares >= 1 kept shingle, so candidates must scale ~linearly
+    on the ×N synthetic corpus (copies share no shingles by
+    construction); an all-pairs design would scale ~N².  Measures the
+    SHIPPED code path (sparse_sim.shingle_tf) end-to-end: postings
+    after the DF ceiling, distinct co-shingle candidate pairs, and the
+    ceiling's cut (dropped tokens)."""
+    from etl_builder_spark.llm.sparse_sim import SPARSE_DF_CEILING, shingle_tf
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    n_docs = d.count()
+    sh = shingle_tf(d)
+    dfreq = sh.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_tokens = dfreq.count()
+    keep = dfreq.where(F.col("df") <= SPARSE_DF_CEILING).select("token")
+    kept = sh.join(F.broadcast(keep), "token")
+    n_postings = kept.count()
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+    )
+    (n_cand, secs) = timed(cand.count)
+    sh.unpersist()
+    return {
+        "n_input": n_docs,
+        "candidates": n_cand,
+        "postings": n_postings,
+        "vocab": n_tokens,
+        "seconds": secs,
+    }
+
+
 FAMILIES = {
     "minhash_banding": measure_minhash,
     "sign_lsh": measure_sign_lsh,
@@ -442,6 +485,7 @@ FAMILIES = {
     "banded_prefix": measure_banded_prefix,
     "rank_map": measure_rank_map,
     "pregel_persist": measure_pregel_persist,
+    "sparse_inverted": measure_sparse_inverted,
 }
 
 
@@ -450,7 +494,17 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--scales", default="1,4,16")
     ap.add_argument("--out", default="PERF_SCALE.json")
+    ap.add_argument(
+        "--families",
+        default=None,
+        help="comma list; default all.  Results MERGE into --out so a "
+        "single-family run never clobbers other families' curves.",
+    )
     args = ap.parse_args()
+    fams = list(FAMILIES) if not args.families else args.families.split(",")
+    unknown = [f for f in fams if f not in FAMILIES]
+    if unknown:
+        raise SystemExit(f"unknown families: {unknown}")
 
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
@@ -461,12 +515,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # merge semantics: preserve curves from prior runs (e.g. the x64
+    # pregel_persist point) when re-running a subset of families/scales
     results: dict[str, dict] = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = json.load(f)
+        except ValueError:
+            results = {}
     for scale in [int(s) for s in args.scales.split(",")]:
         sf_dir = synth_dir(spark, args.base, scale)
-        results[str(scale)] = {}
-        for fam, fn in FAMILIES.items():
-            res = fn(spark, sf_dir)
+        results.setdefault(str(scale), {})
+        for fam in fams:
+            res = FAMILIES[fam](spark, sf_dir)
             results[str(scale)][fam] = res
             print(f"x{scale} {fam}: {res}", flush=True)
         spark.catalog.clearCache()
