@@ -165,6 +165,27 @@ def main() -> int:
     cal = _calibrate()
     print(f"# calibration range-100M-sum: {cal:.3f}s", file=sys.stderr)
 
+    # Second probe, SHUFFLE/I-O-shaped (round-10): the pure-codegen
+    # range-sum tracks CPU speed only, and the r8→r9→r10 uniform matrix
+    # drift (68.5→99.6→116s on overlapping query sets) happened at
+    # NEAR-IDENTICAL range-sum values — whatever host resource moves the
+    # matrix (memory bandwidth, page cache, disk path) is invisible to
+    # it.  This probe reads lineitem off disk and hash-aggregates it
+    # (scan + exchange + agg), min-of-3, so committed BENCH lines can
+    # separate "engine got slower" from "host I/O got slower".
+    def _calibrate_shuffle() -> float:
+        c = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).groupBy(
+                "l_suppkey"
+            ).count().orderBy("l_suppkey").collect()
+            c = min(c, time.time() - t0)
+        return round(c, 4)
+
+    cal_shuffle = _calibrate_shuffle()
+    print(f"# calibration lineitem-shuffle: {cal_shuffle:.3f}s", file=sys.stderr)
+
     # min-of-3: this host oscillates under sustained wide-parallelism
     # load (NOTES_r1.md), so a single rep can catch a 3-10× stall.
     # The rep loop is OUTSIDE the query loop (round-robin passes): a
@@ -215,6 +236,7 @@ def main() -> int:
         # probe (sum over range(100M), min-of-3) for normalizing
         # cross-round comparisons on this oscillating host
         "calibration_range_sum_sec": cal,
+        "calibration_shuffle_sec": cal_shuffle,
         "calibration_end_sec": cal_end,
         "n_queries": len(times),
         "detail_file": "BENCH_DETAIL.json",
