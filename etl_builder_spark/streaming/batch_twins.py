@@ -787,3 +787,116 @@ def stream_static_join_live(spark, sf_dir):
     events = stream_events(spark, _staged_events_dir(sf_dir))
     customer = load_table(spark, sf_dir, "customer")
     return run_to_memory(stream_static_join(events, customer), mode="append")
+
+
+def _staged_events_timesplit(sf_dir):
+    """Stage events as THREE time-sliced files, delivered NEWEST first
+    (mtime order), for the watermark late-drop fixture:
+
+    - a.parquet: ts >= Jan 16 (the NEWEST half arrives first, pushing
+      the watermark to max_ts - 18d ≈ Jan 12 23:xx)
+    - b.parquet: Jan 8 <= ts < Jan 16 (buffer batch: Spark's late-row
+      filter uses the watermark COMMITTED AT BATCH PLANNING, which
+      lags the eviction watermark by one batch — measured on this
+      Spark: batch 1 drops nothing, batch 2 drops — so this batch both
+      survives fully and arms the filter for the next one)
+    - c.parquet: ts < Jan 8 (every row's window ends >= 4.9 days below
+      the in-force watermark — all dropped, with day-wide margins so
+      no row sits near the ms-precision boundary)
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    stage = _os.path.join(
+        _tempfile.gettempdir(),
+        "etl_builder_spark_streamsplit",
+        _os.path.basename(sf_dir.rstrip("/")),
+    )
+    src = _os.path.join(sf_dir, "events.parquet")
+    done = _os.path.join(stage, "_staged")
+    if not _os.path.exists(done) or _os.path.getmtime(done) < _os.path.getmtime(src):
+        import datetime as _dt
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        _os.makedirs(stage, exist_ok=True)
+        t = _pq.read_table(src)
+        ts_type = t["ts"].type
+        jan8 = _pa.scalar(_dt.datetime(2024, 1, 8), type=ts_type)
+        jan16 = _pa.scalar(_dt.datetime(2024, 1, 16), type=ts_type)
+        slices = (
+            ("a", t.filter(_pc.greater_equal(t["ts"], jan16)), 1_700_000_000),
+            (
+                "b",
+                t.filter(
+                    _pc.and_(
+                        _pc.greater_equal(t["ts"], jan8), _pc.less(t["ts"], jan16)
+                    )
+                ),
+                1_700_000_001,
+            ),
+            ("c", t.filter(_pc.less(t["ts"], jan8)), 1_700_000_002),
+        )
+        for name, tab, mtime in slices:
+            p = _os.path.join(stage, name + ".parquet")
+            _pq.write_table(tab, p)
+            _os.utime(p, (mtime, mtime))
+        with open(done, "w") as f:
+            f.write("ok")
+    return stage
+
+
+@register(
+    "stream_watermark_drop_live",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS ws,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        GROUP BY 1
+    """,
+    tags=("J4", "live-stream"),
+    declared=10,
+)
+def stream_watermark_drop_live(spark, sf_dir):
+    """J4 — watermark LATE-DATA DROP as a declared exact key (the last
+    streaming capability that was smoke-only): a 3-file time-sliced
+    replay (newest slice first, maxFilesPerTrigger=1) makes the drop
+    set deterministic.  Batch 0 aggregates the post-Jan-16 half and
+    advances the watermark to max_ts - 18d ≈ Jan 12 23:xx; batch 1
+    (Jan 8-16) is fully aggregated (the late-row filter runs on the
+    watermark committed at batch planning, one batch behind eviction —
+    measured via numRowsDroppedByWatermark, and pinned by test); batch
+    2 (pre-Jan-8) arrives with the Jan-12 watermark armed and EVERY
+    row's hourly window ends >= 4.9 days below it — all dropped, with
+    multi-day margins on both sides of the cutoff so the ms-precision
+    watermark arithmetic can never flip a boundary row.  The update-
+    mode memory table therefore holds exactly one row per surviving
+    window (the three slices touch disjoint hours), equal to the batch
+    aggregate over ts >= Jan 8 — the oracle.
+
+    100 TB posture: the watermark is THE state-bound lever for
+    streaming aggs — without it per-window state grows with stream
+    lifetime; with it, state is O(windows inside the delay horizon).
+    The drop count is observable per-batch via
+    numRowsDroppedByWatermark (asserted in tests/test_round10_ops.py),
+    which is how a production pipeline monitors data loss from
+    lateness against its SLA."""
+    from etl_builder_spark.streaming.runtime import run_to_memory, stream_events
+
+    events = stream_events(
+        spark, _staged_events_timesplit(sf_dir), max_files_per_trigger=1
+    )
+    agg = (
+        events.withWatermark("ts", "18 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "n", "total_value")
+    )
+    return run_to_memory(agg, mode="update")

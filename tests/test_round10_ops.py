@@ -72,3 +72,46 @@ def test_stream_static_join_live_equals_batch_join(spark):
     # exactly-once per event: event_ids unique in the replayed output
     ids = [r["event_id"] for r in out]
     assert len(ids) == len(set(ids))
+
+
+def test_watermark_drop_live_actually_drops(spark):
+    """The J4 key must demonstrate REAL late-data dropping: the
+    pre-Jan-8 slice arrives after the watermark passed, so the state
+    operator must report numRowsDroppedByWatermark > 0, no pre-Jan-8
+    window may reach the sink, and the surviving windows must carry
+    exact counts (sum of n == number of events with ts >= Jan 8)."""
+    import datetime
+
+    import duckdb
+
+    from etl_builder_spark.streaming.batch_twins import _staged_events_timesplit
+    from etl_builder_spark.streaming.runtime import (
+        run_to_memory_with_progress,
+        stream_events,
+    )
+    from pyspark.sql import functions as F
+
+    events = stream_events(spark, _staged_events_timesplit(SF_DIR), max_files_per_trigger=1)
+    agg = (
+        events.withWatermark("ts", "18 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    out, progress = run_to_memory_with_progress(agg, mode="update")
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for s in p.get("stateOperators", [])
+    )
+    assert dropped > 0, "no rows were dropped — the fixture is not exercising J4"
+    rows = out.collect()
+    jan8 = datetime.datetime(2024, 1, 8)
+    assert all(r["ws"] >= jan8 for r in rows), "a dropped-slice window leaked"
+    # one row per window (the three slices touch disjoint hours)
+    assert len({r["ws"] for r in rows}) == len(rows)
+    (n_expected,) = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/events.parquet') "
+        "WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'"
+    ).fetchone()
+    assert sum(r["n"] for r in rows) == n_expected
