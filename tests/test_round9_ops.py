@@ -727,8 +727,10 @@ def test_target_encoding_is_leakage_free_and_consistent(spark):
     )
     pt = load_table(spark, SF_DIR, "part").select("p_partkey", "p_brand").toPandas()
     df = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    # round-10 fold rule (ADVICE r9): first 8 md5 hex digits as a
+    # 32-bit integer, mod 5 — near-uniform fold sizes (2^32 % 5 = 1)
     df["fold"] = [
-        (int(hashlib.md5(f"{ok}:{ln}:te".encode()).hexdigest()[0], 16)) % 5
+        (int(hashlib.md5(f"{ok}:{ln}:te".encode()).hexdigest()[:8], 16)) % 5
         for ok, ln in zip(df["l_orderkey"], df["l_linenumber"])
     ]
     df["y"] = (df["l_extendedprice"].astype("float64") * 100).round(0)
