@@ -1168,3 +1168,212 @@ def dedup_cluster_size_histogram(spark, sf_dir):
         F.sum("sz").cast("bigint").alias("n_docs"),
         (F.sum("sz") - F.count(F.lit(1))).cast("bigint").alias("n_removable"),
     )
+
+
+@register(
+    "sketch_minhash_calibration",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 200
+        ),
+        planted AS (
+            SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+                   array_to_string(
+                       string_split(text, ' ')[1:greatest(len(string_split(text,' '))-2,1)],
+                       ' ') AS text
+            FROM base
+        ),
+        everything AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM everything),
+        shingles AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS sh
+            FROM toks, unnest(generate_series(0, len(toks)-3)) AS g(i)
+            WHERE len(toks) >= 3
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+            FROM shingles GROUP BY doc_id
+        ),
+        sh_hash AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split_regex(sh, ''), c -> c <> ''),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % {_P}) AS h
+            FROM shingles
+        ),
+        perms(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS))}),
+        sig AS (
+            SELECT doc_id, i, MIN((a * h + b) % {_P}) AS minh
+            FROM sh_hash CROSS JOIN perms
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   SUM((minh * CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                                          WHEN 2 THEN 961 ELSE 29791 END) % {_P})
+                       % {_P} AS bh
+            FROM sig GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ),
+        eq AS (
+            SELECT c.id_a, c.id_b,
+                   CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_eq
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+            GROUP BY c.id_a, c.id_b
+        ),
+        common AS (
+            SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM cand c
+            JOIN shingles x ON x.doc_id = c.id_a
+            JOIN shingles y ON y.doc_id = c.id_b AND y.sh = x.sh
+            GROUP BY c.id_a, c.id_b
+        ),
+        pairs AS (
+            SELECT e.id_a, e.id_b, e.n_eq,
+                   COALESCE(co.n_common, 0) AS n_common,
+                   sa.n_sh + sb.n_sh - COALESCE(co.n_common, 0) AS n_union
+            FROM eq e
+            LEFT JOIN common co ON co.id_a = e.id_a AND co.id_b = e.id_b
+            JOIN sizes sa ON sa.doc_id = e.id_a
+            JOIN sizes sb ON sb.doc_id = e.id_b
+        )
+        SELECT n_eq,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(CAST(SUM(CAST(ROUND(CAST(n_common AS DOUBLE) / n_union, 9)
+                                   AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_jaccard,
+               ROUND(CAST(SUM(CAST(ROUND(ABS(CAST(n_eq AS DOUBLE) / 16.0
+                                             - CAST(n_common AS DOUBLE) / n_union), 9)
+                                   AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_abs_err
+        FROM pairs
+        GROUP BY n_eq
+        ORDER BY n_eq
+    """,
+    tags=("I5-calibration",),
+    declared=10,
+)
+def sketch_minhash_calibration(spark, sf_dir):
+    """MinHash estimator-accuracy census — the calibration check every
+    sketch deployment should run BEFORE trusting a signature-agreement
+    threshold: for every banding candidate pair, compare the sketch's
+    Jaccard estimate (n_eq/16 matching signature components) against
+    the EXACT shingle-set Jaccard, binned by n_eq: pair count, mean
+    true Jaccard, mean |estimate − truth|.  This turns "MinHash
+    approximates Jaccard" from folklore into a measured per-corpus
+    table (the binomial √(J(1−J)/16) error band is visible in the
+    output), and is how a production pipeline picks its
+    n_eq-threshold ↔ recall/precision operating point.
+
+    Exactness: the signature pipeline is the deterministic universal-
+    hash construction shared literally with dedup_minhash_exact; the
+    exact-Jaccard side is integer set arithmetic on the SAME shingle
+    frame (|A∩B| via the inverted index, |A∪B| = |A|+|B|−|A∩B|); the
+    two per-pair float ratios are single fixed expressions rounded to
+    9 dp and summed as DECIMAL(38,9) — order-free — with one final
+    division rounded to 6 dp.  A candidate pair with a pure band-hash
+    collision (zero shared shingles) is kept at n_common = 0 via the
+    left join, not silently dropped.
+
+    100 TB posture: exact Jaccard is computed ONLY on banding
+    candidates (never all pairs), so the census costs one extra
+    inverted-index join bounded by the LSH candidate set — the same
+    bound the dedup itself carries; at scale you'd run it on a fixed
+    random sample of candidates, same plan."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    planted = d.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 2, F.lit(1))
+            ),
+            " ",
+        ).alias("text"),
+    )
+    everything = d.unionByName(planted)
+    sig, bands = _minhash_sig_bands(everything)
+    # exact-Jaccard side: the same shingling expressions the signature
+    # pipeline uses (kept textually identical so the two sides can
+    # never diverge on tokenization)
+    toks = everything.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - F.lit(3)),
+        lambda i: F.array_join(F.slice("toks", i + 1, 3), " "),
+    )
+    shingles = (
+        toks.where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(grams).alias("sh"))
+        .distinct()
+        .persist()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    eq = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("id_b")) & (F.col("sb.i") == F.col("sa.i")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(F.col("sa.minh") == F.col("sb.minh"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_eq")
+        )
+    )
+    x, y = shingles.alias("x"), shingles.alias("y")
+    common = (
+        cand.join(x, F.col("x.doc_id") == F.col("id_a"))
+        .join(y, (F.col("y.doc_id") == F.col("id_b")) & (F.col("y.sh") == F.col("x.sh")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    pairs = (
+        eq.join(common, ["id_a", "id_b"], "left")
+        .join(za, F.col("za.doc_id") == F.col("id_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("id_b"))
+        .select(
+            "n_eq",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            (
+                F.col("za.n_sh") + F.col("zb.n_sh") - F.coalesce(F.col("n_common"), F.lit(0))
+            ).alias("n_union"),
+        )
+    )
+    dec9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    j = F.col("n_common").cast("double") / F.col("n_union")
+    err = F.abs(F.col("n_eq").cast("double") / F.lit(16.0) - j)
+    return (
+        pairs.groupBy("n_eq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum(dec9(j)).cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_jaccard"
+            ),
+            F.round(F.sum(dec9(err)).cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_abs_err"
+            ),
+        )
+        .orderBy("n_eq")
+    )

@@ -115,3 +115,84 @@ def test_watermark_drop_live_actually_drops(spark):
         "WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'"
     ).fetchone()
     assert sum(r["n"] for r in rows) == n_expected
+
+
+def test_minhash_calibration_matches_python_reference(spark):
+    """The calibration census recomputed in literal plain Python —
+    shingles, char-poly hashes, 16 permuted minima, band buckets,
+    candidate pairs, exact Jaccard — must reproduce every bin."""
+    from collections import defaultdict
+
+    from etl_builder_spark.llm.dedup import _P, MINHASH_PERMS, PLANT_OFFSET
+
+    out = {
+        r["n_eq"]: r
+        for r in REGISTRY["sketch_minhash_calibration"].fn(spark, SF_DIR).collect()
+    }
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) FROM read_parquet('{SF_DIR}/documents.parquet') "
+        "WHERE doc_id < 200"
+    ).fetchall()
+    corpus = {}
+    for doc_id, text in docs:
+        corpus[doc_id] = text
+        toks = text.split(" ")
+        corpus[doc_id + PLANT_OFFSET] = " ".join(toks[: max(len(toks) - 2, 1)])
+
+    shingle_sets, sigs, band_keys = {}, {}, {}
+    pow31 = (1, 31, 961, 29791)
+    for doc_id, text in corpus.items():
+        toks = text.split(" ")
+        if len(toks) < 3:
+            continue
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        shingle_sets[doc_id] = sh
+        hashes = []
+        for s in sh:
+            h = 0
+            for c in s:
+                h = (h * 31 + ord(c)) % _P
+            hashes.append(h)
+        sig = [min((a * h + b) % _P for h in hashes) for (a, b) in MINHASH_PERMS]
+        sigs[doc_id] = sig
+        band_keys[doc_id] = [
+            sum((sig[4 * k + j] * pow31[j]) % _P for j in range(4)) % _P
+            for k in range(4)
+        ]
+
+    buckets = defaultdict(list)
+    for doc_id, keys in band_keys.items():
+        for k, bh in enumerate(keys):
+            buckets[(k, bh)].append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+
+    bins = defaultdict(lambda: [0, 0.0, 0.0])  # n, sum(round(j,9)), sum(round(err,9))
+    for ia, ib in cand:
+        n_eq = sum(1 for u, v in zip(sigs[ia], sigs[ib]) if u == v)
+        inter = len(shingle_sets[ia] & shingle_sets[ib])
+        union = len(shingle_sets[ia]) + len(shingle_sets[ib]) - inter
+        jac = inter / union
+        err = abs(n_eq / 16.0 - jac)
+        b = bins[n_eq]
+        b[0] += 1
+        b[1] += round(jac, 9)
+        b[2] += round(err, 9)
+
+    assert set(out) == set(bins)
+    for n_eq, (n, sj, se) in bins.items():
+        row = out[n_eq]
+        assert row["n_pairs"] == n
+        assert abs(row["mean_jaccard"] - sj / n) < 5e-7
+        assert abs(row["mean_abs_err"] - se / n) < 5e-7
+    # sanity of the estimator itself: the top bin (n_eq = 16, the
+    # planted near-identical trims) must show high true Jaccard, and
+    # the error must stay inside a loose binomial envelope everywhere
+    top = max(out)
+    assert out[top]["mean_jaccard"] > 0.7
+    assert all(r["mean_abs_err"] <= 0.5 for r in out.values())
