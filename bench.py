@@ -100,6 +100,8 @@ HEADLINE = [
     "sim_rrf_fusion",                # I  hybrid-ranking RRF fusion (r9b)
     "pipeline_rag_context_budget",   # I  retrieval + context packing (r9b)
     "er_fellegi_sunter_em",          # ER distributed EM M-step (r9b)
+    "sketch_minhash_calibration",    # I  sketch-accuracy census (r10)
+    "udtf_ngram_explode",            # K4 Arrow UDTF bigram exploder (r10)
 ]
 
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched

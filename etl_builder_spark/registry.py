@@ -509,6 +509,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.operators.window_frames  # noqa: F401
     import etl_builder_spark.operators.windows  # noqa: F401
     import etl_builder_spark.quality  # noqa: F401
+    import etl_builder_spark.sources.binaryfiles  # noqa: F401
     import etl_builder_spark.sources.bucketed  # noqa: F401
     import etl_builder_spark.sources.partitioned  # noqa: F401
     import etl_builder_spark.sources.roundtrip  # noqa: F401

@@ -196,3 +196,27 @@ def test_minhash_calibration_matches_python_reference(spark):
     top = max(out)
     assert out[top]["mean_jaccard"] > 0.7
     assert all(r["mean_abs_err"] <= 0.5 for r in out.values())
+
+
+def test_binaryfile_scan_matches_hashlib(spark):
+    """The binaryFile round trip must reproduce hashlib.md5 of each
+    document's utf-8 bytes, cover every doc below the frame bound, and
+    plan as a real binaryFile FileScan (a distributed source, not a
+    driver-side file loop)."""
+    import hashlib
+
+    out = REGISTRY["scan_binaryfile_blobs"].fn(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "binaryFile" in plan, "not reading through the binaryFile FileFormat"
+    rows = out.collect()
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet') "
+            "WHERE doc_id < 50"
+        ).fetchall()
+    )
+    assert {r["doc_id"] for r in rows} == set(docs)
+    for r in rows:
+        raw = docs[r["doc_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(raw)
+        assert r["content_md5"] == hashlib.md5(raw).hexdigest()
