@@ -511,6 +511,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.quality  # noqa: F401
     import etl_builder_spark.sources.binaryfiles  # noqa: F401
     import etl_builder_spark.sources.bucketed  # noqa: F401
+    import etl_builder_spark.sources.jsonl  # noqa: F401
     import etl_builder_spark.sources.partitioned  # noqa: F401
     import etl_builder_spark.sources.roundtrip  # noqa: F401
     import etl_builder_spark.streaming.batch_twins  # noqa: F401

@@ -220,3 +220,48 @@ def test_binaryfile_scan_matches_hashlib(spark):
         raw = docs[r["doc_id"]].encode("utf-8")
         assert r["n_bytes"] == len(raw)
         assert r["content_md5"] == hashlib.md5(raw).hexdigest()
+
+
+def test_jsonl_permissive_census_and_policies(spark):
+    """The PERMISSIVE census must match a plain-Python recount of the
+    staged file, and the other two malformed-line policies must behave
+    per contract: DROPMALFORMED silently loses exactly the bad line,
+    FAILFAST refuses the scan."""
+    import json
+
+    from etl_builder_spark.sources.jsonl import _staged_jsonl
+
+    stage = _staged_jsonl(SF_DIR)
+    rows = REGISTRY["scan_jsonl_permissive"].fn(spark, SF_DIR).collect()
+    out = {r["lang"]: (r["n_docs"], r["total_chars"]) for r in rows}
+
+    want = {}
+    n_lines = 0
+    with open(stage + "/docs.jsonl") as f:
+        for line in f:
+            n_lines += 1
+            try:
+                d = json.loads(line)
+                n, tot = want.get(d["lang"], (0, 0))
+                want[d["lang"]] = (n + 1, tot + d["n_chars"])
+            except ValueError:
+                n, _ = want.get("__corrupt__", (0, None))
+                want["__corrupt__"] = (n + 1, None)
+    assert out == want
+    assert out["__corrupt__"] == (1, None)
+
+    schema = "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    n_dropped = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(stage + "/docs.jsonl")
+        .count()
+    )
+    assert n_dropped == n_lines - 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)malformed|failfast"):
+        spark.read.schema(schema).option("mode", "FAILFAST").json(
+            stage + "/docs.jsonl"
+        ).count()
