@@ -1092,3 +1092,77 @@ def dq_cross_field_rules(spark, sf_dir):
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows
+
+
+@register(
+    "dq_observe_metrics",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS revenue_cents,
+               CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+               CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+    """,
+    tags=("DQ-observe",),
+    declared=10,
+)
+def dq_observe_metrics(spark, sf_dir):
+    """The `observe()` / CollectMetrics API as a declared surface —
+    Spark's ZERO-EXTRA-PASS pipeline observability: metrics expressions
+    ride along the normal action (here a count over the filtered scan)
+    and are harvested from the Observation handle afterwards, instead
+    of re-scanning the input with a second aggregate job.  This is how
+    production pipelines publish row counts / null counts / value
+    ranges per stage without doubling I/O — at 100 TB a separate
+    metrics pass IS the cost of the job again, which is exactly what
+    observe() exists to avoid.
+
+    Exactness: the metric expressions are exact BIGINT counts and an
+    exact int64-cents revenue sum (policy §7.2 money idiom), min/max
+    integer order statistics — no floats anywhere; the returned
+    single-row frame is built from the harvested metrics via a
+    spark.sql VALUES row (the metrics dict is one row on the driver by
+    construction — observe() aggregates executor-side and ships only
+    the final values).
+
+    The observed frame's own action result (the filtered row count) is
+    asserted equal to the harvested n_rows in the round-10 test, which
+    is the API's contract: metrics describe exactly the rows the
+    action consumed."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
+    )
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returned"),
+        F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.min(F.col("l_quantity").cast("bigint")).alias("min_qty"),
+        F.max(F.col("l_quantity").cast("bigint")).alias("max_qty"),
+    )
+    observed.count()  # the pipeline's real action; metrics ride along
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_returned"],
+                m["revenue_cents"],
+                m["min_qty"],
+                m["max_qty"],
+            )
+        ],
+        "n_rows bigint, n_returned bigint, revenue_cents bigint, "
+        "min_qty bigint, max_qty bigint",
+    )

@@ -265,3 +265,36 @@ def test_jsonl_permissive_census_and_policies(spark):
         spark.read.schema(schema).option("mode", "FAILFAST").json(
             stage + "/docs.jsonl"
         ).count()
+
+
+def test_observe_metrics_ride_the_action(spark):
+    """observe() contract: the harvested metrics describe exactly the
+    rows the action consumed — n_rows equals the action's own count,
+    and every metric equals a plain recomputation over the same
+    filtered frame."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from etl_builder_spark.session import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
+    )
+    obs = Observation()
+    observed = li.observe(obs, F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    acted = observed.count()
+    assert obs.get["n_rows"] == acted
+
+    row = REGISTRY["dq_observe_metrics"].fn(spark, SF_DIR).collect()[0]
+    ref = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returned"),
+        F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.min(F.col("l_quantity").cast("bigint")).alias("min_qty"),
+        F.max(F.col("l_quantity").cast("bigint")).alias("max_qty"),
+    ).collect()[0]
+    assert row.asDict() == ref.asDict()
