@@ -104,6 +104,51 @@ HEADLINE = [
     "udtf_ngram_explode",            # K4 Arrow UDTF bigram exploder (r10)
 ]
 
+#: FROZEN round-over-round comparison cohort (VERDICT r10 item 5): the
+#: exact 84-query matrix benched in round 8, never to be edited again.
+#: The summary line emits `cohort_r8_sum` = sum of these queries' times,
+#: so cross-round comparisons read one stable number instead of judges
+#: re-deriving common subsets from the growing matrix.
+COHORT_R8 = [
+    "agg_grouping_sets", "agg_pricing_summary", "dedup_embedding_cosine",
+    "dedup_exact_normalized", "dedup_frame_fingerprints",
+    "dedup_minhash_incremental", "dedup_semantic_centroids",
+    "dedup_simhash_exact", "dedup_substring_windows",
+    "dedup_text_containment", "dedup_token_sort", "dedup_url_canonical",
+    "dq_distribution_drift", "embed_matryoshka_recall",
+    "embed_pq_codes_exact", "er_weighted_linkage", "geo_grid_radius_join",
+    "graph_pagerank_fixed", "graph_reachability_paths",
+    "graph_resource_allocation", "join_asof", "join_multiway_star",
+    "market_basket_pairs", "ml_dbscan_grid", "ml_feature_hashing",
+    "ml_kmeans_lloyd_exact", "ml_logreg_newton_exact",
+    "ml_naive_bayes_langid", "ml_pca_power_component",
+    "ml_rfm_segmentation_bucketed", "multimodal_audio_downsample_2x",
+    "multimodal_frame_sample", "multimodal_image_whash",
+    "path_topk_sessions", "pipeline_curation_accounting",
+    "pipeline_dedup_cascade", "pipeline_training_data",
+    "scan_dpp_partitioned", "sessionize_events_gap", "sim_knn_ivf_exact",
+    "sim_knn_ivfpq", "sim_knn_ivfpq_exact", "sim_sparse_tfidf_pairs",
+    "sim_topk_cosine_sql", "sketch_count_min_exact",
+    "stats_ks_two_sample_banded", "stats_mannwhitney_u",
+    "stats_poisson_bootstrap_ci", "stats_spearman_rho",
+    "stream_session_gap_30m", "stream_tumbling_1h",
+    "text_gopher_quality_gate", "text_tfidf_sql", "text_zipf_fit",
+    "topk_global", "tpch_q10_returned_items", "tpch_q11_part_value",
+    "tpch_q12_latency_classes", "tpch_q13_order_distribution",
+    "tpch_q14_promo_share", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
+    "tpch_q20_potential_promotion", "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_customers", "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation", "tpch_q9_profit_selective",
+    "ts_hourly_gapfill", "ts_interpolate_linear", "ts_resample_ohlc",
+    "ts_rolling_dau_wau", "ts_seasonality_strength_dft",
+    "udf_pandas_scalar", "vocab_bpe_pair_counts",
+    "win_cumulative_share_banded", "win_topk_per_group",
+]
+
 #: the adapted TPC-H suite (L1-L15 + the r4 selective Q9 twin) — benched
 #: into the same parsed matrix so round-over-round regression tracking
 #: covers it (VERDICT r3 item 5; PERF.md carried these only as prose).
@@ -241,6 +286,9 @@ def main() -> int:
         "calibration_shuffle_sec": cal_shuffle,
         "calibration_end_sec": cal_end,
         "n_queries": len(times),
+        # the FROZEN 84-query round-8 cohort (see COHORT_R8): the one
+        # number to compare round-over-round as the matrix grows
+        "cohort_r8_sum": round(sum(times[k] for k in COHORT_R8 if k in times), 2),
         "detail_file": "BENCH_DETAIL.json",
     }
 

@@ -24,30 +24,27 @@ BLOB_DOC_MAX = 50
 
 def _staged_blob_dir(spark, sf_dir):
     """Stage one .bin blob per document (doc_id < BLOB_DOC_MAX), bytes
-    = utf-8 text; idempotent, marker-guarded like the stream stages."""
+    = utf-8 text; idempotent via the shared digest-keyed, clear-first
+    staging contract (sources/staging.py) — same-basename corpora can
+    never collide and a shrunken BLOB_DOC_MAX can never leave stale
+    doc_*.bin files behind for the unfiltered directory scan."""
     import os as _os
-    import tempfile as _tempfile
 
-    stage = _os.path.join(
-        _tempfile.gettempdir(),
-        "etl_builder_spark_blobs",
-        _os.path.basename(sf_dir.rstrip("/")),
-    )
+    from etl_builder_spark.sources.staging import staged
+
     src = _os.path.join(sf_dir, "documents.parquet")
-    done = _os.path.join(stage, "_staged")
-    if not _os.path.exists(done) or _os.path.getmtime(done) < _os.path.getmtime(src):
+
+    def _build(stage):
         import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
-        _os.makedirs(stage, exist_ok=True)
         t = _pq.read_table(src, columns=["doc_id", "text"])
         t = t.filter(_pc.less(t["doc_id"], BLOB_DOC_MAX))
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             with open(_os.path.join(stage, f"doc_{doc_id:06d}.bin"), "wb") as f:
                 f.write(text.encode("utf-8"))
-        with open(done, "w") as f:
-            f.write("ok")
-    return stage
+
+    return staged("etl_builder_spark_blobs", sf_dir, src, _build)
 
 
 @register(

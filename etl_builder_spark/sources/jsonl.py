@@ -26,23 +26,19 @@ JSONL_DOC_MAX = 100
 
 def _staged_jsonl(sf_dir):
     """Stage documents (doc_id < JSONL_DOC_MAX) as one JSONL file with
-    ONE malformed line appended; idempotent, marker-guarded."""
+    ONE malformed line appended; idempotent via the shared digest-keyed,
+    clear-first staging contract (sources/staging.py)."""
     import json as _json
     import os as _os
-    import tempfile as _tempfile
 
-    stage = _os.path.join(
-        _tempfile.gettempdir(),
-        "etl_builder_spark_jsonl",
-        _os.path.basename(sf_dir.rstrip("/")),
-    )
+    from etl_builder_spark.sources.staging import staged
+
     src = _os.path.join(sf_dir, "documents.parquet")
-    done = _os.path.join(stage, "_staged")
-    if not _os.path.exists(done) or _os.path.getmtime(done) < _os.path.getmtime(src):
+
+    def _build(stage):
         import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
-        _os.makedirs(stage, exist_ok=True)
         t = _pq.read_table(src, columns=["doc_id", "lang", "n_chars"])
         t = t.filter(_pc.less(t["doc_id"], JSONL_DOC_MAX))
         with open(_os.path.join(stage, "docs.jsonl"), "w") as f:
@@ -57,9 +53,8 @@ def _staged_jsonl(sf_dir):
                     + "\n"
                 )
             f.write('{"doc_id": broken, this is not json\n')
-        with open(done, "w") as f:
-            f.write("ok")
-    return stage
+
+    return staged("etl_builder_spark_jsonl", sf_dir, src, _build)
 
 
 @register(

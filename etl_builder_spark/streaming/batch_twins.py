@@ -160,27 +160,23 @@ def stream_session_gap_30m_live(spark, sf_dir):
 
 def _staged_events_duplicated(sf_dir):
     """Stage events.parquet TWICE (two identical files, mtime-ordered)
-    so the file stream redelivers every event — the dedup fixture."""
+    so the file stream redelivers every event — the dedup fixture.
+    Idempotent via the shared digest-keyed, clear-first staging
+    contract (sources/staging.py)."""
     import os as _os
     import shutil as _shutil
-    import tempfile as _tempfile
 
-    stage = _os.path.join(
-        _tempfile.gettempdir(),
-        "etl_builder_spark_streamdup",
-        _os.path.basename(sf_dir.rstrip("/")),
-    )
+    from etl_builder_spark.sources.staging import staged
+
     src = _os.path.join(sf_dir, "events.parquet")
-    done = _os.path.join(stage, "_staged")
-    if not _os.path.exists(done) or _os.path.getmtime(done) < _os.path.getmtime(src):
-        _os.makedirs(stage, exist_ok=True)
+
+    def _build(stage):
         _shutil.copy(src, _os.path.join(stage, "a.parquet"))
         _shutil.copy(src, _os.path.join(stage, "b.parquet"))
         _os.utime(_os.path.join(stage, "a.parquet"), (1_700_000_000, 1_700_000_000))
         _os.utime(_os.path.join(stage, "b.parquet"), (1_700_000_001, 1_700_000_001))
-        with open(done, "w") as f:
-            f.write("ok")
-    return stage
+
+    return staged("etl_builder_spark_streamdup", sf_dir, src, _build)
 
 
 @register(
@@ -280,20 +276,20 @@ def stream_tumbling_1h_live(spark, sf_dir):
 
 def _staged_events_dir(sf_dir):
     """Stage events.parquet into a directory for the file-stream source
-    (it replays directories, not single files)."""
+    (it replays directories, not single files).  Idempotent via the
+    shared digest-keyed, clear-first staging contract
+    (sources/staging.py)."""
     import os as _os
     import shutil as _shutil
-    import tempfile as _tempfile
 
-    stage = _os.path.join(
-        _tempfile.gettempdir(), "etl_builder_spark_stream", _os.path.basename(sf_dir.rstrip("/"))
-    )
-    _os.makedirs(stage, exist_ok=True)
-    dst = _os.path.join(stage, "events.parquet")
+    from etl_builder_spark.sources.staging import staged
+
     src = _os.path.join(sf_dir, "events.parquet")
-    if not _os.path.exists(dst) or _os.path.getmtime(dst) < _os.path.getmtime(src):
-        _shutil.copy(src, dst)
-    return stage
+
+    def _build(stage):
+        _shutil.copy(src, _os.path.join(stage, "events.parquet"))
+
+    return staged("etl_builder_spark_stream", sf_dir, src, _build)
 
 
 @register(
@@ -378,30 +374,27 @@ def stream_session_gap_30m(spark, sf_dir):
 def _staged_events_3files(sf_dir):
     """Stage events.parquet as THREE files so maxFilesPerTrigger=1
     yields a genuine multi-micro-batch replay (deterministic row
-    slices; file mtimes force replay order a < b < c)."""
+    slices; file mtimes force replay order a < b < c).  Idempotent via
+    the shared digest-keyed, clear-first staging contract
+    (sources/staging.py)."""
     import os as _os
-    import tempfile as _tempfile
 
-    import pyarrow.parquet as _pq
+    from etl_builder_spark.sources.staging import staged
 
-    stage = _os.path.join(
-        _tempfile.gettempdir(),
-        "etl_builder_spark_stream3",
-        _os.path.basename(sf_dir.rstrip("/")),
-    )
     src = _os.path.join(sf_dir, "events.parquet")
-    done = _os.path.join(stage, "_staged")
-    if not _os.path.exists(done) or _os.path.getmtime(done) < _os.path.getmtime(src):
-        _os.makedirs(stage, exist_ok=True)
+
+    def _build(stage):
+        import pyarrow.parquet as _pq
+
         t = _pq.read_table(src)
         n = t.num_rows
         cuts = [0, n // 3, 2 * n // 3, n]
         for i, name in enumerate(("a", "b", "c")):
-            _pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), _os.path.join(stage, f"{name}.parquet"))
-            _os.utime(_os.path.join(stage, f"{name}.parquet"), (1_700_000_000 + i, 1_700_000_000 + i))
-        with open(done, "w") as f:
-            f.write("ok")
-    return stage
+            p = _os.path.join(stage, f"{name}.parquet")
+            _pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), p)
+            _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    return staged("etl_builder_spark_stream3", sf_dir, src, _build)
 
 
 @register(
@@ -789,94 +782,116 @@ def stream_static_join_live(spark, sf_dir):
     return run_to_memory(stream_static_join(events, customer), mode="append")
 
 
+#: timesplit boundaries, in days BEFORE date_trunc('day', max(ts)):
+#: survivors are ts >= max_day - SPLIT_LO_DAYS; the dropped slice is
+#: ts < max_day - SPLIT_DROP_DAYS; rows in between are OMITTED from the
+#: staged stream (the ambiguity band around the watermark).  Shared by
+#: the stager, the oracle SQL, and the reference-impl test.
+SPLIT_HI_DAYS = 14
+SPLIT_LO_DAYS = 16
+SPLIT_DROP_DAYS = 19
+SPLIT_WATERMARK = "18 days"
+
+
 def _staged_events_timesplit(sf_dir):
     """Stage events as THREE time-sliced files, delivered NEWEST first
-    (mtime order), for the watermark late-drop fixture:
+    (mtime order), for the watermark late-drop fixture.  Boundaries are
+    DERIVED from the corpus's own max event ts (ADVICE r10: no
+    hard-coded calendar dates), with max_day = date_trunc('day',
+    max_ts) and an 18-day watermark delay:
 
-    - a.parquet: ts >= Jan 16 (the NEWEST half arrives first, pushing
-      the watermark to max_ts - 18d ≈ Jan 12 23:xx)
-    - b.parquet: Jan 8 <= ts < Jan 16 (buffer batch: Spark's late-row
-      filter uses the watermark COMMITTED AT BATCH PLANNING, which
-      lags the eviction watermark by one batch — measured on this
-      Spark: batch 1 drops nothing, batch 2 drops — so this batch both
-      survives fully and arms the filter for the next one)
-    - c.parquet: ts < Jan 8 (every row's window ends >= 4.9 days below
-      the in-force watermark — all dropped, with day-wide margins so
-      no row sits near the ms-precision boundary)
+    - a.parquet: ts >= max_day - 14d — the newest slice arrives first
+      and pushes the eviction watermark to max_ts - 18d, which lies in
+      [max_day - 18d, max_day - 17d).
+    - b.parquet: max_day - 16d <= ts < max_day - 14d — entirely ABOVE
+      the batch-0 watermark by more than a day, so it survives whether
+      Spark's late-row filter runs on the eviction watermark or on the
+      one-batch-lagged planning watermark.  The key no longer depends
+      on which of the two semantics this Spark implements.
+    - c.parquet: ts < max_day - 19d — every row's hourly window end is
+      at least a day BELOW the in-force watermark, so the whole slice
+      drops under either semantics.
+    - rows in [max_day - 19d, max_day - 16d) are OMITTED from staging:
+      that band brackets the watermark itself, where drop-or-keep
+      would depend on filter-lag details and ms-precision arithmetic.
     """
     import os as _os
-    import tempfile as _tempfile
 
-    stage = _os.path.join(
-        _tempfile.gettempdir(),
-        "etl_builder_spark_streamsplit",
-        _os.path.basename(sf_dir.rstrip("/")),
-    )
+    from etl_builder_spark.sources.staging import staged
+
     src = _os.path.join(sf_dir, "events.parquet")
-    done = _os.path.join(stage, "_staged")
-    if not _os.path.exists(done) or _os.path.getmtime(done) < _os.path.getmtime(src):
+
+    def _build(stage):
         import datetime as _dt
 
         import pyarrow as _pa
         import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
-        _os.makedirs(stage, exist_ok=True)
         t = _pq.read_table(src)
         ts_type = t["ts"].type
-        jan8 = _pa.scalar(_dt.datetime(2024, 1, 8), type=ts_type)
-        jan16 = _pa.scalar(_dt.datetime(2024, 1, 16), type=ts_type)
+        max_ts = _pc.max(t["ts"]).as_py()
+        max_day = _dt.datetime(max_ts.year, max_ts.month, max_ts.day)
+        cut_hi = _pa.scalar(max_day - _dt.timedelta(days=SPLIT_HI_DAYS), type=ts_type)
+        cut_lo = _pa.scalar(max_day - _dt.timedelta(days=SPLIT_LO_DAYS), type=ts_type)
+        cut_drop = _pa.scalar(
+            max_day - _dt.timedelta(days=SPLIT_DROP_DAYS), type=ts_type
+        )
         slices = (
-            ("a", t.filter(_pc.greater_equal(t["ts"], jan16)), 1_700_000_000),
+            ("a", t.filter(_pc.greater_equal(t["ts"], cut_hi)), 1_700_000_000),
             (
                 "b",
                 t.filter(
                     _pc.and_(
-                        _pc.greater_equal(t["ts"], jan8), _pc.less(t["ts"], jan16)
+                        _pc.greater_equal(t["ts"], cut_lo), _pc.less(t["ts"], cut_hi)
                     )
                 ),
                 1_700_000_001,
             ),
-            ("c", t.filter(_pc.less(t["ts"], jan8)), 1_700_000_002),
+            ("c", t.filter(_pc.less(t["ts"], cut_drop)), 1_700_000_002),
         )
         for name, tab, mtime in slices:
             p = _os.path.join(stage, name + ".parquet")
             _pq.write_table(tab, p)
             _os.utime(p, (mtime, mtime))
-        with open(done, "w") as f:
-            f.write("ok")
-    return stage
+
+    return staged("etl_builder_spark_streamsplit", sf_dir, src, _build)
 
 
 @register(
     "stream_watermark_drop_live",
-    oracle="""
+    oracle=f"""
         SELECT date_trunc('hour', ts) AS ws,
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events
-        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        WHERE ts >= (SELECT date_trunc('day', max(ts))
+                            - INTERVAL {SPLIT_LO_DAYS} DAY
+                     FROM events)
         GROUP BY 1
     """,
     tags=("J4", "live-stream"),
     declared=10,
 )
 def stream_watermark_drop_live(spark, sf_dir):
-    """J4 — watermark LATE-DATA DROP as a declared exact key (the last
-    streaming capability that was smoke-only): a 3-file time-sliced
-    replay (newest slice first, maxFilesPerTrigger=1) makes the drop
-    set deterministic.  Batch 0 aggregates the post-Jan-16 half and
-    advances the watermark to max_ts - 18d ≈ Jan 12 23:xx; batch 1
-    (Jan 8-16) is fully aggregated (the late-row filter runs on the
-    watermark committed at batch planning, one batch behind eviction —
-    measured via numRowsDroppedByWatermark, and pinned by test); batch
-    2 (pre-Jan-8) arrives with the Jan-12 watermark armed and EVERY
-    row's hourly window ends >= 4.9 days below it — all dropped, with
-    multi-day margins on both sides of the cutoff so the ms-precision
-    watermark arithmetic can never flip a boundary row.  The update-
-    mode memory table therefore holds exactly one row per surviving
-    window (the three slices touch disjoint hours), equal to the batch
-    aggregate over ts >= Jan 8 — the oracle.
+    """J4 — watermark LATE-DATA DROP as a declared exact key: a 3-file
+    time-sliced replay (newest slice first, maxFilesPerTrigger=1)
+    makes the drop set deterministic, with every boundary DERIVED from
+    the corpus's own max event ts (see _staged_events_timesplit).
+    Batch 0 aggregates the newest two weeks and advances the watermark
+    to max_ts - 18d; batch 1 lies entirely more than a day ABOVE that
+    watermark, so it is fully aggregated regardless of whether the
+    late-row filter runs on the eviction watermark or the one-batch-
+    lagged planning watermark (the r10 version leaned on the measured
+    lag; ADVICE r10 asked for, and this is, the lag-independent
+    construction); batch 2 lies entirely more than a day BELOW it —
+    all dropped, with the ambiguity band between them omitted from the
+    staged stream so ms-precision watermark arithmetic can never flip
+    a boundary row.  The update-mode memory table therefore holds
+    exactly one row per surviving window (the slices touch disjoint
+    hours), equal to the batch aggregate over the survivor boundary —
+    the oracle, which derives the SAME boundary relationally from
+    max(ts).
 
     100 TB posture: the watermark is THE state-bound lever for
     streaming aggs — without it per-window state grows with stream
@@ -891,7 +906,7 @@ def stream_watermark_drop_live(spark, sf_dir):
         spark, _staged_events_timesplit(sf_dir), max_files_per_trigger=1
     )
     agg = (
-        events.withWatermark("ts", "18 days")
+        events.withWatermark("ts", SPLIT_WATERMARK)
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -127,6 +127,57 @@ def test_grading_priority_order():
     )
 
 
+def test_bench_cohort_r8_frozen_and_benched():
+    """The frozen round-8 comparison cohort (bench.py COHORT_R8,
+    VERDICT r10 item 5) must stay exactly 84 keys, each registered AND
+    present in the benched matrix — otherwise `cohort_r8_sum` silently
+    sums a different workload and cross-round comparisons break."""
+    import bench
+
+    from etl_builder_spark import registry
+
+    registry._ensure_loaded()
+    assert len(bench.COHORT_R8) == 84
+    assert len(set(bench.COHORT_R8)) == 84
+    benched = set(bench.HEADLINE) | set(bench.TPCH)
+    for k in bench.COHORT_R8:
+        assert k in registry.REGISTRY, k
+        assert k in benched, k
+
+
+def test_declared_default_not_inherited_by_new_keys():
+    """ADVICE r10: register()'s `declared` parameter defaults to 9
+    ("predates the field"), so a future key that forgets declared=N
+    would silently inherit round-9 seniority and jump ahead of the
+    genuine never-sampled backlog — the exact crowding-out failure the
+    field exists to prevent.  Pin the EXACT set of keys allowed to
+    carry declared<=9 (the 454 pre-round-10 registrations, including
+    fn_uuid3_deterministic whose round-10 rename intentionally carries
+    its round-9 seniority).  Any new key must pass declared=N
+    explicitly — if this test fails on a key you just added, add
+    `declared=<current round>` to its @register call, do NOT extend
+    the pinned file."""
+    from pathlib import Path
+
+    from etl_builder_spark import registry
+
+    registry._ensure_loaded()
+    pinned = set(
+        (Path(__file__).parent / "data" / "declared9_keys.txt")
+        .read_text()
+        .split()
+    )
+    actual = {k for k, s in registry.REGISTRY.items() if s.declared <= 9}
+    assert actual == pinned, (
+        f"keys with legacy declared<=9 drifted from the pinned set; "
+        f"unexpected={sorted(actual - pinned)} missing={sorted(pinned - actual)}"
+    )
+    # and every non-legacy key must carry an explicit round >= 10
+    for k, s in registry.REGISTRY.items():
+        if k not in pinned:
+            assert s.declared >= 10, (k, s.declared)
+
+
 def test_every_registering_module_is_imported():
     """_ensure_loaded()'s import list is hand-maintained (VERDICT r9
     item 7): a new module that calls @register but is missing from the

@@ -75,16 +75,21 @@ def test_stream_static_join_live_equals_batch_join(spark):
 
 
 def test_watermark_drop_live_actually_drops(spark):
-    """The J4 key must demonstrate REAL late-data dropping: the
-    pre-Jan-8 slice arrives after the watermark passed, so the state
-    operator must report numRowsDroppedByWatermark > 0, no pre-Jan-8
-    window may reach the sink, and the surviving windows must carry
-    exact counts (sum of n == number of events with ts >= Jan 8)."""
+    """The J4 key must demonstrate REAL late-data dropping: the oldest
+    slice arrives after the watermark passed, so the state operator
+    must report numRowsDroppedByWatermark > 0, no dropped-slice window
+    may reach the sink, and the surviving windows must carry exact
+    counts (sum of n == number of events at or above the DERIVED
+    survivor boundary, max_day - SPLIT_LO_DAYS)."""
     import datetime
 
     import duckdb
 
-    from etl_builder_spark.streaming.batch_twins import _staged_events_timesplit
+    from etl_builder_spark.streaming.batch_twins import (
+        SPLIT_LO_DAYS,
+        SPLIT_WATERMARK,
+        _staged_events_timesplit,
+    )
     from etl_builder_spark.streaming.runtime import (
         run_to_memory_with_progress,
         stream_events,
@@ -93,7 +98,7 @@ def test_watermark_drop_live_actually_drops(spark):
 
     events = stream_events(spark, _staged_events_timesplit(SF_DIR), max_files_per_trigger=1)
     agg = (
-        events.withWatermark("ts", "18 days")
+        events.withWatermark("ts", SPLIT_WATERMARK)
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("ws"), "n")
@@ -106,13 +111,18 @@ def test_watermark_drop_live_actually_drops(spark):
     )
     assert dropped > 0, "no rows were dropped — the fixture is not exercising J4"
     rows = out.collect()
-    jan8 = datetime.datetime(2024, 1, 8)
-    assert all(r["ws"] >= jan8 for r in rows), "a dropped-slice window leaked"
+    (max_ts,) = duckdb.sql(
+        f"SELECT max(ts) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()
+    cut_lo = datetime.datetime(
+        max_ts.year, max_ts.month, max_ts.day
+    ) - datetime.timedelta(days=SPLIT_LO_DAYS)
+    assert all(r["ws"] >= cut_lo for r in rows), "a dropped-slice window leaked"
     # one row per window (the three slices touch disjoint hours)
     assert len({r["ws"] for r in rows}) == len(rows)
     (n_expected,) = duckdb.sql(
         f"SELECT count(*) FROM read_parquet('{SF_DIR}/events.parquet') "
-        "WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'"
+        f"WHERE ts >= TIMESTAMP '{cut_lo:%Y-%m-%d %H:%M:%S}'"
     ).fetchone()
     assert sum(r["n"] for r in rows) == n_expected
 
