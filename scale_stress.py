@@ -52,6 +52,7 @@ def synth_dir(spark, base: str, scale: int) -> str:
     out = os.path.join(SYNTH_ROOT, f"x{scale}")
     marker = os.path.join(out, "_staged")
     if os.path.exists(marker):
+        _synth_events(spark, base, out, scale)  # r11 upgrade-in-place
         return out
     os.makedirs(out, exist_ok=True)
 
@@ -123,7 +124,48 @@ def synth_dir(spark, base: str, scale: int) -> str:
 
     with open(marker, "w") as f:
         f.write("ok")
+    _synth_events(spark, base, out, scale)
     return out
+
+
+EVT_COPY_STRIDE = 10_000_000
+USER_COPY_STRIDE = 1_000_000
+
+
+def _synth_events(spark, base: str, out: str, scale: int) -> None:
+    """×scale events (round-11, for the stream_state family): copy k
+    shifts event_id and user_id by per-copy strides and keeps ts —
+    N independent user populations emitting the SAME traffic shape, so
+    per-key streaming state (sessions, dedup ids) must scale ~linearly
+    in N while the watermark horizon stays constant.  Output is
+    re-sorted by ts so row-sliced replay files stay time-ordered like
+    the base corpus.  Separate marker: pre-round-11 synth dirs upgrade
+    in place without re-synthesizing documents/embeddings/orders."""
+    marker = os.path.join(out, "_staged_events")
+    if os.path.exists(marker):
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(base, "events.parquet"))
+    copies = [ev]
+    for k in range(1, scale):
+        copies.append(
+            ev.select(
+                (F.col("event_id") + k * EVT_COPY_STRIDE).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * USER_COPY_STRIDE).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    allev = copies[0]
+    for c in copies[1:]:
+        allev = allev.unionByName(c)
+    allev.orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
 
 
 def timed(fn):
@@ -476,6 +518,111 @@ def measure_sparse_inverted(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_stream_state(spark, sf_dir: str) -> dict:
+    """The streaming STATE path, measured (VERDICT r10 item 6 — the
+    last argued-only posture): replay the ×N events corpus as 6
+    time-ordered micro-batches (maxFilesPerTrigger=1) and read the
+    state-store metrics off the progress stream for
+
+    - the declared key's shape (`stream_session_gap_30m_live`:
+      session_window, complete mode, NO watermark) — state must scale
+      ~linearly with corpus size, because it holds every session ever;
+    - the production shape (runtime.session_counts: the same session
+      window WITH a 2h watermark, update mode) — end-of-batch state
+      must stay bounded by the horizon, orders of magnitude below the
+      corpus, because eviction drops closed sessions;
+    - dedup (`dropDuplicatesWithinWatermark`, 2h horizon, append) —
+      end-of-batch id state likewise bounded by the horizon.
+
+    The pair of session measurements is the watermark lever made
+    visible: same operator, same data, state O(corpus) without it and
+    O(horizon) with it."""
+    from etl_builder_spark.sources.staging import staged
+    from etl_builder_spark.streaming.runtime import (
+        run_to_memory_with_progress,
+        stream_events,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def _build(stage):
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(src).sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        n = t.num_rows
+        n_slices = 6
+        cuts = [n * i // n_slices for i in range(n_slices + 1)]
+        for i in range(n_slices):
+            p = os.path.join(stage, f"s{i}.parquet")
+            _pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), p)
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stage = staged("etl_builder_spark_scale_stream", sf_dir, src, _build)
+
+    def _state_metrics(progress):
+        per_batch = [
+            (
+                p.get("batchId"),
+                sum(s.get("numRowsTotal", 0) for s in p.get("stateOperators", [])),
+                p.get("durationMs", {}).get("triggerExecution", 0),
+            )
+            for p in progress
+            if p.get("stateOperators")
+        ]
+        rows = [r for _, r, _ in per_batch]
+        walls = [w for _, _, w in per_batch]
+        return {
+            "batches": len(per_batch),
+            "state_rows_final": rows[-1] if rows else 0,
+            "state_rows_max": max(rows) if rows else 0,
+            "batch_ms_max": max(walls) if walls else 0,
+        }
+
+    n_events = spark.read.parquet(src).count()
+    out: dict = {"n_input": n_events}
+
+    # 1. the declared key's shape: complete-mode sessions, no watermark
+    ev = stream_events(spark, stage, max_files_per_trigger=1)
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    (res, secs) = timed(
+        lambda: run_to_memory_with_progress(agg, mode="complete", timeout_s=600)
+    )
+    m = _state_metrics(res[1])
+    out.update({f"session_complete_{k}": v for k, v in m.items()})
+    out["session_complete_seconds"] = secs
+
+    # 2. the production shape: same sessions WITH a 2h watermark
+    ev = stream_events(spark, stage, max_files_per_trigger=1)
+    agg_wm = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    (res, secs) = timed(
+        lambda: run_to_memory_with_progress(agg_wm, mode="append", timeout_s=600)
+    )
+    m = _state_metrics(res[1])
+    out.update({f"session_watermark_{k}": v for k, v in m.items()})
+    out["session_watermark_seconds"] = secs
+
+    # 3. dedup-id state under the same horizon
+    ev = stream_events(spark, stage, max_files_per_trigger=1)
+    dd = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+    (res, secs) = timed(
+        lambda: run_to_memory_with_progress(dd, mode="append", timeout_s=600)
+    )
+    m = _state_metrics(res[1])
+    out.update({f"dedup_{k}": v for k, v in m.items()})
+    out["dedup_seconds"] = secs
+    out["dedup_rows_out"] = res[0].count()
+    return out
+
+
 FAMILIES = {
     "minhash_banding": measure_minhash,
     "sign_lsh": measure_sign_lsh,
@@ -486,6 +633,7 @@ FAMILIES = {
     "rank_map": measure_rank_map,
     "pregel_persist": measure_pregel_persist,
     "sparse_inverted": measure_sparse_inverted,
+    "stream_state": measure_stream_state,
 }
 
 
