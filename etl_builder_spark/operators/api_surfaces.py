@@ -1,0 +1,136 @@
+"""Engine API surfaces declared under the hash (round 11, VERDICT r10
+item 2): Spark-4 DataFrame APIs and the SQL-text/DataFrame parity
+promise that SURVEY §3.2 makes but no key asserted until now.
+
+These are depth keys, not new operators: each exercises an engine
+ENTRY POINT (`DataFrame.transpose`, `spark.sql` + `sameSemantics`)
+whose behavior was previously covered only by adjacent keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_builder_spark.registry import register
+from etl_builder_spark.session import load_table, register_views
+
+
+@register(
+    "df_transpose_region_census",
+    oracle="""
+        WITH per AS (
+            SELECT r_name,
+                   CAST(COUNT(c_custkey) AS BIGINT) AS n_customers,
+                   CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS n_nations
+            FROM region
+            LEFT JOIN nation ON n_regionkey = r_regionkey
+            LEFT JOIN customer ON c_nationkey = n_nationkey
+            GROUP BY r_name
+        )
+        SELECT 'n_customers' AS key,
+               MAX(CASE WHEN r_name = 'AFRICA' THEN n_customers END) AS "AFRICA",
+               MAX(CASE WHEN r_name = 'AMERICA' THEN n_customers END) AS "AMERICA",
+               MAX(CASE WHEN r_name = 'ASIA' THEN n_customers END) AS "ASIA",
+               MAX(CASE WHEN r_name = 'EUROPE' THEN n_customers END) AS "EUROPE",
+               MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN n_customers END) AS "MIDDLE EAST"
+        FROM per
+        UNION ALL
+        SELECT 'n_nations' AS key,
+               MAX(CASE WHEN r_name = 'AFRICA' THEN n_nations END),
+               MAX(CASE WHEN r_name = 'AMERICA' THEN n_nations END),
+               MAX(CASE WHEN r_name = 'ASIA' THEN n_nations END),
+               MAX(CASE WHEN r_name = 'EUROPE' THEN n_nations END),
+               MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN n_nations END)
+        FROM per
+    """,
+    tags=("API-spark4", "reshape"),
+    declared=11,
+)
+def df_transpose_region_census(spark, sf_dir):
+    """``DataFrame.transpose`` (new in Spark 4.0) as a declared key:
+    a per-region census (customers + nations per region, LEFT-joined
+    from region so all five rows exist at every SF) is flipped so the
+    index column's VALUES become columns and the remaining column
+    NAMES become the `key` rows — the metrics-wide-by-dimension
+    reshape BI layers ask for.  The oracle rebuilds the transposed
+    frame with conditional aggregation over the fixed TPC-H region
+    domain, so the transpose semantics themselves (column naming from
+    data, key-row synthesis, least-common-type) sit under the hash.
+
+    100 TB posture: transpose is a SMALL-FRAME reshape by contract —
+    column count = row count of the input, and the index values are
+    collected to the driver to become the schema.  The correct use is
+    exactly this shape: transpose an already-aggregated frame (5 rows
+    here; thousands at most), never a fact table.  The heavy lifting
+    (the census) is an ordinary broadcast-join aggregate that scales
+    like every other key; the reshape happens after the data is
+    small."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    per = (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"], "left")
+        .join(c, c["c_nationkey"] == n["n_nationkey"], "left")
+        .groupBy("r_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.countDistinct("n_nationkey").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+    return per.transpose("r_name")
+
+
+#: the one SQL text both entry points compile; kept as a module constant
+#: so the key, its DataFrame twin, and the reference-impl test all use
+#: the identical string.
+_PARITY_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "sql_text_samesemantics",
+    oracle=_PARITY_SQL,
+    tags=("SQL-api", "plan-parity"),
+    declared=11,
+)
+def sql_text_samesemantics(spark, sf_dir):
+    """SURVEY §3.2's parity promise, asserted UNDER the hash: the same
+    query submitted as ANSI SQL text and built with the DataFrame API
+    must compile to one canonical plan.  ``sameSemantics`` is Spark's
+    own canonicalized-plan equality check — if the two entry points
+    ever diverge (an API change, a view-resolution difference), this
+    key raises instead of returning, turning a silent plan split into
+    a red correctness row.  The returned frame is the SQL-text side;
+    the oracle runs the identical text on DuckDB.
+
+    100 TB posture: identical to `sql_star_join_via_views` — there is
+    no "SQL tax"; both doors reach the same Catalyst plan, which this
+    key now proves per-run rather than assumes."""
+    register_views(spark, sf_dir)
+    sql_df = spark.sql(_PARITY_SQL)
+    api_df = (
+        spark.table("orders")
+        .where("o_orderstatus = 'F'")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("COUNT(*) AS n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+                " AS total_price"
+            ),
+        )
+    )
+    if not sql_df.sameSemantics(api_df):
+        raise AssertionError(
+            "SQL-text and DataFrame plans diverged: sameSemantics is False "
+            "for the parity census — the two entry points no longer compile "
+            "to one canonical plan"
+        )
+    return sql_df

@@ -484,6 +484,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.llm.training_pipeline  # noqa: F401
     import etl_builder_spark.llm.urls  # noqa: F401
     import etl_builder_spark.operators.aggregates  # noqa: F401
+    import etl_builder_spark.operators.api_surfaces  # noqa: F401
     import etl_builder_spark.operators.asof  # noqa: F401
     import etl_builder_spark.operators.cdc  # noqa: F401
     import etl_builder_spark.operators.filters  # noqa: F401
@@ -513,6 +514,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.sources.bucketed  # noqa: F401
     import etl_builder_spark.sources.jsonl  # noqa: F401
     import etl_builder_spark.sources.partitioned  # noqa: F401
+    import etl_builder_spark.sources.pydatasource  # noqa: F401
     import etl_builder_spark.sources.roundtrip  # noqa: F401
     import etl_builder_spark.streaming.batch_twins  # noqa: F401
     import etl_builder_spark.udfs  # noqa: F401

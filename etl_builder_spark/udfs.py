@@ -174,6 +174,121 @@ def udf_map_in_arrow(spark, sf_dir):
 
 
 @register(
+    "udf_apply_in_arrow",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents,
+               MAX(event_id) AS max_event_id
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("K-arrow", "grouped-map"),
+    declared=11,
+)
+def udf_apply_in_arrow(spark, sf_dir):
+    """``groupBy().applyInArrow`` — the Arrow-NATIVE grouped-map seam
+    (the grouped sibling of `udf_map_in_arrow`): each user's rows
+    arrive as one ``pyarrow.Table``, the census computes entirely in
+    pyarrow.compute kernels (C++, zero pandas materialization), and
+    one summary row returns per group.  The per-row cents value is an
+    int64 (`value` is exactly 2-dp in this corpus, so round(value*100)
+    is the same IEEE double in Arrow and DuckDB) and the group sum is
+    an integer — order-free, so the whole Arrow grouped round trip
+    sits under the exact hash.
+
+    100 TB posture: plans as a grouped Arrow map over one exchange on
+    user_id — state is one group per task invocation (a hot user's
+    rows all come to one task, the same skew surface every groupBy
+    has; salting applies unchanged); batches stream per partition,
+    Python parallelism = executor cores, no driver involvement.  The
+    registry-wide sweep still forbids row-pickled BatchEvalPython —
+    this node is Arrow-batched like every *InPandas/*InArrow seam."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def census(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "user_id": [t["user_id"][0].as_py()],
+                "n_events": [t.num_rows],
+                "value_cents": [pc.sum(cents).as_py()],
+                "max_event_id": [pc.max(t["event_id"]).as_py()],
+            }
+        )
+
+    return e.groupBy("user_id").applyInArrow(
+        census, "user_id long, n_events long, value_cents long, max_event_id long"
+    )
+
+
+@register(
+    "udf_cogrouped_apply_in_arrow",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        ),
+        o AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT COALESCE(e.user_id, o.o_custkey) AS user_id,
+               COALESCE(n_events, 0) AS n_events,
+               COALESCE(n_orders, 0) AS n_orders
+        FROM e FULL JOIN o ON e.user_id = o.o_custkey
+    """,
+    tags=("K-arrow", "cogrouped"),
+    declared=11,
+)
+def udf_cogrouped_apply_in_arrow(spark, sf_dir):
+    """``cogroup().applyInArrow`` — the Arrow-native COGROUPED seam
+    (completing the Arrow family: mapInArrow K-arrow, grouped
+    `udf_apply_in_arrow`, and now two-sided): events and orders are
+    co-partitioned on the user key and each key's two ``pyarrow.Table``
+    slices arrive together, either possibly empty — the custom-join
+    escape hatch when neither a SQL join nor a single-input map can
+    express the per-key merge.  The census (events count × orders
+    count per user, zeros for one-sided keys) is integer-exact, and
+    the full-outer SQL twin is the oracle, so the cogrouped dispatch,
+    the empty-side contract, and the Arrow round trip all sit under
+    the hash.
+
+    100 TB posture: plans as one exchange per side on the shared key
+    then a zipped Arrow map — exactly a shuffle join's data movement;
+    per-task memory is one key's rows from both sides (the usual skew
+    surface; salting applies).  3-arg form (key, left, right) is used
+    so empty sides never require peeking into a 0-row table for the
+    key."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey"
+    )
+
+    def census(key, left: pa.Table, right: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pa.array([key[0].as_py()], pa.int64()),
+                "n_events": pa.array([left.num_rows], pa.int64()),
+                "n_orders": pa.array([right.num_rows], pa.int64()),
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInArrow(census, "user_id long, n_events long, n_orders long")
+    )
+
+
+@register(
     "sql_udf_registered",
     oracle="""
         SELECT o_orderkey, o_totalprice,
