@@ -81,6 +81,50 @@ def df_transpose_region_census(spark, sf_dir):
     return per.transpose("r_name")
 
 
+@register(
+    "sql_parameterized_args",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MIN(o_orderkey) AS first_key
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+        GROUP BY o_orderpriority
+    """,
+    tags=("SQL-api", "parameterized"),
+    declared=11,
+)
+def sql_parameterized_args(spark, sf_dir):
+    """Parameterized SQL — ``spark.sql(text, args={...})`` with named
+    markers plus the ``IDENTIFIER(:tbl)`` clause: the injection-safe
+    binding surface every SQL-templating consumer (dashboards, dbt
+    macros, service endpoints) should use instead of string
+    interpolation.  Parameters bind as TYPED literals at parse time
+    (the double 1000.0 stays a double, the table name resolves through
+    IDENTIFIER rather than text splicing), and the oracle runs the
+    same query with the literals inlined, so the binding path itself
+    is under the hash.
+
+    100 TB posture: parameter binding is parse/analysis-time only —
+    the PHYSICAL plan is identical to the literal query's modulo
+    expression ids (test-asserted), so constant folding, pushdown and
+    pruning are all unchanged and templating carries no runtime
+    penalty.  IDENTIFIER keeps multi-tenant table routing out of the
+    injection surface at any scale."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MIN(o_orderkey) AS first_key
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders", "status": "F", "floor": 1000.0},
+    )
+
+
 #: the one SQL text both entry points compile; kept as a module constant
 #: so the key, its DataFrame twin, and the reference-impl test all use
 #: the identical string.
