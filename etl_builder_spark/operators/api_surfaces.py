@@ -125,6 +125,105 @@ def sql_parameterized_args(spark, sf_dir):
     )
 
 
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+        WITH f AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            WHERE l_quantity >= 25
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n_items, revenue
+        FROM f
+        WHERE n_items > 0
+        ORDER BY l_returnflag
+    """,
+    tags=("SQL-api", "pipe-syntax"),
+    declared=11,
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL PIPE syntax (Spark 4.0's ``|>`` operators, SIGMOD'24
+    "pipe-syntax in SQL" shape): the same filter → aggregate →
+    having → order pipeline every warehouse query writes, expressed
+    as sequential stages instead of inside-out nesting.  Each ``|>``
+    stage is sugar over the standard relational operator, so the
+    oracle is the equivalent nested-standard-SQL text — values AND
+    the plan must be what the classic spelling produces, putting the
+    pipe PARSER itself under the hash.
+
+    100 TB posture: pure parse-time sugar — the pipe chain compiles
+    to the identical Catalyst plan as the nested form (filter pushed
+    to the scan, two-phase aggregate, post-agg filter as a Filter
+    above the aggregate), so adopting the more maintainable syntax
+    costs nothing at any scale."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 25
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                         AS revenue
+           GROUP BY l_returnflag
+        |> WHERE n_items > 0
+        |> SELECT l_returnflag, n_items, revenue
+        |> ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "fn_string_collation",
+    oracle="""
+        WITH mixed AS (
+            SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                        ELSE event_type END AS et
+            FROM events
+        )
+        SELECT CAST(COUNT(DISTINCT et) AS BIGINT) AS n_raw,
+               CAST(COUNT(DISTINCT lower(et)) AS BIGINT) AS n_ci,
+               MIN(et) AS min_raw
+        FROM mixed
+    """,
+    tags=("H-string", "collation"),
+    declared=11,
+)
+def fn_string_collation(spark, sf_dir):
+    """String COLLATION (Spark 4.0): comparison semantics as a TYPE
+    property instead of scattered lower() calls.  The fixture upper-
+    cases every even event's type so the corpus genuinely carries
+    case variants; counting distinct values under ``COLLATE
+    UTF8_LCASE`` must collapse them exactly as the oracle's
+    lower()-normalized count does, while the raw count keeps them
+    apart — both under one hash, so the collation comparator itself
+    is what's checked (min_raw pins that the underlying strings are
+    untouched by the collation annotation).
+
+    100 TB posture: collation-aware grouping/joins hash the collation
+    KEY, not the raw bytes, so case-insensitive joins stop paying a
+    lower() projection on every row of a petabyte fact table — and,
+    unlike the lower() idiom, the optimizer can still prune and push
+    down on the original column."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH mixed AS (
+            SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                        ELSE event_type END AS et
+            FROM events
+        )
+        SELECT CAST(COUNT(DISTINCT et) AS BIGINT) AS n_raw,
+               CAST(COUNT(DISTINCT et COLLATE UTF8_LCASE) AS BIGINT) AS n_ci,
+               MIN(et) AS min_raw
+        FROM mixed
+        """
+    )
+
+
 #: the one SQL text both entry points compile; kept as a module constant
 #: so the key, its DataFrame twin, and the reference-impl test all use
 #: the identical string.

@@ -157,6 +157,57 @@ def test_parameterized_sql_binds_as_typed_literals(spark):
     assert got == want
 
 
+def test_pipe_syntax_compiles_to_classic_plan(spark):
+    """The ``|>`` chain must compile to the identical physical plan as
+    the nested-standard spelling (modulo expression ids) — pipe syntax
+    is parse-time sugar, not a different execution path."""
+    import re
+
+    from etl_builder_spark.session import register_views
+
+    out = REGISTRY["sql_pipe_syntax"].fn(spark, SF_DIR)
+    register_views(spark, SF_DIR)
+    classic = spark.sql(
+        """
+        WITH f AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            WHERE l_quantity >= 25
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n_items, revenue
+        FROM f
+        WHERE n_items > 0
+        ORDER BY l_returnflag
+        """
+    )
+
+    def phys(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return re.sub(r"#\d+L?|plan_id=\d+", "#x", s)
+
+    assert phys(out) == phys(classic)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, classic.collect()))
+
+
+def test_collation_fixture_carries_case_variants(spark):
+    """The collation census only tests the comparator if the fixture
+    genuinely has case variants: n_raw must exceed n_ci, and both must
+    match a literal Python recount."""
+    row = REGISTRY["fn_string_collation"].fn(spark, SF_DIR).collect()[0]
+    raw = duckdb.sql(
+        f"SELECT event_id, event_type FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    mixed = [et.upper() if eid % 2 == 0 else et for eid, et in raw]
+    assert row["n_raw"] == len(set(mixed))
+    assert row["n_ci"] == len({s.lower() for s in mixed})
+    assert row["n_raw"] > row["n_ci"], "fixture has no case variants"
+    assert row["min_raw"] == min(mixed)
+
+
 def test_samesemantics_key_raises_on_divergent_plan(spark):
     """The parity key's sameSemantics guard must have teeth: a twin
     with a genuinely different predicate must NOT be same-semantics,
