@@ -102,6 +102,8 @@ HEADLINE = [
     "er_fellegi_sunter_em",          # ER distributed EM M-step (r9b)
     "sketch_minhash_calibration",    # I  sketch-accuracy census (r10)
     "udtf_ngram_explode",            # K4 Arrow UDTF bigram exploder (r10)
+    "udf_cogrouped_apply_in_arrow",  # K  two-sided Arrow cogroup census (r11)
+    "scan_python_datasource",        # A  Python DataSource connector scan (r11)
 ]
 
 #: FROZEN round-over-round comparison cohort (VERDICT r10 item 5): the
