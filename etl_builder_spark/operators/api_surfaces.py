@@ -224,6 +224,127 @@ def fn_string_collation(spark, sf_dir):
     )
 
 
+@register(
+    "join_lateral_api",
+    oracle="""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+    """,
+    tags=("C-lateral", "API-spark4"),
+    declared=11,
+)
+def join_lateral_api(spark, sf_dir):
+    """``DataFrame.lateralJoin`` (Spark 4.0) — the per-row-subquery
+    join as a DataFrame API instead of SQL LATERAL text: top-2 orders
+    per customer, the correlated-limit shape `subq_lateral_topk`
+    declares through SQL.  The subquery references the outer side via
+    ``F.col(...).outer()``; the oracle is the equivalent SQL LATERAL
+    on DuckDB, with a full deterministic tie-break (price DESC, then
+    key) so both engines pick identical rows.
+
+    100 TB posture: Catalyst DECORRELATES the lateral subquery — the
+    plan is a window-ranked join on the correlation key, not a
+    per-outer-row re-execution, so it scales exactly like the window
+    top-k (E2): one exchange on the key, group-limit below it.  The
+    lateral API is sugar over the same plan the manual rewrite gets."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.lateralJoin(
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(2)
+    ).select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "sql_scalar_function_ddl",
+    oracle="""
+        SELECT CASE WHEN o_totalprice >= 300000.0 THEN 'high'
+                    WHEN o_totalprice >= 100000.0 THEN 'mid'
+                    ELSE 'low' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("SQL-api", "ddl-function"),
+    declared=11,
+)
+def sql_scalar_function_ddl(spark, sf_dir):
+    """SQL-BODY scalar functions (``CREATE FUNCTION ... RETURN
+    <expr>``, Spark 4): business logic registered as catalog DDL in
+    pure SQL — no Python at all — and invoked like a built-in.  This
+    is the third function-registration door after DataFrame-side
+    pandas UDFs (K1) and `spark.udf.register` (sql_udf_registered):
+    the one SQL-only teams own end-to-end.  The oracle inlines the
+    function body, so the DDL registration + dispatch path is what
+    the hash checks.
+
+    100 TB posture: SQL-body functions INLINE into the calling plan
+    at analysis time — the banding CASE lands inside whole-stage
+    codegen like hand-written SQL, with zero dispatch overhead and
+    full pushdown/pruning; contrast with Python UDFs, which are
+    opaque Arrow-stage boundaries."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION order_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p >= 300000.0 THEN 'high'
+                    WHEN p >= 100000.0 THEN 'mid'
+                    ELSE 'low' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT order_band(o_totalprice) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "agg_group_by_all",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    tags=("SQL-api", "D-sugar"),
+    declared=11,
+)
+def agg_group_by_all(spark, sf_dir):
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` — the analyst-ergonomics
+    sugar both this engine and the oracle engine support natively, so
+    the SAME text runs on both: every non-aggregate select item
+    becomes a grouping key, every output column an order key.  Under
+    the hash this checks the expansion RULE (which columns the engine
+    decides are grouping keys), not just the values.
+
+    100 TB posture: parse-time expansion to an ordinary two-phase
+    hash aggregate + sort — identical plan to the explicit spelling;
+    no scale semantics of its own."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
 #: the one SQL text both entry points compile; kept as a module constant
 #: so the key, its DataFrame twin, and the reference-impl test all use
 #: the identical string.

@@ -208,6 +208,79 @@ def test_collation_fixture_carries_case_variants(spark):
     assert row["min_raw"] == min(mixed)
 
 
+def test_lateral_join_decorrelates_to_window_rank(spark):
+    """The lateral top-2 must match the manual window-rank rewrite
+    value-for-value, and the decorrelated plan must carry no
+    CartesianProduct (it is a keyed join, not per-row re-execution)."""
+    from pyspark.sql import Window
+
+    out = REGISTRY["join_lateral_api"].fn(spark, SF_DIR)
+    got = sorted(map(tuple, out.collect()))
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    want = sorted(
+        map(
+            tuple,
+            o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 2)
+            .select(
+                F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_body_function_inlines_no_python_stage(spark):
+    """A SQL-body function must inline into codegen — the plan may not
+    contain any Python evaluation stage; values match the inlined CASE
+    recount."""
+    out = REGISTRY["sql_scalar_function_ddl"].fn(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # neither Batch- nor ArrowEvalPython
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        duckdb.sql(
+            f"""SELECT CASE WHEN o_totalprice >= 300000.0 THEN 'high'
+                            WHEN o_totalprice >= 100000.0 THEN 'mid'
+                            ELSE 'low' END AS band, count(*)
+                FROM read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_group_by_all_expands_to_explicit_plan(spark):
+    """GROUP BY ALL / ORDER BY ALL must compile to the identical
+    physical plan as the explicit spelling (modulo expression ids)."""
+    import re
+
+    from etl_builder_spark.session import register_views
+
+    out = REGISTRY["agg_group_by_all"].fn(spark, SF_DIR)
+    register_views(spark, SF_DIR)
+    explicit = spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority, n_orders
+        """
+    )
+
+    def phys(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return re.sub(r"#\d+L?|plan_id=\d+", "#x", s)
+
+    assert phys(out) == phys(explicit)
+
+
 def test_samesemantics_key_raises_on_divergent_plan(spark):
     """The parity key's sameSemantics guard must have teeth: a twin
     with a genuinely different predicate must NOT be same-semantics,
