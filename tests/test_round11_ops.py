@@ -281,6 +281,54 @@ def test_group_by_all_expands_to_explicit_plan(spark):
     assert phys(out) == phys(explicit)
 
 
+def test_staging_digest_keys_and_clear_first(tmp_path):
+    """ADVICE r10 closure, asserted directly: (1) two corpora with the
+    SAME basename under different parents stage to DIFFERENT
+    directories; (2) restaging after the source changes CLEARS stale
+    files instead of leaving them for unfiltered directory scans."""
+    import os
+    import time
+
+    from etl_builder_spark.sources.staging import stage_path, staged
+
+    a = tmp_path / "parent_a" / "sf0.01"
+    b = tmp_path / "parent_b" / "sf0.01"
+    for d in (a, b):
+        d.mkdir(parents=True)
+        (d / "src.bin").write_text("v1")
+    pa_, pb = stage_path("t_fam", str(a)), stage_path("t_fam", str(b))
+    assert pa_ != pb, "same-basename corpora collided"
+
+    writes = []
+
+    def build_one(stage):
+        writes.append(stage)
+        with open(os.path.join(stage, "stale_leftover.bin"), "w") as f:
+            f.write("old")
+
+    src = str(a / "src.bin")
+    s1 = staged("t_fam", str(a), src, build_one)
+    assert os.path.exists(os.path.join(s1, "stale_leftover.bin"))
+    # marker fresh → no rebuild
+    staged("t_fam", str(a), src, build_one)
+    assert len(writes) == 1
+    # source touched → rebuild must CLEAR the old contents first
+    time.sleep(0.01)
+    os.utime(src)
+
+    def build_two(stage):
+        writes.append(stage)
+        with open(os.path.join(stage, "fresh.bin"), "w") as f:
+            f.write("new")
+
+    s2 = staged("t_fam", str(a), src, build_two)
+    assert s2 == s1 and len(writes) == 2
+    assert not os.path.exists(os.path.join(s2, "stale_leftover.bin")), (
+        "stale file survived a restage"
+    )
+    assert os.path.exists(os.path.join(s2, "fresh.bin"))
+
+
 def test_samesemantics_key_raises_on_divergent_plan(spark):
     """The parity key's sameSemantics guard must have teeth: a twin
     with a genuinely different predicate must NOT be same-semantics,
