@@ -623,6 +623,59 @@ def measure_stream_state(spark, sf_dir: str) -> dict:
     return out
 
 
+def measure_skew_salting(spark, sf_dir: str) -> dict:
+    """The salting lever's SHUFFLE LAYOUT, measured (round 11 — the
+    claim in operators/skew.py was value-tested but the re-layout
+    itself only argued): plant a hot key holding ~30% of the ×N events
+    corpus (user_id % 10 < 3 → sentinel -1, expression-side, zero
+    extra data), hash-partition on the join key with and without an
+    8-way salt, and read the MAX rows per reduce partition — the
+    straggler-task size a real join's reducers would see.
+
+    Expected: the plain layout's max partition ≈ the hot key's share
+    (30% of corpus, growing linearly with N — the straggler that kills
+    wall-clock at 100 TB); the salted layout's max ≈ plain/8 at every
+    N (constant-factor relief, independent of scale)."""
+    from pyspark.sql import functions as F
+
+    n_parts = 32
+    n_salts = 8
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        F.when(F.col("user_id") % 10 < 3, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "event_id",
+    )
+    n_input = ev.count()
+
+    def max_part(df, *cols):
+        return (
+            df.repartition(n_parts, *cols)
+            .select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    (plain, secs_plain) = timed(lambda: max_part(ev, "k"))
+    salted = ev.withColumn(
+        "__salt", F.pmod(F.xxhash64("k", "event_id"), F.lit(n_salts)).cast("int")
+    )
+    (spread, secs_salted) = timed(lambda: max_part(salted, "k", "__salt"))
+    hot = ev.where(F.col("k") == -1).count()
+    return {
+        "n_input": n_input,
+        "hot_key_rows": hot,
+        "plain_max_partition_rows": plain,
+        "salted_max_partition_rows": spread,
+        "relief_factor": round(plain / max(spread, 1), 2),
+        "seconds_plain": secs_plain,
+        "seconds_salted": secs_salted,
+    }
+
+
 FAMILIES = {
     "minhash_banding": measure_minhash,
     "sign_lsh": measure_sign_lsh,
@@ -634,6 +687,7 @@ FAMILIES = {
     "pregel_persist": measure_pregel_persist,
     "sparse_inverted": measure_sparse_inverted,
     "stream_state": measure_stream_state,
+    "skew_salting": measure_skew_salting,
 }
 
 
