@@ -14,6 +14,7 @@ oracle.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from etl_builder_spark.registry import register
@@ -23,15 +24,48 @@ from etl_builder_spark.session import load_table
 PYDS_PARTS = 4
 
 
+def _pushdown_witness_path() -> str:
+    """Side-channel the planning worker can write and tests can read:
+    pushFilters runs in a separate Python process, so in-memory
+    instrumentation is invisible — the accepted bound is recorded here
+    (test-only observability; production connectors log instead)."""
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "etl_builder_spark_pyds_pushdown.txt")
+
+
 class _DocsShardReader(DataSourceReader):
     """One InputPartition per doc_id shard; each task reads the shared
     parquet file and keeps its shard (doc_id & (parts-1) == shard).
     Yields pyarrow RecordBatches — the vectorized delivery path — so
-    rows never pickle one at a time."""
+    rows never pickle one at a time.
+
+    Implements ``pushFilters`` for `doc_id < N`: the accepted bound is
+    applied inside read() (here: a pyarrow filter; a real connector
+    would narrow its service query), every other filter is yielded
+    back for Spark to re-apply — the standard partial-pushdown
+    contract."""
 
     def __init__(self, path: str, parts: int) -> None:
         self.path = path
         self.parts = parts
+        self.doc_id_upper = None  # exclusive bound accepted by pushFilters
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import LessThan
+
+        for f in filters:
+            if (
+                isinstance(f, LessThan)
+                and f.attribute == ("doc_id",)
+                and isinstance(f.value, int)
+            ):
+                self.doc_id_upper = f.value
+                with open(_pushdown_witness_path(), "w") as fh:
+                    fh.write(f"doc_id<{f.value}")
+            else:
+                yield f  # unsupported: Spark re-applies above the scan
 
     def partitions(self):
         return [InputPartition(i) for i in range(self.parts)]
@@ -44,6 +78,8 @@ class _DocsShardReader(DataSourceReader):
         mine = t.filter(
             pc.equal(pc.bit_wise_and(t["doc_id"], self.parts - 1), partition.value)
         )
+        if self.doc_id_upper is not None:
+            mine = mine.filter(pc.less(mine["doc_id"], self.doc_id_upper))
         yield from mine.to_batches()
 
 
@@ -97,11 +133,63 @@ def scan_python_datasource(spark, sf_dir):
     # pin session confs the way every declared key does (load_table
     # side effect), keeping plan shapes independent of key build order
     load_table(spark, sf_dir, "documents")
+    # the reader implements pushFilters, and Spark REFUSES to plan such
+    # a reader while the pushdown feature flag is off — enable it for
+    # both connector keys (no filter reaches the reader in this one)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DocsPyDataSource)
     return (
         spark.read.format("etl_docs_pyds")
         .option("path", os.path.join(sf_dir, "documents.parquet"))
         .option("parts", str(PYDS_PARTS))
         .load()
+        .orderBy("doc_id")
+    )
+
+
+#: the pushdown key's frame bound (exclusive)
+PYDS_PUSHDOWN_MAX = 200
+
+
+@register(
+    "scan_python_datasource_pushdown",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE doc_id < {PYDS_PUSHDOWN_MAX}
+        ORDER BY doc_id
+    """,
+    tags=("A-pyds", "connector", "pushdown"),
+    declared=11,
+)
+def scan_python_datasource_pushdown(spark, sf_dir):
+    """Filter PUSHDOWN through the Python DataSource connector
+    (`DataSourceReader.pushFilters`, gated by
+    spark.sql.python.filterPushdown.enabled): the `doc_id < 200`
+    predicate is offered to the reader at planning time, ACCEPTED (a
+    real connector would narrow its service query; here the per-task
+    pyarrow read applies the bound), and every unsupported filter is
+    yielded back for Spark to re-apply — the partial-pushdown
+    contract.  The reader records the accepted bound to a witness
+    file, and the test asserts it was genuinely pushed rather than
+    filtered post-scan; the oracle is the literal predicate.
+
+    100 TB posture: THE lever that makes custom connectors scale —
+    without pushFilters every predicate scans the connector's full
+    corpus and filters in Spark; with it the external system prunes at
+    the source, exactly like parquet's PushedFilters.  Column pruning
+    composes the same way (the reader already projects the declared
+    schema only)."""
+    import os
+
+    load_table(spark, sf_dir, "documents")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DocsPyDataSource)
+    return (
+        spark.read.format("etl_docs_pyds")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .option("parts", str(PYDS_PARTS))
+        .load()
+        .where(F.col("doc_id") < PYDS_PUSHDOWN_MAX)
         .orderBy("doc_id")
     )

@@ -281,6 +281,34 @@ def test_group_by_all_expands_to_explicit_plan(spark):
     assert phys(out) == phys(explicit)
 
 
+def test_python_datasource_filter_genuinely_pushes_down(spark):
+    """The `doc_id < 200` predicate must reach the READER at planning
+    time (pushFilters runs in a separate planning worker, so the
+    witness file is the observable), and the filtered values must
+    match the oracle recount.  Without pushdown the connector would
+    scan everything and filter in Spark — correct values, wrong scale
+    posture — so the witness is the actual assertion."""
+    import os
+
+    from etl_builder_spark.sources.pydatasource import (
+        PYDS_PUSHDOWN_MAX,
+        _pushdown_witness_path,
+    )
+
+    w = _pushdown_witness_path()
+    if os.path.exists(w):
+        os.remove(w)
+    out = REGISTRY["scan_python_datasource_pushdown"].fn(spark, SF_DIR)
+    got = [(r["doc_id"], r["lang"], r["n_chars"]) for r in out.collect()]
+    assert os.path.exists(w), "pushFilters never received the predicate"
+    assert open(w).read() == f"doc_id<{PYDS_PUSHDOWN_MAX}"
+    want = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM read_parquet('{SF_DIR}/documents.parquet') "
+        f"WHERE doc_id < {PYDS_PUSHDOWN_MAX} ORDER BY doc_id"
+    ).fetchall()
+    assert got == want
+
+
 def test_staging_digest_keys_and_clear_first(tmp_path):
     """ADVICE r10 closure, asserted directly: (1) two corpora with the
     SAME basename under different parents stage to DIFFERENT
