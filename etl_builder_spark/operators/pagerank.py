@@ -916,7 +916,8 @@ def graph_kcore_peel(spark, sf_dir):
         SELECT n AS n_directed_edges,
                ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_degree,
                ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
-                     / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n), 6)
+                     / NULLIF(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n,
+                              0.0), 6)
                    AS assortativity_r
         FROM m
     """,
@@ -956,14 +957,20 @@ def graph_degree_assortativity(spark, sf_dir):
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
     )
     n, sx, sxx, sxy = F.col("n"), F.col("sx"), F.col("sxx"), F.col("sxy")
+    # zero degree variance (every endpoint the same degree — e.g. a
+    # corpus whose support-floored graph collapses to disjoint single
+    # edges, as sf0.1's does) leaves Newman's r UNDEFINED: NULL on both
+    # engines via a NULLIF'd denominator, never DIVIDE_BY_ZERO (found
+    # by the r11 full-registry sf0.1 parity sweep)
+    den = F.nullif(
+        sxx.cast("double") - sx.cast("double") * sx / n, F.lit(0.0)
+    )
     return m.select(
         n.alias("n_directed_edges"),
         F.round(sx.cast("double") / n, 6).alias("mean_degree"),
-        F.round(
-            (sxy.cast("double") - sx.cast("double") * sx / n)
-            / (sxx.cast("double") - sx.cast("double") * sx / n),
-            6,
-        ).alias("assortativity_r"),
+        F.round((sxy.cast("double") - sx.cast("double") * sx / n) / den, 6).alias(
+            "assortativity_r"
+        ),
     )
 
 
