@@ -516,6 +516,7 @@ def _ensure_loaded() -> None:
     import etl_builder_spark.sources.partitioned  # noqa: F401
     import etl_builder_spark.sources.pydatasource  # noqa: F401
     import etl_builder_spark.sources.roundtrip  # noqa: F401
+    import etl_builder_spark.sources.xml_source  # noqa: F401
     import etl_builder_spark.streaming.batch_twins  # noqa: F401
     import etl_builder_spark.udfs  # noqa: F401
 

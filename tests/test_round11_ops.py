@@ -309,6 +309,53 @@ def test_python_datasource_filter_genuinely_pushes_down(spark):
     assert got == want
 
 
+def test_xml_source_roundtrip_matches_elementtree(spark):
+    """Spark's XML parse of the staged corpus must agree row-for-row
+    with Python's own ElementTree parse of the same file (attribute
+    id, element fields), and the census must match a literal recount
+    over the raw parquet frame."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    from etl_builder_spark.sources.xml_source import XML_DOC_MAX, _staged_xml
+
+    stage = _staged_xml(SF_DIR)
+    tree = ET.parse(os.path.join(stage, "docs.xml"))
+    et_rows = sorted(
+        (int(doc.get("id")), doc.find("lang").text, int(doc.find("n_chars").text))
+        for doc in tree.getroot()
+    )
+    spark_rows = sorted(
+        map(
+            tuple,
+            spark.read.format("xml")
+            .option("rowTag", "doc")
+            .schema("_id BIGINT, lang STRING, n_chars BIGINT")
+            .load(stage)
+            .collect(),
+        )
+    )
+    assert spark_rows == et_rows
+    want = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM read_parquet('{SF_DIR}/documents.parquet') "
+        f"WHERE doc_id < {XML_DOC_MAX} ORDER BY doc_id"
+    ).fetchall()
+    assert et_rows == sorted(want)
+    # and the declared census equals the key's oracle shape
+    census = {
+        r["lang"]: (r["n_docs"], r["total_chars"], r["max_doc_id"])
+        for r in REGISTRY["scan_xml_source"].fn(spark, SF_DIR).collect()
+    }
+    from collections import defaultdict
+
+    py = defaultdict(lambda: [0, 0, -1])
+    for doc_id, lang, n_chars in want:
+        py[lang][0] += 1
+        py[lang][1] += n_chars
+        py[lang][2] = max(py[lang][2], doc_id)
+    assert census == {k: tuple(v) for k, v in py.items()}
+
+
 def test_staging_digest_keys_and_clear_first(tmp_path):
     """ADVICE r10 closure, asserted directly: (1) two corpora with the
     SAME basename under different parents stage to DIFFERENT
