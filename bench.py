@@ -104,6 +104,7 @@ HEADLINE = [
     "udtf_ngram_explode",            # K4 Arrow UDTF bigram exploder (r10)
     "udf_cogrouped_apply_in_arrow",  # K  two-sided Arrow cogroup census (r11)
     "scan_python_datasource",        # A  Python DataSource connector scan (r11)
+    "scan_xml_source",               # A  native XML FileFormat census (r11)
 ]
 
 #: FROZEN round-over-round comparison cohort (VERDICT r10 item 5): the
