@@ -290,8 +290,12 @@ def main() -> int:
         "calibration_end_sec": cal_end,
         "n_queries": len(times),
         # the FROZEN 84-query round-8 cohort (see COHORT_R8): the one
-        # number to compare round-over-round as the matrix grows
+        # number to compare round-over-round as the matrix grows.
+        # cohort_r8_n guards against silent drift (ADVICE r11): a partial
+        # bench run emits n < 84, so a smaller sum can't masquerade as
+        # the frozen cohort.
         "cohort_r8_sum": round(sum(times[k] for k in COHORT_R8 if k in times), 2),
+        "cohort_r8_n": sum(k in times for k in COHORT_R8),
         "detail_file": "BENCH_DETAIL.json",
     }
 

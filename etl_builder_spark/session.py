@@ -74,6 +74,11 @@ def _pin_runtime_confs(spark: SparkSession) -> None:
     # the registry-wide BatchEvalPython sweep) sees the same evaluation
     # mode regardless of query build order (ADVICE r4).
     spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    # Python DataSource pushFilters support (Spark 4): pinned here — not
+    # inside the connector keys — so the plan-affecting flag is uniformly
+    # on for every key instead of leaking in at first connector use
+    # (ADVICE r11: cross-key plan-shape bleed).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -24,15 +24,22 @@ from etl_builder_spark.session import load_table
 PYDS_PARTS = 4
 
 
-def _pushdown_witness_path() -> str:
+def _pushdown_witness_path(src_path: str) -> str:
     """Side-channel the planning worker can write and tests can read:
     pushFilters runs in a separate Python process, so in-memory
     instrumentation is invisible — the accepted bound is recorded here
-    (test-only observability; production connectors log instead)."""
+    (test-only observability; production connectors log instead).
+
+    Keyed on a sha256 digest of the source parquet path (ADVICE r11):
+    a single fixed global-tempdir path was shared across corpora and
+    concurrent runs, so a bench run alongside pytest could interleave
+    delete/write/read and make the pushdown test flaky."""
+    import hashlib
     import os
     import tempfile
 
-    return os.path.join(tempfile.gettempdir(), "etl_builder_spark_pyds_pushdown.txt")
+    digest = hashlib.sha256(os.path.abspath(src_path).encode("utf-8")).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"etl_builder_spark_pyds_pushdown-{digest}.txt")
 
 
 class _DocsShardReader(DataSourceReader):
@@ -62,7 +69,7 @@ class _DocsShardReader(DataSourceReader):
                 and isinstance(f.value, int)
             ):
                 self.doc_id_upper = f.value
-                with open(_pushdown_witness_path(), "w") as fh:
+                with open(_pushdown_witness_path(self.path), "w") as fh:
                     fh.write(f"doc_id<{f.value}")
             else:
                 yield f  # unsupported: Spark re-applies above the scan
@@ -131,12 +138,10 @@ def scan_python_datasource(spark, sf_dir):
     import os
 
     # pin session confs the way every declared key does (load_table
-    # side effect), keeping plan shapes independent of key build order
+    # side effect → _pin_runtime_confs, which includes the pushFilters
+    # feature flag uniformly for ALL keys — ADVICE r11: a per-key
+    # conf.set leaked plan-affecting state into subsequent keys)
     load_table(spark, sf_dir, "documents")
-    # the reader implements pushFilters, and Spark REFUSES to plan such
-    # a reader while the pushdown feature flag is off — enable it for
-    # both connector keys (no filter reaches the reader in this one)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DocsPyDataSource)
     return (
         spark.read.format("etl_docs_pyds")
@@ -183,7 +188,6 @@ def scan_python_datasource_pushdown(spark, sf_dir):
     import os
 
     load_table(spark, sf_dir, "documents")
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DocsPyDataSource)
     return (
         spark.read.format("etl_docs_pyds")

@@ -46,20 +46,46 @@ def stage_path(family: str, sf_dir: str) -> str:
 
 
 def staged(family: str, sf_dir: str, src: str, build: Callable[[str], None]) -> str:
-    """Marker-guarded idempotent staging.
+    """Marker-guarded idempotent staging, atomic-swap edition.
 
     If the ``_staged`` marker is missing or older than ``src``, the
-    stage directory is REMOVED ENTIRELY, recreated, rebuilt via
-    ``build(stage)``, and re-marked.  The clear-first rule guarantees a
-    stage never carries leftovers from a previous builder version, so
-    unfiltered directory scans over it are safe.
+    stage is rebuilt — but never in place (ADVICE r11: the old
+    clear-first ``rmtree`` could delete files out from under a
+    concurrent reader, and two processes racing the marker check could
+    interleave).  The rebuild goes into a UNIQUE temp sibling (so
+    concurrent builders never share a scratch dir), the marker is
+    written there, and the finished tree is swapped in with
+    ``os.rename`` — atomic on POSIX within one filesystem — so a reader
+    listing the stage path only ever observes either the complete old
+    tree or the complete new one, never a partially-built state.
     """
     stage = stage_path(family, sf_dir)
     done = os.path.join(stage, "_staged")
     if not os.path.exists(done) or os.path.getmtime(done) < os.path.getmtime(src):
-        shutil.rmtree(stage, ignore_errors=True)
-        os.makedirs(stage, exist_ok=True)
-        build(stage)
-        with open(done, "w") as f:
-            f.write("ok")
+        parent = os.path.dirname(stage)
+        os.makedirs(parent, exist_ok=True)
+        scratch = tempfile.mkdtemp(prefix=os.path.basename(stage) + ".build-", dir=parent)
+        try:
+            build(scratch)
+            with open(os.path.join(scratch, "_staged"), "w") as f:
+                f.write("ok")
+            # swap in: move any existing stage aside first (rename onto a
+            # non-empty dir fails on POSIX), then promote the scratch tree.
+            trash = None
+            if os.path.exists(stage):
+                trash = tempfile.mkdtemp(prefix=os.path.basename(stage) + ".old-", dir=parent)
+                os.rename(stage, os.path.join(trash, "t"))
+            try:
+                os.rename(scratch, stage)
+                scratch = None  # promoted — nothing to clean up
+            except OSError:
+                # a concurrent builder promoted its tree between our
+                # move-aside and rename; its stage is complete (marker
+                # written pre-swap), so just discard our scratch copy.
+                pass
+            if trash is not None:
+                shutil.rmtree(trash, ignore_errors=True)
+        finally:
+            if scratch is not None:
+                shutil.rmtree(scratch, ignore_errors=True)
     return stage

@@ -295,7 +295,7 @@ def test_python_datasource_filter_genuinely_pushes_down(spark):
         _pushdown_witness_path,
     )
 
-    w = _pushdown_witness_path()
+    w = _pushdown_witness_path(os.path.join(SF_DIR, "documents.parquet"))
     if os.path.exists(w):
         os.remove(w)
     out = REGISTRY["scan_python_datasource_pushdown"].fn(spark, SF_DIR)
@@ -402,6 +402,11 @@ def test_staging_digest_keys_and_clear_first(tmp_path):
         "stale file survived a restage"
     )
     assert os.path.exists(os.path.join(s2, "fresh.bin"))
+    # atomic-swap hygiene (ADVICE r11): no scratch/trash siblings left
+    # behind after the rebuild, and the marker landed with the swap
+    siblings = os.listdir(os.path.dirname(s2))
+    assert siblings == [os.path.basename(s2)], f"stray staging dirs: {siblings}"
+    assert os.path.exists(os.path.join(s2, "_staged"))
 
 
 def test_samesemantics_key_raises_on_divergent_plan(spark):
