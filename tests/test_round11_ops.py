@@ -402,10 +402,14 @@ def test_staging_digest_keys_and_clear_first(tmp_path):
         "stale file survived a restage"
     )
     assert os.path.exists(os.path.join(s2, "fresh.bin"))
-    # atomic-swap hygiene (ADVICE r11): no scratch/trash siblings left
-    # behind after the rebuild, and the marker landed with the swap
-    siblings = os.listdir(os.path.dirname(s2))
-    assert siblings == [os.path.basename(s2)], f"stray staging dirs: {siblings}"
+    # atomic-swap hygiene (ADVICE r11): no scratch (.build-) or trash
+    # (.old-) siblings left behind after the rebuild, and the marker
+    # landed with the swap.  (Other digest-keyed stages from earlier
+    # runs legitimately share the family dir — only swap debris fails.)
+    debris = [
+        d for d in os.listdir(os.path.dirname(s2)) if ".build-" in d or ".old-" in d
+    ]
+    assert debris == [], f"stray staging scratch/trash dirs: {debris}"
     assert os.path.exists(os.path.join(s2, "_staged"))
 
 
