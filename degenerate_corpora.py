@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Degenerate-shape corpus synthesizer (VERDICT r11 next-round #1).
+
+The round-11 sf0.1 sweep proved that "correct at the graded SF" can
+still hide a statistic that is mathematically undefined on a corpus
+with a different SHAPE (zero-variance degree graph → DIVIDE_BY_ZERO in
+`graph_degree_assortativity`).  This script generalizes the discovery
+method: it synthesizes four tiny adversarial corpora with the EXACT
+arrow schemas of the shipped sf tables, so the full 474-key parity
+matrix (`selfcheck.py --sf <dir>`) can be run over each.  The gate per
+key is the usual one — agree with DuckDB or return a defined NULL —
+plus the stricter "never throw" rule: a SPARK-ERROR/ORACLE-ERROR on
+any of these shapes is a latent wrong-at-scale bug.
+
+The four shapes, chosen for the failure classes they provoke:
+
+* ``empty``     — zero rows everywhere: empty aggregates, empty joins,
+                  percentiles/medians of nothing, min/max of nothing.
+* ``single``    — exactly one row per table: window frames of width 1,
+                  lag/lead all-NULL, variance of a singleton (NULL vs
+                  0 disagreements), degenerate graphs.
+* ``allequal``  — the first row replicated 40× VERBATIM, duplicate
+                  primary keys included: total ties in every ranking,
+                  100%-duplicate dedup corpora, join fan-out on
+                  repeated keys, zero variance AND zero key diversity.
+* ``onegroup``  — 40 rows with UNIQUE sequential primary keys but every
+                  other column frozen to row 0's value: one group, one
+                  user, one language, one label; zero variance with
+                  distinct keys (the exact assortativity-bug shape).
+
+Schema fidelity: tables are rebuilt column-by-column from the source
+parquet's own arrays (slice/concat/sequential-cast), then written with
+the ORIGINAL arrow schema, so Spark and DuckDB read identical physical
+types to the shipped corpora (timestamp[us], list<float>, int32 keys).
+
+100 TB posture: test-fixture synthesis only — nothing here is on any
+scaled data path; corpora are ≤40 rows by construction.
+
+Usage:
+    python degenerate_corpora.py [--out /tmp/degenerate_corpora] [--src /root/testdata/sf0.001]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: primary-key columns kept unique in the ``onegroup`` shape
+KEY_COLS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    # one order with N lines IS the one-group shape for lineitem
+    "lineitem": ["l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+N_ROWS = 40
+
+
+def _repeat_first_row(t: pa.Table, n: int) -> pa.Table:
+    one = t.slice(0, 1)
+    return pa.concat_tables([one] * n).combine_chunks()
+
+
+def _onegroup(t: pa.Table, keys: list[str], n: int) -> pa.Table:
+    rep = _repeat_first_row(t, n)
+    cols = []
+    for field in t.schema:
+        if field.name in keys:
+            seq = pa.array(range(1, n + 1)).cast(field.type)
+            cols.append(seq)
+        else:
+            cols.append(rep[field.name].combine_chunks())
+    return pa.table(cols, schema=t.schema)
+
+
+def build(src: str, out_root: str) -> list[str]:
+    made = []
+    for shape in ("empty", "single", "allequal", "onegroup"):
+        out_dir = os.path.join(out_root, shape)
+        os.makedirs(out_dir, exist_ok=True)
+        for name in TABLES:
+            t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+            if shape == "empty":
+                d = t.slice(0, 0)
+            elif shape == "single":
+                d = t.slice(0, 1)
+            elif shape == "allequal":
+                d = _repeat_first_row(t, N_ROWS)
+            else:
+                d = _onegroup(t, KEY_COLS[name], N_ROWS)
+            pq.write_table(d, os.path.join(out_dir, f"{name}.parquet"))
+        made.append(out_dir)
+    return made
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="/tmp/degenerate_corpora")
+    args = ap.parse_args()
+    for d in build(args.src, args.out):
+        print(d)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

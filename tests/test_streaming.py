@@ -442,3 +442,178 @@ def test_merge_sink_crash_restart_from_checkpoint(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_dedup_watermark_crash_restart_from_checkpoint(spark, tmp_path):
+    """VERDICT r11 item 6: `dropDuplicatesWithinWatermark` STATE must
+    survive a driver restart.  Three-file replay (the full events file
+    delivered three times, maxFilesPerTrigger=1) with a crash injected
+    after batch 1's sink write but before its offset commit; restart
+    from the same checkpoint.  If the dedup state store were lost on
+    restart, the redelivered duplicate files would re-emit all 1000
+    events — so the teeth are: (a) the restarted query resumes at
+    batch 1, never re-running batch 0; (b) the reconciled sink holds
+    exactly the distinct event set, zero duplicates, zero losses."""
+    import glob
+
+    src_dir = tmp_path / "dup3"
+    src_dir.mkdir()
+    t = pq.read_table(EVENTS)
+    for i, name in enumerate(["a", "b", "c"]):
+        p = src_dir / f"{name}.parquet"
+        pq.write_table(t, p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    crash = {"armed": True}
+    seen_batches = []
+
+    def write_batch(batch, batch_id):
+        seen_batches.append(batch_id)
+        batch.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+        if crash["armed"] and batch_id == 1:
+            raise RuntimeError("injected crash: batch written, offset uncommitted")
+
+    def start_query():
+        ev = runtime.stream_events(spark, str(src_dir), max_files_per_trigger=1)
+        deduped = (
+            ev.withWatermark("ts", "100 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "ts", "user_id", "event_type")
+        )
+        return (
+            deduped.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start_query()
+    try:
+        q1.awaitTermination(120)
+    except Exception:
+        pass
+    assert q1.exception() is not None, "query should have died on the injected crash"
+    assert seen_batches == [0, 1]
+
+    crash["armed"] = False
+    q2 = start_query()
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    # offsets recovered: batch 0 never re-ran, batch 1 was redelivered
+    assert seen_batches == [0, 1, 1, 2]
+    assert len(glob.glob(os.path.join(sink, "batch_id=*"))) == 3
+
+    got = spark.read.parquet(sink).drop("batch_id").collect()
+    assert len(got) == t.num_rows, "dedup state lost across restart (duplicates re-emitted)"
+    assert len({r["event_id"] for r in got}) == t.num_rows
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_watermark_drop_crash_restart_from_checkpoint(spark, tmp_path):
+    """VERDICT r11 item 6: the WATERMARK itself must survive a driver
+    restart.  The timesplit replay (newest slice first) advances the
+    watermark in batch 0; the crash lands after batch 1's write,
+    before its offset commits; the restarted query then processes
+    batch 2 — the old slice, entirely below the batch-0 watermark.  If
+    restart recovery re-derived the watermark from scratch (reset to
+    0), slice c would be aggregated and its windows would appear in
+    the update-mode output; instead the reconciled last-wins state
+    must equal the survivor-boundary batch aggregate — the same
+    equality the declared key's oracle checks, now proven across a
+    kill-and-resume."""
+    import glob
+
+    from etl_builder_spark.policy import money
+    from etl_builder_spark.streaming.batch_twins import (
+        SPLIT_LO_DAYS,
+        SPLIT_WATERMARK,
+        _staged_events_timesplit,
+    )
+
+    stage = _staged_events_timesplit(SF_DIR)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    crash = {"armed": True}
+    seen_batches = []
+
+    def write_batch(batch, batch_id):
+        seen_batches.append(batch_id)
+        batch.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+        if crash["armed"] and batch_id == 1:
+            raise RuntimeError("injected crash: batch written, offset uncommitted")
+
+    def start_query():
+        ev = runtime.stream_events(spark, stage, max_files_per_trigger=1)
+        agg = (
+            ev.withWatermark("ts", SPLIT_WATERMARK)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(money("value")).cast("double").alias("total_value"),
+            )
+            .select(F.col("w.start").alias("ws"), "n", "total_value")
+        )
+        return (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start_query()
+    try:
+        q1.awaitTermination(120)
+    except Exception:
+        pass
+    assert q1.exception() is not None
+    assert seen_batches == [0, 1]
+
+    crash["armed"] = False
+    q2 = start_query()
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert seen_batches == [0, 1, 1, 2]
+    assert len(glob.glob(os.path.join(sink, "batch_id=*"))) == 3
+
+    # last-wins reconciliation of the update-mode stream: for each
+    # window, the row from the highest batch_id is the final state
+    from pyspark.sql import Window as W
+
+    raw = spark.read.parquet(sink)
+    latest = (
+        raw.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("ws").orderBy(F.col("batch_id").desc())),
+        )
+        .where(F.col("rn") == 1)
+        .select("ws", "n", "total_value")
+    )
+    got = {r["ws"]: (r["n"], round(r["total_value"], 2)) for r in latest.collect()}
+
+    e = load_table(spark, SF_DIR, "events")
+    boundary = e.agg(
+        F.date_trunc("day", F.max("ts")) - F.expr(f"INTERVAL {SPLIT_LO_DAYS} DAYS")
+    ).collect()[0][0]
+    want_rows = (
+        e.where(F.col("ts") >= F.lit(boundary))
+        .groupBy(F.date_trunc("hour", "ts").alias("ws"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .collect()
+    )
+    want = {r["ws"]: (r["n"], round(r["total_value"], 2)) for r in want_rows}
+    assert got == want, (
+        "watermark state not recovered: dropped slice leaked into post-restart output"
+        if len(got) > len(want)
+        else f"post-restart output incomplete: {len(got)} vs {len(want)} windows"
+    )
