@@ -3064,8 +3064,13 @@ CONF_SLOPE_CENTS = 3_800_00
             FROM cal
         ),
         qhat AS (
-            SELECT r AS q FROM ranked CROSS JOIN n_
-            WHERE rk = CAST(ceil(0.9 * (n + 1)) AS BIGINT)
+            -- global MIN-over-matching-rank instead of a WHERE-filtered
+            -- row (round-12 degenerate sweep): the aggregate keeps qhat
+            -- a one-row (possibly NULL) frame on an empty calibration
+            -- fold, so the summary row survives empty corpora
+            SELECT MIN(CASE WHEN rk = CAST(ceil(0.9 * (n + 1)) AS BIGINT)
+                            THEN r END) AS q
+            FROM ranked CROSS JOIN n_
         ),
         test AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
@@ -3077,7 +3082,7 @@ CONF_SLOPE_CENTS = 3_800_00
         SELECT n_.n AS n_calibration, test.n_test,
                ROUND(CAST(q.q AS DOUBLE) / 100, 2) AS qhat_dollars,
                test.covered,
-               ROUND(CAST(test.covered AS DOUBLE) / test.n_test, 6)
+               ROUND(CAST(test.covered AS DOUBLE) / NULLIF(test.n_test, 0), 6)
                    AS coverage
         FROM n_ CROSS JOIN qhat q CROSS JOIN test
     """,
@@ -3173,8 +3178,8 @@ def ml_conformal_split_interval(spark, sf_dir):
             "n_test",
             F.round(F.col("q").cast("double") / 100, 2).alias("qhat_dollars"),
             "covered",
-            F.round(F.col("covered").cast("double") / F.col("n_test"), 6).alias(
-                "coverage"
-            ),
+            F.round(
+                F.col("covered").cast("double") / F.nullif(F.col("n_test"), F.lit(0)), 6
+            ).alias("coverage"),
         )
     )

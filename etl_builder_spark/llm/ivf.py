@@ -36,11 +36,16 @@ def train_quantizer(vectors: DataFrame, vec_col: str = "v", k: int = 16, seed: i
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    spark = vectors.sparkSession
     feat = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
+    # Degenerate-corpus contract (round-12 sweep): no vectors → no
+    # trainable centroids; the empty frame makes every downstream
+    # assignment/probe a defined empty result instead of a fit() crash.
+    if feat.isEmpty():
+        return spark.createDataFrame([], "cluster_id int, cv array<double>")
     km = KMeans(k=k, seed=seed, maxIter=20, featuresCol="features")
     model = km.fit(feat)
     centers = model.clusterCenters()
-    spark = vectors.sparkSession
     return spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)], ["cluster_id", "cv"]
     )

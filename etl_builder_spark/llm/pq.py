@@ -63,7 +63,14 @@ def train_pq_codebooks(
     from pyspark.ml.functions import array_to_vector
 
     spark = vectors.sparkSession
-    dim = len(vectors.select(vec_col).first()[0])
+    # Degenerate-corpus contract (round-12 sweep): an EMPTY corpus has
+    # no trainable codebook — return the empty m·k frame so encode/ADC
+    # joins downstream produce defined empty results instead of a
+    # driver-side crash on first()[0].
+    head = vectors.select(vec_col).first()
+    if head is None:
+        return spark.createDataFrame([], "subspace int, code int, cv array<double>")
+    dim = len(head[0])
     sub = dim // m
     rows = []
     for s in range(m):

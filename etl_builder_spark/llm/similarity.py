@@ -95,6 +95,13 @@ def sim_knn_lsh(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(_dbl()).alias("features")
     )
+    # Degenerate-corpus contract (round-12 sweep): LSH cannot fit on an
+    # empty corpus (no first row to size the projections) — the defined
+    # result of kNN over nothing is the empty top-k frame.
+    if e.isEmpty():
+        return spark.createDataFrame(
+            [], "probe_id bigint, cand_id bigint, dist double, rank int"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     )

@@ -109,12 +109,20 @@ def agg_approx_distinct(spark, sf_dir):
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        HAVING COUNT(*) > 0
     """,
     tags=("D4",),
 )
 def agg_grouping_sets(spark, sf_dir):
     """GROUPING SETS lattice. Corpus values are never NULL, so COALESCE
-    labels the super-aggregate rows unambiguously."""
+    labels the super-aggregate rows unambiguously.
+
+    Empty-input semantics (round-12 degenerate sweep): Spark's
+    Expand-based grouping lattice emits ZERO rows over empty input,
+    while the SQL standard (and DuckDB/Postgres) emit the () grand-
+    total row with COUNT 0.  The oracle's HAVING COUNT(*) > 0 pins the
+    Spark semantics — a no-op on any non-empty input, where every
+    lattice row aggregates at least one source row."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
@@ -139,10 +147,13 @@ def agg_grouping_sets(spark, sf_dir):
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
+        HAVING COUNT(*) > 0
     """,
     tags=("D5",),
 )
 def agg_rollup(spark, sf_dir):
+    # oracle HAVING: pins Spark's zero-rows-over-empty-input lattice
+    # semantics; no-op on non-empty input (see agg_grouping_sets)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -170,10 +181,13 @@ def agg_rollup(spark, sf_dir):
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
+        HAVING COUNT(*) > 0
     """,
     tags=("D6",),
 )
 def agg_cube(spark, sf_dir):
+    # oracle HAVING: pins Spark's zero-rows-over-empty-input lattice
+    # semantics; no-op on non-empty input (see agg_grouping_sets)
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.cube("l_returnflag", "l_linestatus")
@@ -266,10 +280,17 @@ def agg_stats(spark, sf_dir):
     sum_q2 = F.sum(q * q).cast("double")
     sum_p = F.sum(p).cast("double")
     sum_qp = F.sum(q * p).cast("double")
+    # try_divide (round-12 degenerate sweep): a single-row group makes
+    # the Bessel denominator 0 — the sample statistic is the defined
+    # NULL on both engines (DuckDB x/0 is NULL), never DIVIDE_BY_ZERO
     return l.groupBy("l_returnflag").agg(
         cnt.alias("n"),
-        F.round(F.sqrt((sum_q2 - sum_q * sum_q / cnt) / (cnt - F.lit(1))), 6).alias("stddev_qty"),
-        F.round((sum_qp - sum_q * sum_p / cnt) / (cnt - F.lit(1)), 6).alias("covar_qty_price"),
+        F.round(
+            F.sqrt(F.try_divide(sum_q2 - sum_q * sum_q / cnt, cnt - F.lit(1))), 6
+        ).alias("stddev_qty"),
+        F.round(F.try_divide(sum_qp - sum_q * sum_p / cnt, cnt - F.lit(1)), 6).alias(
+            "covar_qty_price"
+        ),
     )
 
 
@@ -487,14 +508,17 @@ def agg_regression_trend(spark, sf_dir):
     sxy = F.sum(F.col("xh") * F.col("yv")).cast("double")
     sxx = F.sum(F.col("xh") * F.col("xh")).cast("double")
     syy = F.sum(F.col("yv") * F.col("yv")).cast("double")
+    # try_divide (round-12 degenerate sweep): a one-point or one-hour
+    # group zeroes n·Σx²−(Σx)², and an all-equal value zeroes the y
+    # variance in r² — the undefined fit is NULL on both engines
     num = n * sxy - sx * sy
     den = n * sxx - sx * sx
-    slope = num / den
+    slope = F.try_divide(num, den)
     return src.groupBy("event_type").agg(
         n.alias("n"),
         F.round(slope, 6).alias("slope_per_hour"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round((num * num) / (den * (n * syy - sy * sy)), 6).alias("r2"),
+        F.round(F.try_divide(num * num, den * (n * syy - sy * sy)), 6).alias("r2"),
     )
 
 
@@ -620,12 +644,23 @@ def agg_higher_moments(spark, sf_dir):
         "n",
         F.round(m1, 6).alias("mean"),
         F.round(var, 6).alias("variance_pop"),
-        F.round((m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / F.pow(var, 1.5), 6).alias(
-            "skewness"
-        ),
+        # try_divide (round-12 degenerate sweep): zero variance (one row
+        # or all-equal quantities) makes the standardized moments the
+        # defined NULL on both engines, never DIVIDE_BY_ZERO
         F.round(
-            (m4 - F.lit(4.0) * m1 * m3 + F.lit(6.0) * m1 * m1 * m2 - F.lit(3.0) * m1 * m1 * m1 * m1)
-            / (var * var)
+            F.try_divide(
+                m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1, F.pow(var, 1.5)
+            ),
+            6,
+        ).alias("skewness"),
+        F.round(
+            F.try_divide(
+                m4
+                - F.lit(4.0) * m1 * m3
+                + F.lit(6.0) * m1 * m1 * m2
+                - F.lit(3.0) * m1 * m1 * m1 * m1,
+                var * var,
+            )
             - F.lit(3.0),
             6,
         ).alias("excess_kurtosis"),
@@ -904,6 +939,7 @@ def agg_weighted_median(spark, sf_dir):
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderpriority), (o_orderstatus), ())
+        HAVING COUNT(*) > 0
     """,
     tags=("D-grouping-id",),
 )

@@ -583,10 +583,10 @@ def seq_transition_matrix(spark, sf_dir):
         )
         SELECT stage_no, stage, n_users,
                ROUND(CAST(n_users AS DOUBLE)
-                     / LAG(n_users, 1, n_users) OVER (ORDER BY stage_no), 6)
+                     / NULLIF(LAG(n_users, 1, n_users) OVER (ORDER BY stage_no), 0), 6)
                    AS conversion_from_prev,
                ROUND(CAST(n_users AS DOUBLE)
-                     / FIRST_VALUE(n_users) OVER (ORDER BY stage_no), 6)
+                     / NULLIF(FIRST_VALUE(n_users) OVER (ORDER BY stage_no), 0), 6)
                    AS conversion_from_top
         FROM stages
     """,
@@ -652,15 +652,21 @@ def funnel_three_stage(spark, sf_dir):
     )
     w = Window.orderBy("stage_no")
     prev = F.lag("n_users", 1).over(w)
+    # NULLIF-guarded denominators on BOTH engines (round-12 degenerate
+    # sweep): an empty events table makes every stage count 0, and the
+    # 0/0 conversion ratio must be a defined NULL, not DIVIDE_BY_ZERO.
     return stages.select(
         "stage_no",
         "stage",
         "n_users",
         F.round(
-            F.col("n_users").cast("double") / F.coalesce(prev, F.col("n_users")), 6
+            F.col("n_users").cast("double")
+            / F.nullif(F.coalesce(prev, F.col("n_users")), F.lit(0)),
+            6,
         ).alias("conversion_from_prev"),
         F.round(
-            F.col("n_users").cast("double") / F.first("n_users").over(w), 6
+            F.col("n_users").cast("double") / F.nullif(F.first("n_users").over(w), F.lit(0)),
+            6,
         ).alias("conversion_from_top"),
     )
 

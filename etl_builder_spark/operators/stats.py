@@ -134,7 +134,13 @@ def stats_poisson_bootstrap_ci(spark, sf_dir):
         expanded.select("b", "p", k.alias("k"))
         .groupBy("b")
         .agg(
-            F.round((F.sum(F.col("k") * F.col("p")).cast("double") / F.sum("k")), 6)
+            # try_divide (round-12 degenerate sweep): a tiny corpus can
+            # draw all-zero Poisson weights in a replicate — its mean is
+            # the defined NULL on both engines (DuckDB x/0 is NULL) and
+            # drops out of the across-replicate moments like any NULL
+            F.round(
+                F.try_divide(F.sum(F.col("k") * F.col("p")).cast("double"), F.sum("k")), 6
+            )
             .cast("decimal(28,6)")
             .alias("m")
         )
@@ -258,7 +264,10 @@ def stats_ks_two_sample(spark, sf_dir):
         .select(
             F.col("ta").alias("n_a"),
             F.col("tb").alias("n_b"),
-            (F.col("md").cast("double") / (F.col("ta") * F.col("tb"))).alias("d_stat"),
+            # try_divide (round-12 degenerate sweep): absent sample → 0
+            F.try_divide(F.col("md").cast("double"), F.col("ta") * F.col("tb")).alias(
+                "d_stat"
+            ),
             "d_location",
         )
     )
@@ -611,15 +620,18 @@ def stats_mannwhitney_u(spark, sf_dir):
     mu = (ta * tb).cast("double") / F.lit(2)
     var = (ta * tb).cast("double") / F.lit(12) * (
         (ta + tb + F.lit(1)).cast("double")
-        - F.col("s3").cast("double")
-        / ((ta + tb).cast("double") * (ta + tb - F.lit(1)).cast("double"))
+        - F.try_divide(
+            F.col("s3").cast("double"),
+            (ta + tb).cast("double") * (ta + tb - F.lit(1)).cast("double"),
+        )
     )
     return tot.crossJoin(F.broadcast(s)).select(
         ta.alias("n_a"),
         tb.alias("n_b"),
         ua.alias("u_a"),
         ((ta * tb).cast("double") - ua).alias("u_b"),
-        F.round((ua - mu) / F.sqrt(var), 6).alias("z_score"),
+        # try_divide (round-12 degenerate sweep): absent sample → var 0
+        F.round(F.try_divide(ua - mu, F.sqrt(var)), 6).alias("z_score"),
     )
 
 
@@ -683,10 +695,13 @@ def stats_corr_pearson_exact(spark, sf_dir):
     den = F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
         nd * F.col("syy") - F.col("sy") * F.col("sy")
     )
+    # try_divide (round-12 degenerate sweep): a single-row or all-equal
+    # group has zero variance in one or both margins — the undefined
+    # correlation is the defined NULL on both engines (DuckDB x/0 NULL)
     return m.select(
         "flag",
         F.col("n").alias("n_rows"),
-        F.round(num / den, 6).alias("corr"),
+        F.round(F.try_divide(num, den), 6).alias("corr"),
         F.round(num / (nd * nd), 6).alias("cov_pop"),
     )
 
@@ -815,7 +830,10 @@ def stats_ks_two_sample_banded(spark, sf_dir):
         .select(
             F.col("ta").alias("n_a"),
             F.col("tb").alias("n_b"),
-            (F.col("md").cast("double") / (F.col("ta") * F.col("tb"))).alias("d_stat"),
+            # try_divide (round-12 degenerate sweep): absent sample → 0
+            F.try_divide(F.col("md").cast("double"), F.col("ta") * F.col("tb")).alias(
+                "d_stat"
+            ),
             "d_location",
         )
     )
@@ -851,15 +869,18 @@ def stats_mannwhitney_u_banded(spark, sf_dir):
     mu = (ta * tb).cast("double") / F.lit(2)
     var = (ta * tb).cast("double") / F.lit(12) * (
         (ta + tb + F.lit(1)).cast("double")
-        - F.col("s3").cast("double")
-        / ((ta + tb).cast("double") * (ta + tb - F.lit(1)).cast("double"))
+        - F.try_divide(
+            F.col("s3").cast("double"),
+            (ta + tb).cast("double") * (ta + tb - F.lit(1)).cast("double"),
+        )
     )
     return tot.crossJoin(F.broadcast(s)).select(
         ta.alias("n_a"),
         tb.alias("n_b"),
         ua.alias("u_a"),
         ((ta * tb).cast("double") - ua).alias("u_b"),
-        F.round((ua - mu) / F.sqrt(var), 6).alias("z_score"),
+        # try_divide (round-12 degenerate sweep): absent sample → var 0
+        F.round(F.try_divide(ua - mu, F.sqrt(var)), 6).alias("z_score"),
     )
 
 

@@ -114,8 +114,11 @@ def stats_spearman_rho(spark, sf_dir):
     den = F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
         nd * F.col("syy") - F.col("sy") * F.col("sy")
     )
+    # try_divide (round-12 degenerate sweep): all-tied ranks in either
+    # margin zero a variance — rho is the defined NULL on both engines
     return m.select(
-        F.col("n").alias("n_rows"), F.round(num / den, 6).alias("spearman_rho")
+        F.col("n").alias("n_rows"),
+        F.round(F.try_divide(num, den), 6).alias("spearman_rho"),
     )
 
 
@@ -218,12 +221,13 @@ def stats_kendall_tau_binned(spark, sf_dir):
         F.col("nn").alias("n_rows"),
         F.col("c").alias("concordant"),
         F.col("d").alias("discordant"),
+        # try_divide (round-12 degenerate sweep): all-tied margins zero
+        # the tau-b denominator — defined NULL on both engines
         F.round(
-            F.lit(2.0)
-            * (F.col("c") - F.col("d"))
-            / (
+            F.try_divide(
+                F.lit(2.0) * (F.col("c") - F.col("d")),
                 F.sqrt((n0x2 - F.col("sx")).cast("double"))
-                * F.sqrt((n0x2 - F.col("sy")).cast("double"))
+                * F.sqrt((n0x2 - F.col("sy")).cast("double")),
             ),
             6,
         ).alias("kendall_tau_b"),
@@ -293,10 +297,13 @@ def stats_anova_oneway(spark, sf_dir):
             .alias(f"s{i}")
         )
     g = o.agg(*aggs)
+    # try_divide (round-12 degenerate sweep): an absent class zeroes an
+    # n_i and nt ≤ 5 zeroes the within-d.o.f. — matching DuckDB, whose
+    # x/0 NULL poisons Q and every statistic downstream identically
     q = None
     s_tot = None
     for i in range(len(_PRIORITIES)):
-        term = F.col(f"s{i}") * F.col(f"s{i}") / F.col(f"n{i}")
+        term = F.try_divide(F.col(f"s{i}") * F.col(f"s{i}"), F.col(f"n{i}"))
         q = term if q is None else q + term
         s_tot = F.col(f"s{i}") if s_tot is None else s_tot + F.col(f"s{i}")
     ssb = q - s_tot * s_tot / F.col("nt")
@@ -306,7 +313,9 @@ def stats_anova_oneway(spark, sf_dir):
         F.col("nt").alias("n_rows"),
         ssb.alias("ss_between"),
         ssw.alias("ss_within"),
-        F.round((ssb / F.lit(4)) / (ssw / (F.col("nt") - 5)), 6).alias("f_stat"),
+        F.round(
+            F.try_divide(ssb / F.lit(4), F.try_divide(ssw, F.col("nt") - 5)), 6
+        ).alias("f_stat"),
     )
 
 
@@ -382,10 +391,11 @@ def stats_levene_brownforsythe(spark, sf_dir):
             .alias(f"s{i}")
         )
     g = zf.agg(*aggs)
+    # try_divide: same degenerate-shape guard as stats_anova_oneway
     q = None
     s_tot = None
     for i in range(len(_PRIORITIES)):
-        term = F.col(f"s{i}") * F.col(f"s{i}") / F.col(f"n{i}")
+        term = F.try_divide(F.col(f"s{i}") * F.col(f"s{i}"), F.col(f"n{i}"))
         q = term if q is None else q + term
         s_tot = F.col(f"s{i}") if s_tot is None else s_tot + F.col(f"s{i}")
     ssb = q - s_tot * s_tot / F.col("nt")
@@ -393,7 +403,9 @@ def stats_levene_brownforsythe(spark, sf_dir):
     return g.select(
         F.lit(5).alias("n_groups"),
         F.col("nt").alias("n_rows"),
-        F.round((ssb / F.lit(4)) / (ssw / (F.col("nt") - 5)), 6).alias("w_stat"),
+        F.round(
+            F.try_divide(ssb / F.lit(4), F.try_divide(ssw, F.col("nt") - 5)), 6
+        ).alias("w_stat"),
     )
 
 
@@ -521,7 +533,9 @@ def stats_ratio_delta_ci(spark, sf_dir):
         - 2 * r * (sxyd - sxd * F.col("sy") / F.col("n"))
         + r * r * (syyd - syd * F.col("sy") / F.col("n"))
     )
-    se = F.sqrt(core / (F.col("n") - 1) / F.col("n")) / (syd / nd) / 100
+    # try_divide (round-12 degenerate sweep): a one-user arm zeroes the
+    # n-1 denominator — the clustered SE is the defined NULL then
+    se = F.sqrt(F.try_divide(core, F.col("n") - 1) / F.col("n")) / (syd / nd) / 100
     return m.select(
         "event_type",
         F.col("n").alias("n_users"),
@@ -610,8 +624,16 @@ def stats_qq_deciles(spark, sf_dir):
     lo = stacked.where(F.col("o_orderpriority") == "5-LOW").select(
         "decile", F.col("q").alias("q_low")
     )
+    # literal 1..9 decile grid with LEFT joins (round-12 degenerate
+    # sweep): the oracle's decile frame is generate_series, so the QQ
+    # table keeps its nine rows (all-NULL quantiles) even when an arm
+    # — or the whole corpus — is empty; inner joins vanished instead.
+    grid = (
+        stacked.sparkSession.range(1, 10).select(F.col("id").cast("bigint").alias("decile"))
+    )
     return (
-        u.join(lo, "decile")
+        grid.join(u, "decile", "left")
+        .join(lo, "decile", "left")
         .select(
             "decile",
             "q_urgent",
@@ -715,23 +737,26 @@ def stats_wasserstein_binned(spark, sf_dir):
         F.sum("na").over(wc).alias("ca"),
         F.sum("nb").over(wc).alias("cb"),
     )
+    # NULLIF-guarded CDF denominators + a GLOBAL term sum crossed back
+    # onto the always-one-row totals frame (round-12 degenerate sweep):
+    # grouping the sum by (ta, tb, n_bins) emitted zero rows on an
+    # empty corpus, and an absent arm made ca/ta a 0-divisor — both
+    # engines now yield the defined one-row NULL summary instead.
     terms = c.crossJoin(F.broadcast(t)).select(
-        "ta",
-        "tb",
-        "n_bins",
         F.round(
             F.abs(
-                F.col("ca").cast("double") / F.col("ta")
-                - F.col("cb").cast("double") / F.col("tb")
+                F.col("ca").cast("double") / F.nullif(F.col("ta"), F.lit(0))
+                - F.col("cb").cast("double") / F.nullif(F.col("tb"), F.lit(0))
             ),
             9,
         )
         .cast("decimal(28,9)")
         .alias("term"),
     )
-    return terms.groupBy("ta", "tb", "n_bins").agg(
+    sum_terms = terms.agg(
         F.round(F.sum("term").cast("double") * W1_BIN, 6).alias("w1_dollars")
-    ).select(
+    )
+    return t.crossJoin(F.broadcast(sum_terms)).select(
         F.col("ta").alias("n_urgent"),
         F.col("tb").alias("n_low"),
         "n_bins",
@@ -806,8 +831,12 @@ def stats_tukey_hsd_grid(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("k"),
         )
         .crossJoin(F.broadcast(sxx))
+        # try_divide (round-12 degenerate sweep): a one-arm or
+        # one-row-per-arm corpus zeroes N−k — MSE is the defined NULL
         .select(
-            ((F.col("sxx") - F.col("q")) / (F.col("nt") - F.col("k"))).alias("mse")
+            F.try_divide(F.col("sxx") - F.col("q"), F.col("nt") - F.col("k")).alias(
+                "mse"
+            )
         )
     )
     a, b = g.alias("a"), g.alias("b")
@@ -825,9 +854,11 @@ def stats_tukey_hsd_grid(spark, sf_dir):
             F.round(mb, 6).alias("mean_b"),
             F.round(ma - mb, 6).alias("mean_diff"),
             F.round(
-                F.abs(ma - mb)
-                / F.sqrt(
-                    F.col("mse") / 2 * (1.0 / F.col("a.n") + 1.0 / F.col("b.n"))
+                F.try_divide(
+                    F.abs(ma - mb),
+                    F.sqrt(
+                        F.col("mse") / 2 * (1.0 / F.col("a.n") + 1.0 / F.col("b.n"))
+                    ),
                 ),
                 6,
             ).alias("q_stat"),
@@ -999,11 +1030,15 @@ def stats_xi_correlation(spark, sf_dir):
         .select(
             F.col("n").alias("n_rows"),
             (F.col("s_within") + F.col("s_seam")).cast("bigint").alias("s_num"),
+            # try_divide (round-12 degenerate sweep): all-equal y makes
+            # Σ lᵢ(n−lᵢ) zero — ξ is the defined NULL on both engines
             F.round(
                 F.lit(1.0)
-                - F.col("n").cast("double")
-                * (F.col("s_within") + F.col("s_seam"))
-                / (2.0 * F.col("s_den")),
+                - F.try_divide(
+                    F.col("n").cast("double")
+                    * (F.col("s_within") + F.col("s_seam")),
+                    2.0 * F.col("s_den"),
+                ),
                 6,
             ).alias("xi"),
         )

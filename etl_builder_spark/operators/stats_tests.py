@@ -105,23 +105,40 @@ def stats_welch_ttest(spark, sf_dir):
         F.sum(F.when(in_b, y).otherwise(zero2)).cast("double").alias("s2"),
         F.sum(F.when(in_b, y * y).otherwise(zero4)).cast("double").alias("q2"),
     )
+    # try_divide throughout (round-12 degenerate sweep): an absent or
+    # singleton arm zeroes n, n-1, or a variance — DuckDB's x/0 is
+    # NULL and NULL-propagates through the closed forms, so the
+    # guarded divisions keep both engines on the same defined NULLs
     n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
     n2, s2, q2 = F.col("n2"), F.col("s2"), F.col("q2")
-    se1 = (q1 - s1 * s1 / n1) / (n1 - 1) / n1
-    se2 = (q2 - s2 * s2 / n2) / (n2 - 1) / n2
+    mean1 = F.try_divide(s1, n1)
+    mean2 = F.try_divide(s2, n2)
+    se1 = F.try_divide(F.try_divide(q1 - F.try_divide(s1 * s1, n1), n1 - 1), n1)
+    se2 = F.try_divide(F.try_divide(q2 - F.try_divide(s2 * s2, n2), n2 - 1), n2)
     return m.select(
         n1.alias("n_urgent"),
         n2.alias("n_low"),
-        F.round(s1 / n1, 6).alias("mean_urgent"),
-        F.round(s2 / n2, 6).alias("mean_low"),
-        F.round((s1 / n1 - s2 / n2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(mean1, 6).alias("mean_urgent"),
+        F.round(mean2, 6).alias("mean_low"),
+        F.round(F.try_divide(mean1 - mean2, F.sqrt(se1 + se2)), 6).alias("t_stat"),
         F.round(
-            (se1 + se2) * (se1 + se2) / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)),
+            F.try_divide(
+                (se1 + se2) * (se1 + se2),
+                F.try_divide(se1 * se1, n1 - 1) + F.try_divide(se2 * se2, n2 - 1),
+            ),
             6,
         ).alias("welch_df"),
         F.round(
-            (s1 / n1 - s2 / n2)
-            / F.sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2)) / (n1 + n2 - 2)),
+            F.try_divide(
+                mean1 - mean2,
+                F.sqrt(
+                    F.try_divide(
+                        (q1 - F.try_divide(s1 * s1, n1))
+                        + (q2 - F.try_divide(s2 * s2, n2)),
+                        n1 + n2 - 2,
+                    )
+                ),
+            ),
             6,
         ).alias("cohen_d"),
     )
@@ -214,9 +231,18 @@ def stats_permutation_test_pinned(spark, sf_dir):
             F.sum(F.when(F.col("grp"), 0).otherwise(F.col("xc"))).cast("bigint").alias("sb"),
         )
     )
+    # NULLIF-guarded arm means and a literal one-row anchor (round-12
+    # degenerate sweep): an empty or one-arm corpus makes na/nb zero —
+    # DuckDB's double/0 is NULL, so the guard aligns Spark — and the
+    # summary row must exist (all-NULL observed, n_ge = 0) even when
+    # the diffs frame is empty, exactly like the oracle's FROM-less
+    # outer SELECT.
     diffs = arms.select(
         "b",
-        (F.col("sa").cast("double") / F.col("na") - F.col("sb").cast("double") / F.col("nb")).alias("diff"),
+        (
+            F.col("sa").cast("double") / F.nullif(F.col("na"), F.lit(0))
+            - F.col("sb").cast("double") / F.nullif(F.col("nb"), F.lit(0))
+        ).alias("diff"),
     ).persist()  # 33 rows; obs + null-rank branches must not rescan events
     obs = diffs.where(F.col("b") == 0).select(F.col("diff").alias("obs_diff"))
     null = (
@@ -230,13 +256,16 @@ def stats_permutation_test_pinned(spark, sf_dir):
             .alias("n_ge")
         )
     )
+    one = spark.range(1).select(F.lit(1).alias("__one"))
     return (
-        obs.crossJoin(F.broadcast(null))
+        one.join(F.broadcast(obs.crossJoin(F.broadcast(null))), F.lit(True), "left")
         .select(
             F.round(F.col("obs_diff") / 100, 6).alias("observed_diff"),
             F.lit(PERM_B).cast("bigint").alias("n_perms"),
-            F.col("n_ge"),
-            F.round((1.0 + F.col("n_ge")) / (1 + PERM_B), 6).alias("p_value"),
+            F.coalesce(F.col("n_ge"), F.lit(0)).cast("bigint").alias("n_ge"),
+            F.round(
+                (1.0 + F.coalesce(F.col("n_ge"), F.lit(0))) / (1 + PERM_B), 6
+            ).alias("p_value"),
         )
     )
 
@@ -457,9 +486,11 @@ def stats_mutual_information_binned(spark, sf_dir):
             F.round(F.col("mi"), 6).alias("mutual_information"),
             F.round(F.col("hx"), 6).alias("entropy_x"),
             F.round(F.col("hy"), 6).alias("entropy_y"),
-            F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias(
-                "normalized_mi"
-            ),
+            # try_divide (round-12 degenerate sweep): a one-cell grid has
+            # zero marginal entropy — normalized MI is the defined NULL
+            F.round(
+                F.try_divide(F.col("mi"), F.sqrt(F.col("hx") * F.col("hy"))), 6
+            ).alias("normalized_mi"),
         )
     )
 
@@ -564,22 +595,24 @@ def stats_cramers_v_corrected(spark, sf_dir):
         F.col("nt"),
         F.col("chi2"),
     )
+    # try_divide (round-12 degenerate sweep): a 1×1 grid zeroes k−1 and
+    # a single row zeroes n−1 — V is the defined NULL on both engines
     phi2 = chi2 / nt
     kmin1 = F.when(nrow < ncol, nrow - 1).otherwise(ncol - 1)
     phi2c = F.greatest(
         F.lit(0.0),
-        phi2 - ((nrow - 1) * (ncol - 1)).cast("double") / (nt - 1),
+        phi2 - F.try_divide(((nrow - 1) * (ncol - 1)).cast("double"), nt - 1),
     )
-    rc_ = nrow - ((nrow - 1) * (nrow - 1)).cast("double") / (nt - 1)
-    cc_ = ncol - ((ncol - 1) * (ncol - 1)).cast("double") / (nt - 1)
+    rc_ = nrow - F.try_divide(((nrow - 1) * (nrow - 1)).cast("double"), nt - 1)
+    cc_ = ncol - F.try_divide(((ncol - 1) * (ncol - 1)).cast("double"), nt - 1)
     kminc = F.when(rc_ < cc_, rc_ - 1).otherwise(cc_ - 1)
     return dims.select(
         nt.alias("n_rows"),
         nrow,
         ncol,
         F.round(chi2, 6).alias("chi2"),
-        F.round(F.sqrt(phi2 / kmin1), 6).alias("cramers_v"),
-        F.round(F.sqrt(phi2c / kminc), 6).alias("cramers_v_corrected"),
+        F.round(F.sqrt(F.try_divide(phi2, kmin1)), 6).alias("cramers_v"),
+        F.round(F.sqrt(F.try_divide(phi2c, kminc)), 6).alias("cramers_v_corrected"),
     )
 
 
@@ -688,10 +721,18 @@ def stats_cohens_kappa(spark, sf_dir):
         .select(
             nt.alias("n_rows"),
             diag.alias("n_agree"),
-            F.round(diag.cast("double") / nt, 6).alias("p_observed"),
-            F.round(ch.cast("double") / nt / nt, 6).alias("p_chance"),
+            # try_divide (round-12 degenerate sweep): perfect chance
+            # agreement (n² = Σrq·rd, e.g. a single row) makes kappa
+            # the defined NULL on both engines
+            F.round(F.try_divide(diag.cast("double"), nt), 6).alias("p_observed"),
+            F.round(F.try_divide(F.try_divide(ch.cast("double"), nt), nt), 6).alias(
+                "p_chance"
+            ),
             F.round(
-                (nt.cast("double") * diag - ch) / (nt.cast("double") * nt - ch), 6
+                F.try_divide(
+                    nt.cast("double") * diag - ch, nt.cast("double") * nt - ch
+                ),
+                6,
             ).alias("kappa"),
         )
     )
@@ -765,16 +806,19 @@ def ml_mcc_binary_gate(spark, sf_dir):
         fp,
         fn_,
         tn,
-        F.round(tp.cast("double") / (tp + fp), 6).alias("precision_"),
-        F.round(tp.cast("double") / (tp + fn_), 6).alias("recall_"),
-        F.round(2.0 * tp / (2.0 * tp + fp + fn_), 6).alias("f1"),
+        # try_divide (round-12 degenerate sweep): an empty margin (no
+        # predicted or no actual positives) makes each ratio the
+        # defined NULL on both engines, never DIVIDE_BY_ZERO
+        F.round(F.try_divide(tp.cast("double"), tp + fp), 6).alias("precision_"),
+        F.round(F.try_divide(tp.cast("double"), tp + fn_), 6).alias("recall_"),
+        F.round(F.try_divide(2.0 * tp, 2.0 * tp + fp + fn_), 6).alias("f1"),
         F.round(
-            (tp.cast("double") * tn - fp.cast("double") * fn_)
-            / (
+            F.try_divide(
+                tp.cast("double") * tn - fp.cast("double") * fn_,
                 F.sqrt((tp + fp).cast("double"))
                 * F.sqrt((tp + fn_).cast("double"))
                 * F.sqrt((tn + fp).cast("double"))
-                * F.sqrt((tn + fn_).cast("double"))
+                * F.sqrt((tn + fn_).cast("double")),
             ),
             6,
         ).alias("mcc"),
@@ -838,15 +882,17 @@ def stats_grubbs_extreme(spark, sf_dir):
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
     mx, mn = F.col("mx"), F.col("mn")
-    sd = F.sqrt((s2 - s1.cast("double") * s1 / n) / (n - 1))
+    # try_divide (round-12 degenerate sweep): a 1-row corpus zeroes
+    # n−1, an all-equal corpus zeroes sd — defined NULL on both engines
+    sd = F.sqrt(F.try_divide(s2 - s1.cast("double") * s1 / n, n - 1))
     return m.select(
         n,
         F.round(s1.cast("double") / n / 100, 6).alias("mean_price"),
         F.round(sd / 100, 6).alias("stddev_price"),
         F.round(mx.cast("double") / 100, 2).alias("max_price"),
         F.round(mn.cast("double") / 100, 2).alias("min_price"),
-        F.round((mx - s1.cast("double") / n) / sd, 6).alias("g_high"),
-        F.round((s1.cast("double") / n - mn) / sd, 6).alias("g_low"),
+        F.round(F.try_divide(mx - s1.cast("double") / n, sd), 6).alias("g_high"),
+        F.round(F.try_divide(s1.cast("double") / n - mn, sd), 6).alias("g_low"),
     )
 
 
@@ -959,12 +1005,17 @@ def stats_bh_fdr(spark, sf_dir):
     n, nt = F.col("n"), F.col("nt")
     s1, s2 = F.col("s1"), F.col("s2")
     t1, t2 = F.col("t1"), F.col("t2")
+    # try_divide (round-12 degenerate sweep): a one-brand corpus zeroes
+    # the rest-of-catalog arm (nt−n) and singleton arms zero n−1 —
+    # z and the bound are the defined NULL on both engines then
     nr = nt - n
     mb = s1.cast("double") / n
-    mr = (t1 - s1).cast("double") / nr
-    vb = (s2 - s1.cast("double") * s1 / n) / (n - 1)
-    vr = ((t2 - s2) - (t1 - s1).cast("double") * (t1 - s1) / nr) / (nr - 1)
-    zexpr = (mb - mr) / F.sqrt(vb / n + vr / nr)
+    mr = F.try_divide((t1 - s1).cast("double"), nr)
+    vb = F.try_divide(s2 - s1.cast("double") * s1 / n, n - 1)
+    vr = F.try_divide(
+        (t2 - s2) - F.try_divide((t1 - s1).cast("double") * (t1 - s1), nr), nr - 1
+    )
+    zexpr = F.try_divide(mb - mr, F.sqrt(vb / n + F.try_divide(vr, nr)))
     p = j.select(
         "brand",
         "n",
@@ -1090,8 +1141,11 @@ def stats_ate_stratified(spark, sf_dir):
         )
     )
     tot = s.agg(F.sum("n_s").cast("bigint").alias("n"))
-    rt = F.col("r_t").cast("double") / F.col("n_t")
-    rc = F.col("r_c").cast("double") / F.col("n_c")
+    # try_divide (round-12 degenerate sweep): a stratum with no treated
+    # or no control rows has an undefined arm rate — NULL on both
+    # engines, and the stratum's ATE contribution is NULL with it
+    rt = F.try_divide(F.col("r_t").cast("double"), F.col("n_t"))
+    rc = F.try_divide(F.col("r_c").cast("double"), F.col("n_c"))
     rows = s.crossJoin(F.broadcast(tot)).select(
         "stratum",
         "n_s",
@@ -1214,12 +1268,13 @@ def stats_diff_in_diff(spark, sf_dir):
         )
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    # try_divide (round-12 degenerate sweep): a one-row cell zeroes n−1
     m = cells.select(
         "g",
         "post",
         n,
         (s1.cast("double") / n).alias("mean_c"),
-        ((s2 - s1.cast("double") * s1 / n) / (n - 1)).alias("var_c"),
+        F.try_divide(s2 - s1.cast("double") * s1 / n, n - 1).alias("var_c"),
     )
 
     def cell(gv, pv, col, alias):
@@ -1334,9 +1389,16 @@ def stats_odds_ratio_ci(spark, sf_dir):
         F.sum(F.when(truth & ~exposed, 1).otherwise(0)).cast("bigint").alias("c"),
         F.sum(F.when(~truth & ~exposed, 1).otherwise(0)).cast("bigint").alias("d"),
     )
+    # try_divide (round-12 degenerate sweep): any empty 2×2 cell zeroes
+    # a divisor — OR/SE/RR are the defined NULL on both engines
     a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
-    or_ = a.cast("double") * d / (b.cast("double") * c)
-    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    or_ = F.try_divide(a.cast("double") * d, b.cast("double") * c)
+    se = F.sqrt(
+        F.try_divide(F.lit(1.0), a)
+        + F.try_divide(F.lit(1.0), b)
+        + F.try_divide(F.lit(1.0), c)
+        + F.try_divide(F.lit(1.0), d)
+    )
     z = F.lit(1.959964)
     return conf.select(
         a,
@@ -1348,9 +1410,13 @@ def stats_odds_ratio_ci(spark, sf_dir):
         F.round(se, 6).alias("se_log_or"),
         F.round(F.exp(F.log(or_) - z * se), 6).alias("or_ci_lo"),
         F.round(F.exp(F.log(or_) + z * se), 6).alias("or_ci_hi"),
-        F.round((a.cast("double") / (a + b)) / (c.cast("double") / (c + d)), 6).alias(
-            "relative_risk"
-        ),
+        F.round(
+            F.try_divide(
+                F.try_divide(a.cast("double"), a + b),
+                F.try_divide(c.cast("double"), c + d),
+            ),
+            6,
+        ).alias("relative_risk"),
     )
 
 
@@ -1404,7 +1470,9 @@ def stats_mcnemar_paired(spark, sf_dir):
     result is a 1-row frame of driver-free arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = F.when(F.col("l_quantity").cast("bigint") > 25, 1).otherwise(0)
-    pb = F.when(F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 5, 1).otherwise(0)
+    pb = F.when(F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 5, 1).otherwise(
+        0
+    )
     cells = li.select(pa.alias("pa"), pb.alias("pb")).agg(
         F.sum(F.when((F.col("pa") == 1) & (F.col("pb") == 1), 1).otherwise(0))
         .cast("bigint")
@@ -1426,16 +1494,20 @@ def stats_mcnemar_paired(spark, sf_dir):
         "n01",
         "n00",
         (n10 + n01).alias("n_discordant"),
-        F.round(((n10 - n01) * (n10 - n01)).cast("double") / (n10 + n01), 6).alias(
-            "mcnemar_chi2"
-        ),
+        # try_divide (round-12 degenerate sweep): zero discordant pairs
+        # make McNemar undefined — NULL on both engines
         F.round(
-            (F.abs(n10.cast("double") - n01) - 1.0)
-            * (F.abs(n10.cast("double") - n01) - 1.0)
-            / (n10 + n01),
+            F.try_divide(((n10 - n01) * (n10 - n01)).cast("double"), n10 + n01), 6
+        ).alias("mcnemar_chi2"),
+        F.round(
+            F.try_divide(
+                (F.abs(n10.cast("double") - n01) - 1.0)
+                * (F.abs(n10.cast("double") - n01) - 1.0),
+                n10 + n01,
+            ),
             6,
         ).alias("mcnemar_chi2_corrected"),
-        F.round(n10.cast("double") / n01, 6).alias("discordant_odds"),
+        F.round(F.try_divide(n10.cast("double"), n01), 6).alias("discordant_odds"),
     )
 
 
@@ -1523,10 +1595,17 @@ def stats_hill_tail_index(spark, sf_dir):
             "xk",
         )
     )
+    # GLOBAL aggregate (round-12 degenerate sweep): grouping by xk
+    # emits zero rows when the corpus is empty or smaller than k+1,
+    # while the oracle's FROM-less outer SELECT always emits the
+    # one-row summary with NULLs; xk is group-constant so first() is
+    # deterministic, and the nullif guards make 0-sums a defined NULL
+    # on both engines (DuckDB double/0 is NULL).
     s = F.sum("term").cast("double")
-    return terms.groupBy("xk").agg(
+    return terms.agg(
+        F.first("xk").alias("xk"),
         F.round(s / HILL_K, 6).alias("hill_gamma"),
-        F.round(F.lit(float(HILL_K)) / s, 6).alias("tail_alpha"),
+        F.round(F.lit(float(HILL_K)) / F.nullif(s, F.lit(0.0)), 6).alias("tail_alpha"),
     ).select(
         F.lit(HILL_K).cast("bigint").alias("k"),
         F.round(F.col("xk").cast("double") / 100, 2).alias("threshold_price"),
@@ -1613,7 +1692,12 @@ def stats_capture_recapture(spark, sf_dir):
         n2,
         m12,
         "observed",
-        F.round(n1.cast("double") * n2 / m12, 6).alias("lincoln_petersen"),
+        # try_divide (round-12 degenerate sweep): zero overlap makes
+        # Lincoln–Petersen undefined — NULL on both engines (Chapman
+        # stays defined, as documented above)
+        F.round(F.try_divide(n1.cast("double") * n2, m12), 6).alias(
+            "lincoln_petersen"
+        ),
         F.round((n1 + 1.0) * (n2 + 1.0) / (m12 + 1.0) - 1.0, 6).alias("chapman"),
         F.round(
             F.sqrt(
@@ -1690,13 +1774,15 @@ def stats_cochran_q(spark, sf_dir):
     )
     c1, c2, c3 = F.col("c1"), F.col("c2"), F.col("c3")
     sr, sr2 = F.col("sr"), F.col("sr2")
-    q = (
+    # try_divide (round-12 degenerate sweep): if every row's three
+    # rules agree (R_i ∈ {0,3}), 3·ΣR−ΣR² is 0 — Q is NULL then
+    q = F.try_divide(
         2.0
         * (
             3.0 * (c1.cast("double") * c1 + c2.cast("double") * c2 + c3.cast("double") * c3)
             - sr.cast("double") * sr
-        )
-        / (3.0 * sr - sr2)
+        ),
+        3.0 * sr - sr2,
     )
     return m.select("n", c1, c2, c3, F.round(q, 6).alias("cochran_q"))
 

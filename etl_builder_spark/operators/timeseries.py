@@ -1908,18 +1908,23 @@ def ts_changepoint_cusum(spark, sf_dir):
     cs = banded_running(dev, "xd", "xd", sum_col="dv").select(
         "xd", F.col("run_sum").alias("cs"), "m", "n_days"
     )
+    # n_days/m ride on the always-one-row mu frame instead of being
+    # first()-ed through the argmax join (round-12 degenerate sweep):
+    # on an empty corpus the argmax frame is empty and first(n_days)
+    # was NULL where the oracle's COUNT(*) is a defined 0.
     mx = cs.agg(F.max(F.abs(F.col("cs"))).alias("mabs"))
     cp = cs.join(F.broadcast(mx), F.abs(F.col("cs")) == F.col("mabs")).agg(
-        F.min("xd").alias("cp_day"),
-        F.first("m").alias("m"),
-        F.first("n_days").alias("n_days"),
-        F.first("mabs").alias("mabs"),
+        F.min("xd").alias("cp_day")
     )
-    return cp.select(
-        "n_days",
-        F.col("m").cast("double").alias("grand_mean"),
-        "cp_day",
-        F.col("mabs").cast("double").alias("max_abs_cusum"),
+    return (
+        mu.crossJoin(F.broadcast(cp))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "n_days",
+            F.col("m").cast("double").alias("grand_mean"),
+            "cp_day",
+            F.col("mabs").cast("double").alias("max_abs_cusum"),
+        )
     )
 
 
@@ -2695,7 +2700,11 @@ HOLT_N = 48
                ROUND(l, 6) AS level,
                ROUND(tr, 6) AS trend,
                ROUND(l + 24.0 * tr, 6) AS forecast_24h
-        FROM holt WHERE i = {HOLT_N}
+        -- MAX(i), not the literal {HOLT_N} (round-12 degenerate sweep):
+        -- a corpus spanning fewer than {HOLT_N} hours stops the
+        -- recursion early, and the fold result over the available tail
+        -- is the defined answer on both engines
+        FROM holt WHERE i = (SELECT MAX(i) FROM holt)
     """,
     tags=("TS-forecast",),
 )
@@ -2750,9 +2759,9 @@ def ts_holt_linear_fold(spark, sf_dir):
         F.expr(
             """
             aggregate(
-                slice(xs, 2, size(xs) - 1),
-                named_struct('l', CAST(element_at(xs, 1) AS DOUBLE),
-                             'tr', CAST(element_at(xs, 2) - element_at(xs, 1) AS DOUBLE)),
+                slice(xs, 2, greatest(size(xs) - 1, 0)),
+                named_struct('l', CAST(try_element_at(xs, 1) AS DOUBLE),
+                             'tr', CAST(try_element_at(xs, 2) - try_element_at(xs, 1) AS DOUBLE)),
                 (acc, x) -> named_struct(
                     'l', x / 4.0D + 3.0D * (acc.l + acc.tr) / 4.0D,
                     'tr', (x / 4.0D + 3.0D * (acc.l + acc.tr) / 4.0D - acc.l) / 8.0D
@@ -2887,10 +2896,14 @@ KALMAN_R = 25.0
             SELECT x, ROW_NUMBER() OVER (ORDER BY t) AS i FROM tail
         ),
         rec AS (
-            SELECT i, x,
-                   x AS xhat,
+            -- scalar-subquery seed (round-12 degenerate sweep): the
+            -- seed row must exist even when the series is empty, so
+            -- the one-row NULL-level summary survives — mirroring the
+            -- Spark fold's try_element_at initialization
+            SELECT 1 AS i,
+                   (SELECT x FROM ordered WHERE i = 1) AS x,
+                   (SELECT x FROM ordered WHERE i = 1) AS xhat,
                    CAST({KALMAN_R!r} AS DOUBLE) AS p
-            FROM ordered WHERE i = 1
             UNION ALL
             SELECT o.i, o.x,
                    r.xhat + (r.p + {KALMAN_Q!r}) / (r.p + {KALMAN_Q!r} + {KALMAN_R!r})
@@ -2964,8 +2977,8 @@ def ts_kalman_local_level(spark, sf_dir):
         F.expr(
             f"""
             aggregate(
-                slice(xs, 2, size(xs) - 1),
-                named_struct('xhat', CAST(element_at(xs, 1) AS DOUBLE),
+                slice(xs, 2, greatest(size(xs) - 1, 0)),
+                named_struct('xhat', CAST(try_element_at(xs, 1) AS DOUBLE),
                              'p', CAST({KALMAN_R!r} AS DOUBLE)),
                 (acc, z) -> named_struct(
                     'xhat', acc.xhat + (acc.p + {KALMAN_Q!r})

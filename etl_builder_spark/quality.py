@@ -151,7 +151,12 @@ PSI_N_BINS = 10
             FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
         ),
         tot AS (
-            SELECT (SELECT SUM(n) FROM ref) AS nr, (SELECT SUM(n) FROM cur) AS nc
+            -- COALESCE to 0 (round-12 degenerate sweep): an empty
+            -- period must yield the smoothed uniform p = 1/(0 + bins),
+            -- as the Spark side's SUM-over-the-dense-bin-frame does,
+            -- not a NULL total that poisons every probability
+            SELECT COALESCE((SELECT SUM(n) FROM ref), 0) AS nr,
+                   COALESCE((SELECT SUM(n) FROM cur), 0) AS nc
         )
         SELECT b.bin,
                COALESCE(r.n, 0) AS n_ref,
@@ -866,7 +871,13 @@ def dq_referential_coverage(spark, sf_dir):
         F.lit("orders.o_custkey->customer").alias("fk"),
         F.col("orph").alias("n_orphans"),
     )
-    cov = F.round(F.lit(1.0) - F.col("n_orphans").cast("double") / F.col("n_child"), 6)
+    # NULLIF-guarded (round-12 degenerate sweep): zero child rows makes
+    # coverage the defined NULL on both engines (DuckDB 0/0 is NULL),
+    # never DIVIDE_BY_ZERO
+    cov = F.round(
+        F.lit(1.0) - F.col("n_orphans").cast("double") / F.nullif(F.col("n_child"), F.lit(0)),
+        6,
+    )
     return li_long.unionByName(oc_long).select(
         "fk", "n_child", "n_orphans", cov.alias("coverage")
     )
