@@ -211,9 +211,13 @@ def ml_auc_one_vs_rest(spark, sf_dir):
     stats = ranked.groupBy(F.col("cand").alias("label")).agg(
         n_pos.alias("n_pos"), n_neg.alias("n_neg"), rpos.alias("rpos")
     )
+    # try_divide (round-12 degenerate sweep): a one-label corpus has no
+    # negatives for its class — AUC is the defined NULL on both engines
     auc = F.round(
-        (F.col("rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0))
-        / (F.col("n_pos") * F.col("n_neg")),
+        F.try_divide(
+            F.col("rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0),
+            F.col("n_pos") * F.col("n_neg"),
+        ),
         6,
     )
     return stats.select("label", "n_pos", "n_neg", auc.alias("auc"))
@@ -394,12 +398,19 @@ def ml_lift_gain_deciles(spark, sf_dir):
             "decile",
             "n",
             "n_pos",
+            # try_divide (round-12 degenerate sweep): zero positives in
+            # the corpus zero the base rate — lift/capture are the
+            # defined NULL on both engines
             F.round(
-                (F.col("n_pos").cast("double") / F.col("n"))
-                / (F.col("pt").cast("double") / F.col("nt")),
+                F.try_divide(
+                    F.col("n_pos").cast("double") / F.col("n"),
+                    F.col("pt").cast("double") / F.col("nt"),
+                ),
                 6,
             ).alias("lift"),
-            F.round(cum.cast("double") / F.col("pt"), 6).alias("cum_capture"),
+            F.round(F.try_divide(cum.cast("double"), F.col("pt")), 6).alias(
+                "cum_capture"
+            ),
         )
     )
 
@@ -538,7 +549,9 @@ def ml_pca_power_component(spark, sf_dir):
         n2 = u.agg(
             F.sum(F.round(ud * ud, 9).cast("decimal(38,12)")).alias("nn")
         )
-        vj = F.round(ud / F.sqrt(F.col("nn").cast("double")), 9)
+        # try_divide (round-12 degenerate sweep): an all-identical cloud
+        # centers to zero — the component is the defined NULL then
+        vj = F.round(F.try_divide(ud, F.sqrt(F.col("nn").cast("double"))), 9)
         v_frame = (
             u.crossJoin(F.broadcast(n2))
             .groupBy()
@@ -552,7 +565,7 @@ def ml_pca_power_component(spark, sf_dir):
     ud = F.col("u").cast("double")
     return u.crossJoin(F.broadcast(n2)).select(
         F.col("pos").cast("int").alias("pos"),
-        F.round(ud / F.sqrt(F.col("nn").cast("double")), 9).alias("loading"),
+        F.round(F.try_divide(ud, F.sqrt(F.col("nn").cast("double"))), 9).alias("loading"),
         F.round(F.sqrt(F.col("nn").cast("double")), 6).alias("component_norm"),
     )
 
@@ -1072,12 +1085,19 @@ def ml_lift_gain_deciles_bucketed(spark, sf_dir):
             "decile",
             "n",
             "n_pos",
+            # try_divide (round-12 degenerate sweep): zero positives in
+            # the corpus zero the base rate — lift/capture are the
+            # defined NULL on both engines
             F.round(
-                (F.col("n_pos").cast("double") / F.col("n"))
-                / (F.col("pt").cast("double") / F.col("nt")),
+                F.try_divide(
+                    F.col("n_pos").cast("double") / F.col("n"),
+                    F.col("pt").cast("double") / F.col("nt"),
+                ),
                 6,
             ).alias("lift"),
-            F.round(cum.cast("double") / F.col("pt"), 6).alias("cum_capture"),
+            F.round(F.try_divide(cum.cast("double"), F.col("pt")), 6).alias(
+                "cum_capture"
+            ),
         )
     )
 
@@ -1536,9 +1556,9 @@ def _ridge_exprs() -> dict:
         )
         SELECT CAST(nn AS BIGINT) AS n,
                {RIDGE_LAMBDA!r} AS ridge_lambda,
-               ROUND({_ridge_exprs()['beta0']}, 6) AS beta0,
-               ROUND({_ridge_exprs()['beta1']}, 6) AS beta1,
-               ROUND({_ridge_exprs()['beta2']}, 6) AS beta2
+               ROUND({_ridge_exprs()['beta0']}, 6) + 0.0 AS beta0,
+               ROUND({_ridge_exprs()['beta1']}, 6) + 0.0 AS beta1,
+               ROUND({_ridge_exprs()['beta2']}, 6) + 0.0 AS beta2
         FROM mom
     """,
     tags=("ML-ridge",),
@@ -1576,12 +1596,16 @@ def ml_ridge_regression_exact(spark, sf_dir):
         F.sum(dc * y).cast("double").alias("s2y"),
     )
     ex = _ridge_exprs()
+    # `+ 0.0` (round-12 degenerate sweep): an all-equal design column
+    # can land a coefficient on IEEE −0.0 in one engine and +0.0 in
+    # the other; adding +0.0 canonicalizes the zero sign on BOTH sides
+    # and changes no other value
     return mom.selectExpr(
         "CAST(nn AS BIGINT) AS n",
         f"{RIDGE_LAMBDA!r} AS ridge_lambda",
-        f"ROUND({ex['beta0']}, 6) AS beta0",
-        f"ROUND({ex['beta1']}, 6) AS beta1",
-        f"ROUND({ex['beta2']}, 6) AS beta2",
+        f"ROUND({ex['beta0']}, 6) + 0.0 AS beta0",
+        f"ROUND({ex['beta1']}, 6) + 0.0 AS beta1",
+        f"ROUND({ex['beta2']}, 6) + 0.0 AS beta2",
     )
 
 
@@ -1751,7 +1775,11 @@ def ml_pr_threshold_grid(spark, sf_dir):
         F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0))
         .otherwise(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"))
         .alias("precision_"),
-        (F.col("tp") / (F.col("tp") + F.col("fn")).cast("double")).alias("recall_"),
+        # try_divide (round-12 degenerate sweep): zero positives zero
+        # the recall denominator — defined NULL on both engines
+        F.try_divide(F.col("tp"), (F.col("tp") + F.col("fn")).cast("double")).alias(
+            "recall_"
+        ),
     )
 
 
@@ -2288,9 +2316,12 @@ def ml_linreg_normal_eq(spark, sf_dir):
     c1y = F.col("s1y") - sx1 * sy / n
     c2y = F.col("s2y") - sx2 * sy / n
     cyy = F.col("syy") - sy * sy / n
+    # try_divide (round-12 degenerate sweep): a zero-variance design
+    # matrix (single row / all-equal features) zeroes the determinant,
+    # and constant y zeroes cyy — the fit is the defined NULL then
     det = c11 * c22 - c12 * c12
-    b1 = (c1y * c22 - c2y * c12) / det
-    b2 = (c2y * c11 - c1y * c12) / det
+    b1 = F.try_divide(c1y * c22 - c2y * c12, det)
+    b2 = F.try_divide(c2y * c11 - c1y * c12, det)
     return m.select(
         n,
         F.round((sy / n - b1 * sx1 / n - b2 * sx2 / n) / 100, 6).alias(
@@ -2298,7 +2329,7 @@ def ml_linreg_normal_eq(spark, sf_dir):
         ),
         F.round(b1 / 100, 6).alias("coef_qty_dollars"),
         F.round(b2 / 100, 6).alias("coef_disc_pt_dollars"),
-        F.round((b1 * c1y + b2 * c2y) / cyy, 6).alias("r2"),
+        F.round(F.try_divide(b1 * c1y + b2 * c2y, cyy), 6).alias("r2"),
     )
 
 
@@ -2751,14 +2782,18 @@ def ml_feature_binning_woe(spark, sf_dir):
         F.sum("n_good").cast("bigint").alias("tg"),
         F.sum("n_bad").cast("bigint").alias("tb"),
     )
-    gs = F.col("n_good").cast("double") / F.col("tg")
-    bs = F.col("n_bad").cast("double") / F.col("tb")
+    # try_divide (round-12 degenerate sweep): a single-class corpus
+    # zeroes one margin total — WOE/IV are the defined NULL then
+    gs = F.try_divide(F.col("n_good").cast("double"), F.col("tg"))
+    bs = F.try_divide(F.col("n_bad").cast("double"), F.col("tb"))
     w = b.crossJoin(F.broadcast(t)).select(
         "bin",
         "n_good",
         "n_bad",
-        F.round(F.log(gs / bs), 6).alias("woe"),
-        F.round((gs - bs) * F.log(gs / bs), 9).cast("decimal(18,9)").alias("iv_term"),
+        F.round(F.log(F.try_divide(gs, bs)), 6).alias("woe"),
+        F.round((gs - bs) * F.log(F.try_divide(gs, bs)), 9)
+        .cast("decimal(18,9)")
+        .alias("iv_term"),
     )
     iv = w.agg(F.round(F.sum("iv_term").cast("double"), 6).alias("iv_total"))
     return (
@@ -2884,13 +2919,15 @@ def ml_learning_curve_subsample(spark, sf_dir):
         fn_,
         tn,
         F.round((tp + tn).cast("double") / n, 6).alias("accuracy"),
+        # try_divide (round-12 degenerate sweep): an empty confusion
+        # margin zeroes the MCC denominator — defined NULL then
         F.round(
-            (tp.cast("double") * tn - fp.cast("double") * fn_)
-            / (
+            F.try_divide(
+                tp.cast("double") * tn - fp.cast("double") * fn_,
                 F.sqrt((tp + fp).cast("double"))
                 * F.sqrt((tp + fn_).cast("double"))
                 * F.sqrt((tn + fp).cast("double"))
-                * F.sqrt((tn + fn_).cast("double"))
+                * F.sqrt((tn + fn_).cast("double")),
             ),
             6,
         ).alias("mcc"),
@@ -2947,11 +2984,16 @@ def _gmm_phi_sql(mu: float, sigma: float) -> str:
             UNION ALL
             SELECT 2, nt - s1, sq - sq1, sqq - sqq1, nt FROM moments
         )
+        -- sigma guard (round-12 degenerate sweep): a vanishing or
+        -- single-point component makes the variance estimate 0⁻ by
+        -- float cancellation; the undefined sigma is NULL on both
+        -- engines (DuckDB would otherwise ERROR on sqrt(negative))
         SELECT component,
                ROUND(mass / nt, 6) AS weight_new,
                ROUND(wsum / mass, 6) AS mu_new,
-               ROUND(sqrt(wsq / mass - (wsum / mass) * (wsum / mass)), 6)
-                   AS sigma_new
+               ROUND(CASE WHEN wsq / mass - (wsum / mass) * (wsum / mass) >= 0
+                          THEN sqrt(wsq / mass - (wsum / mass) * (wsum / mass))
+                     END, 6) AS sigma_new
         FROM comp
         ORDER BY component
     """,
@@ -3024,13 +3066,16 @@ def ml_gmm_em_step_binned(spark, sf_dir):
     )
     comp = c1.unionByName(c2)
     mass, wsum, wsq = F.col("mass"), F.col("wsum"), F.col("wsq")
+    # degenerate-shape guards (round-12 sweep): a vanishing component
+    # (mass 0) or a 0⁻ variance by float cancellation — mu/sigma are
+    # the defined NULL on both engines (the oracle CASE mirrors this)
+    mu = F.try_divide(wsum, mass)
+    rad = F.try_divide(wsq, mass) - mu * mu
     return comp.select(
         "component",
         F.round(mass / F.col("nt"), 6).alias("weight_new"),
-        F.round(wsum / mass, 6).alias("mu_new"),
-        F.round(F.sqrt(wsq / mass - (wsum / mass) * (wsum / mass)), 6).alias(
-            "sigma_new"
-        ),
+        F.round(mu, 6).alias("mu_new"),
+        F.round(F.when(rad >= 0, F.sqrt(rad)), 6).alias("sigma_new"),
     ).orderBy("component")
 
 

@@ -1641,10 +1641,10 @@ def agg_hhi_concentration(spark, sf_dir):
         )
         SELECT n AS n_customers,
                ROUND(CAST(sx AS DOUBLE) / n / 100, 6) AS mean_revenue,
-               ROUND(sxlnx / sx - ln(CAST(sx AS DOUBLE) / n), 6) AS theil_t,
-               ROUND(slnx / n - ln(CAST(sx AS DOUBLE) / n), 6)
+               ROUND(sxlnx / sx - ln(CAST(sx AS DOUBLE) / n), 6) + 0.0 AS theil_t,
+               ROUND(slnx / n - ln(CAST(sx AS DOUBLE) / n), 6) + 0.0
                    AS mean_log_deviation_neg,
-               ROUND(1.0 - exp(slnx / n) / (CAST(sx AS DOUBLE) / n), 6)
+               ROUND(1.0 - exp(slnx / n) / (CAST(sx AS DOUBLE) / n), 6) + 0.0
                    AS atkinson_eps1
         FROM m
     """,
@@ -1694,9 +1694,15 @@ def agg_theil_atkinson(spark, sf_dir):
     return m.select(
         n.alias("n_customers"),
         F.round(mu / 100, 6).alias("mean_revenue"),
-        F.round(F.col("sxlnx") / sx - F.log(mu), 6).alias("theil_t"),
-        F.round(F.col("slnx") / n - F.log(mu), 6).alias("mean_log_deviation_neg"),
-        F.round(F.lit(1.0) - F.exp(F.col("slnx") / n) / mu, 6).alias("atkinson_eps1"),
+        # `+ 0.0` canonicalizes IEEE −0.0 from an all-equal corpus
+        # (round-12 degenerate sweep); no other value changes
+        (F.round(F.col("sxlnx") / sx - F.log(mu), 6) + 0.0).alias("theil_t"),
+        (F.round(F.col("slnx") / n - F.log(mu), 6) + 0.0).alias(
+            "mean_log_deviation_neg"
+        ),
+        (F.round(F.lit(1.0) - F.exp(F.col("slnx") / n) / mu, 6) + 0.0).alias(
+            "atkinson_eps1"
+        ),
     )
 
 
