@@ -197,10 +197,14 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame
 @register(
     "dedup_cluster_components",
     oracle=f"""
-        WITH nodes AS (
-            SELECT doc_id FROM documents
-            UNION ALL SELECT doc_id + {PLANT} FROM documents
-            UNION ALL SELECT doc_id + {2 * PLANT} FROM documents
+        -- DISTINCT ids (round-12 degenerate sweep): components are
+        -- per-VERTEX — duplicate doc_ids are one graph node, exactly
+        -- as the Spark fixpoint's vertex set treats them
+        WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+        nodes AS (
+            SELECT doc_id FROM ids
+            UNION ALL SELECT doc_id + {PLANT} FROM ids
+            UNION ALL SELECT doc_id + {2 * PLANT} FROM ids
         )
         SELECT doc_id AS node, doc_id % {PLANT} AS component FROM nodes
     """,
@@ -230,11 +234,25 @@ DBSCAN_MIN_PTS = 4
 @register(
     "ml_dbscan_grid",
     oracle=f"""
-        SELECT doc_id AS node,
-               (doc_id < {DBSCAN_N - DBSCAN_N % 7}) AS is_core,
-               CASE WHEN doc_id < {DBSCAN_N - DBSCAN_N % 7}
-                    THEN (doc_id // 7) * 7 ELSE -1 END AS cluster
-        FROM documents WHERE doc_id < {DBSCAN_N}
+        -- subset-robust closed form (round-12 degenerate sweep): the
+        -- old literal `doc_id < 497 → core` assumed the planted blobs
+        -- were COMPLETE; on a partial corpus a point is core iff its
+        -- blob has >= min_pts members PRESENT, and the cluster label
+        -- is the smallest PRESENT member (the min-label component) —
+        -- identical to the old form whenever all 7 blob-mates exist
+        WITH pts AS (
+            SELECT DISTINCT doc_id AS node FROM documents
+            WHERE doc_id < {DBSCAN_N}
+        ),
+        blob AS (SELECT node, node - node % 7 AS b FROM pts),
+        bc AS (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS k, MIN(node) AS mn
+            FROM blob GROUP BY b
+        )
+        SELECT node,
+               (k >= {DBSCAN_MIN_PTS}) AS is_core,
+               CASE WHEN k >= {DBSCAN_MIN_PTS} THEN mn ELSE -1 END AS cluster
+        FROM blob JOIN bc USING (b)
     """,
     tags=("ML-cluster",),
 )
@@ -257,10 +275,13 @@ def ml_dbscan_grid(spark, sf_dir):
     the CC loop is the same bounded-diameter min-label fixpoint the
     dedup clustering ships.  Exactly the composition a distributed
     DBSCAN paper (MR-DBSCAN) describes."""
+    # distinct(): DBSCAN clusters a point SET — duplicate doc_ids (a
+    # degenerate-corpus shape) must not inflate ball counts
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < DBSCAN_N)
         .select(F.col("doc_id").alias("node"))
+        .distinct()
     )
     b = F.col("node") - F.pmod(F.col("node"), F.lit(7))  # blob base id
     i = F.pmod(F.col("node"), F.lit(7))

@@ -1723,9 +1723,12 @@ def text_heaps_law_fit(spark, sf_dir):
     sy = " + ".join(ys)
     sxx = " + ".join(f"({x}) * ({x})" for x in xs)
     sxy = " + ".join(f"({x}) * ({y})" for x, y in zip(xs, ys))
+    # try_divide (round-12 degenerate sweep): a one-doc corpus puts
+    # every token in one checkpoint, so all ln N are equal and the OLS
+    # denominator is 0 — the fit is the defined NULL on both engines
     beta = (
-        f"({HEAPS_B}.0D * ({sxy}) - ({sx}) * ({sy}))"
-        f" / ({HEAPS_B}.0D * ({sxx}) - ({sx}) * ({sx}))"
+        f"try_divide({HEAPS_B}.0D * ({sxy}) - ({sx}) * ({sy}),"
+        f" {HEAPS_B}.0D * ({sxx}) - ({sx}) * ({sx}))"
     )
     return wide.select(
         F.lit(HEAPS_B).cast("bigint").alias("n_points"),
@@ -2247,17 +2250,23 @@ def text_textrank_keywords(spark, sf_dir):
     from pyspark.sql import Window  # noqa: F401  (module convention)
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "w")
+    # ROW-LOCAL adjacency via zip_with over the token array (round-12
+    # degenerate sweep): the previous lead()-over-(doc_id, pos) window
+    # silently interleaved tokens when doc_ids repeat, while the
+    # oracle's t[i]/t[i+1] is per-row by construction.  The array form
+    # is also the better 100 TB plan — adjacent-pair extraction needs
+    # NO window and NO shuffle, just an expression before the explode.
+    t = F.split(F.lower(F.col("text")), " ")
+    npairs = F.greatest(F.size(t) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(t, 1, npairs),
+        F.slice(t, 2, npairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    wn = Window.partitionBy("doc_id").orderBy("pos")
     adj = (
-        toks.select("doc_id", "pos", "w", F.lead("w").over(wn).alias("w2"))
-        .where(
-            (F.col("w") != "") & (F.col("w2").isNotNull()) & (F.col("w2") != "")
-            & (F.col("w") != F.col("w2"))
-        )
-        .select(F.col("w").alias("w1"), "w2")
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != "") & (F.col("w1") != F.col("w2")))
         .persist()
     )
     vc = (

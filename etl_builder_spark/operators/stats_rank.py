@@ -1023,20 +1023,29 @@ def stats_xi_correlation(spark, sf_dir):
         .cast("double")
         .alias("s_den")
     )
+    # one-band corpora have ZERO seam pairs (s_seam NULL) while the
+    # oracle sums within+seam as ONE walk — s_num is NULL only when no
+    # consecutive pair exists at all (n ≤ 1), else missing halves are
+    # 0-contribution (round-12 degenerate sweep)
+    s_num = F.when(
+        F.col("s_within").isNull() & F.col("s_seam").isNull(),
+        F.lit(None).cast("bigint"),
+    ).otherwise(
+        F.coalesce(F.col("s_within"), F.lit(0)) + F.coalesce(F.col("s_seam"), F.lit(0))
+    )
     return (
         within.crossJoin(F.broadcast(seams))
         .crossJoin(F.broadcast(n_df))
         .crossJoin(F.broadcast(den))
         .select(
             F.col("n").alias("n_rows"),
-            (F.col("s_within") + F.col("s_seam")).cast("bigint").alias("s_num"),
+            s_num.cast("bigint").alias("s_num"),
             # try_divide (round-12 degenerate sweep): all-equal y makes
             # Σ lᵢ(n−lᵢ) zero — ξ is the defined NULL on both engines
             F.round(
                 F.lit(1.0)
                 - F.try_divide(
-                    F.col("n").cast("double")
-                    * (F.col("s_within") + F.col("s_seam")),
+                    F.col("n").cast("double") * s_num,
                     2.0 * F.col("s_den"),
                 ),
                 6,

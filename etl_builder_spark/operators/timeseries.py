@@ -2848,14 +2848,17 @@ def ts_interarrival_profile(spark, sf_dir):
         F.min(g).cast("bigint").alias("mn"),
         F.max(g).cast("bigint").alias("mx"),
     )
+    # try_divide (round-12 degenerate sweep): a type with ONE gap
+    # zeroes n−1, and all-simultaneous events zero the mean gap — the
+    # sd/cv are the defined NULL on both engines then
     n, s1, s2 = F.col("n_gaps"), F.col("s1"), F.col("s2")
-    sd = F.sqrt((s2 - s1.cast("double") * s1 / n) / (n - 1))
+    sd = F.sqrt(F.try_divide(s2 - s1.cast("double") * s1 / n, n - 1))
     return m.select(
         "event_type",
         "n_gaps",
         F.round(s1.cast("double") / n / 1e6, 6).alias("mean_gap_s"),
         F.round(sd / 1e6, 6).alias("sd_gap_s"),
-        F.round(sd / (s1.cast("double") / n), 6).alias("cv"),
+        F.round(F.try_divide(sd, s1.cast("double") / n), 6).alias("cv"),
         F.round(F.col("mn").cast("double") / 1e6, 6).alias("min_gap_s"),
         F.round(F.col("mx").cast("double") / 1e6, 6).alias("max_gap_s"),
     ).orderBy("event_type")

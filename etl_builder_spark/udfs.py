@@ -95,7 +95,10 @@ def udaf_grouped_agg(spark, sf_dir):
 def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
     v = pdf["value"]
     std = v.std(ddof=1)
-    z = (v - v.mean()) / std if std > 0 else v * 0.0
+    # zero/undefined spread (single row or all-equal group) → NaN, the
+    # same "undefined z" the SQL twin's x/stddev NULL produces
+    # (round-12 degenerate sweep; the old 0.0 fallback disagreed)
+    z = (v - v.mean()) / std if std > 0 else v * float("nan")
     return pd.DataFrame(
         {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z_value": z.round(6)}
     )
