@@ -43,7 +43,13 @@ def train_quantizer(vectors: DataFrame, vec_col: str = "v", k: int = 16, seed: i
     # assignment/probe a defined empty result instead of a fit() crash.
     if feat.isEmpty():
         return spark.createDataFrame([], "cluster_id int, cv array<double>")
-    km = KMeans(k=k, seed=seed, maxIter=20, featuresCol="features")
+    # cap k at the DISTINCT point count (round-12 degenerate sweep):
+    # MLlib's aggregator crashes (ArrayIndexOutOfBounds) when k-means||
+    # init finds fewer distinct centers than k; a corpus of d points
+    # supports at most d centroids.  One tiny distinct-count aggregate
+    # — negligible next to the fit's own passes.
+    n_distinct = vectors.select(vec_col).distinct().count()
+    km = KMeans(k=max(1, min(k, n_distinct)), seed=seed, maxIter=20, featuresCol="features")
     model = km.fit(feat)
     centers = model.clusterCenters()
     return spark.createDataFrame(

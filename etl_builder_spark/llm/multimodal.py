@@ -329,7 +329,7 @@ def multimodal_frame_sample(spark, sf_dir):
     "multimodal_audio_stats",
     oracle="""
         WITH base AS (
-            SELECT doc_id, doc_id % 4000 + 100 AS n FROM documents
+            SELECT doc_id, doc_id % 4000 + 100 AS n FROM (SELECT DISTINCT doc_id FROM documents) documents
         ),
         vals AS (
             SELECT doc_id, n,
@@ -369,7 +369,7 @@ def multimodal_audio_stats(spark, sf_dir):
     from etl_builder_spark.llm.codecs import decode_wav, encode_wav
     from etl_builder_spark.session import load_table
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id").distinct()
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -572,7 +572,7 @@ def dedup_frame_fingerprints(spark, sf_dir):
             SELECT doc_id,
                    (doc_id % 6 + 2) * 2 AS w,
                    (doc_id % 3 + 1) * 2 AS h
-            FROM documents WHERE doc_id < 200
+            FROM (SELECT DISTINCT doc_id FROM documents) documents WHERE doc_id < 200
         ),
         cells AS (
             SELECT doc_id, w, h, r2.i AS r2, c2.i AS c2, ch.i AS ch,
@@ -618,7 +618,7 @@ def multimodal_resize_halve(spark, sf_dir):
     from etl_builder_spark.llm.codecs import decode_ppm, encode_ppm
     from etl_builder_spark.session import load_table
 
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id").distinct()
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("asset_id", "out_w", "out_h", "pixel_sum", "corner_r")
@@ -650,7 +650,7 @@ def multimodal_resize_halve(spark, sf_dir):
     "multimodal_audio_downsample_2x",
     oracle="""
         WITH base AS (
-            SELECT doc_id, doc_id % 4000 + 100 AS n FROM documents
+            SELECT doc_id, doc_id % 4000 + 100 AS n FROM (SELECT DISTINCT doc_id FROM documents) documents
         ),
         outs AS (
             SELECT doc_id, n,
@@ -692,7 +692,7 @@ def multimodal_audio_downsample_2x(spark, sf_dir):
     from etl_builder_spark.llm.codecs import decode_wav, encode_wav
     from etl_builder_spark.session import load_table
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id").distinct()
 
     def downsample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -735,7 +735,7 @@ def multimodal_audio_downsample_2x(spark, sf_dir):
     "multimodal_audio_normalize_peak",
     oracle="""
         WITH base AS (
-            SELECT doc_id, doc_id % 4000 + 100 AS n FROM documents
+            SELECT doc_id, doc_id % 4000 + 100 AS n FROM (SELECT DISTINCT doc_id FROM documents) documents
             WHERE doc_id < 500
         ),
         vals AS (
@@ -795,7 +795,7 @@ def multimodal_audio_normalize_peak(spark, sf_dir):
     from etl_builder_spark.llm.codecs import decode_wav, encode_wav
     from etl_builder_spark.session import load_table
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id").where(
+    d = load_table(spark, sf_dir, "documents").select("doc_id").distinct().where(
         F.col("doc_id") < 500
     )
 
@@ -852,7 +852,7 @@ def multimodal_audio_normalize_peak(spark, sf_dir):
             SELECT doc_id,
                    (doc_id % 6 + 2) * 2 AS w,
                    (doc_id % 3 + 1) * 2 AS h
-            FROM documents WHERE doc_id < 200
+            FROM (SELECT DISTINCT doc_id FROM documents) documents WHERE doc_id < 200
         ),
         px AS (
             SELECT doc_id, w, h,
@@ -896,7 +896,7 @@ def multimodal_image_patches(spark, sf_dir):
     from etl_builder_spark.llm.codecs import decode_ppm, encode_ppm
     from etl_builder_spark.session import load_table
 
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id").distinct()
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("asset_id", "patch_row", "patch_col", "mean_r", "mean_g", "mean_b", "patch_sum")
@@ -1010,7 +1010,7 @@ def dedup_binary_assets_md5(spark, sf_dir):
             SELECT doc_id,
                    doc_id % 6 + 3 AS w,
                    doc_id % 4 + 2 AS h
-            FROM documents WHERE doc_id < 300
+            FROM (SELECT DISTINCT doc_id FROM documents) documents WHERE doc_id < 300
         ),
         px AS (
             SELECT doc_id, w, h, r.i AS r, c.i AS c,
@@ -1052,7 +1052,7 @@ def multimodal_image_grayscale(spark, sf_dir):
     from etl_builder_spark.llm.codecs import decode_ppm, encode_ppm
     from etl_builder_spark.session import load_table
 
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id")
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id").distinct()
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("asset_id", "out_w", "out_h", "gray_sum", "gray_min", "gray_max", "corner")
@@ -1088,7 +1088,7 @@ def multimodal_image_grayscale(spark, sf_dir):
     oracle="""
         WITH base AS (
             SELECT doc_id, (doc_id % 20 + 2) * 160 AS n
-            FROM documents WHERE doc_id < 400
+            FROM (SELECT DISTINCT doc_id FROM documents) documents WHERE doc_id < 400
         ),
         frames AS (
             SELECT doc_id, n, k.i AS k,
@@ -1128,7 +1128,7 @@ def multimodal_audio_vad_energy(spark, sf_dir):
     from etl_builder_spark.llm.codecs import decode_wav, encode_wav
     from etl_builder_spark.session import load_table
 
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id").distinct()
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("asset_id", "n_frames", "n_voiced", "max_energy", "min_energy")
@@ -1247,7 +1247,7 @@ def multimodal_shot_boundaries(spark, sf_dir):
     "multimodal_image_whash",
     oracle="""
         WITH base AS (
-            SELECT doc_id FROM documents WHERE doc_id < 200
+            SELECT doc_id FROM (SELECT DISTINCT doc_id FROM documents) documents WHERE doc_id < 200
         ),
         coeffs AS (
             SELECT doc_id, u.i AS u, v.i AS v,
@@ -1294,7 +1294,7 @@ def multimodal_image_whash(spark, sf_dir):
     from etl_builder_spark.llm.codecs import decode_ppm, encode_ppm
     from etl_builder_spark.session import load_table
 
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id").distinct()
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         r = np.arange(8)
@@ -1342,7 +1342,7 @@ def _whash_frame(spark, sf_dir):
 #: the image_whash oracle body, reused as a CTE by the Hamming search
 _WHASH_CTE = """
         wbase AS (
-            SELECT doc_id FROM documents WHERE doc_id < 200
+            SELECT doc_id FROM (SELECT DISTINCT doc_id FROM documents) documents WHERE doc_id < 200
         ),
         coeffs AS (
             SELECT doc_id, u.i AS u, v.i AS v,
@@ -1440,7 +1440,7 @@ def dedup_image_whash_hamming(spark, sf_dir):
     oracle="""
         WITH base AS (
             SELECT doc_id, (doc_id % 20 + 2) * 160 AS n
-            FROM documents WHERE doc_id < 400
+            FROM (SELECT DISTINCT doc_id FROM documents) documents WHERE doc_id < 400
         ),
         frames AS (
             SELECT doc_id, n, k.i AS k,
@@ -1476,7 +1476,7 @@ def multimodal_audio_zero_crossings(spark, sf_dir):
     from etl_builder_spark.llm.codecs import decode_wav, encode_wav
     from etl_builder_spark.session import load_table
 
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id").distinct()
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("asset_id", "n_frames", "total_zc", "max_frame_zc", "mean_frame_zc")
@@ -1530,7 +1530,7 @@ HAAR_E1, HAAR_E2, HAAR_E3 = _haar_energy_sql()
     oracle=f"""
         WITH base AS (
             SELECT doc_id, (doc_id % 20 + 2) * 160 AS n
-            FROM documents WHERE doc_id < 400
+            FROM (SELECT DISTINCT doc_id FROM documents) documents WHERE doc_id < 400
         ),
         blocks AS (
             SELECT doc_id, n,
@@ -1564,7 +1564,7 @@ def multimodal_audio_haar_bands(spark, sf_dir):
     from etl_builder_spark.llm.codecs import decode_wav, encode_wav
     from etl_builder_spark.session import load_table
 
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id").distinct()
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("asset_id", "n_blocks", "energy_hi", "energy_mid", "energy_lo")

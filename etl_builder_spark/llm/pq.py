@@ -77,7 +77,16 @@ def train_pq_codebooks(
         feat = vectors.select(
             array_to_vector(F.slice(F.col(vec_col), s * sub + 1, sub)).alias("features")
         )
-        model = KMeans(k=k, seed=seed + s, maxIter=20, featuresCol="features").fit(feat)
+        # cap k at the subspace's DISTINCT slice count (round-12
+        # degenerate sweep): MLlib k-means crashes when init finds
+        # fewer distinct centers than k — a duplicated corpus can
+        # collapse a subspace to one point
+        n_distinct = vectors.select(
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("sl")
+        ).distinct().count()
+        model = KMeans(
+            k=max(1, min(k, n_distinct)), seed=seed + s, maxIter=20, featuresCol="features"
+        ).fit(feat)
         for code, c in enumerate(model.clusterCenters()):
             rows.append((s, code, [float(x) for x in c]))
     return spark.createDataFrame(rows, "subspace int, code int, cv array<double>")

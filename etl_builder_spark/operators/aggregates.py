@@ -1189,6 +1189,7 @@ def agg_skyline_frontier(spark, sf_dir):
         GROUP BY o_orderpriority
     """,
     tags=("D-pivot-dynamic",),
+    dynamic_schema=True,  # discovered pivot columns are data-dependent
 )
 def pivot_dynamic_discovered(spark, sf_dir):
     """DYNAMIC pivot: the spread columns are DISCOVERED from the data

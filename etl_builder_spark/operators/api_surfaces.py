@@ -45,6 +45,7 @@ from etl_builder_spark.session import load_table, register_views
     """,
     tags=("API-spark4", "reshape"),
     declared=11,
+    dynamic_schema=True,  # transposed column set = the region names present
 )
 def df_transpose_region_census(spark, sf_dir):
     """``DataFrame.transpose`` (new in Spark 4.0) as a declared key:

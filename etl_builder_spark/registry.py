@@ -33,6 +33,14 @@ class QuerySpec:
     # the driver's first-50 sample window.  Default 9 = "declared in or
     # before round 9" (the rounds that predate this field).
     declared: int = 9
+    # Data-dependent output schema (round-12 degenerate sweep): a
+    # discovery-based pivot/transpose emits one column per DISCOVERED
+    # value, so on a corpus missing values the Spark schema is a strict
+    # subset of the static oracle's.  selfcheck reports such keys as
+    # DYNAMIC-SCHEMA instead of SCHEMA-MISMATCH when (and only when)
+    # that subset relation holds; the shipped sf corpora carry every
+    # value, so the driver's gate still hash-checks them exactly.
+    dynamic_schema: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -43,19 +51,27 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     declared: int = 9,
+    dynamic_schema: bool = False,
 ) -> Callable[[SparkQuery], SparkQuery]:
     """Decorator: register a declared query under SURVEY §2 key ``name``.
 
     ``declared`` is the round the key is first registered in (default 9
     covers every key that predates the field); it only affects grading
     order among never-driver-sampled keys — oldest declaration first.
+    ``dynamic_schema`` marks discovery-based keys whose column set is a
+    function of the data (see QuerySpec.dynamic_schema).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query key: {name}")
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tuple(tags), declared=declared
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            tags=tuple(tags),
+            declared=declared,
+            dynamic_schema=dynamic_schema,
         )
         return fn
 

@@ -50,11 +50,16 @@ def _staged_blob_dir(spark, sf_dir):
 @register(
     "scan_binaryfile_blobs",
     oracle=f"""
+        -- DISTINCT doc_id (round-12 degenerate sweep): the stage holds
+        -- ONE file per id (duplicate rows overwrite the same path), so
+        -- the relational twin is keyed per id too
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_md5
-        FROM documents
-        WHERE doc_id < {BLOB_DOC_MAX}
+        FROM (
+            SELECT DISTINCT doc_id, text FROM documents
+            WHERE doc_id < {BLOB_DOC_MAX}
+        )
         ORDER BY doc_id
     """,
     tags=("A-binaryfile", "multimodal-ingest"),

@@ -57,6 +57,22 @@ def staged_orders_by_month(spark: SparkSession, sf_dir: str) -> str:
     return stage
 
 
+def read_orders_month_stage(spark: SparkSession, sf_dir: str):
+    """Read the month-partitioned orders stage with an EXPLICIT schema
+    (round-12 degenerate sweep): an empty corpus writes a layout with
+    zero part files and zero partition dirs, where schema inference
+    fails (UNABLE_TO_INFER_SCHEMA) — the defined result of scanning an
+    empty layout is an empty frame.  Declaring the schema also skips
+    the inference listing, which is the right call on any corpus."""
+    stage = staged_orders_by_month(spark, sf_dir)
+    schema = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .schema
+    )
+    return spark.read.schema(schema).parquet(stage)
+
+
 @register(
     "scan_dpp_partitioned",
     oracle="""
@@ -84,7 +100,7 @@ def scan_dpp_partitioned(spark, sf_dir):
     PartitionFilters (plan-asserted in tests/test_plans.py) and only
     ~3/12 of the directories are read.  Values are layout-invariant:
     the oracle computes the same result from the single-file table."""
-    fact = spark.read.parquet(staged_orders_by_month(spark, sf_dir))
+    fact = read_orders_month_stage(spark, sf_dir)
     dim = (
         load_table(spark, sf_dir, "orders")
         .select(F.date_format("o_orderdate", "yyyy-MM").alias("o_month"))
@@ -173,7 +189,14 @@ def etl_dynamic_partition_overwrite(spark, sf_dir):
         repair.write.mode("overwrite").partitionBy("o_month").parquet(sink)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
-    return spark.read.parquet(sink).select("o_month", "n_orders", "month_total")
+    # explicit schema (round-12 degenerate sweep): an empty corpus
+    # writes zero partitions and schema inference would fail — the
+    # defined read-back of an empty layout is an empty frame
+    return (
+        spark.read.schema("n_orders bigint, month_total double, o_month string")
+        .parquet(sink)
+        .select("o_month", "n_orders", "month_total")
+    )
 
 
 def staged_fragmented_events(spark: SparkSession, sf_dir: str, n_files: int = 64) -> str:
@@ -287,13 +310,24 @@ def scan_glob_paths(spark, sf_dir):
     files, the listing itself is the cost a glob avoids; prefer
     partition-filter predicates (A4b) for query-shaped pruning and
     globs for job-shaped slicing."""
+    import glob as _glob
+
     stage = staged_orders_by_month(spark, sf_dir)
+    from etl_builder_spark.policy import money
+
+    # zero-match globs are a LISTING ERROR by Spark's contract
+    # (PATH_NOT_FOUND), but the defined result of slicing partitions
+    # that don't exist is an empty summary (round-12 degenerate
+    # sweep) — probe the glob first, exactly like the orchestrator
+    # issuing this job would
+    if not _glob.glob(os.path.join(stage, "o_month=1995-*")):
+        return spark.createDataFrame(
+            [], "o_month string, n_orders bigint, sum_price double"
+        )
     df = (
         spark.read.option("basePath", stage)
         .parquet(os.path.join(stage, "o_month=1995-*"))
     )
-    from etl_builder_spark.policy import money
-
     return df.groupBy("o_month").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(money("o_totalprice")).cast("double").alias("sum_price"),

@@ -182,7 +182,11 @@ def _staged_events_duplicated(sf_dir):
 @register(
     "stream_dedup_watermark_live",
     oracle="""
-        SELECT event_id, ts, user_id, event_type
+        -- DISTINCT (round-12 degenerate sweep): the declared operator
+        -- IS dedup-by-event_id, so a corpus that already carries
+        -- duplicate ids must collapse in the twin too (rows with one
+        -- id are identical in every corpus shape shipped or staged)
+        SELECT DISTINCT event_id, ts, user_id, event_type
         FROM events
     """,
     tags=("J5", "live-stream"),
@@ -831,6 +835,15 @@ def _staged_events_timesplit(sf_dir):
         t = _pq.read_table(src)
         ts_type = t["ts"].type
         max_ts = _pc.max(t["ts"]).as_py()
+        if max_ts is None:
+            # empty corpus (round-12 degenerate sweep): no boundaries
+            # to derive — stage three empty slices so the stream reads
+            # a schema-complete empty replay instead of crashing here
+            for name, mtime in (("a", 1_700_000_000), ("b", 1_700_000_001), ("c", 1_700_000_002)):
+                p = _os.path.join(stage, name + ".parquet")
+                _pq.write_table(t.slice(0, 0), p)
+                _os.utime(p, (mtime, mtime))
+            return
         max_day = _dt.datetime(max_ts.year, max_ts.month, max_ts.day)
         cut_hi = _pa.scalar(max_day - _dt.timedelta(days=SPLIT_HI_DAYS), type=ts_type)
         cut_lo = _pa.scalar(max_day - _dt.timedelta(days=SPLIT_LO_DAYS), type=ts_type)

@@ -74,12 +74,23 @@ def check_query_parity(spark, con, name, spec, sf_dir) -> tuple[str, str, float]
         opdf = con.execute(spec.oracle).df()
     except Exception as e:  # noqa: BLE001
         return "ORACLE-ERROR", f"{type(e).__name__}: {str(e)[:400]}", time.time() - t0
+    status_prefix = ""
     if sorted(spdf.columns) != sorted(opdf.columns):
-        return (
-            "SCHEMA-MISMATCH",
-            f"spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}",
-            time.time() - t0,
-        )
+        # Discovery-based keys (QuerySpec.dynamic_schema): on a corpus
+        # missing domain values the Spark column set is a strict SUBSET
+        # of the static oracle's — project the oracle down and compare
+        # values on the shared columns; anything else stays a mismatch.
+        if getattr(spec, "dynamic_schema", False) and set(spdf.columns) < set(
+            opdf.columns
+        ):
+            opdf = opdf[list(spdf.columns)]
+            status_prefix = "DYNAMIC-SCHEMA-"
+        else:
+            return (
+                "SCHEMA-MISMATCH",
+                f"spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}",
+                time.time() - t0,
+            )
     if len(spdf) != len(opdf):
         return "COUNT-MISMATCH", f"spark={len(spdf)} oracle={len(opdf)}", time.time() - t0
     try:
@@ -102,7 +113,7 @@ def check_query_parity(spark, con, name, spec, sf_dir) -> tuple[str, str, float]
                     time.time() - t0,
                 )
         return "VALUE-MISMATCH", f"{n_diff}/{len(s)} rows differ", time.time() - t0
-    return "OK", f"{len(spdf)} rows", time.time() - t0
+    return f"{status_prefix}OK", f"{len(spdf)} rows", time.time() - t0
 
 
 # ---------------------------------------------------------------- legacy mode
@@ -203,7 +214,7 @@ def main() -> int:
     results = {}
     for name, spec in specs.items():
         status, detail, dt = check(spark, con, name, spec, args.sf)
-        ok = status in ("OK", "ROWS-ONLY")
+        ok = status in ("OK", "ROWS-ONLY", "DYNAMIC-SCHEMA-OK")
         n_bad += 0 if ok else 1
         results[name] = {"status": status, "detail": detail, "secs": round(dt, 2)}
         print(f"{'✓' if ok else '✗'} {name:32s} {status:16s} {dt:6.2f}s  {detail}", flush=True)
