@@ -2969,11 +2969,16 @@ def _gmm_phi_sql(mu: float, sigma: float) -> str:
             FROM b
         ),
         moments AS (
+            -- integer factors fold FIRST into one (18,0)x(18,9)
+            -- decimal multiply (round-12 degenerate sweep): the old
+            -- chained n*r1*q*q hit the engines' DIFFERENT decimal
+            -- precision-overflow scale reductions, drifting mu at the
+            -- 6th dp on tiny corpora; (18,0)x(18,9) is exact in both
             SELECT
                 CAST(SUM(n) AS BIGINT) AS nt,
-                CAST(SUM(n * r1) AS DOUBLE) AS s1,
-                CAST(SUM(n * r1 * q) AS DOUBLE) AS sq1,
-                CAST(SUM(n * r1 * q * q) AS DOUBLE) AS sqq1,
+                CAST(SUM(CAST(n AS DECIMAL(18,0)) * r1) AS DOUBLE) AS s1,
+                CAST(SUM(CAST(n * q AS DECIMAL(18,0)) * r1) AS DOUBLE) AS sq1,
+                CAST(SUM(CAST(n * q * q AS DECIMAL(18,0)) * r1) AS DOUBLE) AS sqq1,
                 CAST(SUM(CAST(n AS DECIMAL(28,9)) * q) AS DOUBLE) AS sq,
                 CAST(SUM(CAST(n AS DECIMAL(38,0)) * q * q) AS DOUBLE) AS sqq
             FROM resp
@@ -2984,14 +2989,18 @@ def _gmm_phi_sql(mu: float, sigma: float) -> str:
             UNION ALL
             SELECT 2, nt - s1, sq - sq1, sqq - sqq1, nt FROM moments
         )
-        -- sigma guard (round-12 degenerate sweep): a vanishing or
-        -- single-point component makes the variance estimate 0⁻ by
-        -- float cancellation; the undefined sigma is NULL on both
-        -- engines (DuckDB would otherwise ERROR on sqrt(negative))
+        -- degenerate guards (round-12 sweep): a vanishing component's
+        -- mass is pure 9-dp-rounding noise (≲1e-9), so wsum/mass is
+        -- noise-over-noise and the two engines' decimal→double paths
+        -- disagree in the last ulp; below the 1e-6 mass floor the
+        -- component is EMPTY and mu/sigma are the defined NULL (the
+        -- sign CASE additionally guards sqrt of 0⁻ cancellation,
+        -- which DuckDB would ERROR on)
         SELECT component,
                ROUND(mass / nt, 6) AS weight_new,
-               ROUND(wsum / mass, 6) AS mu_new,
-               ROUND(CASE WHEN wsq / mass - (wsum / mass) * (wsum / mass) >= 0
+               ROUND(CASE WHEN mass > 0.000001 THEN wsum / mass END, 6) AS mu_new,
+               ROUND(CASE WHEN mass > 0.000001
+                           AND wsq / mass - (wsum / mass) * (wsum / mass) >= 0
                           THEN sqrt(wsq / mass - (wsum / mass) * (wsum / mass))
                      END, 6) AS sigma_new
         FROM comp
@@ -3038,11 +3047,17 @@ def ml_gmm_em_step_binned(spark, sf_dir):
         w1 * phi(mu1, s1_) / (w1 * phi(mu1, s1_) + w2 * phi(mu2, s2_)), 9
     ).cast("decimal(18,9)")
     resp = b.select("q", "n", r1.alias("r1"))
+    # integer factors fold FIRST into one (18,0)x(18,9) decimal
+    # multiply (round-12 degenerate sweep; see the oracle comment) —
+    # the chained n*r1*q*q form hit Spark's decimal overflow scale
+    # reduction and drifted mu at the 6th dp on tiny corpora
     m = resp.agg(
         F.sum("n").cast("bigint").alias("nt"),
-        F.sum(F.col("n") * F.col("r1")).cast("double").alias("s1"),
-        F.sum(F.col("n") * F.col("r1") * F.col("q")).cast("double").alias("sq1"),
-        F.sum(F.col("n") * F.col("r1") * F.col("q") * F.col("q"))
+        F.sum(F.col("n").cast("decimal(18,0)") * F.col("r1")).cast("double").alias("s1"),
+        F.sum((F.col("n") * F.col("q")).cast("decimal(18,0)") * F.col("r1"))
+        .cast("double")
+        .alias("sq1"),
+        F.sum((F.col("n") * F.col("q") * F.col("q")).cast("decimal(18,0)") * F.col("r1"))
         .cast("double")
         .alias("sqq1"),
         F.sum(F.col("n").cast("decimal(28,9)") * F.col("q")).cast("double").alias("sq"),
@@ -3066,11 +3081,14 @@ def ml_gmm_em_step_binned(spark, sf_dir):
     )
     comp = c1.unionByName(c2)
     mass, wsum, wsq = F.col("mass"), F.col("wsum"), F.col("wsq")
-    # degenerate-shape guards (round-12 sweep): a vanishing component
-    # (mass 0) or a 0⁻ variance by float cancellation — mu/sigma are
-    # the defined NULL on both engines (the oracle CASE mirrors this)
-    mu = F.try_divide(wsum, mass)
-    rad = F.try_divide(wsq, mass) - mu * mu
+    # degenerate-shape guards (round-12 sweep): a vanishing component's
+    # mass is 9-dp rounding noise, so mu/sigma would be noise-over-noise
+    # (engines disagree in the last ulp) — below the 1e-6 mass floor the
+    # component is EMPTY and both statistics are the defined NULL; the
+    # sign guard additionally covers sqrt of 0⁻ cancellation (the
+    # oracle's CASEs mirror both, same literals)
+    mu = F.when(mass > 1e-6, wsum / mass)
+    rad = F.when(mass > 1e-6, wsq / mass - mu * mu)
     return comp.select(
         "component",
         F.round(mass / F.col("nt"), 6).alias("weight_new"),

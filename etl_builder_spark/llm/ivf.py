@@ -45,11 +45,18 @@ def train_quantizer(vectors: DataFrame, vec_col: str = "v", k: int = 16, seed: i
         return spark.createDataFrame([], "cluster_id int, cv array<double>")
     # cap k at the DISTINCT point count (round-12 degenerate sweep):
     # MLlib's aggregator crashes (ArrayIndexOutOfBounds) when k-means||
-    # init finds fewer distinct centers than k; a corpus of d points
-    # supports at most d centroids.  One tiny distinct-count aggregate
-    # — negligible next to the fit's own passes.
-    n_distinct = vectors.select(vec_col).distinct().count()
-    km = KMeans(k=max(1, min(k, n_distinct)), seed=seed, maxIter=20, featuresCol="features")
+    # init finds fewer distinct centers than k, and KMeans itself
+    # requires k >= 2 — below that the distinct points ARE the
+    # centroids, no fit needed.  One tiny distinct-count aggregate —
+    # negligible next to the fit's own passes.
+    distinct_pts = vectors.select(vec_col).distinct()
+    n_distinct = distinct_pts.count()
+    if n_distinct < 2:
+        only = distinct_pts.collect()
+        return spark.createDataFrame(
+            [(0, [float(x) for x in only[0][0]])], ["cluster_id", "cv"]
+        )
+    km = KMeans(k=min(k, n_distinct), seed=seed, maxIter=20, featuresCol="features")
     model = km.fit(feat)
     centers = model.clusterCenters()
     return spark.createDataFrame(

@@ -79,13 +79,18 @@ def train_pq_codebooks(
         )
         # cap k at the subspace's DISTINCT slice count (round-12
         # degenerate sweep): MLlib k-means crashes when init finds
-        # fewer distinct centers than k — a duplicated corpus can
-        # collapse a subspace to one point
-        n_distinct = vectors.select(
+        # fewer distinct centers than k, and requires k >= 2 — below
+        # that the distinct slice IS this subspace's codebook
+        distinct_sl = vectors.select(
             F.slice(F.col(vec_col), s * sub + 1, sub).alias("sl")
-        ).distinct().count()
+        ).distinct()
+        n_distinct = distinct_sl.count()
+        if n_distinct < 2:
+            only = distinct_sl.collect()
+            rows.append((s, 0, [float(x) for x in only[0][0]]))
+            continue
         model = KMeans(
-            k=max(1, min(k, n_distinct)), seed=seed + s, maxIter=20, featuresCol="features"
+            k=min(k, n_distinct), seed=seed + s, maxIter=20, featuresCol="features"
         ).fit(feat)
         for code, c in enumerate(model.clusterCenters()):
             rows.append((s, code, [float(x) for x in c]))

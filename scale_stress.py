@@ -53,6 +53,7 @@ def synth_dir(spark, base: str, scale: int) -> str:
     marker = os.path.join(out, "_staged")
     if os.path.exists(marker):
         _synth_events(spark, base, out, scale)  # r11 upgrade-in-place
+        _synth_tpch(spark, base, out, scale)  # r12 upgrade-in-place
         return out
     os.makedirs(out, exist_ok=True)
 
@@ -125,11 +126,81 @@ def synth_dir(spark, base: str, scale: int) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     _synth_events(spark, base, out, scale)
+    _synth_tpch(spark, base, out, scale)
     return out
 
 
 EVT_COPY_STRIDE = 10_000_000
 USER_COPY_STRIDE = 1_000_000
+
+#: strides for the round-12 full-10-table synthesis — aligned with the
+#: orders stride (1_000_000) so copy k's lineitem rows reference copy
+#: k's orders, parts and suppliers
+ORD_COPY_STRIDE = 1_000_000
+CUST_COPY_STRIDE = 1_000_000
+PART_COPY_STRIDE = 1_000_000
+SUPP_COPY_STRIDE = 100_000
+
+
+def _synth_tpch(spark, base: str, out: str, scale: int) -> None:
+    """Round-12 (VERDICT r11 item 3): complete the ×scale corpus to
+    ALL TEN tables so the frozen bench cohort can be parity-swept at an
+    sf1.0-equivalent size.  region/nation copy verbatim (TPC-H keeps
+    dimensions fixed across SF); customer/supplier/part stride their
+    keys per copy; lineitem copy k strides l_orderkey by the SAME
+    1e6 the orders synthesis uses — so copy k's lines land on copy
+    k's orders — and l_partkey/l_suppkey onto copy k's part/supplier
+    rows, preserving full FK coverage at every scale.  Quantities,
+    prices, dates stay verbatim: the point is shape at ×N, and the
+    per-copy key remap already decorrelates every join path.
+    Upgrade-in-place marker: pre-round-12 synth dirs gain the six
+    tables without re-synthesizing documents/embeddings/orders/events."""
+    marker = os.path.join(out, "_staged_tpch")
+    if os.path.exists(marker):
+        return
+    for t in ("region", "nation"):
+        spark.read.parquet(os.path.join(base, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+
+    def fan(df, key_shifts: dict):
+        copies = [df]
+        for k in range(1, scale):
+            sel = []
+            for c in df.columns:
+                if c in key_shifts:
+                    sel.append((F.col(c) + k * key_shifts[c]).alias(c))
+                else:
+                    sel.append(F.col(c))
+            copies.append(df.select(*sel))
+        allc = copies[0]
+        for c in copies[1:]:
+            allc = allc.unionByName(c)
+        return allc
+
+    cust = spark.read.parquet(os.path.join(base, "customer.parquet"))
+    fan(cust, {"c_custkey": CUST_COPY_STRIDE}).write.mode("overwrite").parquet(
+        os.path.join(out, "customer.parquet")
+    )
+    supp = spark.read.parquet(os.path.join(base, "supplier.parquet"))
+    fan(supp, {"s_suppkey": SUPP_COPY_STRIDE}).write.mode("overwrite").parquet(
+        os.path.join(out, "supplier.parquet")
+    )
+    part = spark.read.parquet(os.path.join(base, "part.parquet"))
+    fan(part, {"p_partkey": PART_COPY_STRIDE}).write.mode("overwrite").parquet(
+        os.path.join(out, "part.parquet")
+    )
+    li = spark.read.parquet(os.path.join(base, "lineitem.parquet"))
+    fan(
+        li,
+        {
+            "l_orderkey": ORD_COPY_STRIDE,
+            "l_partkey": PART_COPY_STRIDE,
+            "l_suppkey": SUPP_COPY_STRIDE,
+        },
+    ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
 
 
 def _synth_events(spark, base: str, out: str, scale: int) -> None:

@@ -1,0 +1,94 @@
+"""Degenerate-shape robustness pins (round 12, VERDICT r11 item 1).
+
+The full 474-key × 4-shape parity matrix runs through ``selfcheck.py``
+(committed artifacts ``CORRECTNESS_LOCAL_r12_degenerate_*.json``); this
+module pins one representative key per FAILURE CLASS the round-12 sweep
+found and fixed, so a regression in any class fails fast in CI instead
+of waiting for the next full sweep:
+
+- DIVIDE_BY_ZERO from Bessel/variance denominators (``agg_stats``)
+- vanishing global-summary rows (``stats_hill_tail_index``)
+- fold keys slicing negative lengths (``ts_holt_linear_fold``)
+- ML fits on empty/duplicate corpora (``sim_knn_ivf``, PQ codebooks)
+- duplicate-primary-key corpora (dedup/multimodal/blob families)
+- dynamic-schema discovery keys (``pivot_dynamic_discovered``)
+- empty partitioned layouts and zero-match globs
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import degenerate_corpora
+from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+from etl_builder_spark.session import TABLES
+from selfcheck import check_query_parity
+
+_ensure_loaded()
+
+#: one representative per fixed failure class, swept over all 4 shapes
+CLASS_REPS = [
+    "agg_stats",                 # try_divide on n-1 variance
+    "stats_hill_tail_index",     # global-agg summary row survives empty
+    "stats_wasserstein_binned",  # absent arm + global term sum
+    "ts_holt_linear_fold",       # safe slice + try_element_at fold
+    "ts_kalman_local_level",     # recursive-CTE seed totalization
+    "funnel_three_stage",        # NULLIF conversion ratios
+    "ml_mcc_binary_gate",        # empty confusion margins
+    "ml_gmm_em_step_binned",     # sqrt(negative-by-cancellation) guard
+    "agg_grouping_sets",         # lattice-on-empty HAVING pin
+    "agg_theil_atkinson",        # −0.0 canonicalization
+    "dedup_cluster_components",  # duplicate ids are one graph vertex
+    "ml_dbscan_grid",            # subset-robust closed-form oracle
+    "multimodal_audio_stats",    # id-keyed asset semantics
+    "scan_binaryfile_blobs",     # one blob per id
+    "pivot_dynamic_discovered",  # dynamic schema subset compare
+    "stats_qq_deciles",          # literal grid + left joins
+    "udf_grouped_map",           # NaN for undefined z
+    "ts_interarrival_profile",   # zero-gap cv
+    "scan_dpp_partitioned",      # schema-declared empty layout read
+    "scan_glob_paths",           # zero-match glob → empty summary
+    "dq_referential_coverage",   # 0-child coverage NULL
+    "stream_dedup_watermark_live",  # DISTINCT oracle under dup ids
+]
+
+SHAPES = ("empty", "single", "allequal", "onegroup")
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    root = tmp_path_factory.mktemp("degenerate")
+    degenerate_corpora.build("/root/testdata/sf0.001", str(root))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def oracles(corpora):
+    cons = {}
+    for shape in SHAPES:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{corpora}/{shape}/{t}.parquet')"
+            )
+        cons[shape] = con
+    yield cons
+    for con in cons.values():
+        con.close()
+
+
+@pytest.mark.parametrize("key", CLASS_REPS)
+def test_degenerate_shapes_agree_or_defined_null(spark, corpora, oracles, key):
+    """Every class representative must agree with DuckDB (or be a
+    documented dynamic-schema subset / rows-only) on all four
+    adversarial shapes — and never throw."""
+    spec = REGISTRY[key]
+    for shape in SHAPES:
+        status, detail, _ = check_query_parity(
+            spark, oracles[shape], key, spec, f"{corpora}/{shape}"
+        )
+        assert status in ("OK", "ROWS-ONLY", "DYNAMIC-SCHEMA-OK"), (
+            f"{key} on {shape}: {status} — {detail}"
+        )
