@@ -23,11 +23,20 @@ from etl_builder_spark.session import load_table
                l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               -- product sums pass through DECIMAL(18,2) before the
+               -- double cast (round-12 ×10 sweep): a >18-digit decimal
+               -- converts to double through the engines' DIFFERENT
+               -- wide-decimal paths (1-ulp disagreement at sf1.0
+               -- magnitudes — the policy §7.2 caveat, now measured);
+               -- an 18,2 decimal is long-backed in both, and
+               -- long/100.0 is one correctly-rounded IEEE division
+               CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                        AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                        * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                        * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2)
+                        AS DECIMAL(18,2)) AS DOUBLE) AS sum_charge,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
                CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
@@ -46,12 +55,26 @@ def agg_pricing_summary(spark, sf_dir):
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         money_sum("l_quantity", "sum_qty"),
         money_sum("l_extendedprice", "sum_base_price"),
-        F.sum(money("l_extendedprice") * (F.lit(1) - money("l_discount")))
+        # ROUND→DECIMAL(18,2)→double for the product sums (round-12
+        # ×10 sweep): the scale-4/6 product sums exceed 18 digits of
+        # precision at sf1.0 magnitudes, and the engines' WIDE-decimal
+        # →double conversions disagree by 1 ulp; an (18,2) decimal is
+        # long-backed in both engines and long/100.0 is one correctly-
+        # rounded IEEE division.  Cent-precision money totals; capacity
+        # to ~1e16 cents — far past any corpus.
+        F.round(F.sum(money("l_extendedprice") * (F.lit(1) - money("l_discount"))), 2)
+        .cast("decimal(18,2)")
         .cast("double")
         .alias("sum_disc_price"),
-        F.sum(
-            money("l_extendedprice") * (F.lit(1) - money("l_discount")) * (F.lit(1) + money("l_tax"))
+        F.round(
+            F.sum(
+                money("l_extendedprice")
+                * (F.lit(1) - money("l_discount"))
+                * (F.lit(1) + money("l_tax"))
+            ),
+            2,
         )
+        .cast("decimal(18,2)")
         .cast("double")
         .alias("sum_charge"),
         money_avg("l_quantity", "avg_qty"),

@@ -206,8 +206,15 @@ def main() -> int:
 
     spark = get_spark("selfcheck")
     con = duckdb.connect()
+    import os as _os
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
+        p = f"{args.sf}/{t}.parquet"
+        # synthesized corpora are Spark-written DIRECTORIES of part
+        # files — glob them for DuckDB (single-file corpora unchanged)
+        if _os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     check = check_query_legacy if args.legacy else check_query_parity
     n_bad = 0
