@@ -27,6 +27,15 @@ The four shapes, chosen for the failure classes they provoke:
                   other column frozen to row 0's value: one group, one
                   user, one language, one label; zero variance with
                   distinct keys (the exact assortativity-bug shape).
+* ``nullmeasures`` — the first 40 real rows with every NUMERIC MEASURE
+                  column (prices, balances, quantities, discounts,
+                  values, n_chars) NULLed on odd rows: SUM/AVG/COUNT
+                  null-skipping, NULL propagation through money
+                  expressions, and COUNT(col) vs COUNT(*) divergences.
+                  Keys, timestamps, categoricals and text stay non-null
+                  — the shape isolates NULL-AGGREGATE semantics rather
+                  than opening the ill-defined NULL-group/NULL-time
+                  question.
 
 Schema fidelity: tables are rebuilt column-by-column from the source
 parquet's own arrays (slice/concat/sequential-cast), then written with
@@ -79,6 +88,33 @@ KEY_COLS = {
 N_ROWS = 40
 
 
+#: numeric measure columns NULLed (odd rows) in the ``nullmeasures`` shape
+MEASURE_COLS = {
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice", "p_size"],
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "events": ["value"],
+    "documents": ["n_chars"],
+    "region": [],
+    "nation": [],
+    "embeddings": [],
+}
+
+
+def _null_measures(t: pa.Table, cols: list[str], n: int) -> pa.Table:
+    head = t.slice(0, n).combine_chunks()
+    odd = pa.array([bool(i % 2) for i in range(len(head))])
+    out = []
+    for field in head.schema:
+        col = head[field.name].combine_chunks()
+        if field.name in cols:
+            col = pa.compute.if_else(odd, pa.nulls(len(head), field.type), col)
+        out.append(col)
+    return pa.table(out, schema=head.schema)
+
+
 def _repeat_first_row(t: pa.Table, n: int) -> pa.Table:
     one = t.slice(0, 1)
     return pa.concat_tables([one] * n).combine_chunks()
@@ -98,7 +134,7 @@ def _onegroup(t: pa.Table, keys: list[str], n: int) -> pa.Table:
 
 def build(src: str, out_root: str) -> list[str]:
     made = []
-    for shape in ("empty", "single", "allequal", "onegroup"):
+    for shape in ("empty", "single", "allequal", "onegroup", "nullmeasures"):
         out_dir = os.path.join(out_root, shape)
         os.makedirs(out_dir, exist_ok=True)
         for name in TABLES:
@@ -109,8 +145,10 @@ def build(src: str, out_root: str) -> list[str]:
                 d = t.slice(0, 1)
             elif shape == "allequal":
                 d = _repeat_first_row(t, N_ROWS)
-            else:
+            elif shape == "onegroup":
                 d = _onegroup(t, KEY_COLS[name], N_ROWS)
+            else:
+                d = _null_measures(t, MEASURE_COLS[name], N_ROWS)
             pq.write_table(d, os.path.join(out_dir, f"{name}.parquet"))
         made.append(out_dir)
     return made
