@@ -121,16 +121,20 @@ def text_tfidf_sql(spark, sf_dir):
 @register(
     "text_quality_score",
     oracle="""
+        -- COALESCE(n_chars, length(text)) (r12 nullmeasures): a
+        -- quality gate derives the length when the metadata column is
+        -- missing — the gate stays TOTAL instead of NULL booleans
         SELECT doc_id,
-               n_chars,
+               COALESCE(n_chars, length(text)) AS n_chars,
                len(string_split(text, ' ')) AS n_tokens,
-               ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len,
+               ROUND(CAST(COALESCE(n_chars, length(text)) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS avg_token_len,
                len(list_filter(string_split(lower(text), ' '),
                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS n_stopwords,
                ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
                    / len(string_split(text, ' ')), 6) AS stopword_ratio,
-               (n_chars BETWEEN 50 AND 5000) AS length_ok
+               (COALESCE(n_chars, length(text)) BETWEEN 50 AND 5000) AS length_ok
         FROM documents
     """,
     tags=("I-text-quality",),
@@ -143,14 +147,17 @@ def text_quality_score(spark, sf_dir):
     stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is")])
     n_stop = F.size(F.filter(F.split(F.lower(F.col("text")), " "), lambda t: F.array_contains(stop, t)))
     n_toks = F.size(toks)
+    # derive length when the metadata column is NULL (r12): the gate
+    # stays total — unknown metadata must not produce NULL booleans
+    nch = F.coalesce(F.col("n_chars"), F.length("text"))
     return d.select(
         "doc_id",
-        "n_chars",
+        nch.alias("n_chars"),
         n_toks.alias("n_tokens"),
-        F.round(F.col("n_chars").cast("double") / n_toks, 6).alias("avg_token_len"),
+        F.round(nch.cast("double") / n_toks, 6).alias("avg_token_len"),
         n_stop.alias("n_stopwords"),
         F.round(n_stop.cast("double") / n_toks, 6).alias("stopword_ratio"),
-        F.col("n_chars").between(50, 5000).alias("length_ok"),
+        nch.between(50, 5000).alias("length_ok"),
     )
 
 

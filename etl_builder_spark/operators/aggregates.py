@@ -580,7 +580,10 @@ def agg_weighted_avg(spark, sf_dir):
     oracle="""
         SELECT o_custkey,
                COUNT(*) AS n_orders,
-               bool_or(o_totalprice > 300000) AS any_large,
+               -- COALESCE keeps the flag TOTAL (r12 nullmeasures): an
+               -- unknown price is not evidence of a large order, and a
+               -- NULL boolean would stringify differently per engine
+               bool_or(COALESCE(o_totalprice > 300000, FALSE)) AS any_large,
                bool_and(o_orderstatus = 'F') AS all_finished,
                CAST(count_if(o_orderpriority LIKE '1-%') AS BIGINT) AS n_urgent
         FROM orders
@@ -598,7 +601,10 @@ def agg_boolean_any(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.bool_or(F.col("o_totalprice") > 300000).alias("any_large"),
+        # coalesce keeps the flag TOTAL (r12): unknown price ≠ large
+        F.bool_or(F.coalesce(F.col("o_totalprice") > 300000, F.lit(False))).alias(
+            "any_large"
+        ),
         F.bool_and(F.col("o_orderstatus") == "F").alias("all_finished"),
         F.count_if(F.col("o_orderpriority").like("1-%")).alias("n_urgent"),
     )
@@ -790,8 +796,11 @@ def agg_entropy_profile(spark, sf_dir):
             FROM orders GROUP BY o_custkey
         ),
         ranked AS (
+            -- complete-case (r12): a customer whose revenue is unknown
+            -- (all prices NULL) is not ranked — the engines otherwise
+            -- disagree on where NULL sorts (Spark first, DuckDB last)
             SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
-            FROM rev
+            FROM rev WHERE x IS NOT NULL
         )
         SELECT COUNT(*) AS n_customers,
                CAST(SUM(x) AS DOUBLE) AS total_revenue,
@@ -815,7 +824,11 @@ def agg_gini_revenue(spark, sf_dir):
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("x"))
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("x"))
+        .where(F.col("x").isNotNull())  # complete-case (r12)
+    )
     w = Window.orderBy("x", "o_custkey")
     ranked = rev.select("x", F.row_number().over(w).alias("i"))
     n = F.count(F.lit(1))
@@ -1078,6 +1091,8 @@ def agg_share_of_hierarchy(spark, sf_dir):
                                                l_linenumber) AS rn,
                    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
             FROM lineitem
+            -- complete-case: NULL prices are not observations (r12)
+            WHERE l_extendedprice IS NOT NULL
         )
         SELECT flag,
                CAST(MIN(n) AS BIGINT) AS n_rows,
@@ -1110,7 +1125,9 @@ def agg_trimmed_mean(spark, sf_dir):
     shape."""
     from pyspark.sql import Window
 
-    l = load_table(spark, sf_dir, "lineitem")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()  # complete-case (r12)
+    )
     w = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
@@ -1263,8 +1280,15 @@ def pivot_dynamic_discovered(spark, sf_dir):
     cols = [F.col("o_orderpriority")]
     for s in statuses:
         # backtick-quoted lookups: pivot output columns are named after
-        # raw data values, which may contain dots/spaces/specials
-        cols.append(F.col(f"`{esc(s)}_n`").cast("bigint").alias(f"status_{s}"))
+        # raw data values, which may contain dots/spaces/specials.
+        # COALESCE 0 (r12 nullmeasures sweep): a (priority, status)
+        # combo with zero rows pivots to NULL, but the count of an
+        # empty cell is 0 — matching the oracle's COUNT(*) FILTER
+        cols.append(
+            F.coalesce(F.col(f"`{esc(s)}_n`"), F.lit(0))
+            .cast("bigint")
+            .alias(f"status_{s}")
+        )
     for s in statuses:
         cols.append(F.col(f"`{esc(s)}_rev`").alias(f"revenue_{s}"))
     return pivoted.select(*cols)
@@ -1356,8 +1380,11 @@ def agg_abc_classification(spark, sf_dir):
             FROM orders GROUP BY o_custkey
         ),
         ranked AS (
+            -- complete-case (r12): a customer whose revenue is unknown
+            -- (all prices NULL) is not ranked — the engines otherwise
+            -- disagree on where NULL sorts (Spark first, DuckDB last)
             SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
-            FROM rev
+            FROM rev WHERE x IS NOT NULL
         )
         SELECT COUNT(*) AS n_customers,
                CAST(SUM(x) AS DOUBLE) AS total_revenue,
@@ -1382,7 +1409,11 @@ def agg_gini_revenue_banded(spark, sf_dir):
     from etl_builder_spark.operators.stats import banded_running
 
     o = load_table(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("x"))
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("x"))
+        .where(F.col("x").isNotNull())  # complete-case (r12)
+    )
     ranked = banded_running(rev, "x", "o_custkey", descending=False).select(
         "x", F.col("rnk").alias("i")
     )
@@ -1741,6 +1772,8 @@ def agg_theil_atkinson(spark, sf_dir):
                                                l_linenumber) AS rn,
                    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
             FROM lineitem
+            -- complete-case: NULL prices are not observations (r12)
+            WHERE l_extendedprice IS NOT NULL
         ),
         bounds AS (
             SELECT flag,
@@ -1781,7 +1814,9 @@ def agg_winsorized_mean(spark, sf_dir):
     no second sort, no driver round-trip."""
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()  # complete-case (r12)
+    )
     w = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )

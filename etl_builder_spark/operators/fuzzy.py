@@ -202,7 +202,8 @@ FS_POSSIBLE_T = 3.0
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS ed,
                    (a.c_nationkey = b.c_nationkey) AS nation_agree,
-                   (a.bal_band = b.bal_band) AS bal_agree
+                   -- total flag (r12): unknown band = not agreeing
+                   COALESCE(a.bal_band = b.bal_band, FALSE) AS bal_agree
             FROM blocked a JOIN blocked b
               ON a.block_key = b.block_key AND a.c_custkey < b.c_custkey
         ),
@@ -289,7 +290,11 @@ def er_weighted_linkage(spark, sf_dir):
         F.col("b.c_custkey").alias("id_b"),
         F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).cast("bigint").alias("ed"),
         (F.col("a.c_nationkey") == F.col("b.c_nationkey")).alias("nation_agree"),
-        (F.col("a.bal_band") == F.col("b.bal_band")).alias("bal_agree"),
+        # total flag (r12 nullmeasures): an unknown balance band is not
+        # agreement evidence — coalesce FALSE, never a NULL boolean
+        F.coalesce(F.col("a.bal_band") == F.col("b.bal_band"), F.lit(False)).alias(
+            "bal_agree"
+        ),
     )
     name_w = (
         F.when(F.col("ed") == 0, F.lit(FS_W_NAME_EXACT))

@@ -95,7 +95,10 @@ EQD_BINS = 10
     oracle=f"""
         WITH vals AS (
             SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM orders GROUP BY 1
+            FROM orders
+            -- complete-case: NULL prices are not observations (r12)
+            WHERE o_totalprice IS NOT NULL
+            GROUP BY 1
         ),
         run AS (
             SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS run_cnt
@@ -138,7 +141,9 @@ def agg_equidepth_histogram(spark, sf_dir):
     shape), and the lag step runs on {EQD_BINS} rows."""
     from etl_builder_spark.operators.stats import banded_running
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()  # complete-case (r12)
+    )
     vals = (
         o.groupBy(F.col("o_totalprice").alias("v"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))

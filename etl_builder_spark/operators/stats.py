@@ -178,6 +178,7 @@ def stats_poisson_bootstrap_ci(spark, sf_dir):
             SELECT o_totalprice AS v,
                    CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END AS is_a
             FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+              AND o_totalprice IS NOT NULL
         ),
         per_val AS (
             SELECT v,
@@ -225,7 +226,12 @@ def stats_ks_two_sample(spark, sf_dir):
     frame (max + argmin location — two consumers, one derivation)."""
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders").where(F.year("o_orderdate").isin(1995, 1996))
+    o = load_table(spark, sf_dir, "orders").where(
+        # complete-case (round-12 nullmeasures sweep): a NULL price is
+        # not an observation — both engines drop it before the statistic
+        F.year("o_orderdate").isin(1995, 1996)
+        & F.col("o_totalprice").isNotNull()
+    )
     is_a = F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)
     per_val = (
         o.select(F.col("o_totalprice").alias("v"), is_a.alias("is_a"))
@@ -536,6 +542,7 @@ def stats_survival_km(spark, sf_dir):
                    CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END AS is_a
             FROM orders
             WHERE year(o_orderdate) IN (1995, 1996)
+              AND o_totalprice IS NOT NULL
         ),
         per_val AS (
             SELECT v,
@@ -592,7 +599,12 @@ def stats_mannwhitney_u(spark, sf_dir):
     sorts |rows|; this one never materializes a rank."""
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders").where(F.year("o_orderdate").isin(1995, 1996))
+    o = load_table(spark, sf_dir, "orders").where(
+        # complete-case (round-12 nullmeasures sweep): a NULL price is
+        # not an observation — both engines drop it before the statistic
+        F.year("o_orderdate").isin(1995, 1996)
+        & F.col("o_totalprice").isNotNull()
+    )
     is_a = F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)
     per_val = (
         o.select(F.col("o_totalprice").alias("v"), is_a.alias("is_a"))
@@ -717,7 +729,12 @@ PREFIX_BANDS = 32
 def _per_val_counts(spark, sf_dir):
     """Shared fixture of the KS / Mann-Whitney pair: per-DISTINCT-value
     integer counts of the 1995 (a) vs 1996 (b) order-total samples."""
-    o = load_table(spark, sf_dir, "orders").where(F.year("o_orderdate").isin(1995, 1996))
+    o = load_table(spark, sf_dir, "orders").where(
+        # complete-case (round-12 nullmeasures sweep): a NULL price is
+        # not an observation — both engines drop it before the statistic
+        F.year("o_orderdate").isin(1995, 1996)
+        & F.col("o_totalprice").isNotNull()
+    )
     is_a = F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)
     return (
         o.select(F.col("o_totalprice").alias("v"), is_a.alias("is_a"))

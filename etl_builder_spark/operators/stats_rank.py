@@ -46,15 +46,21 @@ def _avg2_rank_map(df, col: str):
 @register(
     "stats_spearman_rho",
     oracle="""
-        WITH xv AS (SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt
-                    FROM lineitem GROUP BY 1),
+        -- complete-case (round-12 nullmeasures sweep): NULL measures
+        -- are not observations — dropped before ranking on both engines
+        WITH cc AS (
+            SELECT l_quantity, l_extendedprice FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ),
+        xv AS (SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM cc GROUP BY 1),
         xm AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS avg2 FROM xv),
         yv AS (SELECT l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS cnt
-               FROM lineitem GROUP BY 1),
+               FROM cc GROUP BY 1),
         ym AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS avg2 FROM yv),
         j AS (
             SELECT xm.avg2 AS rx, ym.avg2 AS ry
-            FROM lineitem
+            FROM cc
             JOIN xm ON l_quantity = xm.v
             JOIN ym ON l_extendedprice = ym.v
         ),
@@ -88,6 +94,9 @@ def stats_spearman_rho(spark, sf_dir):
     applied to ranks."""
     l = (
         load_table(spark, sf_dir, "lineitem")
+        # complete-case (round-12 nullmeasures sweep): a NULL measure is
+        # not an observation — both engines drop the row before ranking
+        .where(F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull())
         .select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
         .persist()  # one source scan feeds the base join and both rank maps
     )
@@ -656,7 +665,9 @@ W1_BIN = 10_000
             SELECT o_orderpriority AS arm,
                    CAST(FLOOR(o_totalprice / {W1_BIN}) AS BIGINT) AS bin
             FROM orders
+            -- complete-case: NULL prices are not observations (r12)
             WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+              AND o_totalprice IS NOT NULL
         ),
         h AS (
             SELECT bin,
@@ -712,6 +723,7 @@ def stats_wasserstein_binned(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+        & F.col("o_totalprice").isNotNull()  # complete-case (r12)
     )
     h = (
         o.groupBy(
@@ -881,6 +893,8 @@ XI_BAND_CENTS = 500_000
                    CAST(l_quantity AS BIGINT) AS y,
                    l_orderkey, l_linenumber
             FROM lineitem
+            -- complete-case: NULL measures are not observations (r12)
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
         ),
         ymap AS (
             SELECT y AS yv,
@@ -945,7 +959,10 @@ def stats_xi_correlation(spark, sf_dir):
     planner's bands."""
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        # complete-case: NULL measures are not observations (r12)
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     rows = li.select(
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("bigint")

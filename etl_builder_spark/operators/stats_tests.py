@@ -906,6 +906,8 @@ def stats_grubbs_extreme(spark, sf_dir):
                    CAST(SUM(CAST(l_quantity AS BIGINT)
                             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
             FROM lineitem JOIN part ON l_partkey = p_partkey
+            -- complete-case: NULL quantities are not observations (r12)
+            WHERE l_quantity IS NOT NULL
             GROUP BY p_brand
         ),
         tot AS (
@@ -983,7 +985,11 @@ def stats_bh_fdr(spark, sf_dir):
     int64 through ~3.6e15 rows."""
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity").isNotNull())  # complete-case (r12)
+        .select("l_partkey", "l_quantity")
+    )
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     q = F.col("l_quantity").cast("bigint")
     per = (

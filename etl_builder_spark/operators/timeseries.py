@@ -323,6 +323,10 @@ def sessionize_events_gap(spark, sf_dir):
                COUNT(*) AS volume,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events
+        -- complete-case (r12): a tick with unknown value is not a
+        -- trade — and the engines' arg_min/min_by otherwise disagree
+        -- on whether a NULL-value row can carry the open/close
+        WHERE value IS NOT NULL
         GROUP BY 1, 2
     """,
     tags=("TS-ohlc",),
@@ -343,7 +347,9 @@ def ts_resample_ohlc(spark, sf_dir):
     DuckDB's arg_min/arg_max don't accept struct keys, and a
     same-timestamp tie without the event_id suffix would be
     nondeterministic (policy §7.2)."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()  # complete-case (r12)
+    )
     okey = F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id"))
     return e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_start")

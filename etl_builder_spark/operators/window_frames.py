@@ -64,6 +64,9 @@ def win_frames_nth(spark, sf_dir):
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS lst
             FROM events WHERE event_type = 'purchase'
+              -- complete-case (r12): NULL values are not observations —
+              -- collect_list/list() otherwise disagree on keeping them
+              AND value IS NOT NULL
         )
     """,
     tags=("E-frames",),
@@ -77,7 +80,9 @@ def win_sliding_median_rows(spark, sf_dir):
     ordering ties break on event_id (total order).  Partitioned by
     user_id — bounded frames, never an unpartitioned Window; the
     per-row list is O(frame), not O(partition)."""
-    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    e = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

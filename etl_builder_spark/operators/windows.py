@@ -193,9 +193,12 @@ def win_unpartitioned_caution(spark, sf_dir):
     "win_ntile_quartiles",
     oracle="""
         SELECT o_orderkey, o_orderpriority,
+               -- NULLS FIRST pins the engines' divergent defaults
+               -- (Spark asc = NULLS FIRST, DuckDB = NULLS LAST): an
+               -- unknown price sorts first on both (r12 nullmeasures)
                NTILE(4) OVER (
                    PARTITION BY o_orderpriority
-                   ORDER BY o_totalprice, o_orderkey
+                   ORDER BY o_totalprice NULLS FIRST, o_orderkey
                ) AS price_quartile
         FROM orders
     """,
@@ -211,7 +214,11 @@ def win_ntile_quartiles(spark, sf_dir):
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    # asc_nulls_first is Spark's asc default — written out because the
+    # oracle must pin it explicitly (DuckDB defaults NULLS LAST)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc_nulls_first(), "o_orderkey"
+    )
     return o.select(
         "o_orderkey",
         "o_orderpriority",
@@ -227,7 +234,9 @@ def win_ntile_quartiles(spark, sf_dir):
                CUME_DIST() OVER w AS cume,
                c_acctbal AS acctbal
         FROM customer
-        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        -- NULLS FIRST pins the engines' divergent defaults (r12)
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal NULLS FIRST, c_custkey)
     """,
     tags=("E-pctrank",),
 )
@@ -241,7 +250,10 @@ def win_percent_rank_cume(spark, sf_dir):
     from pyspark.sql import Window
 
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    # asc_nulls_first = Spark's default, pinned to match the oracle
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc_nulls_first(), "c_custkey"
+    )
     return c.select(
         "c_custkey",
         "c_nationkey",

@@ -455,6 +455,8 @@ def stream_foreachbatch_sink(spark, sf_dir):
                arg_max(value, printf('%020d%010d', epoch_us(ts), event_id)) AS close,
                COUNT(*) AS volume
         FROM events
+        -- complete-case (r12): see ts_resample_ohlc
+        WHERE value IS NOT NULL
         GROUP BY 1, 2
     """,
     tags=("J-ohlc", "live-stream"),
@@ -472,7 +474,9 @@ def stream_tumbling_ohlc_live(spark, sf_dir):
     source with a watermark and append mode."""
     from etl_builder_spark.streaming.runtime import run_to_memory, stream_events
 
-    events = stream_events(spark, _staged_events_dir(sf_dir))
+    events = stream_events(spark, _staged_events_dir(sf_dir)).where(
+        F.col("value").isNotNull()  # complete-case (r12)
+    )
     okey = F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id"))
     agg = (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
