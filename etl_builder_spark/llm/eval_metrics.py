@@ -1302,10 +1302,14 @@ def ml_ab_test_cuped(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
     )
     nd = F.col("n").cast("double")
+    # try_divide (r12 nullmeasures): an all-equal or all-NULL pre-period
+    # zeroes var(X) — theta is the defined NULL on both engines
     th = mom.select(
         "n",
-        ((nd * F.col("sxy") - F.col("sx") * F.col("sy"))
-         / (nd * F.col("sxx") - F.col("sx") * F.col("sx"))).alias("theta"),
+        F.try_divide(
+            nd * F.col("sxy") - F.col("sx") * F.col("sy"),
+            nd * F.col("sxx") - F.col("sx") * F.col("sx"),
+        ).alias("theta"),
         (F.col("sx") / nd).alias("mu_x"),
     )
     yi = (
@@ -1338,10 +1342,18 @@ def ml_ab_test_cuped(spark, sf_dir):
         ).alias("q1"),
         F.first("theta").alias("theta"),
     )
-    m0 = F.col("s0") / F.col("n0")
-    m1 = F.col("s1") / F.col("n1")
-    var0 = (F.col("q0") - F.col("s0") * F.col("s0") / F.col("n0")) / (F.col("n0") - 1)
-    var1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+    # try_divide (r12 nullmeasures): a missing or singleton arm zeroes
+    # n or n−1 — the readout is the defined NULL on both engines
+    m0 = F.try_divide(F.col("s0"), F.col("n0"))
+    m1 = F.try_divide(F.col("s1"), F.col("n1"))
+    var0 = F.try_divide(
+        F.col("q0") - F.try_divide(F.col("s0") * F.col("s0"), F.col("n0")),
+        F.col("n0") - 1,
+    )
+    var1 = F.try_divide(
+        F.col("q1") - F.try_divide(F.col("s1") * F.col("s1"), F.col("n1")),
+        F.col("n1") - 1,
+    )
     return v.select(
         F.col("n0").alias("n_control"),
         F.col("n1").alias("n_treatment"),
@@ -1349,7 +1361,13 @@ def ml_ab_test_cuped(spark, sf_dir):
         F.round(m1, 6).alias("mean_adj_treatment"),
         F.round(F.col("theta"), 6).alias("theta"),
         F.round(
-            (m1 - m0) / F.sqrt(var0 / F.col("n0") + var1 / F.col("n1")), 6
+            F.try_divide(
+                m1 - m0,
+                F.sqrt(
+                    F.try_divide(var0, F.col("n0")) + F.try_divide(var1, F.col("n1"))
+                ),
+            ),
+            6,
         ).alias("z_score"),
     )
 
@@ -2460,7 +2478,11 @@ def ml_target_encoding_kfold(spark, sf_dir):
             "fold",
             F.col("n_bf").alias("n_in_fold"),
             oof_n.alias("n_out_of_fold"),
-            F.round(oof_s / oof_n / 100, 6).alias("oof_mean"),
+            # try_divide (r12 nullmeasures): a brand living entirely in
+            # one fold has an empty out-of-fold set — the raw OOF mean
+            # is the defined NULL (the smoothed encoding stays defined:
+            # its denominator carries the +m pseudo-counts)
+            F.round(F.try_divide(oof_s, oof_n) / 100, 6).alias("oof_mean"),
             F.round(
                 (oof_s / 100 + TE_PRIOR_M * gmean) / (oof_n + TE_PRIOR_M), 6
             ).alias("encoding_smoothed"),
@@ -2477,7 +2499,10 @@ def ml_target_encoding_kfold(spark, sf_dir):
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
                         AS BIGINT) AS r
-            FROM lineitem GROUP BY 1
+            FROM lineitem
+            -- complete-case (r12): a NULL quantity is not a bucket
+            WHERE l_quantity IS NOT NULL
+            GROUP BY 1
         ),
         c AS (
             SELECT q,
@@ -2536,7 +2561,9 @@ def ml_isotonic_calibration_pava(spark, sf_dir):
     at scale."""
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull()  # complete-case (r12)
+    )
     b = (
         li.groupBy(F.col("l_quantity").cast("bigint").alias("q"))
         .agg(
@@ -2725,12 +2752,16 @@ def ml_als_user_step(spark, sf_dir):
         ),
         w AS (
             SELECT bin, n_good, n_bad,
-                   ROUND(ln((CAST(n_good AS DOUBLE) / tg)
-                            / (CAST(n_bad AS DOUBLE) / tb)), 6) AS woe,
+                   -- NULLIF inside ln (r12 nullmeasures): a bin with
+                   -- zero goods has ratio 0, where Spark's ln yields
+                   -- NULL but DuckDB ERRORS — NULLIF pins both to the
+                   -- defined NULL (the documented no-silent-+0.5 rule)
+                   ROUND(ln(NULLIF((CAST(n_good AS DOUBLE) / tg)
+                            / (CAST(n_bad AS DOUBLE) / tb), 0)), 6) AS woe,
                    CAST(ROUND((CAST(n_good AS DOUBLE) / tg
                                - CAST(n_bad AS DOUBLE) / tb)
-                              * ln((CAST(n_good AS DOUBLE) / tg)
-                                   / (CAST(n_bad AS DOUBLE) / tb)), 9)
+                              * ln(NULLIF((CAST(n_good AS DOUBLE) / tg)
+                                   / (CAST(n_bad AS DOUBLE) / tb), 0)), 9)
                         AS DECIMAL(18,9)) AS iv_term
             FROM b CROSS JOIN t
         )
@@ -3115,6 +3146,9 @@ CONF_SLOPE_CENTS = 3_800_00
                                      || CAST(l_linenumber AS VARCHAR)
                                      || ':conf'), 1, 1)) - 1) % 2 AS fold
             FROM lineitem
+            -- complete-case (r12): rows with unknown target/feature
+            -- have no residual and score neither fold
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
         ),
         cal AS (
             SELECT ABS(y - yhat) AS r, l_orderkey, l_linenumber
@@ -3177,7 +3211,10 @@ def ml_conformal_split_interval(spark, sf_dir):
     the held-out pass is a broadcast-q̂ conditional aggregate."""
     from etl_builder_spark.operators.stats import banded_running
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        # complete-case (r12): no residual without target AND feature
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
     yhat = F.col("l_quantity").cast("bigint") * CONF_SLOPE_CENTS
     fold = (

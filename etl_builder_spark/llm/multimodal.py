@@ -269,9 +269,14 @@ def resize_meta(assets: DataFrame, max_side: int = 256) -> DataFrame:
     "multimodal_frame_sample",
     oracle="""
         WITH expanded AS (
+            -- COALESCE(n_chars, length(text)) (r12 nullmeasures): the
+            -- asset duration derives from the text when the metadata
+            -- column is missing, keeping the frame count defined
             SELECT doc_id AS asset_id, text,
                    unnest(generate_series(
-                       0, CAST(greatest((n_chars * 10) // 1000, 1) AS BIGINT) - 1
+                       0, CAST(greatest(
+                              (COALESCE(n_chars, length(text)) * 10) // 1000, 1
+                          ) AS BIGINT) - 1
                    )) AS frame_idx
             FROM documents
         )
@@ -305,7 +310,10 @@ def multimodal_frame_sample(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("asset_id"),
         "text",
-        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        # derive duration from the text when n_chars is NULL (r12)
+        (F.coalesce(F.col("n_chars"), F.length("text")) * 10)
+        .cast("long")
+        .alias("duration_ms"),
     )
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -465,7 +473,10 @@ def multimodal_bmp_decode(spark, sf_dir):
     "dedup_frame_fingerprints",
     oracle="""
         WITH base AS (
-            SELECT doc_id, text, n_chars * 10 AS duration_ms
+            -- COALESCE (r12): duration derives from the text when the
+            -- metadata column is NULL (see multimodal_frame_sample)
+            SELECT doc_id, text,
+                   COALESCE(n_chars, length(text)) * 10 AS duration_ms
             FROM documents WHERE doc_id < 100
         ),
         assets AS (
@@ -523,7 +534,10 @@ def dedup_frame_fingerprints(spark, sf_dir):
         .select(
             F.col("doc_id").alias("asset_id"),
             "text",
-            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            # derive duration when n_chars is NULL (r12)
+            (F.coalesce(F.col("n_chars"), F.length("text")) * 10)
+            .cast("long")
+            .alias("duration_ms"),
         )
     )
     assets = base.unionByName(
