@@ -599,20 +599,31 @@ def _run_counts_oracle() -> str:
         # tiebreak closes over every MEASURED column too: residual ties
         # then have identical measured values and the run count is
         # tie-order-invariant in both engines.
-        order = (
-            ", ".join(ordcols)
-            + ", l_orderkey, l_linenumber, l_returnflag, l_linestatus,"
-            + " l_partkey, l_quantity"
+        # NULLS FIRST on every order column pins the engines' divergent
+        # defaults, and IS DISTINCT FROM makes the run boundary
+        # null-safe — a NULL run is a run (r12 nullmeasures sweep)
+        order = ", ".join(
+            f"{c} NULLS FIRST"
+            for c in [
+                *ordcols,
+                "l_orderkey",
+                "l_linenumber",
+                "l_returnflag",
+                "l_linestatus",
+                "l_partkey",
+                "l_quantity",
+            ]
         )
         for mname, mexpr in RUN_MEASURED:
             parts.append(f"""
                 SELECT '{kname}' AS sort_key, '{mname}' AS column_name,
                        CAST(COUNT(*) AS BIGINT) AS n_rows,
-                       CAST(SUM(CASE WHEN prev IS NULL OR prev <> v
+                       CAST(SUM(CASE WHEN rn = 1 OR (prev IS DISTINCT FROM v)
                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
                 FROM (
                     SELECT {mexpr} AS v,
-                           LAG({mexpr}) OVER (ORDER BY {order}) AS prev
+                           LAG({mexpr}) OVER (ORDER BY {order}) AS prev,
+                           ROW_NUMBER() OVER (ORDER BY {order}) AS rn
                     FROM lineitem
                 )""")
     return f"""
@@ -663,9 +674,19 @@ def etl_sort_key_run_counts(spark, sf_dir):
     measured = [(m, F.expr(e.replace("VARCHAR", "STRING"))) for m, e in RUN_MEASURED]
     out = None
     for kname, band_e, ordcols in RUN_CANDIDATES:
-        order = [F.col(c) for c in ordcols] + [
-            F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_returnflag"),
-            F.col("l_linestatus"), F.col("l_partkey"), F.col("l_quantity"),
+        # asc_nulls_first = Spark's asc default, written out because
+        # the oracle must pin it explicitly (DuckDB defaults LAST)
+        order = [
+            F.col(c).asc_nulls_first()
+            for c in [
+                *ordcols,
+                "l_orderkey",
+                "l_linenumber",
+                "l_returnflag",
+                "l_linestatus",
+                "l_partkey",
+                "l_quantity",
+            ]
         ]
         base = l.select(
             F.expr(band_e.replace(" // ", " div ")).alias("band"),
@@ -686,13 +707,15 @@ def etl_sort_key_run_counts(spark, sf_dir):
             prev.alias("prev"),
             *[F.col(f"m_{m}") for m, _ in measured],
         ).persist()
+        # null-safe boundary (r12 nullmeasures): a NULL run is a run —
+        # != would skip boundaries into/out of NULL stretches
         within = tagged.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             *[
                 F.sum(
                     F.when(
                         F.col("prev").isNull()
-                        | (F.col(f"prev.m_{m}") != F.col(f"m_{m}")),
+                        | ~F.col(f"prev.m_{m}").eqNullSafe(F.col(f"m_{m}")),
                         1,
                     ).otherwise(0)
                 )
@@ -711,17 +734,25 @@ def etl_sort_key_run_counts(spark, sf_dir):
             "band", *[F.col(f"m_{m}").alias(f"t_{m}") for m, _ in measured]
         )
         bw = Window.orderBy("band")
+        # seam continuation is null-safe too, gated on a previous band
+        # actually existing (lag of a marker, not of the value — a NULL
+        # band tail must still count as a continuation of a NULL head)
         seams = (
             heads.join(tails, "band")
             .select(
                 "band",
                 *[F.col(f"h_{m}") for m, _ in measured],
                 *[F.lag(f"t_{m}").over(bw).alias(f"pt_{m}") for m, _ in measured],
+                F.lag(F.lit(1)).over(bw).alias("has_prev_band"),
             )
             .agg(
                 *[
                     F.sum(
-                        F.when(F.col(f"pt_{m}") == F.col(f"h_{m}"), 1).otherwise(0)
+                        F.when(
+                            F.col("has_prev_band").isNotNull()
+                            & F.col(f"pt_{m}").eqNullSafe(F.col(f"h_{m}")),
+                            1,
+                        ).otherwise(0)
                     )
                     .cast("bigint")
                     .alias(f"cont_{m}")

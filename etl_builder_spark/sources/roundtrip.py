@@ -193,10 +193,13 @@ def scan_csv_corrupt_permissive(spark, sf_dir):
         .where(F.col("o_orderkey") < 5000)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
+    # a genuinely-NULL price serializes as an EMPTY CSV field (r12
+    # nullmeasures): concat_ws would otherwise drop the field entirely,
+    # shortening the row and mis-flagging it corrupt on read-back
     corrupt_price = F.when(
         F.col("o_orderkey") % 13 == 0,
         F.concat(F.lit("corrupt#"), F.col("o_orderkey").cast("string")),
-    ).otherwise(F.col("o_totalprice").cast("string"))
+    ).otherwise(F.coalesce(F.col("o_totalprice").cast("string"), F.lit("")))
     lines = base.select(
         F.concat_ws(
             ",",

@@ -535,9 +535,15 @@ def stream_topk_types_live(spark, sf_dir):
 @register(
     "stream_merge_upsert_live",
     oracle="""
+        -- last_ts decodes from the SAME max key as last_value (r12
+        -- nullmeasures): the key skips NULL-valued events (|| NULL is
+        -- NULL), so a bare MAX(ts) would disagree whenever the newest
+        -- event carries an unknown value
         SELECT user_id,
                COUNT(*) AS n_events,
-               MAX(ts) AS last_ts,
+               make_timestamp(CAST(substr(
+                   MAX(printf('%020d%010d', epoch_us(ts), event_id)
+                       || printf('%.2f', value)), 1, 20) AS BIGINT)) AS last_ts,
                CAST(substr(MAX(printf('%020d%010d', epoch_us(ts), event_id)
                                || printf('%.2f', value)), 31) AS DOUBLE) AS last_value
         FROM events

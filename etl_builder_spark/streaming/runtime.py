@@ -281,12 +281,22 @@ def merge_snapshot_batch(batch: DataFrame, batch_id: int, target_dir: str) -> No
 
     from pyspark.sql import functions as F
 
+    # NULL-valued events count toward n_events but carry no decodable
+    # key (r12 nullmeasures): format_string would render the literal
+    # string 'null' into the key and poison the downstream cast — the
+    # when() makes the whole key NULL, which MAX skips, exactly like
+    # the oracle's || NULL concat
     part = batch.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max(
-            F.concat(
-                F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id")),
-                F.format_string("%.2f", F.col("value")),
+            F.when(
+                F.col("value").isNotNull(),
+                F.concat(
+                    F.format_string(
+                        "%020d%010d", F.unix_micros("ts"), F.col("event_id")
+                    ),
+                    F.format_string("%.2f", F.col("value")),
+                ),
             )
         ).alias("last_key"),
     )

@@ -34,9 +34,14 @@ def clipped_zscore_100(v: pd.Series) -> pd.Series:
 @register(
     "udf_pandas_scalar",
     oracle="""
+        -- NULL-preserving clip (r12 nullmeasures): the clip of an
+        -- unknown value is unknown — DuckDB's least/greatest would
+        -- otherwise SKIP the NULL and return the bound itself
         SELECT event_id,
                value,
-               greatest(least((value - 100.0) / 50.0, 3.0), -3.0) AS clipped_score
+               CASE WHEN value IS NULL THEN NULL
+                    ELSE greatest(least((value - 100.0) / 50.0, 3.0), -3.0)
+               END AS clipped_score
         FROM events
     """,
     tags=("K1",),
@@ -57,9 +62,15 @@ def cents_mean(v: pd.Series) -> float:
     round-trip per Arrow batch and raises instead of returning a
     quietly-wrong mean.
     """
-    cents = (v * 100).round()
-    if not ((cents / 100.0 - v).abs() < 1e-9).all():
-        bad = v[(cents / 100.0 - v).abs() >= 1e-9].iloc[0]
+    # NULL semantics mirror the SQL twin exactly (r12 nullmeasures):
+    # SUM skips NULLs, COUNT(*) does not — so the mean is the non-null
+    # cent sum over the FULL row count, and an all-NULL group is NULL
+    nn = v.dropna()
+    if len(nn) == 0:
+        return None
+    cents = (nn * 100).round()
+    if not ((cents / 100.0 - nn).abs() < 1e-9).all():
+        bad = nn[(cents / 100.0 - nn).abs() >= 1e-9].iloc[0]
         raise ValueError(
             f"cents_mean requires <=2 decimal places; got {bad!r} — "
             "use a float mean or widen the fixed-point scale"
@@ -215,12 +226,16 @@ def udf_apply_in_arrow(spark, sf_dir):
 
     def census(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        # explicit int64 arrays (r12 nullmeasures): an all-NULL value
+        # group sums to None, which a bare python list would infer as
+        # arrow's null type and break the declared schema — the typed
+        # array carries the NULL, mirroring the SQL twin's NULL SUM
         return pa.table(
             {
-                "user_id": [t["user_id"][0].as_py()],
-                "n_events": [t.num_rows],
-                "value_cents": [pc.sum(cents).as_py()],
-                "max_event_id": [pc.max(t["event_id"]).as_py()],
+                "user_id": pa.array([t["user_id"][0].as_py()], pa.int64()),
+                "n_events": pa.array([t.num_rows], pa.int64()),
+                "value_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "max_event_id": pa.array([pc.max(t["event_id"]).as_py()], pa.int64()),
             }
         )
 
