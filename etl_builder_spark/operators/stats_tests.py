@@ -935,9 +935,11 @@ def stats_grubbs_extreme(spark, sf_dir):
             FROM z
         ),
         ranked AS (
+            -- NULLS FIRST pins the engines' divergent defaults (r12):
+            -- an undefined p (degenerate arm) ranks ahead on both
             SELECT brand, n, m, z_welch, p_bound,
-                   CAST(ROW_NUMBER() OVER (ORDER BY p_bound, brand) AS BIGINT)
-                       AS p_rank
+                   CAST(ROW_NUMBER() OVER (ORDER BY p_bound NULLS FIRST, brand)
+                        AS BIGINT) AS p_rank
             FROM p
         ),
         kstar AS (

@@ -675,9 +675,10 @@ def etl_sort_key_run_counts(spark, sf_dir):
     out = None
     for kname, band_e, ordcols in RUN_CANDIDATES:
         # asc_nulls_first = Spark's asc default, written out because
-        # the oracle must pin it explicitly (DuckDB defaults LAST)
-        order = [
-            F.col(c).asc_nulls_first()
+        # the oracle must pin it explicitly (DuckDB defaults LAST);
+        # the reverse scan uses desc_nulls_last — the exact mirror
+        order_cols = [
+            F.col(c)
             for c in [
                 *ordcols,
                 "l_orderkey",
@@ -688,6 +689,8 @@ def etl_sort_key_run_counts(spark, sf_dir):
                 "l_quantity",
             ]
         ]
+        order = [c.asc_nulls_first() for c in order_cols]
+        order_rev = [c.desc_nulls_last() for c in order_cols]
         base = l.select(
             F.expr(band_e.replace(" // ", " div ")).alias("band"),
             "l_shipdate", "l_partkey", "l_returnflag", "l_linestatus",
@@ -698,7 +701,7 @@ def etl_sort_key_run_counts(spark, sf_dir):
         prev = F.lag(F.struct(*[F.col(f"m_{m}") for m, _ in measured])).over(w)
         rn_a = F.row_number().over(w)
         rn_d = F.row_number().over(
-            Window.partitionBy("band").orderBy(*[c.desc() for c in order])
+            Window.partitionBy("band").orderBy(*order_rev)
         )
         tagged = base.select(
             "band",
