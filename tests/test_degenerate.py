@@ -51,9 +51,17 @@ CLASS_REPS = [
     "scan_glob_paths",           # zero-match glob → empty summary
     "dq_referential_coverage",   # 0-child coverage NULL
     "stream_dedup_watermark_live",  # DISTINCT oracle under dup ids
+    # --- nullmeasures classes (fifth shape) ---
+    "stats_mannwhitney_u",       # complete-case statistics
+    "agg_boolean_any",           # total boolean flags
+    "win_ntile_quartiles",       # pinned NULL ordering
+    "etl_sort_key_run_counts",   # null-safe run boundaries
+    "udaf_grouped_agg",          # UDF seams mirror SQL NULL semantics
+    "stream_merge_upsert_live",  # merge key skips unknown values
+    "scan_csv_corrupt_permissive",  # NULL serializes as empty field
 ]
 
-SHAPES = ("empty", "single", "allequal", "onegroup")
+SHAPES = ("empty", "single", "allequal", "onegroup", "nullmeasures")
 
 
 @pytest.fixture(scope="module")
