@@ -36,6 +36,24 @@ The four shapes, chosen for the failure classes they provoke:
                   — the shape isolates NULL-AGGREGATE semantics rather
                   than opening the ill-defined NULL-group/NULL-time
                   question.
+* ``extremetext`` — the first 40 real rows with every TEXT PAYLOAD
+                  column (documents.text, events.props, c_name,
+                  s_name, p_name) cycled through a pool of adversarial
+                  strings: empty / whitespace-only / exotic whitespace
+                  (NBSP, zero-width), combining accents (NFD vs NFC),
+                  CJK + emoji (4-byte UTF-8) + RTL scripts, embedded
+                  newlines/tabs/quotes (serialization seams), regex
+                  metacharacters (LIKE/regexp dialect seams), case-
+                  mapping traps (ß, Turkish dotless ı), literal
+                  "null"/"NaN" strings, a 600-char single token, an
+                  extreme-repetition document, and malformed JSON in
+                  ``props``.  Keys, numerics, timestamps and grouping
+                  categoricals stay real — the shape isolates STRING-
+                  FUNCTION semantics (tokenization, length, casing,
+                  regex, JSON parsing, CSV/JSON round-trips) from the
+                  group-key question.  documents.n_chars is recomputed
+                  as the codepoint length of the new text so the
+                  corpus keeps its own invariant.
 
 Schema fidelity: tables are rebuilt column-by-column from the source
 parquet's own arrays (slice/concat/sequential-cast), then written with
@@ -103,6 +121,82 @@ MEASURE_COLS = {
 }
 
 
+#: adversarial string pool for the ``extremetext`` shape — each entry
+#: targets a specific seam class (see module docstring); row i gets
+#: pool[i % len(pool)] so all classes land in every 40-row table
+EXTREME_STRINGS = [
+    "",                                         # empty
+    "   ",                                      # ASCII whitespace only
+    "\t \t ",                                   # tabs
+    "\u00a0\u200b zero\u00a0width\u200band nbsp",  # NBSP + zero-width
+    "héllo wörld café naïve",  # NFC diacritics
+    "cafe\u0301 combining re\u0301sume\u0301",  # NFD combining marks
+    "日本語のテキスト 形態素 解析",  # CJK
+    "\U0001f680 emoji \U0001f389 test \U0001f600\U0001f600",  # 4-byte UTF-8
+    "العربية עברית ελληνικά",  # RTL + Greek
+    "line1\nline2\r\nline3",                    # embedded newlines
+    'comma, "quoted" and \'single\'',           # CSV quoting seam
+    "tab\tseparated\tfields",
+    "regex .* [a-z]+ (meta) {chars} \\ $^|?",   # regex metachars
+    "ß STRASSE straße İstanbul ıi MiXeD CaSe",  # case traps
+    "null NaN Infinity None nan",               # literal-string confusion
+    "x" * 600,                                  # one 600-char token
+    ("word " * 120).strip(),                    # extreme repetition
+    "<html><b>tags</b> &amp; entities &lt;x&gt;</html>",  # markup
+    "percent % underscore _ like-wildcards %_%",  # LIKE wildcards
+    "ALL CAPS SHOUTING WITH 12345 DIGITS 67890",
+]
+
+#: ``props`` carries JSON payloads, so its pool stresses JSON parsing
+EXTREME_JSON = [
+    "",                                         # empty string, not JSON
+    "{not json",                                # malformed
+    "null",                                     # JSON null literal
+    "[]",                                       # non-object JSON
+    '{"k": "v with } brace and \\" quote"}',
+    '{"日本語": "\U0001f680", "nested": {"a": [1, 2, {"b": null}]}}',
+    '{"num": 1e308, "neg": -0.0, "big": 99999999999999999999}',
+    '{"s": "line1\\nline2\\ttab"}',
+    '{"dup": 1, "dup": 2}',                     # duplicate keys
+    '  {"padded": true}  ',                     # surrounding whitespace
+]
+
+#: text payload columns mutated in the ``extremetext`` shape — group
+#: keys, categoricals (lang, source, event_type, brands, statuses) and
+#: TPC-H filter targets (r_name, n_name, p_type) stay real
+TEXT_COLS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_name"],
+    "supplier": ["s_name"],
+    "part": ["p_name"],
+    "orders": [],
+    "lineitem": [],
+    "events": ["props"],
+    "documents": ["text"],
+    "embeddings": [],
+}
+
+
+def _extreme_text(t: pa.Table, cols: list[str], n: int) -> pa.Table:
+    head = t.slice(0, n).combine_chunks()
+    m = len(head)
+    out = []
+    for field in head.schema:
+        col = head[field.name].combine_chunks()
+        if field.name in cols:
+            pool = EXTREME_JSON if field.name == "props" else EXTREME_STRINGS
+            col = pa.array(
+                [pool[i % len(pool)] for i in range(m)], type=field.type
+            )
+        elif field.name == "n_chars" and "text" in cols:
+            # keep the corpus invariant n_chars == codepoint length
+            txt = [EXTREME_STRINGS[i % len(EXTREME_STRINGS)] for i in range(m)]
+            col = pa.array([len(s) for s in txt], type=field.type)
+        out.append(col)
+    return pa.table(out, schema=head.schema)
+
+
 def _null_measures(t: pa.Table, cols: list[str], n: int) -> pa.Table:
     head = t.slice(0, n).combine_chunks()
     odd = pa.array([bool(i % 2) for i in range(len(head))])
@@ -134,7 +228,9 @@ def _onegroup(t: pa.Table, keys: list[str], n: int) -> pa.Table:
 
 def build(src: str, out_root: str) -> list[str]:
     made = []
-    for shape in ("empty", "single", "allequal", "onegroup", "nullmeasures"):
+    for shape in (
+        "empty", "single", "allequal", "onegroup", "nullmeasures", "extremetext"
+    ):
         out_dir = os.path.join(out_root, shape)
         os.makedirs(out_dir, exist_ok=True)
         for name in TABLES:
@@ -147,8 +243,10 @@ def build(src: str, out_root: str) -> list[str]:
                 d = _repeat_first_row(t, N_ROWS)
             elif shape == "onegroup":
                 d = _onegroup(t, KEY_COLS[name], N_ROWS)
-            else:
+            elif shape == "nullmeasures":
                 d = _null_measures(t, MEASURE_COLS[name], N_ROWS)
+            else:
+                d = _extreme_text(t, TEXT_COLS[name], N_ROWS)
             pq.write_table(d, os.path.join(out_dir, f"{name}.parquet"))
         made.append(out_dir)
     return made

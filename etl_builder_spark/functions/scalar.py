@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_builder_spark.folding import fold_upper
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -19,7 +20,7 @@ from etl_builder_spark.session import load_table
     "fn_string",
     oracle="""
         SELECT p_partkey,
-               upper(p_name) AS name_upper,
+               upper(replace(p_name, chr(223), 'ss')) AS name_upper,
                lower(p_brand) AS brand_lower,
                length(p_name) AS name_len,
                substring(p_name, 1, 8) AS name_head,
@@ -37,7 +38,7 @@ def fn_string(spark, sf_dir):
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.upper("p_name").alias("name_upper"),
+        fold_upper(F.col("p_name")).alias("name_upper"),
         F.lower("p_brand").alias("brand_lower"),
         F.length("p_name").alias("name_len"),
         F.substring("p_name", 1, 8).alias("name_head"),
@@ -230,22 +231,32 @@ def fn_map(spark, sf_dir):
 @register(
     "fn_json",
     oracle="""
+        WITH ex AS (
+            SELECT event_id,
+                   CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k') END AS k_str,
+                   CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.missing') END AS m_str
+            FROM events
+        )
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-               (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
-               (json_extract_string(props, '$.missing') IS NULL) AS missing_absent
-        FROM events
+               TRY_CAST(k_str AS BIGINT) AS k_val,
+               (k_str IS NOT NULL) AS has_k,
+               (m_str IS NULL) AS missing_absent
+        FROM ex
     """,
     tags=("H7",),
 )
 def fn_json(spark, sf_dir):
-    """JSON path extraction (get_json_object ↔ json_extract_string).
+    """JSON path extraction (get_json_object ↔ json_extract_string);
+    the numeric pull is TRY_CAST on both engines so a string-valued
+    $.k (extremetext shape) is a defined NULL, not an ANSI cast error.
     Spark 4's parse_json/VariantType is exposed as an engine capability
     (sources/json.py) but not declared — no DuckDB variant analogue."""
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_val"),
         F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
         F.get_json_object("props", "$.missing").isNull().alias("missing_absent"),
     )

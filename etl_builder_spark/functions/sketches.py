@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_builder_spark.folding import fold_lower
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -69,7 +70,7 @@ CM_PERMS: tuple[tuple[int, int], ...] = ((31, 7), (131, 13), (571, 23), (1019, 4
     "sketch_count_min_exact",
     oracle=f"""
         WITH toks AS (
-            SELECT unnest(string_split(lower(text), ' ')) AS token
+            SELECT unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
             FROM documents
         ),
         tf AS (
@@ -125,7 +126,7 @@ def sketch_count_min_exact(spark, sf_dir):
     tokenization feeds both the true counts and the sketch."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        F.explode(F.split(fold_lower(F.col("text")), " ")).alias("token")
     ).where(F.col("token") != "")
     tf = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     codes = F.filter(
@@ -180,7 +181,7 @@ BLOOM_M = 256
     "sketch_bloom_exact",
     oracle=f"""
         WITH toks AS (
-            SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS token
+            SELECT DISTINCT unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
             FROM documents
         ),
         corpus AS (SELECT token FROM toks WHERE token <> ''),
@@ -247,7 +248,7 @@ def sketch_bloom_exact(spark, sf_dir):
     aggregate with map-side combine over the vocabulary."""
     d = load_table(spark, sf_dir, "documents")
     corpus = (
-        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        d.select(F.explode(F.split(fold_lower(F.col("text")), " ")).alias("token"))
         .where(F.col("token") != "")
         .distinct()
         .persist()

@@ -49,11 +49,14 @@ def _tokenize_udtf():
 @register(
     "udtf_tokenize_pos",
     oracle="""
-        SELECT doc_id,
-               CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos,
-               unnest(string_split(text, ' ')) AS token
-        FROM documents
-        WHERE doc_id < 50
+        SELECT doc_id, pos, token FROM (
+            SELECT doc_id,
+                   CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+            WHERE doc_id < 50
+        ) t
+        WHERE token <> ''
     """,
     tags=("K4",),
 )
@@ -82,19 +85,23 @@ def udtf_tokenize_pos(spark, sf_dir):
     "fn_json_variant",
     oracle="""
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+               TRY_CAST(CASE WHEN json_valid(props)
+                             THEN json_extract_string(props, '$.k') END
+                        AS BIGINT) AS k_val
         FROM events
     """,
     tags=("H7-variant",),
 )
 def fn_json_variant(spark, sf_dir):
-    """Spark 4 VariantType path: parse_json → variant_get. Extracted
-    value is identical to classic JSON-path extraction, so the oracle
-    stays exact."""
+    """Spark 4 VariantType path: try_parse_json → try_variant_get.
+    Extracted value is identical to classic JSON-path extraction, so
+    the oracle stays exact; the try_ forms make malformed JSON a
+    defined NULL on both engines (extremetext shape) instead of a
+    FAILFAST parse error."""
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint").alias("k_val"),
     )
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_builder_spark.folding import fold_lower
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -38,7 +39,7 @@ BOILERPLATE_FIXTURE_RECIPROCAL = 200
 
 def _doc_tokens(df, text_col: str = "text"):
     """documents → (doc_id, tokens array), lower-cased whitespace split."""
-    return df.select("doc_id", F.split(F.lower(F.col(text_col)), " ").alias("toks"))
+    return df.select("doc_id", F.split(fold_lower(F.col(text_col)), " ").alias("toks"))
 
 
 def _ngrams(df, n: int):
@@ -62,7 +63,7 @@ def _ngrams(df, n: int):
     "text_boilerplate_ngrams",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS toks
+            SELECT doc_id, string_split(replace(lower(text), chr(775), ''), ' ') AS toks
             FROM documents
         ),
         grams AS (
@@ -121,7 +122,7 @@ def boilerplate_ngrams(d, reciprocal: int = BOILERPLATE_PROD_RECIPROCAL):
     "text_repetition_ratio",
     oracle="""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
             FROM documents
         ),
         tf AS (
@@ -149,7 +150,7 @@ def text_repetition_ratio(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        "doc_id", F.explode(F.split(fold_lower("text"), " ")).alias("token")
     ).where(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
     return tf.groupBy("doc_id").agg(
@@ -166,7 +167,7 @@ def text_repetition_ratio(spark, sf_dir):
     "text_contamination_check",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS toks
+            SELECT doc_id, string_split(replace(lower(text), chr(775), ''), ' ') AS toks
             FROM documents
         ),
         grams AS (
@@ -269,7 +270,7 @@ def chunk_fixed_tokens(spark, sf_dir):
     oracle="""
         WITH keyed AS (
             SELECT doc_id, text, n_chars,
-                   md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS norm_key
+                   md5(regexp_replace(replace(lower(trim(text, ' ')), chr(775), ''), ' +', ' ', 'g')) AS norm_key
             FROM documents
         ),
         ranked AS (
@@ -300,7 +301,7 @@ def dedup_cluster_representative(spark, sf_dir):
     keyed = d.select(
         "doc_id",
         "n_chars",
-        F.md5(F.regexp_replace(F.lower(F.trim("text")), " +", " ")).alias("norm_key"),
+        F.md5(F.regexp_replace(fold_lower(F.trim("text")), " +", " ")).alias("norm_key"),
     )
     w = Window.partitionBy("norm_key").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
     wc = Window.partitionBy("norm_key")

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_builder_spark.folding import fold_lower, fold_upper
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -41,7 +42,7 @@ def _with_planted_dups(d: DataFrame) -> DataFrame:
     (doc_id shifted) — the exact-dedup fixture."""
     mangled = d.select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
-        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" ")).alias("text"),
+        F.concat(F.lit("  "), fold_upper(F.col("text")), F.lit(" ")).alias("text"),
         "lang",
         "source",
         "n_chars",
@@ -56,12 +57,12 @@ def _with_planted_dups(d: DataFrame) -> DataFrame:
             SELECT doc_id, text FROM documents
             UNION ALL
             SELECT doc_id + {PLANT_OFFSET} AS doc_id,
-                   '  ' || upper(text) || ' ' AS text
+                   '  ' || upper(replace(text, chr(223), 'ss')) || ' ' AS text
             FROM documents
         ),
         normed AS (
             SELECT doc_id,
-                   lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm_text
+                   replace(lower(trim(regexp_replace(text, ' +', ' ', 'g'), ' ')), chr(775), '') AS norm_text
             FROM everything
         )
         SELECT MIN(doc_id) AS keeper_id,
@@ -80,7 +81,7 @@ def dedup_exact_normalized(spark, sf_dir):
     everything = _with_planted_dups(d)
     normed = everything.select(
         "doc_id",
-        F.lower(F.trim(F.regexp_replace(F.col("text"), " +", " "))).alias("norm_text"),
+        fold_lower(F.trim(F.regexp_replace(F.col("text"), " +", " "))).alias("norm_text"),
     )
     return normed.groupBy("norm_text").agg(
         F.min("doc_id").alias("keeper_id"),
@@ -107,7 +108,7 @@ def _ngram_jaccard(spark, sf_dir, df_ceiling: int = DF_CEILING):
     so tests can exercise the guard at fixture scale."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     sh = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        d.select("doc_id", F.explode(F.split(fold_lower("text"), " ")).alias("token"))
         .where(F.col("token") != "")
         .distinct()
         .persist()
@@ -149,7 +150,7 @@ def _ngram_jaccard(spark, sf_dir, df_ceiling: int = DF_CEILING):
     "dedup_ngram_jaccard",
     oracle=f"""
         WITH docs AS (
-            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 100
+            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < 100
         ),
         raw_shingles AS (
             SELECT DISTINCT doc_id, token
@@ -256,7 +257,7 @@ def _minhash_sig_bands(everything):
     "dedup_minhash_exact",
     oracle=f"""
         WITH base AS (
-            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 200
+            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < 200
         ),
         planted AS (
             SELECT doc_id + {PLANT_OFFSET} AS doc_id,
@@ -332,7 +333,7 @@ def dedup_minhash_exact(spark, sf_dir):
     DuckDB overflow-error semantics never diverge.
     """
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
-        "doc_id", F.lower("text").alias("text")
+        "doc_id", fold_lower("text").alias("text")
     )
     planted = d.select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
@@ -385,7 +386,7 @@ INC_SLICE_MAX = 300
     "dedup_minhash_incremental",
     oracle=f"""
         WITH base AS (
-            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < {INC_SLICE_MAX}
+            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < {INC_SLICE_MAX}
         ),
         old AS (SELECT * FROM base WHERE doc_id < {INC_OLD_MAX}),
         newb AS (
@@ -470,7 +471,7 @@ def dedup_minhash_incremental(spark, sf_dir):
     the corpus, docs INC_OLD_MAX..INC_SLICE_MAX plus drop-two-word
     trims of every corpus doc are the batch."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < INC_SLICE_MAX).select(
-        "doc_id", F.lower("text").alias("text")
+        "doc_id", fold_lower("text").alias("text")
     )
     old = d.where(F.col("doc_id") < INC_OLD_MAX)
     plants = old.select(
@@ -531,15 +532,19 @@ def dedup_minhash_lsh(spark, sf_dir):
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", fold_lower("text").alias("text"))
     trimmed = d.select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
         F.array_join(F.slice(F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 2, F.lit(1))), " ").alias("text"),
     )
     tok = Tokenizer(inputCol="text", outputCol="words")
     tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 14)
-    feats_a = tf.transform(tok.transform(d)).where(F.expr("aggregate(words, 0, (a, x) -> a + 1) > 0"))
-    feats_b = tf.transform(tok.transform(trimmed))
+    # all-whitespace text tokenizes to an EMPTY words array → an
+    # all-zero vector, which MinHashLSH rejects ("at least 1 non zero
+    # entry").  A doc with no tokens has no shingle signature, so both
+    # sides exclude it from the candidate space (extremetext sweep).
+    feats_a = tf.transform(tok.transform(d)).where(F.size("words") > 0)
+    feats_b = tf.transform(tok.transform(trimmed)).where(F.size("words") > 0)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats_a)
     pairs = model.approxSimilarityJoin(feats_a, feats_b, 0.5, distCol="jaccard_dist")
@@ -564,7 +569,7 @@ def dedup_simhash(spark, sf_dir):
     per-bit ±1 vote weighted by token frequency → sign → packed bits.
     Near-dups = fingerprints at small Hamming distance; here the planted
     copy drops one word, so distances are small but nonzero."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", fold_lower("text").alias("text"))
     trimmed = d.select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
         F.array_join(F.slice(F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 1, F.lit(1))), " ").alias("text"),
@@ -622,7 +627,7 @@ SIMHASH_HAM_MAX = 3
     "dedup_simhash_exact",
     oracle=f"""
         WITH base AS (
-            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 200
+            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < 200
         ),
         planted AS (
             SELECT doc_id + {PLANT_OFFSET} AS doc_id,
@@ -692,7 +697,7 @@ def dedup_simhash_exact(spark, sf_dir):
     shape, coarser here only so the toy corpus collides non-vacuously.
     """
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
-        "doc_id", F.lower("text").alias("text")
+        "doc_id", fold_lower("text").alias("text")
     )
     planted = d.select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
@@ -781,7 +786,7 @@ CONTAINMENT_TAU = 0.8
     "dedup_text_containment",
     oracle=f"""
         WITH base AS (
-            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 100
+            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < 100
         ),
         everything AS (
             SELECT doc_id, text FROM base
@@ -844,7 +849,7 @@ def dedup_text_containment(spark, sf_dir):
     the DF ceiling capping per-token fan-out at DF_CEILING² — never
     all-pairs (100 TB posture identical, see dedup_ngram_jaccard)."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    base = d.select("doc_id", F.lower("text").alias("text"))
+    base = d.select("doc_id", fold_lower("text").alias("text"))
     toks = F.split(F.col("text"), " ")
     excerpt_text = F.concat(
         F.array_join(
@@ -914,7 +919,7 @@ def dedup_text_containment(spark, sf_dir):
         ),
         keyed AS (
             SELECT doc_id,
-                   array_to_string(list_sort(string_split(lower(text), ' ')), ' ')
+                   array_to_string(list_sort(string_split(replace(lower(text), chr(775), ''), ' ')), ' ')
                        AS sort_key
             FROM everything
         )
@@ -947,7 +952,7 @@ def dedup_token_sort(spark, sf_dir):
     everything = d.select("doc_id", "text").unionByName(reversed_copy)
     keyed = everything.select(
         "doc_id",
-        F.array_join(F.array_sort(F.split(F.lower("text"), " ")), " ").alias("sort_key"),
+        F.array_join(F.array_sort(F.split(fold_lower("text"), " ")), " ").alias("sort_key"),
     )
     return (
         keyed.groupBy("sort_key")
@@ -965,7 +970,7 @@ def dedup_token_sort(spark, sf_dir):
     "dedup_minhash_estimate_error",
     oracle=f"""
         WITH base AS (
-            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 200
+            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < 200
         ),
         everything AS (
             SELECT * FROM base
@@ -1056,7 +1061,7 @@ def dedup_minhash_estimate_error(spark, sf_dir):
     only through the shared-shingle equi-join restricted to those
     pairs — the audit costs what the dedup itself costs."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
-        "doc_id", F.lower("text").alias("text")
+        "doc_id", fold_lower("text").alias("text")
     )
     planted = d.select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
@@ -1141,7 +1146,7 @@ def dedup_minhash_estimate_error(spark, sf_dir):
     "dedup_cluster_size_histogram",
     oracle="""
         WITH clusters AS (
-            SELECT md5(lower(text)) AS ck, CAST(COUNT(*) AS BIGINT) AS sz
+            SELECT md5(replace(lower(text), chr(775), '')) AS ck, CAST(COUNT(*) AS BIGINT) AS sz
             FROM documents GROUP BY 1
         )
         SELECT sz AS cluster_size,
@@ -1160,7 +1165,7 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     removable count (size − 1 per cluster).  Two hash aggregates;
     the histogram is at most |distinct sizes| rows at any scale."""
     d = load_table(spark, sf_dir, "documents")
-    clusters = d.groupBy(F.md5(F.lower(F.col("text"))).alias("ck")).agg(
+    clusters = d.groupBy(F.md5(fold_lower(F.col("text"))).alias("ck")).agg(
         F.count(F.lit(1)).cast("bigint").alias("sz")
     )
     return clusters.groupBy(F.col("sz").alias("cluster_size")).agg(
@@ -1174,7 +1179,7 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     "sketch_minhash_calibration",
     oracle=f"""
         WITH base AS (
-            SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 200
+            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < 200
         ),
         planted AS (
             SELECT doc_id + {PLANT_OFFSET} AS doc_id,
@@ -1290,7 +1295,7 @@ def sketch_minhash_calibration(spark, sf_dir):
     bound the dedup itself carries; at scale you'd run it on a fixed
     random sample of candidates, same plan."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
-        "doc_id", F.lower("text").alias("text")
+        "doc_id", fold_lower("text").alias("text")
     )
     planted = d.select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),

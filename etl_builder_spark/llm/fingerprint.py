@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_builder_spark.folding import fold_lower
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -41,7 +42,7 @@ def text_token_bpeish(spark, sf_dir):
         "doc_id",
         F.size(F.split("text", " ")).alias("n_ws_tokens"),
         F.size(toks).alias("n_bpe_tokens"),
-        F.element_at(toks, 1).alias("first_token"),
+        F.try_element_at(toks, F.lit(1)).alias("first_token"),
         F.ceil(F.size(toks) * 1.3).alias("est_llm_tokens"),
     )
 
@@ -92,7 +93,7 @@ HASH_DIM = 64
     oracle=f"""
         WITH toks AS (
             SELECT doc_id, token
-            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM (SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
                   FROM documents) t
             WHERE token <> ''
         ),
@@ -135,7 +136,7 @@ def ml_feature_hashing(spark, sf_dir):
     batches."""
     d = load_table(spark, sf_dir, "documents")
     toks = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        d.select("doc_id", F.explode(F.split(fold_lower("text"), " ")).alias("token"))
         .where(F.col("token") != "")
     )
     code = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from etl_builder_spark.folding import fold_lower
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -29,7 +30,7 @@ def _score(tokens: Column, lang: str) -> Column:
 def _sql_score(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in MARKERS[lang])
     return (
-        f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({words})))"
+        f"len(list_filter(string_split(replace(lower(text), chr(775), ''), ' '), t -> t IN ({words})))"
     )
 
 
@@ -56,7 +57,7 @@ def _sql_score(lang: str) -> str:
 )
 def text_langid_heuristic(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
+    toks = F.split(fold_lower("text"), " ")
     scored = d.select(
         "doc_id",
         "lang",
@@ -81,7 +82,7 @@ def text_langid_heuristic(spark, sf_dir):
     oracle="""
         WITH toks AS (
             SELECT doc_id, lang,
-                   unnest(list_filter(string_split(lower(text), ' '),
+                   unnest(list_filter(string_split(replace(lower(text), chr(775), ''), ' '),
                                       t -> t <> '')) AS tok
             FROM documents
         ),
@@ -165,7 +166,7 @@ def ml_naive_bayes_langid(spark, sf_dir):
         "doc_id",
         "lang",
         F.explode(
-            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+            F.filter(F.split(fold_lower("text"), " "), lambda t: t != "")
         ).alias("tok"),
     ).persist()
     class_tok = toks.groupBy("lang", "tok").agg(

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_builder_spark.folding import fold_lower
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -92,7 +93,7 @@ CHUNK_S = 24
     "chunk_sliding_overlap",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS parts
+            SELECT doc_id, string_split(replace(lower(text), chr(775), ''), ' ') AS parts
             FROM documents
         ),
         starts AS (
@@ -128,7 +129,7 @@ def chunk_sliding_overlap(spark, sf_dir):
     counts — sits under the hash.  Scales as a pure map: no shuffle at
     all unless a downstream groupBy asks for one."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("parts"))
+    toks = d.select("doc_id", F.split(fold_lower("text"), " ").alias("parts"))
     n_chunks_minus1 = F.greatest(
         F.ceil((F.size("parts") - F.lit(CHUNK_W)) / F.lit(float(CHUNK_S))), F.lit(0)
     ).cast("long")

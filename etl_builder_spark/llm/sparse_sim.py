@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_builder_spark.folding import fold_lower
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -49,7 +50,7 @@ def shingle_tf(d):
     norms, both dot-product sides).  Shared by the registered operator
     and scale_stress's ``sparse_inverted`` family so the measured
     scaling curve exercises the exact shipped code path."""
-    t = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    t = F.filter(F.split(fold_lower("text"), " "), lambda x: x != "")
     tri = F.transform(
         F.sequence(F.lit(1), F.size(t) - 2),
         lambda i: F.concat_ws(
@@ -70,7 +71,7 @@ def shingle_tf(d):
     oracle=f"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+                   list_filter(string_split(replace(lower(text), chr(775), ''), ' '), x -> x <> '') AS t
             FROM documents
         ),
         sh AS (

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_builder_spark.folding import fold_lower
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -18,7 +19,7 @@ from etl_builder_spark.session import load_table
 def tokens(df, text_col: str = "text"):
     """(doc_id, token) pairs — whitespace tokenization, lower-cased."""
     return df.select(
-        "doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+        "doc_id", F.explode(F.split(fold_lower(F.col(text_col)), " ")).alias("token")
     ).where(F.col("token") != "")
 
 
@@ -27,7 +28,7 @@ def tokens(df, text_col: str = "text"):
     oracle="""
         SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
         FROM (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
             FROM documents
         ) t
         WHERE token <> ''
@@ -71,7 +72,7 @@ def text_corpus_stats(spark, sf_dir):
     "text_tfidf_sql",
     oracle="""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
             FROM documents
         ),
         tf AS (
@@ -129,9 +130,9 @@ def text_tfidf_sql(spark, sf_dir):
                len(string_split(text, ' ')) AS n_tokens,
                ROUND(CAST(COALESCE(n_chars, length(text)) AS DOUBLE)
                      / len(string_split(text, ' ')), 6) AS avg_token_len,
-               len(list_filter(string_split(lower(text), ' '),
+               len(list_filter(string_split(replace(lower(text), chr(775), ''), ' '),
                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS n_stopwords,
-               ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+               ROUND(CAST(len(list_filter(string_split(replace(lower(text), chr(775), ''), ' '),
                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
                    / len(string_split(text, ' ')), 6) AS stopword_ratio,
                (COALESCE(n_chars, length(text)) BETWEEN 50 AND 5000) AS length_ok
@@ -145,7 +146,7 @@ def text_quality_score(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is")])
-    n_stop = F.size(F.filter(F.split(F.lower(F.col("text")), " "), lambda t: F.array_contains(stop, t)))
+    n_stop = F.size(F.filter(F.split(fold_lower(F.col("text")), " "), lambda t: F.array_contains(stop, t)))
     n_toks = F.size(toks)
     # derive length when the metadata column is NULL (r12): the gate
     # stays total — unknown metadata must not produce NULL booleans
@@ -166,7 +167,7 @@ def text_quality_score(spark, sf_dir):
     oracle="""
         WITH counts AS (
             SELECT token, COUNT(*) AS n
-            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+            FROM (SELECT unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token FROM documents) t
             WHERE token <> ''
             GROUP BY token
         )
@@ -197,7 +198,7 @@ def vocab_top_tokens(spark, sf_dir):
     "text_ngrams_trigram",
     oracle="""
         WITH toks AS (
-            SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+            SELECT doc_id, list_filter(string_split(replace(lower(text), chr(775), ''), ' '), x -> x <> '') AS t
             FROM documents WHERE doc_id < 100
         ),
         tris AS (
@@ -219,7 +220,7 @@ def text_ngrams_trigram(spark, sf_dir):
     posexplode — the explode is the only row amplification (×n_tokens),
     no shuffle until whatever aggregates downstream."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    t = F.filter(F.split(fold_lower(F.col("text")), " "), lambda x: x != "")
     tri = F.transform(
         F.sequence(F.lit(1), F.size(t) - 2),
         lambda i: F.concat_ws(
@@ -313,7 +314,7 @@ def text_lang_profile(spark, sf_dir):
     "text_oov_rate",
     oracle="""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
             FROM documents
         ),
         clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
@@ -381,7 +382,7 @@ def text_oov_rate(spark, sf_dir):
     oracle="""
         WITH tok AS (
             SELECT doc_id, t AS token
-            FROM documents, unnest(string_split(lower(text), ' ')) AS u(t)
+            FROM documents, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS u(t)
             WHERE t <> ''
         ),
         vocab AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
@@ -419,7 +420,7 @@ def text_unigram_surprisal(spark, sf_dir):
     # probability join — lazy eval would re-explode the corpus per
     # consumer (round-5 multi-scan plan audit)
     tok = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        d.select("doc_id", F.explode(F.split(fold_lower("text"), " ")).alias("token"))
         .where(F.col("token") != "")
         .persist()
     )
@@ -452,7 +453,7 @@ ZIPF_TOP_N = 100
         WITH vocab AS (
             SELECT lang, token, COUNT(*) AS freq
             FROM (
-                SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+                SELECT lang, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
                 FROM documents
             )
             WHERE token <> ''
@@ -509,7 +510,7 @@ def text_zipf_fit(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     vocab = (
-        d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        d.select("lang", F.explode(F.split(fold_lower("text"), " ")).alias("token"))
         .where(F.col("token") != "")
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -551,7 +552,7 @@ PMI_TOP_K = 50
     "text_pmi_bigrams",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, lower(text) AS text FROM documents
+            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents
         ),
         unigrams AS (
             SELECT token, COUNT(*) AS c1
@@ -603,7 +604,7 @@ def text_pmi_bigrams(spark, sf_dir):
     tiebreak (policy §7.2).  Min-count 5 prunes the long tail
     before the join; at 100 TB that HAVING is what keeps the
     bigram table join-able (plus hash-bucketing the bigram key)."""
-    d = load_table(spark, sf_dir, "documents").select(F.lower("text").alias("text"))
+    d = load_table(spark, sf_dir, "documents").select(fold_lower("text").alias("text"))
     toks = d.select(F.split("text", " ").alias("parts"))
     unigrams = (
         toks.select(F.explode("parts").alias("token"))
@@ -616,8 +617,9 @@ def text_pmi_bigrams(spark, sf_dir):
     pairs = toks.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(parts) - 1), "
-                "i -> struct(parts[i - 1] AS w1, parts[i] AS w2))"
+                "zip_with(slice(parts, 1, greatest(size(parts) - 1, 0)), "
+                "slice(parts, 2, greatest(size(parts) - 1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
             )
         ).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
@@ -651,7 +653,7 @@ def text_pmi_bigrams(spark, sf_dir):
     "text_keyword_topk",
     oracle="""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
             FROM documents
         ),
         tf AS (
@@ -715,7 +717,7 @@ def text_keyword_topk(spark, sf_dir):
     oracle="""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+                   list_filter(string_split(replace(lower(text), chr(775), ''), ' '), x -> x <> '') AS t
             FROM documents
         ),
         vocab_n AS (
@@ -775,7 +777,7 @@ def text_bigram_surprisal(spark, sf_dir):
     # the corpus (4 scans; round-5 multi-scan plan audit)
     toks = d.select(
         "doc_id",
-        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("parts"),
+        F.filter(F.split(fold_lower("text"), " "), lambda x: x != "").alias("parts"),
     ).persist()
     uni = (
         toks.select(F.explode("parts").alias("tok"))
@@ -790,8 +792,9 @@ def text_bigram_surprisal(spark, sf_dir):
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(parts) - 1), "
-                "i -> struct(parts[i - 1] AS w1, parts[i] AS w2))"
+                "zip_with(slice(parts, 1, greatest(size(parts) - 1, 0)), "
+                "slice(parts, 2, greatest(size(parts) - 1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")).persist()
@@ -824,13 +827,13 @@ def text_bigram_surprisal(spark, sf_dir):
     oracle="""
         WITH base AS (
             SELECT doc_id,
-                   len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                   len(list_filter(string_split(replace(lower(text), chr(775), ''), ' '), x -> x <> ''))
                        AS n_words,
                    greatest(len(list_filter(
                        regexp_split_to_array(text, '[.!?]+'),
-                       s -> trim(s) <> '')), 1) AS n_sentences,
+                       s -> trim(s, ' ') <> '')), 1) AS n_sentences,
                    len(list_filter(
-                       regexp_split_to_array(lower(text), '[^aeiouy]+'),
+                       regexp_split_to_array(replace(lower(text), chr(775), ''), '[^aeiouy]+'),
                        s -> s <> '')) AS n_vowel_groups
             FROM documents
         )
@@ -855,7 +858,7 @@ def text_readability_flesch(spark, sf_dir):
     is a fixed double expression — bit-identical cross-engine.  Pure
     per-row expressions: scales as a map, no shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    n_words = F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
+    n_words = F.size(F.filter(F.split(fold_lower("text"), " "), lambda x: x != ""))
     n_sentences = F.greatest(
         F.size(
             F.filter(
@@ -865,7 +868,7 @@ def text_readability_flesch(spark, sf_dir):
         F.lit(1),
     )
     n_vowel_groups = F.size(
-        F.filter(F.split(F.lower("text"), r"[^aeiouy]+"), lambda s: s != "")
+        F.filter(F.split(fold_lower("text"), r"[^aeiouy]+"), lambda s: s != "")
     )
     base = d.select(
         "doc_id",
@@ -894,9 +897,9 @@ def text_readability_flesch(spark, sf_dir):
         SELECT doc_id,
                strlen(html) AS n_html_bytes,
                trim(regexp_replace(regexp_replace(html, '<[^>]*>', '', 'g'),
-                    ' +', ' ', 'g')) AS cleaned,
+                    ' +', ' ', 'g'), ' ') AS cleaned,
                (trim(regexp_replace(regexp_replace(html, '<[^>]*>', '', 'g'),
-                    ' +', ' ', 'g')) = text) AS roundtrip_ok
+                    ' +', ' ', 'g'), ' ') = text) AS roundtrip_ok
         FROM wrapped
     """,
     tags=("I-html-strip",),
@@ -942,7 +945,7 @@ def text_html_strip(spark, sf_dir):
     oracle="""
         WITH counts AS (
             SELECT token, COUNT(*) AS n
-            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+            FROM (SELECT unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
                   FROM documents) t
             WHERE token <> ''
             GROUP BY token
@@ -1003,7 +1006,7 @@ def vocab_coverage_curve(spark, sf_dir):
     oracle="""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+                   list_filter(string_split(replace(lower(text), chr(775), ''), ' '), x -> x <> '') AS t
             FROM documents
         ),
         tris AS (
@@ -1041,7 +1044,7 @@ def text_ngram_novelty(spark, sf_dir):
     all, so no DF ceiling is even needed — cost is linear in corpus
     shingle volume."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    t = F.filter(F.split(fold_lower("text"), " "), lambda x: x != "")
     tri = F.transform(
         F.sequence(F.lit(1), F.size(t) - 2),
         lambda i: F.concat_ws(
@@ -1073,7 +1076,7 @@ def text_ngram_novelty(spark, sf_dir):
         WITH words AS (
             SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
             FROM (
-                SELECT unnest(string_split(lower(text), ' ')) AS word
+                SELECT unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS word
                 FROM documents
             )
             WHERE word <> ''
@@ -1116,7 +1119,7 @@ def vocab_bpe_pair_counts(spark, sf_dir):
     sort."""
     d = load_table(spark, sf_dir, "documents")
     words = (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        d.select(F.explode(F.split(fold_lower("text"), " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
@@ -1158,17 +1161,17 @@ RAKE_MAX_LEN = 3
         WITH marked AS (
             SELECT doc_id,
                    array_to_string(
-                       list_transform(string_split(lower(text), ' '),
+                       list_transform(string_split(replace(lower(text), chr(775), ''), ' '),
                            t -> CASE WHEN t IN ({", ".join(f"'{s}'" for s in RAKE_STOPS)})
                                      THEN '|' ELSE t END),
                        ' ') AS m
             FROM documents
         ),
         phrases AS (
-            SELECT trim(p) AS phrase
+            SELECT trim(p, ' ') AS phrase
             FROM marked, unnest(string_split(m, '|')) AS t(p)
-            WHERE trim(p) <> ''
-              AND len(string_split(trim(p), ' ')) <= {RAKE_MAX_LEN}
+            WHERE trim(p, ' ') <> ''
+              AND len(string_split(trim(p, ' '), ' ')) <= {RAKE_MAX_LEN}
         ),
         occur AS (
             SELECT phrase, len(string_split(phrase, ' ')) AS plen
@@ -1229,7 +1232,7 @@ def text_rake_keyphrases(spark, sf_dir):
     marked = d.select(
         F.array_join(
             F.transform(
-                F.split(F.lower("text"), " "),
+                F.split(fold_lower("text"), " "),
                 lambda t: F.when(F.array_contains(stops, t), F.lit("|")).otherwise(t),
             ),
             " ",
@@ -1273,7 +1276,7 @@ def text_rake_keyphrases(spark, sf_dir):
     oracle="""
         WITH base AS (
             SELECT doc_id,
-                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+                   list_filter(string_split(replace(lower(text), chr(775), ''), ' '), t -> t <> '') AS toks
             FROM documents
         ),
         doc AS (
@@ -1320,7 +1323,7 @@ def text_gopher_quality_gate(spark, sf_dir):
     (doc, token) hash aggregate — both shuffle on doc_id only, the
     same single-key shape the rest of the text family scales on."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    toks = F.filter(F.split(fold_lower(F.col("text")), " "), lambda t: t != "")
     stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is")])
     doc = d.select(
         "doc_id",
@@ -1366,7 +1369,7 @@ def text_gopher_quality_gate(spark, sf_dir):
         WITH tc AS (
             SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
             FROM (
-                SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+                SELECT lang, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
                 FROM documents
             ) WHERE token <> ''
             GROUP BY lang, token
@@ -1416,7 +1419,7 @@ def text_lang_distribution_tv(spark, sf_dir):
     once each."""
     d = load_table(spark, sf_dir, "documents")
     tc = (
-        d.select("lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        d.select("lang", F.explode(F.split(fold_lower(F.col("text")), " ")).alias("token"))
         .where(F.col("token") != "")
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
@@ -1483,7 +1486,7 @@ def text_lang_distribution_tv(spark, sf_dir):
         WITH words AS (
             SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
             FROM (
-                SELECT unnest(string_split(lower(text), ' ')) AS word
+                SELECT unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS word
                 FROM documents
             )
             WHERE word <> ''
@@ -1545,7 +1548,7 @@ def vocab_bpe_one_merge(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     words = (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        d.select(F.explode(F.split(fold_lower("text"), " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
@@ -1648,7 +1651,7 @@ def _heaps_fit_sql() -> str:
             SELECT LEAST((doc_id - lo) * {HEAPS_B} // (hi - lo + 1), {HEAPS_B - 1}) AS b,
                    word
             FROM (
-                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS word
                 FROM documents
             ), bounds
             WHERE word <> ''
@@ -1698,7 +1701,7 @@ def text_heaps_law_fit(spark, sf_dir):
             )
             .cast("bigint")
             .alias("b"),
-            F.explode(F.split(F.lower("text"), " ")).alias("word"),
+            F.explode(F.split(fold_lower("text"), " ")).alias("word"),
         )
         .where(F.col("word") != "")
         .persist()  # token-per-bucket AND first-occurrence sides
@@ -1759,11 +1762,11 @@ def text_heaps_law_fit(spark, sf_dir):
         p AS (SELECT * FROM pairs WHERE ref IS NOT NULL),
         cl AS (
             SELECT pair_id, lang, 'c' AS side,
-                   string_split(lower(cand), ' ') AS l
+                   string_split(replace(lower(cand), chr(775), ''), ' ') AS l
             FROM p
             UNION ALL
             SELECT pair_id, lang, 'r' AS side,
-                   string_split(lower(ref), ' ') AS l
+                   string_split(replace(lower(ref), chr(775), ''), ' ') AS l
             FROM p
         ),
         toks AS (
@@ -1858,14 +1861,14 @@ def text_bleu_corpus_pairs(spark, sf_dir):
             "pair_id",
             "lang",
             F.lit("c").alias("side"),
-            F.posexplode(F.split(F.lower(F.col("cand")), " ")).alias("pos0", "tok"),
+            F.posexplode(F.split(fold_lower(F.col("cand")), " ")).alias("pos0", "tok"),
         )
         .unionAll(
             p.select(
                 "pair_id",
                 "lang",
                 F.lit("r").alias("side"),
-                F.posexplode(F.split(F.lower(F.col("ref")), " ")).alias("pos0", "tok"),
+                F.posexplode(F.split(fold_lower(F.col("ref")), " ")).alias("pos0", "tok"),
             )
         )
         .select("pair_id", "lang", "side", (F.col("pos0") + 1).alias("pos"), "tok")
@@ -1942,7 +1945,7 @@ def text_bleu_corpus_pairs(spark, sf_dir):
     "text_hapax_diversity",
     oracle="""
         WITH tok AS (
-            SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+            SELECT lang, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
             FROM documents
         ),
         counts AS (
@@ -1992,7 +1995,7 @@ def text_hapax_diversity(spark, sf_dir):
     which needs ranks)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        "lang", F.explode(F.split(fold_lower(F.col("text")), " ")).alias("token")
     ).where(F.col("token") != "")
     counts = tok.groupBy("lang", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
@@ -2027,7 +2030,7 @@ def text_hapax_diversity(spark, sf_dir):
         WITH tc AS (
             SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
             FROM (
-                SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+                SELECT lang, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
                 FROM documents
             ) WHERE token <> ''
             GROUP BY lang, token
@@ -2102,7 +2105,7 @@ def text_js_divergence_langs(spark, sf_dir):
     combined term sums to |pairs| rows."""
     d = load_table(spark, sf_dir, "documents")
     tc = (
-        d.select("lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        d.select("lang", F.explode(F.split(fold_lower(F.col("text")), " ")).alias("token"))
         .where(F.col("token") != "")
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
@@ -2174,7 +2177,7 @@ TR_DAMP = 0.85
     "text_textrank_keywords",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            SELECT doc_id, string_split(replace(lower(text), chr(775), ''), ' ') AS t FROM documents
         ),
         adj AS (
             SELECT t[i] AS w1, t[i + 1] AS w2
@@ -2263,7 +2266,7 @@ def text_textrank_keywords(spark, sf_dir):
     # oracle's t[i]/t[i+1] is per-row by construction.  The array form
     # is also the better 100 TB plan — adjacent-pair extraction needs
     # NO window and NO shuffle, just an expression before the explode.
-    t = F.split(F.lower(F.col("text")), " ")
+    t = F.split(fold_lower(F.col("text")), " ")
     npairs = F.greatest(F.size(t) - 1, F.lit(0))
     pairs = F.zip_with(
         F.slice(t, 1, npairs),

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_builder_spark.folding import fold_lower, fold_upper
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -65,7 +66,7 @@ def pipeline_training_data(spark, sf_dir):
             & F.col("lang").isin("en", "de", "fr")
             & (n_tokens >= 5)
         )
-        .withColumn("norm_text", F.lower(F.trim(F.regexp_replace("text", " +", " "))))
+        .withColumn("norm_text", fold_lower(F.trim(F.regexp_replace("text", " +", " "))))
         .withColumn("n_tokens", n_tokens)
     )
     from pyspark.sql import Window
@@ -113,7 +114,7 @@ def _cascade_oracle() -> str:
         everything AS (
             SELECT doc_id, text FROM base
             UNION ALL
-            SELECT doc_id + {CASCADE_EXACT_OFF}, '  ' || upper(text) || ' '
+            SELECT doc_id + {CASCADE_EXACT_OFF}, '  ' || upper(replace(text, chr(223), 'ss')) || ' '
             FROM base WHERE doc_id < 50
             UNION ALL
             SELECT doc_id + {CASCADE_NEAR_OFF},
@@ -279,7 +280,7 @@ def pipeline_dedup_cascade(spark, sf_dir):
     toks = F.split("text", " ")
     plants_exact = d.where(F.col("doc_id") < 50).select(
         (F.col("doc_id") + CASCADE_EXACT_OFF).alias("doc_id"),
-        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+        F.concat(F.lit("  "), fold_upper(F.col("text")), F.lit(" ")).alias("text"),
     )
     plants_near = d.where(F.col("doc_id").between(50, 99)).select(
         (F.col("doc_id") + CASCADE_NEAR_OFF).alias("doc_id"),
@@ -295,7 +296,7 @@ def pipeline_dedup_cascade(spark, sf_dir):
 
     # stage 1: exact on normalized text, keep min doc_id
     normed = everything.select(
-        "doc_id", F.lower(F.trim(F.regexp_replace("text", " +", " "))).alias("text")
+        "doc_id", fold_lower(F.trim(F.regexp_replace("text", " +", " "))).alias("text")
     )
     w = Window.partitionBy("text").orderBy("doc_id")
     # Stage boundaries persist: each surv frame is referenced by the next
@@ -398,8 +399,8 @@ def pipeline_dedup_cascade(spark, sf_dir):
     oracle="""
         WITH base AS (
             SELECT doc_id, lang,
-                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks,
-                   lower(text) AS norm
+                   list_filter(string_split(replace(lower(text), chr(775), ''), ' '), t -> t <> '') AS toks,
+                   replace(lower(text), chr(775), '') AS norm
             FROM documents
         ),
         gated AS (
@@ -460,12 +461,12 @@ def pipeline_curation_accounting(spark, sf_dir):
     size); the ledger is a per-lang rollup of three frames sharing one
     tokenization."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    toks = F.filter(F.split(fold_lower(F.col("text")), " "), lambda t: t != "")
     stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is")])
     base = d.select(
         "doc_id",
         "lang",
-        F.lower("text").alias("norm"),
+        fold_lower("text").alias("norm"),
         F.size(toks).cast("bigint").alias("n_words"),
         F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
         .alias("sum_len"),
@@ -473,8 +474,11 @@ def pipeline_curation_accounting(spark, sf_dir):
         .cast("bigint")
         .alias("n_stop"),
     )
-    mean_wl = F.col("sum_len") / F.col("n_words").cast("double")
-    stop_frac = F.col("n_stop") / F.col("n_words").cast("double")
+    # try_divide: a 0-token doc fails the n_words gate anyway, but the
+    # generated predicate may evaluate the ratio subexpressions first
+    # (extremetext shape) - NULL ratios fail the gate identically
+    mean_wl = F.try_divide(F.col("sum_len"), F.col("n_words").cast("double"))
+    stop_frac = F.try_divide(F.col("n_stop"), F.col("n_words").cast("double"))
     gated = base.where(
         F.col("n_words").between(10, 500)
         & (mean_wl >= 2)
@@ -523,7 +527,7 @@ RAG_BUDGET = 128
         WITH toks AS (
             SELECT doc_id, t AS token
             FROM documents, unnest(list_distinct(
-                string_split(lower(text), ' '))) AS u(t)
+                string_split(replace(lower(text), chr(775), ''), ' '))) AS u(t)
             WHERE t <> ''
         ),
         sizes AS (
@@ -532,7 +536,7 @@ RAG_BUDGET = 128
         ),
         lens AS (
             SELECT doc_id,
-                   CAST(len(list_filter(string_split(lower(text), ' '),
+                   CAST(len(list_filter(string_split(replace(lower(text), chr(775), ''), ' '),
                                         x -> x <> '')) AS BIGINT) AS n_tokens
             FROM documents
         ),
@@ -612,7 +616,7 @@ def pipeline_rag_context_budget(spark, sf_dir):
     toks = (
         d.select(
             "doc_id",
-            F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias(
+            F.explode(F.array_distinct(F.split(fold_lower(F.col("text")), " "))).alias(
                 "token"
             ),
         )
@@ -625,7 +629,7 @@ def pipeline_rag_context_budget(spark, sf_dir):
     lens = d.select(
         "doc_id",
         F.size(
-            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+            F.filter(F.split(fold_lower(F.col("text")), " "), lambda x: x != "")
         )
         .cast("bigint")
         .alias("n_tokens"),

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_builder_spark.folding import fold_lower
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -69,7 +70,7 @@ _URL_SQL = """
         split AS (
             SELECT doc_id,
                    regexp_replace(
-                       lower(regexp_extract(nofrag, '^[a-zA-Z]+://([^/?]+)', 1)),
+                       replace(lower(regexp_extract(nofrag, '^[a-zA-Z]+://([^/?]+)', 1)), chr(775), ''),
                        '^www\\.', '') AS host,
                    regexp_replace(
                        regexp_extract(nofrag, '^[a-zA-Z]+://[^/?]*(/[^?]*)?', 1),
@@ -111,7 +112,7 @@ def dedup_url_canonical(spark, sf_dir):
     url = F.expr(_URL_SQL)
     nofrag = F.regexp_replace(url, r"#.*$", "")
     host = F.regexp_replace(
-        F.lower(F.regexp_extract(nofrag, r"^[a-zA-Z]+://([^/?]+)", 1)), r"^www\.", ""
+        fold_lower(F.regexp_extract(nofrag, r"^[a-zA-Z]+://([^/?]+)", 1)), r"^www\.", ""
     )
     path = F.regexp_replace(
         F.regexp_extract(nofrag, r"^[a-zA-Z]+://[^/?]*(/[^?]*)?", 1), r"/$", ""

@@ -18,10 +18,34 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_builder_spark.folding import fold_lower
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
 ER_OFFSET = 100_000
+
+
+def _lev_pinned(a, b):
+    """Cross-engine edit distance: Spark's levenshtein counts CODEPOINTS
+    while DuckDB's counts BYTES (probed: levenshtein('café','cafe') = 1
+    vs 2), so the distance tier is pinned to all-ASCII operand pairs --
+    where the two definitions coincide -- and returns NULL otherwise
+    (a NULL distance fails every <= 2 gate and scores as 'far' on both
+    engines).  Real corpora names are pure ASCII, so this is the
+    identity there; production non-ASCII names get transliterated
+    upstream of the matcher.  SQL twin: _LEV_SQL."""
+    ascii_ok = (F.octet_length(a) == F.length(a)) & (
+        F.octet_length(b) == F.length(b)
+    )
+    return F.when(ascii_ok, F.levenshtein(a, b))
+
+
+#: DuckDB twin of _lev_pinned over the standard pair aliases
+def _lev_sql(x: str, y: str) -> str:
+    return (
+        f"CASE WHEN strlen({x}) = length({x}) AND strlen({y}) = length({y}) "
+        f"THEN levenshtein({x}, {y}) END"
+    )
 
 
 @register(
@@ -42,13 +66,13 @@ ER_OFFSET = 100_000
         )
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                a.c_name AS name_a, b.c_name AS name_b,
-               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+               CAST(CASE WHEN strlen(a.c_name) = length(a.c_name) AND strlen(b.c_name) = length(b.c_name) THEN levenshtein(a.c_name, b.c_name) END AS BIGINT) AS edit_dist
         FROM blocked a
         JOIN blocked b
           ON a.c_nationkey = b.c_nationkey
          AND a.block_key = b.block_key
          AND a.c_custkey < b.c_custkey
-        WHERE levenshtein(a.c_name, b.c_name) <= 2
+        WHERE CASE WHEN strlen(a.c_name) = length(a.c_name) AND strlen(b.c_name) = length(b.c_name) THEN levenshtein(a.c_name, b.c_name) END <= 2
     """,
     tags=("ER-fuzzy",),
 )
@@ -73,7 +97,7 @@ def er_blocked_fuzzy_match(spark, sf_dir):
         "block_key", F.substring("c_name", 10, 7)
     )
     a, b = blocked.alias("a"), blocked.alias("b")
-    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    lev = _lev_pinned(F.col("a.c_name"), F.col("b.c_name"))
     return (
         a.join(
             b,
@@ -107,7 +131,7 @@ from etl_builder_spark.llm.dedup import PLANT_OFFSET as _PLANT_OFFSET
             FROM documents
         ),
         grouped AS (
-            SELECT lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm_text,
+            SELECT replace(lower(trim(regexp_replace(text, ' +', ' ', 'g'), ' ')), chr(775), '') AS norm_text,
                    doc_id, text, lang, source, n_chars
             FROM everything
         )
@@ -141,7 +165,7 @@ def er_survivorship_merge(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     everything = _with_planted_dups(d)
     grouped = everything.select(
-        F.lower(F.trim(F.regexp_replace(F.col("text"), " +", " "))).alias("norm_text"),
+        fold_lower(F.trim(F.regexp_replace(F.col("text"), " +", " "))).alias("norm_text"),
         "doc_id",
         "text",
         "lang",
@@ -200,7 +224,7 @@ FS_POSSIBLE_T = 3.0
         ),
         pairs AS (
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS ed,
+                   CAST(CASE WHEN strlen(a.c_name) = length(a.c_name) AND strlen(b.c_name) = length(b.c_name) THEN levenshtein(a.c_name, b.c_name) END AS BIGINT) AS ed,
                    (a.c_nationkey = b.c_nationkey) AS nation_agree,
                    -- total flag (r12): unknown band = not agreeing
                    COALESCE(a.bal_band = b.bal_band, FALSE) AS bal_agree
@@ -288,7 +312,7 @@ def er_weighted_linkage(spark, sf_dir):
     ).select(
         F.col("a.c_custkey").alias("id_a"),
         F.col("b.c_custkey").alias("id_b"),
-        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).cast("bigint").alias("ed"),
+        _lev_pinned(F.col("a.c_name"), F.col("b.c_name")).cast("bigint").alias("ed"),
         (F.col("a.c_nationkey") == F.col("b.c_nationkey")).alias("nation_agree"),
         # total flag (r12 nullmeasures): an unknown balance band is not
         # agreement evidence — coalesce FALSE, never a NULL boolean
@@ -345,7 +369,7 @@ def er_weighted_linkage(spark, sf_dir):
         truth AS (
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
             FROM everything a JOIN everything b ON a.c_custkey < b.c_custkey
-            WHERE levenshtein(a.c_name, b.c_name) <= 2
+            WHERE CASE WHEN strlen(a.c_name) = length(a.c_name) AND strlen(b.c_name) = length(b.c_name) THEN levenshtein(a.c_name, b.c_name) END <= 2
         ),
         blocked AS (
             SELECT c_custkey, c_name, c_nationkey,
@@ -354,7 +378,7 @@ def er_weighted_linkage(spark, sf_dir):
         ),
         cand AS (
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-                   (levenshtein(a.c_name, b.c_name) <= 2) AS is_match
+                   (CASE WHEN strlen(a.c_name) = length(a.c_name) AND strlen(b.c_name) = length(b.c_name) THEN levenshtein(a.c_name, b.c_name) END <= 2) AS is_match
             FROM blocked a
             JOIN blocked b ON a.c_nationkey = b.c_nationkey
                           AND a.block_key = b.block_key
@@ -398,7 +422,7 @@ def er_blocking_quality_report(spark, sf_dir):
     a, b = everything.alias("a"), everything.alias("b")
     truth = (
         a.join(F.broadcast(b), F.col("a.c_custkey") < F.col("b.c_custkey"))
-        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2)
+        .where(_lev_pinned(F.col("a.c_name"), F.col("b.c_name")) <= 2)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
     )
     blocked = everything.withColumn("block_key", F.substring("c_name", 10, 7))
@@ -412,7 +436,7 @@ def er_blocking_quality_report(spark, sf_dir):
         )
         .select(
             (
-                F.levenshtein(F.col("ba.c_name"), F.col("bb.c_name")) <= 2
+                _lev_pinned(F.col("ba.c_name"), F.col("bb.c_name")) <= 2
             ).alias("is_match")
         )
         .agg(
@@ -454,15 +478,15 @@ def er_blocking_quality_report(spark, sf_dir):
             SELECT *, substr(c_name, 10, 8) AS block_key FROM everything
         ),
         pairs AS (
-            SELECT CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+            SELECT CASE WHEN CASE WHEN strlen(a.c_name) = length(a.c_name) AND strlen(b.c_name) = length(b.c_name) THEN levenshtein(a.c_name, b.c_name) END <= 2
                         THEN 1 ELSE 0 END AS name_agree,
                    CASE WHEN a.c_nationkey = b.c_nationkey
                         THEN 1 ELSE 0 END AS nation_agree,
                    CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END
                        AS bal_agree,
-                   (CASE WHEN levenshtein(a.c_name, b.c_name) = 0
+                   (CASE WHEN CASE WHEN strlen(a.c_name) = length(a.c_name) AND strlen(b.c_name) = length(b.c_name) THEN levenshtein(a.c_name, b.c_name) END = 0
                          THEN {FS_W_NAME_EXACT!r}
-                         WHEN levenshtein(a.c_name, b.c_name) <= 2
+                         WHEN CASE WHEN strlen(a.c_name) = length(a.c_name) AND strlen(b.c_name) = length(b.c_name) THEN levenshtein(a.c_name, b.c_name) END <= 2
                          THEN {FS_W_NAME_CLOSE!r}
                          ELSE {FS_W_NAME_FAR!r} END
                     + CASE WHEN a.c_nationkey = b.c_nationkey
@@ -550,7 +574,7 @@ def er_fellegi_sunter_em(spark, sf_dir):
         "block_key", F.substring("c_name", 10, 8)
     )
     a, b = blocked.alias("a"), blocked.alias("b")
-    ed = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    ed = _lev_pinned(F.col("a.c_name"), F.col("b.c_name"))
     name_agree = F.when(ed <= 2, 1).otherwise(0)
     nation_agree = F.when(F.col("a.c_nationkey") == F.col("b.c_nationkey"), 1).otherwise(0)
     bal_agree = F.when(F.col("a.bal_band") == F.col("b.bal_band"), 1).otherwise(0)
@@ -625,7 +649,7 @@ SN_WINDOW = 5
         ),
         keyed AS (
             SELECT c_custkey, c_name,
-                   CAST(substr(c_name, 10, 8) AS BIGINT) AS sk
+                   COALESCE(TRY_CAST(substr(c_name, 10, 8) AS BIGINT), -1) AS sk
             FROM everything
         ),
         ranked AS (
@@ -635,7 +659,7 @@ SN_WINDOW = 5
         ),
         pairs AS (
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-                   levenshtein(a.c_name, b.c_name) AS ed
+                   CASE WHEN strlen(a.c_name) = length(a.c_name) AND strlen(b.c_name) = length(b.c_name) THEN levenshtein(a.c_name, b.c_name) END AS ed
             FROM ranked a JOIN ranked b
               ON b.rnk > a.rnk AND b.rnk <= a.rnk + {SN_WINDOW}
         ),
@@ -694,7 +718,11 @@ def er_sorted_neighborhood(spark, sf_dir):
     keyed = base.unionByName(dirty).select(
         "c_custkey",
         "c_name",
-        F.substring("c_name", 10, 8).cast("bigint").alias("sk"),
+        # non-numeric prefixes (extremetext names) sort as sentinel -1:
+        # keeps the total order defined with zero NULL-ordering exposure
+        F.coalesce(
+            F.substring("c_name", 10, 8).try_cast("bigint"), F.lit(-1)
+        ).alias("sk"),
     )
     from etl_builder_spark.operators.stats import banded_running
 
@@ -729,7 +757,7 @@ def er_sorted_neighborhood(spark, sf_dir):
         ).select(
             "id_a",
             "id_b",
-            F.levenshtein(F.col("name_a"), F.col("name_b")).alias("ed"),
+            _lev_pinned(F.col("name_a"), F.col("name_b")).alias("ed"),
         )
         pairs = j if pairs is None else pairs.unionAll(j)
     m = pairs.agg(

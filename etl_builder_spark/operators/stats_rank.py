@@ -255,8 +255,8 @@ def _anova_oracle() -> str:
     conds = [
         (
             f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS n{i}",
-            f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' "
-            f"THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS s{i}",
+            f"CAST(CAST(SUM(CASE WHEN o_orderpriority = '{p}' "
+            f"THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS VARCHAR) AS DOUBLE) AS s{i}",
         )
         for i, p in enumerate(_PRIORITIES)
     ]
@@ -266,8 +266,8 @@ def _anova_oracle() -> str:
     return f"""
         WITH g AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS nt,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
-                            * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                            * CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
                    {cols}
             FROM orders
         )
@@ -295,13 +295,18 @@ def stats_anova_oneway(spark, sf_dir):
     x = F.col("o_totalprice").cast("decimal(18,2)")
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("nt"),
-        F.sum(x * x).cast("double").alias("sxx"),
+        # decimal->double via the decimal STRING: both engines' native
+        # decimal->double conversions drift by ulps at some magnitudes
+        # (extremetext 40-row corpus: DuckDB 3 ulp low), while decimal
+        # toString + strtod is correctly rounded everywhere
+        F.sum(x * x).cast("string").cast("double").alias("sxx"),
     ]
     for i, p in enumerate(_PRIORITIES):
         hit = F.col("o_orderpriority") == p
         aggs.append(F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(f"n{i}"))
         aggs.append(
             F.sum(F.when(hit, x).otherwise(F.lit(0).cast("decimal(18,2)")))
+            .cast("string")
             .cast("double")
             .alias(f"s{i}")
         )

@@ -483,7 +483,7 @@ def dq_quarantine_split(spark, sf_dir):
     parsed = e.select(
         "event_id",
         "event_type",
-        F.get_json_object(props2, "$.k").cast("int").alias("k_value"),
+        F.get_json_object(props2, "$.k").try_cast("int").alias("k_value"),
         value_str.alias("value_str"),
     ).select(
         "event_id",

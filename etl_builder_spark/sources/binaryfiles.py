@@ -41,8 +41,14 @@ def _staged_blob_dir(spark, sf_dir):
         t = _pq.read_table(src, columns=["doc_id", "text"])
         t = t.filter(_pc.less(t["doc_id"], BLOB_DOC_MAX))
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            payload = text.encode("utf-8")
+            if not payload:
+                # Spark's binaryFile scan plans no row for a 0-byte
+                # file (extremetext sweep: 38 of 40 rows) - an empty
+                # payload has no blob to ingest, on either engine
+                continue
             with open(_os.path.join(stage, f"doc_{doc_id:06d}.bin"), "wb") as f:
-                f.write(text.encode("utf-8"))
+                f.write(payload)
 
     return staged("etl_builder_spark_blobs", sf_dir, src, _build)
 
@@ -58,7 +64,7 @@ def _staged_blob_dir(spark, sf_dir):
                md5(text) AS content_md5
         FROM (
             SELECT DISTINCT doc_id, text FROM documents
-            WHERE doc_id < {BLOB_DOC_MAX}
+            WHERE doc_id < {BLOB_DOC_MAX} AND octet_length(encode(text)) > 0
         )
         ORDER BY doc_id
     """,

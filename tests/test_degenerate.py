@@ -13,6 +13,9 @@ of waiting for the next full sweep:
 - duplicate-primary-key corpora (dedup/multimodal/blob families)
 - dynamic-schema discovery keys (``pivot_dynamic_discovered``)
 - empty partitioned layouts and zero-match globs
+- (sixth shape, extremetext) engine case-mapping divergence pins
+  (fold_lower/fold_upper), ASCII-trim pins, JSON-validity guards,
+  byte-vs-codepoint levenshtein pins, zero-vector/empty-array guards
 """
 
 from __future__ import annotations
@@ -59,9 +62,24 @@ CLASS_REPS = [
     "udaf_grouped_agg",          # UDF seams mirror SQL NULL semantics
     "stream_merge_upsert_live",  # merge key skips unknown values
     "scan_csv_corrupt_permissive",  # NULL serializes as empty field
+    # --- extremetext classes (sixth shape, round-12 continuation) ---
+    "text_tokenize_counts",      # fold_lower İ pin in the tokenizer
+    "dedup_exact_normalized",    # ASCII-trim pin + fold_upper fixture
+    "fn_string",                 # fold_upper ß pin
+    "fn_json",                   # json_valid guard + TRY_CAST extraction
+    "fn_json_variant",           # try_parse_json malformed tolerance
+    "text_pmi_bigrams",          # zip_with bigrams (sequence(1,0) descends)
+    "text_token_bpeish",         # try_element_at on empty match lists
+    "er_blocked_fuzzy_match",    # byte-vs-codepoint levenshtein pin
+    "er_sorted_neighborhood",    # TRY_CAST sentinel sort key
+    "udtf_tokenize_pos",         # Python-vs-SQL empty-token semantics
+    "dedup_minhash_lsh",         # zero-vector guard for MinHashLSH
+    "stats_anova_oneway",        # decimal→double via string round-trip
 ]
 
-SHAPES = ("empty", "single", "allequal", "onegroup", "nullmeasures")
+SHAPES = (
+    "empty", "single", "allequal", "onegroup", "nullmeasures", "extremetext"
+)
 
 
 @pytest.fixture(scope="module")
