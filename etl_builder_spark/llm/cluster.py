@@ -199,14 +199,42 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame
     oracle=f"""
         -- DISTINCT ids (round-12 degenerate sweep): components are
         -- per-VERTEX — duplicate doc_ids are one graph node, exactly
-        -- as the Spark fixpoint's vertex set treats them
+        -- as the Spark fixpoint's vertex set treats them.
+        -- Closed form (round-12 x10 sweep): the old `doc_id % PLANT`
+        -- label assumed every doc_id < PLANT; corpora with larger ids
+        -- (the ×10 stride synthesis) collide residues WITHOUT being
+        -- connected.  General form: two base ids' chains overlap iff
+        -- they share a residue mod PLANT and differ by <= 2*PLANT, so
+        -- base components are gaps-and-islands runs per residue class
+        -- and every chain node inherits its island minimum.
         WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+        brk AS (
+            SELECT doc_id, doc_id % {PLANT} AS r,
+                   CASE WHEN doc_id
+                             - LAG(doc_id) OVER (
+                                   PARTITION BY doc_id % {PLANT}
+                                   ORDER BY doc_id)
+                             <= {2 * PLANT}
+                        THEN 0 ELSE 1 END AS new_island
+            FROM ids
+        ),
+        isl AS (
+            SELECT doc_id, r,
+                   SUM(new_island) OVER (
+                       PARTITION BY r ORDER BY doc_id) AS island
+            FROM brk
+        ),
+        comp AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY r, island) AS component
+            FROM isl
+        ),
         nodes AS (
-            SELECT doc_id FROM ids
-            UNION ALL SELECT doc_id + {PLANT} FROM ids
-            UNION ALL SELECT doc_id + {2 * PLANT} FROM ids
+            SELECT doc_id AS node, component FROM comp
+            UNION ALL SELECT doc_id + {PLANT}, component FROM comp
+            UNION ALL SELECT doc_id + {2 * PLANT}, component FROM comp
         )
-        SELECT doc_id AS node, doc_id % {PLANT} AS component FROM nodes
+        SELECT node, MIN(component) AS component FROM nodes GROUP BY node
     """,
     tags=("I-cluster",),
 )

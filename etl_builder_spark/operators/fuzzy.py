@@ -527,7 +527,7 @@ def er_blocking_quality_report(spark, sf_dir):
                ROUND((am + 0.5) / (n_match + 1.0), 6) AS m_hat,
                ROUND((au + 0.5) / (n_non + 1.0), 6) AS u_hat,
                ROUND(ln(((am + 0.5) / (n_match + 1.0))
-                        / ((au + 0.5) / (n_non + 1.0))) / ln(2.0), 6)
+                        / ((au + 0.5) / (n_non + 1.0))) / ln(2.0), 6) + 0.0
                    AS weight_agree_bits
         FROM feat
         ORDER BY feature
@@ -630,7 +630,11 @@ def er_fellegi_sunter_em(spark, sf_dir):
         "n_agree_non",
         F.round(mh, 6).alias("m_hat"),
         F.round(uh, 6).alias("u_hat"),
-        F.round(F.log(mh / uh) / F.log(F.lit(2.0)), 6).alias("weight_agree_bits"),
+        # + 0.0 canonicalizes the zero sign (x10 sweep: a tiny negative
+        # log ratio rounds to -0.0 on one engine and 0.0 on the other)
+        (F.round(F.log(mh / uh) / F.log(F.lit(2.0)), 6) + F.lit(0.0)).alias(
+            "weight_agree_bits"
+        ),
     ).orderBy("feature")
 
 
@@ -730,7 +734,17 @@ def er_sorted_neighborhood(spark, sf_dir):
     # tiebreak by ranking on sk with a composite tiebreak column
     ranked = banded_running(
         keyed.withColumn(
-            "tb", F.concat(F.col("c_name"), F.lit("#"), F.col("c_custkey").cast("string"))
+            # lpad (round-12 x10 sweep): duplicate names (the stride
+            # synthesis reuses names across copies) engage the custkey
+            # tiebreak, and a RAW string custkey orders '1000001' < '2' —
+            # diverging from the oracle's numeric ORDER BY.  Zero-padding
+            # makes string order = numeric order at any key magnitude.
+            "tb",
+            F.concat(
+                F.col("c_name"),
+                F.lit("#"),
+                F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+            ),
         ),
         value_col="sk",
         tiebreak_col="tb",
