@@ -1167,28 +1167,34 @@ def graph_hits_hubs_authorities(spark, sf_dir):
 @register(
     "graph_modularity_score",
     oracle=f"""
+        -- MATERIALIZED (round-12 x10 sweep): each label round is
+        -- referenced twice (l and nb), so an INLINING planner would
+        -- recompute l2 twice, l1 four times, l0 eight times — at ×10
+        -- that spilled >70 GB to disk.  Materializing each round makes
+        -- the oracle linear in rounds, mirroring the Spark side's
+        -- per-round persist.
         WITH {_EDGES_SQL},
-        sym AS (
+        sym AS MATERIALIZED (
             SELECT u, v FROM edges
             UNION ALL
             SELECT v AS u, u AS v FROM edges
         ),
-        l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
-        l1 AS (
+        l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM sym),
+        l1 AS MATERIALIZED (
             SELECT l.node, LEAST(l.lab, COALESCE(MIN(nb.lab), l.lab)) AS lab
             FROM l0 l
             LEFT JOIN sym s ON s.u = l.node
             LEFT JOIN l0 nb ON nb.node = s.v
             GROUP BY l.node, l.lab
         ),
-        l2 AS (
+        l2 AS MATERIALIZED (
             SELECT l.node, LEAST(l.lab, COALESCE(MIN(nb.lab), l.lab)) AS lab
             FROM l1 l
             LEFT JOIN sym s ON s.u = l.node
             LEFT JOIN l1 nb ON nb.node = s.v
             GROUP BY l.node, l.lab
         ),
-        l3 AS (
+        l3 AS MATERIALIZED (
             SELECT l.node, LEAST(l.lab, COALESCE(MIN(nb.lab), l.lab)) AS lab
             FROM l2 l
             LEFT JOIN sym s ON s.u = l.node

@@ -89,3 +89,21 @@ def staged(family: str, sf_dir: str, src: str, build: Callable[[str], None]) -> 
             if scratch is not None:
                 shutil.rmtree(scratch, ignore_errors=True)
     return stage
+
+
+def copy_parquet(src: str, dst: str) -> None:
+    """Copy a parquet TABLE to a single file, whether ``src`` is a
+    single-file corpus (the shipped sf dirs) or a Spark-written
+    DIRECTORY of part files (the ×N scale syntheses).  The file-stream
+    stagers replay byte-identical single files, so a directory source
+    is consolidated through pyarrow (round-12 x10 sweep:
+    ``shutil.copy`` raised IsADirectoryError on every stream_*_live
+    key over the synthesized corpus)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(src):
+        shutil.copy(src, dst)
+    else:
+        pq.write_table(pq.read_table(src), dst)

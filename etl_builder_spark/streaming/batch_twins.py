@@ -164,15 +164,14 @@ def _staged_events_duplicated(sf_dir):
     Idempotent via the shared digest-keyed, clear-first staging
     contract (sources/staging.py)."""
     import os as _os
-    import shutil as _shutil
 
-    from etl_builder_spark.sources.staging import staged
+    from etl_builder_spark.sources.staging import copy_parquet, staged
 
     src = _os.path.join(sf_dir, "events.parquet")
 
     def _build(stage):
-        _shutil.copy(src, _os.path.join(stage, "a.parquet"))
-        _shutil.copy(src, _os.path.join(stage, "b.parquet"))
+        copy_parquet(src, _os.path.join(stage, "a.parquet"))
+        copy_parquet(src, _os.path.join(stage, "b.parquet"))
         _os.utime(_os.path.join(stage, "a.parquet"), (1_700_000_000, 1_700_000_000))
         _os.utime(_os.path.join(stage, "b.parquet"), (1_700_000_001, 1_700_000_001))
 
@@ -284,14 +283,13 @@ def _staged_events_dir(sf_dir):
     shared digest-keyed, clear-first staging contract
     (sources/staging.py)."""
     import os as _os
-    import shutil as _shutil
 
-    from etl_builder_spark.sources.staging import staged
+    from etl_builder_spark.sources.staging import copy_parquet, staged
 
     src = _os.path.join(sf_dir, "events.parquet")
 
     def _build(stage):
-        _shutil.copy(src, _os.path.join(stage, "events.parquet"))
+        copy_parquet(src, _os.path.join(stage, "events.parquet"))
 
     return staged("etl_builder_spark_stream", sf_dir, src, _build)
 
