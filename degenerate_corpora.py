@@ -197,6 +197,25 @@ def _extreme_text(t: pa.Table, cols: list[str], n: int) -> pa.Table:
     return pa.table(out, schema=head.schema)
 
 
+def _nan_measures(t: pa.Table, cols: list[str], n: int) -> pa.Table:
+    """NaN (not NULL) in every DOUBLE measure on odd rows — the float
+    column a real telemetry feed delivers.  Integer measures (p_size)
+    stay intact: NaN has no integer representation, and the shape
+    isolates IEEE-NaN semantics (NaN-skipping vs NaN-poisoning
+    aggregates, NaN ordering, NaN grouping) from the NULL question
+    nullmeasures already covers."""
+    head = t.slice(0, n).combine_chunks()
+    odd = pa.array([bool(i % 2) for i in range(len(head))])
+    out = []
+    for field in head.schema:
+        col = head[field.name].combine_chunks()
+        if field.name in cols and pa.types.is_floating(field.type):
+            nanv = pa.array([float("nan")] * len(head), type=field.type)
+            col = pa.compute.if_else(odd, nanv, col)
+        out.append(col)
+    return pa.table(out, schema=head.schema)
+
+
 def _null_measures(t: pa.Table, cols: list[str], n: int) -> pa.Table:
     head = t.slice(0, n).combine_chunks()
     odd = pa.array([bool(i % 2) for i in range(len(head))])
@@ -229,7 +248,8 @@ def _onegroup(t: pa.Table, keys: list[str], n: int) -> pa.Table:
 def build(src: str, out_root: str) -> list[str]:
     made = []
     for shape in (
-        "empty", "single", "allequal", "onegroup", "nullmeasures", "extremetext"
+        "empty", "single", "allequal", "onegroup", "nullmeasures",
+        "extremetext", "nanmeasures",
     ):
         out_dir = os.path.join(out_root, shape)
         os.makedirs(out_dir, exist_ok=True)
@@ -245,6 +265,8 @@ def build(src: str, out_root: str) -> list[str]:
                 d = _onegroup(t, KEY_COLS[name], N_ROWS)
             elif shape == "nullmeasures":
                 d = _null_measures(t, MEASURE_COLS[name], N_ROWS)
+            elif shape == "nanmeasures":
+                d = _nan_measures(t, MEASURE_COLS[name], N_ROWS)
             else:
                 d = _extreme_text(t, TEXT_COLS[name], N_ROWS)
             pq.write_table(d, os.path.join(out_dir, f"{name}.parquet"))

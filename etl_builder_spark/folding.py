@@ -60,3 +60,22 @@ def fold_upper(col) -> Column:
 def fold_upper_sql(expr: str) -> str:
     """DuckDB twin of :func:`fold_upper`."""
     return f"upper(replace({expr}, chr(223), 'ss'))"
+
+
+def nan_to_null(col) -> Column:
+    """IEEE-NaN measurement → NULL (round-12 nanmeasures shape).
+
+    A NaN in a float measure is an UNDEFINED measurement; engines
+    disagree on where NaN sorts/aggregates (Spark's percentile ranks
+    it largest, DuckDB's quantile_cont skips it, comparisons diverge),
+    so order statistics pin NaN to the one unknown-value semantics
+    both engines share: NULL, which every aggregate skips identically.
+    NULL stays NULL; non-NaN values pass through — the identity on
+    NaN-free corpora.  SQL twin: :func:`nan_to_null_sql`."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.when(~F.isnan(c), c)
+
+
+def nan_to_null_sql(expr: str) -> str:
+    """DuckDB twin of :func:`nan_to_null`."""
+    return f"(CASE WHEN isnan({expr}) THEN NULL ELSE {expr} END)"

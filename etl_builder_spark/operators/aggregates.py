@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_builder_spark.policy import money, money_avg, money_sum
+from etl_builder_spark.folding import nan_to_null
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -321,8 +322,10 @@ def agg_stats(spark, sf_dir):
     "agg_percentile",
     oracle="""
         SELECT o_orderpriority,
-               ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
-               ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+               ROUND(quantile_cont(CASE WHEN isnan(o_totalprice) THEN NULL
+                                        ELSE o_totalprice END, 0.5), 6) AS p50,
+               ROUND(quantile_cont(CASE WHEN isnan(o_totalprice) THEN NULL
+                                        ELSE o_totalprice END, 0.9), 6) AS p90
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -333,9 +336,12 @@ def agg_percentile(spark, sf_dir):
     quantile_cont both use linear interpolation on the sorted values;
     parity verified by selfcheck (demote to rows-only if it drifts)."""
     o = load_table(spark, sf_dir, "orders")
+    x = nan_to_null("o_totalprice")  # NaN ranks largest in Spark's
+    # percentile but is SKIPPED by DuckDB's quantile_cont - NULL is the
+    # one unknown-value semantics both engines share (nanmeasures shape)
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(x, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(x, F.lit(0.9)), 6).alias("p90"),
     )
 
 
@@ -428,15 +434,21 @@ def agg_mode_deterministic(spark, sf_dir):
 @register(
     "agg_robust_mad",
     oracle="""
-        WITH med AS (
-            SELECT o_orderpriority AS p, quantile_cont(o_totalprice, 0.5) AS m
-            FROM orders GROUP BY 1
+        WITH o2 AS (
+            SELECT o_orderpriority,
+                   CASE WHEN isnan(o_totalprice) THEN NULL
+                        ELSE o_totalprice END AS price
+            FROM orders
+        ),
+        med AS (
+            SELECT o_orderpriority AS p, quantile_cont(price, 0.5) AS m
+            FROM o2 GROUP BY 1
         )
         SELECT o.o_orderpriority,
                ROUND(ANY_VALUE(m.m), 6) AS median_price,
-               ROUND(quantile_cont(abs(o.o_totalprice - m.m), 0.5), 6) AS mad,
+               ROUND(quantile_cont(abs(o.price - m.m), 0.5), 6) AS mad,
                COUNT(*) AS n
-        FROM orders o JOIN med m ON m.p = o.o_orderpriority
+        FROM o2 o JOIN med m ON m.p = o.o_orderpriority
         GROUP BY o.o_orderpriority
     """,
     tags=("D-robust",),
@@ -449,15 +461,17 @@ def agg_robust_mad(spark, sf_dir):
     absolute deviations.  Interpolated medians match DuckDB's
     quantile_cont exactly (the D10 parity), deviations are plain IEEE
     subtractions, outputs rounded 6 dp."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price", nan_to_null("o_totalprice")
+    )
     med = o.groupBy(F.col("o_orderpriority").alias("p")).agg(
-        F.percentile("o_totalprice", F.lit(0.5)).alias("m")
+        F.percentile("price", F.lit(0.5)).alias("m")
     )
     joined = o.join(F.broadcast(med), o["o_orderpriority"] == med["p"])
     return joined.groupBy("o_orderpriority").agg(
         F.round(F.first("m"), 6).alias("median_price"),
         F.round(
-            F.percentile(F.abs(F.col("o_totalprice") - F.col("m")), F.lit(0.5)), 6
+            F.percentile(F.abs(F.col("price") - F.col("m")), F.lit(0.5)), 6
         ).alias("mad"),
         F.count(F.lit(1)).alias("n"),
     )

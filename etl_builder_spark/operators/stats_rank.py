@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_builder_spark.folding import nan_to_null
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 from etl_builder_spark.operators.stats import banded_running
@@ -562,7 +563,10 @@ def stats_ratio_delta_ci(spark, sf_dir):
     "stats_qq_deciles",
     oracle="""
         WITH g AS (
-            SELECT o_orderpriority, o_totalprice FROM orders
+            SELECT o_orderpriority,
+                   CASE WHEN isnan(o_totalprice) THEN NULL
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
             WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
         ),
         qa AS (
@@ -612,7 +616,9 @@ def stats_qq_deciles(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             *[
-                F.round(F.percentile("o_totalprice", F.lit(f)), 6).alias(f"q{i}")
+                F.round(
+                    F.percentile(nan_to_null("o_totalprice"), F.lit(f)), 6
+                ).alias(f"q{i}")
                 for i, f in enumerate(fracs, start=1)
             ]
         )

@@ -16,6 +16,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_builder_spark.folding import nan_to_null
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -951,22 +952,28 @@ def dq_k_anonymity(spark, sf_dir):
 @register(
     "dq_outlier_iqr",
     oracle="""
-        WITH q AS (
+        WITH o2 AS (
+            SELECT o_orderpriority,
+                   CASE WHEN isnan(o_totalprice) THEN NULL
+                        ELSE o_totalprice END AS price
+            FROM orders
+        ),
+        q AS (
             SELECT o_orderpriority AS grp,
-                   ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
-                   ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3
-            FROM orders GROUP BY 1
+                   ROUND(quantile_cont(price, 0.25), 6) AS q1,
+                   ROUND(quantile_cont(price, 0.75), 6) AS q3
+            FROM o2 GROUP BY 1
         )
         SELECT o.o_orderpriority AS grp,
                CAST(COUNT(*) AS BIGINT) AS n,
                MIN(q.q1) AS q1, MIN(q.q3) AS q3,
-               CAST(SUM(CASE WHEN o.o_totalprice
+               CAST(SUM(CASE WHEN o.price
                                   < q.q1 - 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_low,
-               CAST(SUM(CASE WHEN o.o_totalprice
+               CAST(SUM(CASE WHEN o.price
                                   > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_high
-        FROM orders o JOIN q ON o.o_orderpriority = q.grp
+        FROM o2 o JOIN q ON o.o_orderpriority = q.grp
         GROUP BY 1
     """,
     tags=("DQ-outlier",),
@@ -978,10 +985,12 @@ def dq_outlier_iqr(spark, sf_dir):
     the 6-dp-rounded quartiles, counted against the exact 2-dp totals.
     Two passes — a 5-row quantile aggregate broadcast back over one
     more scan — the standard distributed outlier monitor."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price", nan_to_null("o_totalprice")
+    )
     q = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("q1"),
-        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("q3"),
+        F.round(F.percentile("price", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("price", F.lit(0.75)), 6).alias("q3"),
     )
     lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
     hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
@@ -992,10 +1001,10 @@ def dq_outlier_iqr(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.min("q1").alias("q1"),
             F.min("q3").alias("q3"),
-            F.sum(F.when(F.col("o_totalprice") < lo, 1).otherwise(0))
+            F.sum(F.when(F.col("price") < lo, 1).otherwise(0))
             .cast("bigint")
             .alias("n_low"),
-            F.sum(F.when(F.col("o_totalprice") > hi, 1).otherwise(0))
+            F.sum(F.when(F.col("price") > hi, 1).otherwise(0))
             .cast("bigint")
             .alias("n_high"),
         )
@@ -1064,7 +1073,14 @@ CROSS_FIELD_RULES = (
             SELECT
                 {", ".join(f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS v{rid}" for rid, _, pred in CROSS_FIELD_RULES)},
                 CAST(COUNT(*) AS BIGINT) AS n
-            FROM lineitem
+            FROM (
+                SELECT l_orderkey, l_linenumber,
+                       CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS l_discount,
+                       CASE WHEN isnan(l_tax) THEN NULL ELSE l_tax END AS l_tax,
+                       CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS l_quantity,
+                       CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS l_extendedprice
+                FROM lineitem
+            )
         )
         SELECT * FROM (
             {" UNION ALL ".join(f"SELECT CAST({rid} AS BIGINT) AS rule_id, '{name}' AS rule_name, v{rid} AS n_violations, ROUND(CAST(v{rid} AS DOUBLE) / n, 6) AS violation_share FROM flags" for rid, name, _ in CROSS_FIELD_RULES)}
@@ -1085,7 +1101,14 @@ def dq_cross_field_rules(spark, sf_dir):
     the per-rule report is an |rules|-row constant-width result.
     Quarantine routing (dq_quarantine_split) composes by reusing the
     same predicates as filters."""
+    # NaN-sanitized measures (nanmeasures shape): the predicate STRINGS
+    # are shared with the oracle, but the engines' NaN comparison
+    # semantics differ - a NULL measure fails every rule identically
+    # ("an unknown value cannot violate a contract", the total-flag
+    # discipline), and the guard is the identity on NaN-free corpora
     l = load_table(spark, sf_dir, "lineitem")
+    for m in ("l_discount", "l_tax", "l_quantity", "l_extendedprice"):
+        l = l.withColumn(m, nan_to_null(m))
     aggs = [
         F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("bigint").alias(f"v{rid}")
         for rid, _, pred in CROSS_FIELD_RULES

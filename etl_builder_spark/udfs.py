@@ -34,12 +34,15 @@ def clipped_zscore_100(v: pd.Series) -> pd.Series:
 @register(
     "udf_pandas_scalar",
     oracle="""
-        -- NULL-preserving clip (r12 nullmeasures): the clip of an
-        -- unknown value is unknown — DuckDB's least/greatest would
-        -- otherwise SKIP the NULL and return the bound itself
+        -- NULL- and NaN-preserving clip (r12 nullmeasures/nanmeasures):
+        -- the clip of an unknown value is unknown, and clip(NaN) = NaN
+        -- (the numpy/pandas semantics the declared UDF carries) —
+        -- DuckDB's least/greatest would otherwise absorb both into the
+        -- bound itself
         SELECT event_id,
                value,
                CASE WHEN value IS NULL THEN NULL
+                    WHEN isnan(value) THEN value
                     ELSE greatest(least((value - 100.0) / 50.0, 3.0), -3.0)
                END AS clipped_score
         FROM events
