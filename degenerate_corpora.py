@@ -54,6 +54,14 @@ The four shapes, chosen for the failure classes they provoke:
                   group-key question.  documents.n_chars is recomputed
                   as the codepoint length of the new text so the
                   corpus keeps its own invariant.
+* ``nanmeasures`` — the first 40 real rows with IEEE NaN (not NULL) in
+                  every DOUBLE measure on odd rows: NaN-skipping vs
+                  NaN-poisoning aggregates, NaN ordering in order
+                  statistics, NaN comparison semantics, and the
+                  NaN→DECIMAL cast boundary (errors on BOTH engines —
+                  the round-13 mechanical-sweep class; see
+                  NOTES_r12.md).  Integer measures stay intact: NaN
+                  has no integer representation.
 
 Schema fidelity: tables are rebuilt column-by-column from the source
 parquet's own arrays (slice/concat/sequential-cast), then written with
