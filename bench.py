@@ -181,7 +181,105 @@ TPCH = [
 ]
 
 
+def _normalize_plan(text: str) -> str:
+    """Canonicalize a formatted physical-plan string for fingerprinting:
+    strip run-varying tokens (expression IDs, plan IDs, codegen stage
+    IDs, filesystem paths, statistics, cached-RDD numbers) so the hash
+    moves iff the PLAN SHAPE moves.  VERDICT r12 item 3: the
+    cohort-over-probe bench normalization is too coarse to separate
+    host weather from engine regressions; a round-over-round diff of
+    per-key plan hashes proves "no plan changed" mechanically."""
+    import re
+
+    text = re.sub(r"#\d+[L]?", "#N", text)                 # expr IDs
+    text = re.sub(r"plan_id=\d+", "plan_id=N", text)
+    text = re.sub(r"\[codegen id : \d+\]", "[codegen id : N]", text)
+    text = re.sub(r"\[id=#N\]", "[id=#N]", text)
+    text = re.sub(r"(file:)?/[\w./@+-]*", "<path>", text)  # fs paths
+    text = re.sub(r"Statistics\([^)]*\)", "Statistics(N)", text)
+    text = re.sub(r"CachedRDD \d+", "CachedRDD N", text)
+    text = re.sub(r"Memory size: [\d.]+ \w+", "Memory size: N", text)
+    text = re.sub(r"\(\d+\)", "(N)", text)                 # node ordinals
+    return text
+
+
+def emit_fingerprints() -> int:
+    """``bench.py --fingerprints``: write PLAN_FINGERPRINTS.json mapping
+    EVERY registry key to a stable hash of its normalized formatted
+    physical plan (analysis + optimization only — nothing executes).
+    The pre-execution plan is used deliberately: the post-AQE final
+    plan folds in runtime statistics (partition coalescing counts vary
+    with host state), which is exactly the noise this artifact exists
+    to exclude."""
+    import hashlib
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _ensure_loaded()
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark("fingerprints", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")))
+    spark.sparkContext.setLogLevel("ERROR")
+    import re
+
+    def _hashes(name: str) -> tuple[str, str]:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        norm = _normalize_plan(plan)
+        fine = hashlib.sha256(norm.encode()).hexdigest()[:16]
+        # coarse SHAPE hash: the sorted multiset of physical operator
+        # names — invariant under Catalyst's nondeterministic
+        # expression/gid orderings (RewriteDistinctAggregates assigns
+        # gids in hash order), while still moving on any structural
+        # change (an extra Exchange, a lost pushdown, a join strategy
+        # flip).  Keys whose FINE hash differs between two same-session
+        # builds are flagged unstable below; their shape hash is the
+        # load-bearing one.
+        ops = sorted(re.findall(r"\(N\) ([A-Za-z][A-Za-z0-9]*)", norm))
+        shape = hashlib.sha256(";".join(ops).encode()).hexdigest()[:16]
+        return fine, shape
+
+    fps: dict[str, str] = {}
+    shapes: dict[str, str] = {}
+    unstable: list[str] = []
+    errs: dict[str, str] = {}
+    for name in sorted(REGISTRY):
+        try:
+            fine1, shape1 = _hashes(name)
+            fine2, shape2 = _hashes(name)
+            if fine1 != fine2:
+                unstable.append(name)
+            if shape1 != shape2:
+                errs[name] = "shape hash unstable within one session"
+            fps[name] = min(fine1, fine2)  # deterministic representative
+            shapes[name] = shape1
+        except Exception as e:  # noqa: BLE001
+            errs[name] = f"{type(e).__name__}: {str(e)[:160]}"
+        print(f"# {name}: {fps.get(name, 'ERR')} {shapes.get(name, '')}", file=sys.stderr)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLAN_FINGERPRINTS.json")
+    with open(out, "w") as f:
+        json.dump(
+            {
+                "n_keys": len(fps),
+                "n_errors": len(errs),
+                "errors": errs,
+                # keys where Catalyst emits equivalent-but-reordered
+                # expression lists run-to-run: compare their SHAPE hash
+                "fine_unstable": sorted(unstable),
+                "fingerprints": fps,
+                "shapes": shapes,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    print(json.dumps({"metric": "plan_fingerprints", "n_keys": len(fps), "n_errors": len(errs), "n_fine_unstable": len(unstable), "file": "PLAN_FINGERPRINTS.json"}))
+    return 0
+
+
 def main() -> int:
+    if "--fingerprints" in sys.argv:
+        return emit_fingerprints()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     _ensure_loaded()
     # 8 threads / 8 shuffle partitions for the local sub-GB bench: tasks

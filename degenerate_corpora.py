@@ -62,6 +62,16 @@ The four shapes, chosen for the failure classes they provoke:
                   the round-13 mechanical-sweep class; see
                   NOTES_r12.md).  Integer measures stay intact: NaN
                   has no integer representation.
+* ``skewed``    — (round 13) heavy KEY skew, the one failure mode the
+                  seven value-shapes don't cover: one order owns 90%
+                  of line items, one customer 90% of orders, one user
+                  99% of events, one nation ~99% of customers, one
+                  part+supplier half the lineitem FKs, one lang/source
+                  95% of documents.  Deterministic zipf-like remap of
+                  FK columns only (values stay real, key uniqueness
+                  and FK validity preserved); a few thousand rows per
+                  fact table so a hot key is a real single-partition
+                  hazard.  See :func:`_skewed_tables`.
 
 Schema fidelity: tables are rebuilt column-by-column from the source
 parquet's own arrays (slice/concat/sequential-cast), then written with
@@ -253,14 +263,156 @@ def _onegroup(t: pa.Table, keys: list[str], n: int) -> pa.Table:
     return pa.table(cols, schema=t.schema)
 
 
+#: rows per table in the ``skewed`` shape — big enough that one hot key
+#: owning ~90-99% of a table is a real skew surface, small enough that
+#: the full 474-key sweep stays a ~15-minute gate
+SKEW_ROWS = {
+    "region": None,       # full (5 rows)
+    "nation": None,       # full (25 rows)
+    "customer": 400,
+    "supplier": 40,
+    "part": 400,
+    "orders": 1000,
+    "lineitem": 4000,
+    "events": 2000,
+    "documents": 200,
+    "embeddings": 200,
+}
+
+
+def _skewed_tables(src: str) -> dict[str, pa.Table]:
+    """Eighth shape (VERDICT r12 item 4): heavy KEY skew — the failure
+    mode AQE skew-join handling and salted joins exist for, which none
+    of the seven value-shapes covers.  Zipf-like by construction, fully
+    deterministic: one order owns 90% of line items (a ~3.6k-line
+    order), one part/supplier pair rides 50% of them, one customer
+    owns 90% of orders, one user owns 99% of events, one nation holds
+    ~99% of customers.  FK validity and composite-key uniqueness are
+    preserved: every remapped key is drawn from the referenced slice's
+    own key set, and l_linenumber is re-sequenced per order so
+    (l_orderkey, l_linenumber) stays unique.  Measures, timestamps,
+    text and payloads stay REAL — the shape isolates the key-skew
+    question from every value question the other shapes own."""
+    raw = {
+        name: pq.read_table(os.path.join(src, f"{name}.parquet"))
+        for name in TABLES
+    }
+    out: dict[str, pa.Table] = {}
+    for name in TABLES:
+        n = SKEW_ROWS[name]
+        out[name] = raw[name] if n is None else raw[name].slice(0, n).combine_chunks()
+
+    def _remap(table: pa.Table, col: str, values: list) -> pa.Table:
+        idx = table.schema.get_field_index(col)
+        arr = pa.array(values, type=table.schema.field(col).type)
+        return table.set_column(idx, table.schema.field(col), arr)
+
+    # customer.c_nationkey: ~99% in one nation
+    cust = out["customer"]
+    nat_keys = out["nation"]["n_nationkey"].to_pylist()
+    m = len(cust)
+    cust = _remap(
+        cust, "c_nationkey",
+        [nat_keys[0] if i < m - 4 else nat_keys[i % len(nat_keys)] for i in range(m)],
+    )
+    out["customer"] = cust
+
+    # supplier.s_nationkey: ~90% in the same hot nation
+    sup = out["supplier"]
+    m = len(sup)
+    sup = _remap(
+        sup, "s_nationkey",
+        [nat_keys[0] if i < (m * 9) // 10 else nat_keys[i % len(nat_keys)] for i in range(m)],
+    )
+    out["supplier"] = sup
+
+    # orders.o_custkey: one customer owns 90% of orders
+    orders = out["orders"]
+    cust_keys = out["customer"]["c_custkey"].to_pylist()
+    m = len(orders)
+    orders = _remap(
+        orders, "o_custkey",
+        [cust_keys[0] if i < (m * 9) // 10 else cust_keys[i % len(cust_keys)] for i in range(m)],
+    )
+    out["orders"] = orders
+
+    # lineitem: one order owns 90% of lines; one part and one supplier
+    # ride 50%; linenumber re-sequenced per order for uniqueness
+    li = out["lineitem"]
+    m = len(li)
+    order_keys = out["orders"]["o_orderkey"].to_pylist()
+    part_keys = out["part"]["p_partkey"].to_pylist()
+    sup_keys = out["supplier"]["s_suppkey"].to_pylist()
+    lo = [
+        order_keys[0] if i < (m * 9) // 10 else order_keys[1 + i % (len(order_keys) - 1)]
+        for i in range(m)
+    ]
+    counts: dict = {}
+    ln = []
+    for k in lo:
+        counts[k] = counts.get(k, 0) + 1
+        ln.append(counts[k])
+    li = _remap(li, "l_orderkey", lo)
+    li = _remap(li, "l_linenumber", ln)
+    li = _remap(
+        li, "l_partkey",
+        [part_keys[0] if i < m // 2 else part_keys[i % len(part_keys)] for i in range(m)],
+    )
+    li = _remap(
+        li, "l_suppkey",
+        [sup_keys[0] if i < m // 2 else sup_keys[i % len(sup_keys)] for i in range(m)],
+    )
+    out["lineitem"] = li
+
+    # events: one user owns 99%, one event_type carries 95%
+    ev = out["events"]
+    m = len(ev)
+    users = ev["user_id"].to_pylist()
+    types = ev["event_type"].to_pylist()
+    ev = _remap(
+        ev, "user_id",
+        [users[0] if i < (m * 99) // 100 else users[i] for i in range(m)],
+    )
+    ev = _remap(
+        ev, "event_type",
+        [types[0] if i < (m * 95) // 100 else types[i] for i in range(m)],
+    )
+    out["events"] = ev
+
+    # documents: one lang/source carries ~95% — grouped text statistics
+    # (per-lang Zipf fits, language mixes) meet a dominant group
+    doc = out["documents"]
+    m = len(doc)
+    langs = doc["lang"].to_pylist()
+    srcs = doc["source"].to_pylist()
+    doc = _remap(
+        doc, "lang",
+        [langs[0] if i < (m * 95) // 100 else langs[i] for i in range(m)],
+    )
+    doc = _remap(
+        doc, "source",
+        [srcs[0] if i < (m * 95) // 100 else srcs[i] for i in range(m)],
+    )
+    out["documents"] = doc
+    return out
+
+
 def build(src: str, out_root: str) -> list[str]:
     made = []
+    skewed = None
     for shape in (
         "empty", "single", "allequal", "onegroup", "nullmeasures",
-        "extremetext", "nanmeasures",
+        "extremetext", "nanmeasures", "skewed",
     ):
         out_dir = os.path.join(out_root, shape)
         os.makedirs(out_dir, exist_ok=True)
+        if shape == "skewed":
+            if skewed is None:
+                skewed = _skewed_tables(src)
+            for name in TABLES:
+                pq.write_table(skewed[name], os.path.join(out_dir, f"{name}.parquet"))
+            made.append(out_dir)
+            continue
         for name in TABLES:
             t = pq.read_table(os.path.join(src, f"{name}.parquet"))
             if shape == "empty":

@@ -11,11 +11,19 @@ byte-leaning string ops):
    SpecialCasing table; utf8proc's simple mapping yields a bare
    ``i``.  Every tokenizer / normalization key that lowercases text
    therefore disagrees on any corpus containing 'İ'.
-   **Pin** (both engines): strip U+0307 AFTER lowering —
-   :func:`fold_lower` on the Spark side, :func:`fold_lower_sql` on
-   the oracle side.  On text containing neither 'İ' nor a standalone
-   U+0307 this is the identity, so real-corpus values are provably
-   unchanged (all shipped text columns are pure ASCII — probed at
+   **Pin** (both engines): fold the exact artifact SEQUENCE
+   ``i`` + U+0307 → ``i`` AFTER lowering — :func:`fold_lower` on the
+   Spark side, :func:`fold_lower_sql` on the oracle side.  Narrowed
+   round 13 (ADVICE r12) from "strip every U+0307": the broad strip
+   also merged genuine combining dots that are part of the text (NFD
+   ``ż`` = z+U+0307, Lithuanian ``i̇``); folding only the two-
+   codepoint ``i``+U+0307 sequence touches exactly Java's İ residue
+   (plus the inherently ambiguous literal i+U+0307, which Java's
+   artifact is indistinguishable from) and leaves every other
+   combining dot intact — strictly closer to plain ``lower()``.
+   On text containing neither 'İ' nor a literal i+U+0307 this is the
+   identity, so real-corpus values are provably unchanged (all
+   shipped text columns are pure ASCII — probed at
    sf0.001/0.01/0.1).
 
 2. ``trim(x)`` — DuckDB's default trim strips the utf8proc whitespace
@@ -43,13 +51,13 @@ COMBINING_DOT = "\u0307"
 
 
 def fold_lower(col) -> Column:
-    """Lowercase with the İ pin: ``translate(lower(col), U+0307, '')``."""
-    return F.translate(F.lower(col), COMBINING_DOT, "")
+    """Lowercase with the İ pin: ``replace(lower(col), 'i'+U+0307, 'i')``."""
+    return F.replace(F.lower(col), F.lit("i" + COMBINING_DOT), F.lit("i"))
 
 
 def fold_lower_sql(expr: str) -> str:
     """DuckDB twin of :func:`fold_lower` (chr(775) == U+0307)."""
-    return f"replace(lower({expr}), chr(775), '')"
+    return f"replace(lower({expr}), 'i' || chr(775), 'i')"
 
 
 def fold_upper(col) -> Column:

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etl_builder_spark.folding import fold_upper
+from etl_builder_spark.folding import fold_upper, nan_to_null
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -98,7 +98,10 @@ def fn_datetime(spark, sf_dir):
                sqrt(l_extendedprice) AS price_sqrt,
                ROUND(ln(l_extendedprice), 6) AS price_ln,
                ROUND(exp(l_discount), 6) AS disc_exp,
-               CAST(sign(l_quantity - 25) AS INTEGER) AS qty_sign,
+               -- sign() is NaN-ABSORBING on DuckDB (NaN compares greatest,
+               -- so sign(NaN)=1) while Spark's signum(NaN)=NaN: pin the
+               -- INPUT to NULL so both engines emit NULL (round 13)
+               CAST(sign((CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END) - 25) AS INTEGER) AS qty_sign,
                ((l_orderkey % 7) + 7) % 7 AS key_mod7,
                l_extendedprice / nullif(l_quantity - 1, 0) AS per_extra_unit
         FROM lineitem
@@ -117,13 +120,16 @@ def fn_math(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         F.abs(q - 25).alias("qty_dev"),
-        F.ceil(p / 100).alias("price_ceil"),
-        F.floor(p / 100).alias("price_floor"),
+        # NaN pin (round 13): ceil/floor return LONG on Spark, so an IEEE
+        # NaN input errors under ANSI where the oracle's guarded CAST
+        # yields NULL — same boundary, same nan_to_null pin.
+        F.ceil(nan_to_null(p) / 100).alias("price_ceil"),
+        F.floor(nan_to_null(p) / 100).alias("price_floor"),
         F.pow(q, 2).alias("qty_sq"),
         F.sqrt(p).alias("price_sqrt"),
         F.round(F.log(p), 6).alias("price_ln"),
         F.round(F.exp(F.col("l_discount")), 6).alias("disc_exp"),
-        F.signum(q - 25).cast("int").alias("qty_sign"),
+        nan_to_null(F.signum(q - 25)).cast("int").alias("qty_sign"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
         F.try_divide(p, q - 1).alias("per_extra_unit"),
     )

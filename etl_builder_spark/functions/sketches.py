@@ -70,7 +70,7 @@ CM_PERMS: tuple[tuple[int, int], ...] = ((31, 7), (131, 13), (571, 23), (1019, 4
     "sketch_count_min_exact",
     oracle=f"""
         WITH toks AS (
-            SELECT unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
+            SELECT unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token
             FROM documents
         ),
         tf AS (
@@ -181,7 +181,7 @@ BLOOM_M = 256
     "sketch_bloom_exact",
     oracle=f"""
         WITH toks AS (
-            SELECT DISTINCT unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
+            SELECT DISTINCT unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token
             FROM documents
         ),
         corpus AS (SELECT token FROM toks WHERE token <> ''),

@@ -63,7 +63,7 @@ def _ngrams(df, n: int):
     "text_boilerplate_ngrams",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, string_split(replace(lower(text), chr(775), ''), ' ') AS toks
+            SELECT doc_id, string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ') AS toks
             FROM documents
         ),
         grams AS (
@@ -122,7 +122,7 @@ def boilerplate_ngrams(d, reciprocal: int = BOILERPLATE_PROD_RECIPROCAL):
     "text_repetition_ratio",
     oracle="""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
+            SELECT doc_id, unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token
             FROM documents
         ),
         tf AS (
@@ -167,7 +167,7 @@ def text_repetition_ratio(spark, sf_dir):
     "text_contamination_check",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, string_split(replace(lower(text), chr(775), ''), ' ') AS toks
+            SELECT doc_id, string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ') AS toks
             FROM documents
         ),
         grams AS (
@@ -270,7 +270,7 @@ def chunk_fixed_tokens(spark, sf_dir):
     oracle="""
         WITH keyed AS (
             SELECT doc_id, text, n_chars,
-                   md5(regexp_replace(replace(lower(trim(text, ' ')), chr(775), ''), ' +', ' ', 'g')) AS norm_key
+                   md5(regexp_replace(replace(lower(trim(text, ' ')), 'i' || chr(775), 'i'), ' +', ' ', 'g')) AS norm_key
             FROM documents
         ),
         ranked AS (

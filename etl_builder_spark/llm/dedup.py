@@ -62,7 +62,7 @@ def _with_planted_dups(d: DataFrame) -> DataFrame:
         ),
         normed AS (
             SELECT doc_id,
-                   replace(lower(trim(regexp_replace(text, ' +', ' ', 'g'), ' ')), chr(775), '') AS norm_text
+                   replace(lower(trim(regexp_replace(text, ' +', ' ', 'g'), ' ')), 'i' || chr(775), 'i') AS norm_text
             FROM everything
         )
         SELECT MIN(doc_id) AS keeper_id,
@@ -150,7 +150,7 @@ def _ngram_jaccard(spark, sf_dir, df_ceiling: int = DF_CEILING):
     "dedup_ngram_jaccard",
     oracle=f"""
         WITH docs AS (
-            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < 100
+            SELECT doc_id, replace(lower(text), 'i' || chr(775), 'i') AS text FROM documents WHERE doc_id < 100
         ),
         raw_shingles AS (
             SELECT DISTINCT doc_id, token
@@ -257,7 +257,7 @@ def _minhash_sig_bands(everything):
     "dedup_minhash_exact",
     oracle=f"""
         WITH base AS (
-            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < 200
+            SELECT doc_id, replace(lower(text), 'i' || chr(775), 'i') AS text FROM documents WHERE doc_id < 200
         ),
         planted AS (
             SELECT doc_id + {PLANT_OFFSET} AS doc_id,
@@ -386,7 +386,7 @@ INC_SLICE_MAX = 300
     "dedup_minhash_incremental",
     oracle=f"""
         WITH base AS (
-            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < {INC_SLICE_MAX}
+            SELECT doc_id, replace(lower(text), 'i' || chr(775), 'i') AS text FROM documents WHERE doc_id < {INC_SLICE_MAX}
         ),
         old AS (SELECT * FROM base WHERE doc_id < {INC_OLD_MAX}),
         newb AS (
@@ -627,7 +627,7 @@ SIMHASH_HAM_MAX = 3
     "dedup_simhash_exact",
     oracle=f"""
         WITH base AS (
-            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < 200
+            SELECT doc_id, replace(lower(text), 'i' || chr(775), 'i') AS text FROM documents WHERE doc_id < 200
         ),
         planted AS (
             SELECT doc_id + {PLANT_OFFSET} AS doc_id,
@@ -786,7 +786,7 @@ CONTAINMENT_TAU = 0.8
     "dedup_text_containment",
     oracle=f"""
         WITH base AS (
-            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < 100
+            SELECT doc_id, replace(lower(text), 'i' || chr(775), 'i') AS text FROM documents WHERE doc_id < 100
         ),
         everything AS (
             SELECT doc_id, text FROM base
@@ -919,7 +919,7 @@ def dedup_text_containment(spark, sf_dir):
         ),
         keyed AS (
             SELECT doc_id,
-                   array_to_string(list_sort(string_split(replace(lower(text), chr(775), ''), ' ')), ' ')
+                   array_to_string(list_sort(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')), ' ')
                        AS sort_key
             FROM everything
         )
@@ -970,7 +970,7 @@ def dedup_token_sort(spark, sf_dir):
     "dedup_minhash_estimate_error",
     oracle=f"""
         WITH base AS (
-            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < 200
+            SELECT doc_id, replace(lower(text), 'i' || chr(775), 'i') AS text FROM documents WHERE doc_id < 200
         ),
         everything AS (
             SELECT * FROM base
@@ -1146,7 +1146,7 @@ def dedup_minhash_estimate_error(spark, sf_dir):
     "dedup_cluster_size_histogram",
     oracle="""
         WITH clusters AS (
-            SELECT md5(replace(lower(text), chr(775), '')) AS ck, CAST(COUNT(*) AS BIGINT) AS sz
+            SELECT md5(replace(lower(text), 'i' || chr(775), 'i')) AS ck, CAST(COUNT(*) AS BIGINT) AS sz
             FROM documents GROUP BY 1
         )
         SELECT sz AS cluster_size,
@@ -1179,7 +1179,7 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     "sketch_minhash_calibration",
     oracle=f"""
         WITH base AS (
-            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents WHERE doc_id < 200
+            SELECT doc_id, replace(lower(text), 'i' || chr(775), 'i') AS text FROM documents WHERE doc_id < 200
         ),
         planted AS (
             SELECT doc_id + {PLANT_OFFSET} AS doc_id,

@@ -18,6 +18,7 @@ from __future__ import annotations
 import math as _math
 
 from pyspark.sql import functions as F
+from etl_builder_spark.folding import nan_to_null
 
 from etl_builder_spark.llm.similarity import _dbl
 from etl_builder_spark.registry import register
@@ -1982,7 +1983,7 @@ def ml_covariate_balance_smd(spark, sf_dir):
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) > 0
         ).alias("treated"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("xc"),
+        F.sum(nan_to_null(F.round(F.col("value") * 100)).cast("bigint")).cast("bigint").alias("xc"),
     )
     stratum = (
         F.when(F.col("n_events") <= 5, "01-5")
@@ -2310,8 +2311,8 @@ def ml_linreg_normal_eq(spark, sf_dir):
     count stays ONE (the normal-equation advantage over SGD at this
     scale)."""
     li = load_table(spark, sf_dir, "lineitem")
-    x1 = F.col("l_quantity").cast("bigint")
-    x2 = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    x1 = nan_to_null("l_quantity").cast("bigint")
+    x2 = nan_to_null(F.round(F.col("l_discount") * 100, 0)).cast("bigint")
     y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
     d = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     m = li.agg(
@@ -2500,8 +2501,9 @@ def ml_target_encoding_kfold(spark, sf_dir):
                    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
                         AS BIGINT) AS r
             FROM lineitem
-            -- complete-case (r12): a NULL quantity is not a bucket
-            WHERE l_quantity IS NOT NULL
+            -- complete-case (r12; NaN added r13): an undefined quantity
+            -- (NULL or IEEE NaN) is not a bucket
+            WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
             GROUP BY 1
         ),
         c AS (
@@ -2562,10 +2564,11 @@ def ml_isotonic_calibration_pava(spark, sf_dir):
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_quantity").isNotNull()  # complete-case (r12)
+        # complete-case (r12; NaN added r13 — NaN passes isNotNull)
+        F.col("l_quantity").isNotNull() & ~F.isnan("l_quantity")
     )
     b = (
-        li.groupBy(F.col("l_quantity").cast("bigint").alias("q"))
+        li.groupBy(nan_to_null("l_quantity").cast("bigint").alias("q"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
@@ -2690,7 +2693,7 @@ def ml_als_user_step(spark, sf_dir):
     embarrassingly parallel row arithmetic.  Full ALS = alternate
     this exact shape user↔item."""
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", F.col("l_quantity").cast("bigint").alias("y")
+        "l_orderkey", "l_partkey", nan_to_null("l_quantity").cast("bigint").alias("y")
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     r = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
@@ -2800,7 +2803,7 @@ def ml_feature_binning_woe(spark, sf_dir):
     bad = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
     b = (
         li.select(
-            F.floor(F.col("l_quantity").cast("bigint") / 10).cast("bigint").alias("bin"),
+            F.floor(nan_to_null("l_quantity").cast("bigint") / 10).cast("bigint").alias("bin"),
             bad.alias("bad"),
         )
         .groupBy("bin")
@@ -2908,7 +2911,7 @@ def ml_learning_curve_subsample(spark, sf_dir):
     arithmetic runs on the 4-row frame."""
     li = load_table(spark, sf_dir, "lineitem")
     t = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-    p = F.when(F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 6, 1).otherwise(0)
+    p = F.when(nan_to_null(F.round(F.col("l_discount") * 100, 0)).cast("bigint") >= 6, 1).otherwise(0)
     h = F.conv(
         F.substring(
             F.md5(
@@ -3060,7 +3063,7 @@ def ml_gmm_em_step_binned(spark, sf_dir):
     iterations touch only the histogram frame.  More components add
     responsibility columns, never passes."""
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.groupBy(F.col("l_quantity").cast("bigint").alias("q")).agg(
+    b = li.groupBy(nan_to_null("l_quantity").cast("bigint").alias("q")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     qd = F.col("q").cast("double")
@@ -3146,9 +3149,11 @@ CONF_SLOPE_CENTS = 3_800_00
                                      || CAST(l_linenumber AS VARCHAR)
                                      || ':conf'), 1, 1)) - 1) % 2 AS fold
             FROM lineitem
-            -- complete-case (r12): rows with unknown target/feature
-            -- have no residual and score neither fold
+            -- complete-case (r12; NaN added r13): rows with an unknown
+            -- target/feature (NULL or IEEE NaN) have no residual and
+            -- score neither fold
             WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+              AND NOT isnan(l_extendedprice) AND NOT isnan(l_quantity)
         ),
         cal AS (
             SELECT ABS(y - yhat) AS r, l_orderkey, l_linenumber
@@ -3212,11 +3217,15 @@ def ml_conformal_split_interval(spark, sf_dir):
     from etl_builder_spark.operators.stats import banded_running
 
     li = load_table(spark, sf_dir, "lineitem").where(
-        # complete-case (r12): no residual without target AND feature
-        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+        # complete-case (r12; NaN added r13): no residual without a
+        # DEFINED target and feature — NaN passes isNotNull
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & ~F.isnan("l_extendedprice")
+        & ~F.isnan("l_quantity")
     )
     y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
-    yhat = F.col("l_quantity").cast("bigint") * CONF_SLOPE_CENTS
+    yhat = nan_to_null("l_quantity").cast("bigint") * CONF_SLOPE_CENTS
     fold = (
         F.conv(
             F.substring(

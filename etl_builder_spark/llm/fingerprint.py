@@ -93,7 +93,7 @@ HASH_DIM = 64
     oracle=f"""
         WITH toks AS (
             SELECT doc_id, token
-            FROM (SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
+            FROM (SELECT doc_id, unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token
                   FROM documents) t
             WHERE token <> ''
         ),

@@ -30,7 +30,7 @@ def _score(tokens: Column, lang: str) -> Column:
 def _sql_score(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in MARKERS[lang])
     return (
-        f"len(list_filter(string_split(replace(lower(text), chr(775), ''), ' '), t -> t IN ({words})))"
+        f"len(list_filter(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '), t -> t IN ({words})))"
     )
 
 
@@ -82,7 +82,7 @@ def text_langid_heuristic(spark, sf_dir):
     oracle="""
         WITH toks AS (
             SELECT doc_id, lang,
-                   unnest(list_filter(string_split(replace(lower(text), chr(775), ''), ' '),
+                   unnest(list_filter(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '),
                                       t -> t <> '')) AS tok
             FROM documents
         ),

@@ -93,7 +93,7 @@ CHUNK_S = 24
     "chunk_sliding_overlap",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, string_split(replace(lower(text), chr(775), ''), ' ') AS parts
+            SELECT doc_id, string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ') AS parts
             FROM documents
         ),
         starts AS (

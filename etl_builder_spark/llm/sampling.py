@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from etl_builder_spark.folding import nan_to_null
 
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
@@ -385,7 +386,7 @@ def sample_priority_ppswor(spark, sf_dir):
     merge — the topk_global plan), so nothing resembling a global
     sort or a collect touches the full table."""
     o = load_table(spark, sf_dir, "orders")
-    w = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = nan_to_null(F.round(F.col("o_totalprice") * 100)).cast("bigint")
     u = F.pmod(F.pmod(F.col("o_orderkey") * 2654435761, F.lit(4294967296)), F.lit(PPSWOR_MOD)) + 1
     pri = o.select("o_orderkey", w.alias("w_cents"), u.alias("u")).select(
         "o_orderkey",

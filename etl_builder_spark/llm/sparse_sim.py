@@ -71,7 +71,7 @@ def shingle_tf(d):
     oracle=f"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split(replace(lower(text), chr(775), ''), ' '), x -> x <> '') AS t
+                   list_filter(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '), x -> x <> '') AS t
             FROM documents
         ),
         sh AS (

@@ -28,7 +28,7 @@ def tokens(df, text_col: str = "text"):
     oracle="""
         SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
         FROM (
-            SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
+            SELECT doc_id, unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token
             FROM documents
         ) t
         WHERE token <> ''
@@ -72,7 +72,7 @@ def text_corpus_stats(spark, sf_dir):
     "text_tfidf_sql",
     oracle="""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
+            SELECT doc_id, unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token
             FROM documents
         ),
         tf AS (
@@ -130,9 +130,9 @@ def text_tfidf_sql(spark, sf_dir):
                len(string_split(text, ' ')) AS n_tokens,
                ROUND(CAST(COALESCE(n_chars, length(text)) AS DOUBLE)
                      / len(string_split(text, ' ')), 6) AS avg_token_len,
-               len(list_filter(string_split(replace(lower(text), chr(775), ''), ' '),
+               len(list_filter(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '),
                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS n_stopwords,
-               ROUND(CAST(len(list_filter(string_split(replace(lower(text), chr(775), ''), ' '),
+               ROUND(CAST(len(list_filter(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '),
                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
                    / len(string_split(text, ' ')), 6) AS stopword_ratio,
                (COALESCE(n_chars, length(text)) BETWEEN 50 AND 5000) AS length_ok
@@ -167,7 +167,7 @@ def text_quality_score(spark, sf_dir):
     oracle="""
         WITH counts AS (
             SELECT token, COUNT(*) AS n
-            FROM (SELECT unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token FROM documents) t
+            FROM (SELECT unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token FROM documents) t
             WHERE token <> ''
             GROUP BY token
         )
@@ -198,7 +198,7 @@ def vocab_top_tokens(spark, sf_dir):
     "text_ngrams_trigram",
     oracle="""
         WITH toks AS (
-            SELECT doc_id, list_filter(string_split(replace(lower(text), chr(775), ''), ' '), x -> x <> '') AS t
+            SELECT doc_id, list_filter(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '), x -> x <> '') AS t
             FROM documents WHERE doc_id < 100
         ),
         tris AS (
@@ -314,7 +314,7 @@ def text_lang_profile(spark, sf_dir):
     "text_oov_rate",
     oracle="""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
+            SELECT doc_id, unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token
             FROM documents
         ),
         clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
@@ -382,7 +382,7 @@ def text_oov_rate(spark, sf_dir):
     oracle="""
         WITH tok AS (
             SELECT doc_id, t AS token
-            FROM documents, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS u(t)
+            FROM documents, unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS u(t)
             WHERE t <> ''
         ),
         vocab AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
@@ -453,7 +453,7 @@ ZIPF_TOP_N = 100
         WITH vocab AS (
             SELECT lang, token, COUNT(*) AS freq
             FROM (
-                SELECT lang, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
+                SELECT lang, unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token
                 FROM documents
             )
             WHERE token <> ''
@@ -552,7 +552,7 @@ PMI_TOP_K = 50
     "text_pmi_bigrams",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, replace(lower(text), chr(775), '') AS text FROM documents
+            SELECT doc_id, replace(lower(text), 'i' || chr(775), 'i') AS text FROM documents
         ),
         unigrams AS (
             SELECT token, COUNT(*) AS c1
@@ -653,7 +653,7 @@ def text_pmi_bigrams(spark, sf_dir):
     "text_keyword_topk",
     oracle="""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
+            SELECT doc_id, unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token
             FROM documents
         ),
         tf AS (
@@ -717,7 +717,7 @@ def text_keyword_topk(spark, sf_dir):
     oracle="""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split(replace(lower(text), chr(775), ''), ' '), x -> x <> '') AS t
+                   list_filter(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '), x -> x <> '') AS t
             FROM documents
         ),
         vocab_n AS (
@@ -827,13 +827,13 @@ def text_bigram_surprisal(spark, sf_dir):
     oracle="""
         WITH base AS (
             SELECT doc_id,
-                   len(list_filter(string_split(replace(lower(text), chr(775), ''), ' '), x -> x <> ''))
+                   len(list_filter(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '), x -> x <> ''))
                        AS n_words,
                    greatest(len(list_filter(
                        regexp_split_to_array(text, '[.!?]+'),
                        s -> trim(s, ' ') <> '')), 1) AS n_sentences,
                    len(list_filter(
-                       regexp_split_to_array(replace(lower(text), chr(775), ''), '[^aeiouy]+'),
+                       regexp_split_to_array(replace(lower(text), 'i' || chr(775), 'i'), '[^aeiouy]+'),
                        s -> s <> '')) AS n_vowel_groups
             FROM documents
         )
@@ -945,7 +945,7 @@ def text_html_strip(spark, sf_dir):
     oracle="""
         WITH counts AS (
             SELECT token, COUNT(*) AS n
-            FROM (SELECT unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
+            FROM (SELECT unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token
                   FROM documents) t
             WHERE token <> ''
             GROUP BY token
@@ -1006,7 +1006,7 @@ def vocab_coverage_curve(spark, sf_dir):
     oracle="""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split(replace(lower(text), chr(775), ''), ' '), x -> x <> '') AS t
+                   list_filter(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '), x -> x <> '') AS t
             FROM documents
         ),
         tris AS (
@@ -1076,7 +1076,7 @@ def text_ngram_novelty(spark, sf_dir):
         WITH words AS (
             SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
             FROM (
-                SELECT unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS word
+                SELECT unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS word
                 FROM documents
             )
             WHERE word <> ''
@@ -1161,7 +1161,7 @@ RAKE_MAX_LEN = 3
         WITH marked AS (
             SELECT doc_id,
                    array_to_string(
-                       list_transform(string_split(replace(lower(text), chr(775), ''), ' '),
+                       list_transform(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '),
                            t -> CASE WHEN t IN ({", ".join(f"'{s}'" for s in RAKE_STOPS)})
                                      THEN '|' ELSE t END),
                        ' ') AS m
@@ -1276,7 +1276,7 @@ def text_rake_keyphrases(spark, sf_dir):
     oracle="""
         WITH base AS (
             SELECT doc_id,
-                   list_filter(string_split(replace(lower(text), chr(775), ''), ' '), t -> t <> '') AS toks
+                   list_filter(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '), t -> t <> '') AS toks
             FROM documents
         ),
         doc AS (
@@ -1369,7 +1369,7 @@ def text_gopher_quality_gate(spark, sf_dir):
         WITH tc AS (
             SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
             FROM (
-                SELECT lang, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
+                SELECT lang, unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token
                 FROM documents
             ) WHERE token <> ''
             GROUP BY lang, token
@@ -1486,7 +1486,7 @@ def text_lang_distribution_tv(spark, sf_dir):
         WITH words AS (
             SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
             FROM (
-                SELECT unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS word
+                SELECT unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS word
                 FROM documents
             )
             WHERE word <> ''
@@ -1651,7 +1651,7 @@ def _heaps_fit_sql() -> str:
             SELECT LEAST((doc_id - lo) * {HEAPS_B} // (hi - lo + 1), {HEAPS_B - 1}) AS b,
                    word
             FROM (
-                SELECT doc_id, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS word
+                SELECT doc_id, unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS word
                 FROM documents
             ), bounds
             WHERE word <> ''
@@ -1762,11 +1762,11 @@ def text_heaps_law_fit(spark, sf_dir):
         p AS (SELECT * FROM pairs WHERE ref IS NOT NULL),
         cl AS (
             SELECT pair_id, lang, 'c' AS side,
-                   string_split(replace(lower(cand), chr(775), ''), ' ') AS l
+                   string_split(replace(lower(cand), 'i' || chr(775), 'i'), ' ') AS l
             FROM p
             UNION ALL
             SELECT pair_id, lang, 'r' AS side,
-                   string_split(replace(lower(ref), chr(775), ''), ' ') AS l
+                   string_split(replace(lower(ref), 'i' || chr(775), 'i'), ' ') AS l
             FROM p
         ),
         toks AS (
@@ -1945,7 +1945,7 @@ def text_bleu_corpus_pairs(spark, sf_dir):
     "text_hapax_diversity",
     oracle="""
         WITH tok AS (
-            SELECT lang, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
+            SELECT lang, unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token
             FROM documents
         ),
         counts AS (
@@ -2030,7 +2030,7 @@ def text_hapax_diversity(spark, sf_dir):
         WITH tc AS (
             SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
             FROM (
-                SELECT lang, unnest(string_split(replace(lower(text), chr(775), ''), ' ')) AS token
+                SELECT lang, unnest(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ')) AS token
                 FROM documents
             ) WHERE token <> ''
             GROUP BY lang, token
@@ -2177,7 +2177,7 @@ TR_DAMP = 0.85
     "text_textrank_keywords",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, string_split(replace(lower(text), chr(775), ''), ' ') AS t FROM documents
+            SELECT doc_id, string_split(replace(lower(text), 'i' || chr(775), 'i'), ' ') AS t FROM documents
         ),
         adj AS (
             SELECT t[i] AS w1, t[i + 1] AS w2

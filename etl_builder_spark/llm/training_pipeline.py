@@ -399,8 +399,8 @@ def pipeline_dedup_cascade(spark, sf_dir):
     oracle="""
         WITH base AS (
             SELECT doc_id, lang,
-                   list_filter(string_split(replace(lower(text), chr(775), ''), ' '), t -> t <> '') AS toks,
-                   replace(lower(text), chr(775), '') AS norm
+                   list_filter(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '), t -> t <> '') AS toks,
+                   replace(lower(text), 'i' || chr(775), 'i') AS norm
             FROM documents
         ),
         gated AS (
@@ -527,7 +527,7 @@ RAG_BUDGET = 128
         WITH toks AS (
             SELECT doc_id, t AS token
             FROM documents, unnest(list_distinct(
-                string_split(replace(lower(text), chr(775), ''), ' '))) AS u(t)
+                string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '))) AS u(t)
             WHERE t <> ''
         ),
         sizes AS (
@@ -536,7 +536,7 @@ RAG_BUDGET = 128
         ),
         lens AS (
             SELECT doc_id,
-                   CAST(len(list_filter(string_split(replace(lower(text), chr(775), ''), ' '),
+                   CAST(len(list_filter(string_split(replace(lower(text), 'i' || chr(775), 'i'), ' '),
                                         x -> x <> '')) AS BIGINT) AS n_tokens
             FROM documents
         ),

@@ -70,7 +70,7 @@ _URL_SQL = """
         split AS (
             SELECT doc_id,
                    regexp_replace(
-                       replace(lower(regexp_extract(nofrag, '^[a-zA-Z]+://([^/?]+)', 1)), chr(775), ''),
+                       replace(lower(regexp_extract(nofrag, '^[a-zA-Z]+://([^/?]+)', 1)), 'i' || chr(775), 'i'),
                        '^www\\.', '') AS host,
                    regexp_replace(
                        regexp_extract(nofrag, '^[a-zA-Z]+://[^/?]*(/[^?]*)?', 1),

@@ -669,7 +669,7 @@ def agg_higher_moments(spark, sf_dir):
     One partial-then-final aggregate; the four power sums ride the
     same exchange as the count."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("bigint")
+    q = nan_to_null("l_quantity").cast("bigint")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(q).alias("s1"),
@@ -952,7 +952,7 @@ def agg_weighted_median(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
     grp = (
         l.groupBy(F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("val"))
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+        .agg(F.sum(nan_to_null("l_quantity").cast("bigint")).alias("w"))
     )
     wflag = Window.partitionBy("flag")
     cum = grp.select(
@@ -1943,7 +1943,7 @@ def agg_price_volume_mix(spark, sf_dir):
         .select(
             F.col("p_brand").alias("brand"),
             yr.alias("yr"),
-            F.col("l_quantity").cast("bigint").alias("q"),
+            nan_to_null("l_quantity").cast("bigint").alias("q"),
             rev.alias("rev_cents"),
         )
         .groupBy("brand", "yr")
@@ -2169,7 +2169,7 @@ def agg_abc_xyz_matrix(spark, sf_dir):
     )
     monthly = li.groupBy(
         "l_partkey", F.date_trunc("month", F.col("l_shipdate")).alias("m")
-    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    ).agg(F.sum(nan_to_null("l_quantity").cast("bigint")).cast("bigint").alias("q"))
     xyz = monthly.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_m"),
         F.sum("q").cast("bigint").alias("s1"),

@@ -7,6 +7,7 @@ MATCH_RECOGNIZE-style queries, expressed with conditional aggregates
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from etl_builder_spark.folding import nan_to_null
 
 from etl_builder_spark.policy import money
 from etl_builder_spark.registry import register
@@ -729,7 +730,7 @@ def _journey(spark, sf_dir):
         "user_id",
         (F.col("cpb") + 1).alias("j"),
         F.unix_micros("ts").alias("p_us"),
-        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        nan_to_null(F.round(F.col("value") * 100)).cast("bigint").alias("vc"),
     )
     touch = seq.where(F.col("event_type") != "purchase").select(
         "user_id",

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etl_builder_spark.folding import fold_lower
+from etl_builder_spark.folding import fold_lower, nan_to_null
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -131,7 +131,7 @@ from etl_builder_spark.llm.dedup import PLANT_OFFSET as _PLANT_OFFSET
             FROM documents
         ),
         grouped AS (
-            SELECT replace(lower(trim(regexp_replace(text, ' +', ' ', 'g'), ' ')), chr(775), '') AS norm_text,
+            SELECT replace(lower(trim(regexp_replace(text, ' +', ' ', 'g'), ' ')), 'i' || chr(775), 'i') AS norm_text,
                    doc_id, text, lang, source, n_chars
             FROM everything
         )
@@ -284,7 +284,9 @@ def er_weighted_linkage(spark, sf_dir):
         "c_custkey",
         "c_name",
         "c_nationkey",
-        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        # nan_to_null (r13): Scala floor(NaN).toLong is silently 0 — a
+        # phantom band-0 that the oracle's NULL band never joins
+        F.floor(nan_to_null("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
     )
     dirty = base.select(
         (F.col("c_custkey") + ER_OFFSET).alias("c_custkey"),
@@ -560,7 +562,9 @@ def er_fellegi_sunter_em(spark, sf_dir):
         "c_custkey",
         "c_name",
         "c_nationkey",
-        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        # nan_to_null (r13): Scala floor(NaN).toLong is silently 0 — a
+        # phantom band-0 that the oracle's NULL band never joins
+        F.floor(nan_to_null("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
     )
     dirty = base.select(
         (F.col("c_custkey") + ER_OFFSET).alias("c_custkey"),
@@ -739,10 +743,16 @@ def er_sorted_neighborhood(spark, sf_dir):
             # tiebreak, and a RAW string custkey orders '1000001' < '2' —
             # diverging from the oracle's numeric ORDER BY.  Zero-padding
             # makes string order = numeric order at any key magnitude.
+            # Separator \x01 (round-13, ADVICE r12): the concat order
+            # equals the oracle's two-key (c_name, c_custkey) order iff
+            # the separator sorts below every payload byte; '#' (0x23)
+            # sorts ABOVE space/tab/quote, flipping prefix-name ties on
+            # such payloads.  \x01 is below every character either
+            # corpus generator can emit (no NUL in any pool).
             "tb",
             F.concat(
                 F.col("c_name"),
-                F.lit("#"),
+                F.lit("\x01"),
                 F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
             ),
         ),

@@ -19,7 +19,12 @@ from etl_builder_spark.session import load_table
     "agg_histogram",
     oracle="""
         WITH binned AS (
-            SELECT least(CAST(floor((o_totalprice - 0) / 50000) AS BIGINT), 9) AS bin
+            -- NaN pin (r13): an undefined total has no bin — NULL bin
+            -- on both engines (DuckDB floor(NaN)=NaN and least() would
+            -- otherwise NaN-absorb into the top bin; Spark diverges)
+            SELECT CASE WHEN isnan(o_totalprice) THEN NULL
+                        ELSE least(CAST(floor((o_totalprice - 0) / 50000) AS BIGINT), 9)
+                   END AS bin
             FROM orders
         )
         SELECT bin,
@@ -34,9 +39,17 @@ from etl_builder_spark.session import load_table
 def agg_histogram(spark, sf_dir):
     """10-bin histogram of order totals (0..500k, top bin clamps).
     floor((x-lo)/step) on exact 2-dp doubles is the identical IEEE
-    expression on both engines — no width_bucket dialect risk."""
+    expression on both engines — no width_bucket dialect risk.  An
+    undefined (NaN) total has no bin: nan_to_null → the NULL bin,
+    matching the oracle's isnan guard (round 13)."""
     o = load_table(spark, sf_dir, "orders")
-    bin_ = F.least(F.floor((F.col("o_totalprice") - 0) / 50000), F.lit(9)).cast("long")
+    raw_bin = F.least(F.floor((F.col("o_totalprice") - 0) / 50000), F.lit(9)).cast(
+        "long"
+    )
+    # when-guard, not nan_to_null-into-least: least() SKIPS NULLs on
+    # both engines, so a NULLed input would land in the top bin instead
+    # of the NULL bin the oracle's CASE emits
+    bin_ = F.when(~F.isnan("o_totalprice"), raw_bin)
     return (
         o.select(bin_.alias("bin"))
         .groupBy("bin")

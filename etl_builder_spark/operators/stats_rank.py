@@ -186,8 +186,8 @@ def stats_kendall_tau_binned(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
     cells = (
         l.select(
-            F.col("l_quantity").cast("bigint").alias("qx"),
-            F.floor(F.col("l_extendedprice") / 5000).cast("bigint").alias("yb"),
+            nan_to_null("l_quantity").cast("bigint").alias("qx"),
+            F.floor(nan_to_null("l_extendedprice") / 5000).cast("bigint").alias("yb"),
         )
         .groupBy("qx", "yb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -348,8 +348,12 @@ def _levene_oracle() -> str:
     s_tot = " + ".join(f"s{i}" for i in range(len(_PRIORITIES)))
     return f"""
         WITH med AS (
+            -- NaN pin (r13): quantile_cont does NOT skip NaN (it
+            -- interpolates it — probed), so guard the input like the
+            -- Spark side's nan_to_null-pinned percentile
             SELECT o_orderpriority AS grp,
-                   ROUND(quantile_cont(o_totalprice, 0.5), 6) AS md
+                   ROUND(quantile_cont(CASE WHEN isnan(o_totalprice) THEN NULL
+                                            ELSE o_totalprice END, 0.5), 6) AS md
             FROM orders GROUP BY 1
         ),
         zf AS (
@@ -384,11 +388,16 @@ def stats_levene_brownforsythe(spark, sf_dir):
     median frame broadcast back over the data."""
     o = load_table(spark, sf_dir, "orders")
     med = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("md")
+        # nan_to_null (r13): Spark's percentile ranks NaN largest where
+        # DuckDB's quantile_cont skips it — the agg_percentile pin
+        F.round(F.percentile(nan_to_null("o_totalprice"), F.lit(0.5)), 6).alias("md")
     )
     zf = o.join(F.broadcast(med), o.o_orderpriority == med.grp).select(
         "grp",
-        F.round(F.abs(F.col("o_totalprice") - F.col("md")), 6)
+        # a NaN deviation routes to NULL through the decimal cast on
+        # both engines (Spark silently, the oracle via the r13 pin) —
+        # SUM skips it identically
+        F.round(F.abs(nan_to_null(F.col("o_totalprice")) - F.col("md")), 6)
         .cast("decimal(18,6)")
         .alias("z"),
     )
@@ -458,7 +467,7 @@ def agg_weighted_percentile_exact(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
     per = (
         l.groupBy(F.col("l_extendedprice").alias("v"))
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+        .agg(F.sum(nan_to_null("l_quantity").cast("bigint")).cast("bigint").alias("w"))
         .persist()
     )
     r = banded_running(per, value_col="v", tiebreak_col="v", sum_col="w")
@@ -525,7 +534,7 @@ def stats_ratio_delta_ci(spark, sf_dir):
     rollup, then the 5-row moment reduction."""
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy("event_type", "user_id").agg(
-        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("xc"),
+        F.sum(nan_to_null(F.round(F.col("value") * 100)).cast("bigint")).cast("bigint").alias("xc"),
         F.count(F.lit(1)).cast("bigint").alias("y"),
     )
     m = per_user.groupBy("event_type").agg(
@@ -676,9 +685,10 @@ W1_BIN = 10_000
             SELECT o_orderpriority AS arm,
                    CAST(FLOOR(o_totalprice / {W1_BIN}) AS BIGINT) AS bin
             FROM orders
-            -- complete-case: NULL prices are not observations (r12)
+            -- complete-case: NULL prices are not observations (r12;
+            -- NaN added r13 — NaN passes IS NOT NULL and would bin)
             WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
-              AND o_totalprice IS NOT NULL
+              AND o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
         ),
         h AS (
             SELECT bin,
@@ -734,7 +744,9 @@ def stats_wasserstein_binned(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
-        & F.col("o_totalprice").isNotNull()  # complete-case (r12)
+        # complete-case (r12; NaN added r13 — NaN passes isNotNull)
+        & F.col("o_totalprice").isNotNull()
+        & ~F.isnan("o_totalprice")
     )
     h = (
         o.groupBy(
@@ -904,8 +916,10 @@ XI_BAND_CENTS = 500_000
                    CAST(l_quantity AS BIGINT) AS y,
                    l_orderkey, l_linenumber
             FROM lineitem
-            -- complete-case: NULL measures are not observations (r12)
+            -- complete-case: NULL measures are not observations (r12;
+            -- NaN added r13 — an IEEE-NaN measure is equally undefined)
             WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+              AND NOT isnan(l_extendedprice) AND NOT isnan(l_quantity)
         ),
         ymap AS (
             SELECT y AS yv,
@@ -971,14 +985,18 @@ def stats_xi_correlation(spark, sf_dir):
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").where(
-        # complete-case: NULL measures are not observations (r12)
-        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+        # complete-case: NULL measures are not observations (r12; NaN
+        # added r13 — NaN passes isNotNull on both engines)
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & ~F.isnan("l_extendedprice")
+        & ~F.isnan("l_quantity")
     )
     rows = li.select(
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("x"),
-        F.col("l_quantity").cast("bigint").alias("y"),
+        nan_to_null("l_quantity").cast("bigint").alias("y"),
         "l_orderkey",
         "l_linenumber",
     )

@@ -17,6 +17,7 @@ row count.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from etl_builder_spark.folding import nan_to_null
 
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
@@ -212,7 +213,7 @@ def stats_permutation_test_pinned(spark, sf_dir):
     pass — the cluster cost of B=1000 is the same scan."""
     e = load_table(spark, sf_dir, "events")
     grid = spark.range(0, PERM_B + 1).select(F.col("id").alias("b"))
-    xc = F.round(F.col("value") * 100).cast("bigint")
+    xc = nan_to_null(F.round(F.col("value") * 100)).cast("bigint")
     grp = F.when(F.col("b") == 0, F.col("event_type") == "purchase").otherwise(
         F.pmod(
             F.pmod((F.col("event_id") + F.col("b") * PERM_SALT) * KNUTH, F.lit(4294967296)),
@@ -324,8 +325,8 @@ def ml_quantile_regression_grid(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
     grid = spark.createDataFrame([(s,) for s in QR_SLOPES_CENTS], "s long")
     u = (
-        F.round(F.col("l_extendedprice") * 100).cast("bigint")
-        - F.col("s") * F.col("l_quantity").cast("bigint")
+        nan_to_null(F.round(F.col("l_extendedprice") * 100)).cast("bigint")
+        - F.col("s") * nan_to_null("l_quantity").cast("bigint")
     )
     loss = (
         l.crossJoin(F.broadcast(grid))
@@ -422,8 +423,8 @@ def stats_mutual_information_binned(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
     cells = (
         l.select(
-            F.col("l_quantity").cast("bigint").alias("qx"),
-            F.floor(F.col("l_extendedprice") / 5000).cast("bigint").alias("yb"),
+            nan_to_null("l_quantity").cast("bigint").alias("qx"),
+            F.floor(nan_to_null("l_extendedprice") / 5000).cast("bigint").alias("yb"),
         )
         .groupBy("qx", "yb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -685,8 +686,8 @@ def stats_cohens_kappa(spark, sf_dir):
     frame — no second scan, no window, no shuffle beyond the 9-group
     exchange."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("bigint")
-    d = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    q = nan_to_null("l_quantity").cast("bigint")
+    d = nan_to_null(F.round(F.col("l_discount") * 100, 0)).cast("bigint")
     qb = F.when(q <= 16, "low").when(q <= 33, "mid").otherwise("high")
     db = F.when(d <= 3, "low").when(d <= 7, "mid").otherwise("high")
     cells = (
@@ -793,7 +794,7 @@ def ml_mcc_binary_gate(spark, sf_dir):
     driver-free arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
     truth = F.col("l_returnflag") == "R"
-    pred = F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 6
+    pred = nan_to_null(F.round(F.col("l_discount") * 100, 0)).cast("bigint") >= 6
     conf = li.agg(
         F.sum(F.when(truth & pred, 1).otherwise(0)).cast("bigint").alias("tp"),
         F.sum(F.when(~truth & pred, 1).otherwise(0)).cast("bigint").alias("fp"),
@@ -993,7 +994,7 @@ def stats_bh_fdr(spark, sf_dir):
         .select("l_partkey", "l_quantity")
     )
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    q = F.col("l_quantity").cast("bigint")
+    q = nan_to_null("l_quantity").cast("bigint")
     per = (
         li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
         .groupBy(F.col("p_brand").alias("brand"))
@@ -1133,9 +1134,9 @@ def stats_ate_stratified(spark, sf_dir):
     the cheapest possible adjusted-effect estimate; the union'd
     summary row aggregates the 3-row frame, not the data."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("bigint")
+    q = nan_to_null("l_quantity").cast("bigint")
     stratum = F.when(q <= 16, "low").when(q <= 33, "mid").otherwise("high")
-    t = F.when(F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 6, 1).otherwise(0)
+    t = F.when(nan_to_null(F.round(F.col("l_discount") * 100, 0)).cast("bigint") >= 6, 1).otherwise(0)
     y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
     s = (
         li.select(stratum.alias("stratum"), t.alias("t"), y.alias("y"))
@@ -1390,7 +1391,7 @@ def stats_odds_ratio_ci(spark, sf_dir):
     estimator the textbook one."""
     li = load_table(spark, sf_dir, "lineitem")
     truth = F.col("l_returnflag") == "R"
-    exposed = F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 6
+    exposed = nan_to_null(F.round(F.col("l_discount") * 100, 0)).cast("bigint") >= 6
     conf = li.agg(
         F.sum(F.when(truth & exposed, 1).otherwise(0)).cast("bigint").alias("a"),
         F.sum(F.when(~truth & exposed, 1).otherwise(0)).cast("bigint").alias("b"),
@@ -1477,8 +1478,8 @@ def stats_mcnemar_paired(spark, sf_dir):
     100 TB posture: one map-side-combined 4-accumulator pass; the
     result is a 1-row frame of driver-free arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
-    pa = F.when(F.col("l_quantity").cast("bigint") > 25, 1).otherwise(0)
-    pb = F.when(F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 5, 1).otherwise(
+    pa = F.when(nan_to_null("l_quantity").cast("bigint") > 25, 1).otherwise(0)
+    pb = F.when(nan_to_null(F.round(F.col("l_discount") * 100, 0)).cast("bigint") >= 5, 1).otherwise(
         0
     )
     cells = li.select(pa.alias("pa"), pb.alias("pb")).agg(
@@ -1768,8 +1769,8 @@ def stats_cochran_q(spark, sf_dir):
     100 TB posture: one map-side-combined pass, six accumulators, a
     1-row result."""
     li = load_table(spark, sf_dir, "lineitem")
-    r1 = F.when(F.col("l_quantity").cast("bigint") > 25, 1).otherwise(0)
-    r2 = F.when(F.round(F.col("l_discount") * 100, 0).cast("bigint") >= 5, 1).otherwise(0)
+    r1 = F.when(nan_to_null("l_quantity").cast("bigint") > 25, 1).otherwise(0)
+    r2 = F.when(nan_to_null(F.round(F.col("l_discount") * 100, 0)).cast("bigint") >= 5, 1).otherwise(0)
     r3 = F.when(F.col("l_extendedprice").cast("decimal(18,2)") > 30000, 1).otherwise(0)
     rs = r1 + r2 + r3
     m = li.agg(

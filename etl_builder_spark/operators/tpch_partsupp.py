@@ -36,6 +36,7 @@ both of which survive that layout unchanged).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from etl_builder_spark.folding import nan_to_null
 
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
@@ -427,7 +428,7 @@ def agg_days_of_supply(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     demand = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q365")
+        F.sum(nan_to_null("l_quantity").cast("bigint")).cast("bigint").alias("q365")
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     j = (

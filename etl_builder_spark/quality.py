@@ -143,13 +143,16 @@ PSI_N_BINS = 10
             SELECT LEAST(CAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}) AS BIGINT),
                          {PSI_N_BINS - 1}) AS bin,
                    COUNT(*) AS n
-            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+            -- NaN pin (r13): an undefined total is not an observation
+            FROM orders WHERE year(o_orderdate) = 1995
+              AND NOT isnan(o_totalprice) GROUP BY 1
         ),
         cur AS (
             SELECT LEAST(CAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}) AS BIGINT),
                          {PSI_N_BINS - 1}) AS bin,
                    COUNT(*) AS n
-            FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+            FROM orders WHERE year(o_orderdate) = 1996
+              AND NOT isnan(o_totalprice) GROUP BY 1
         ),
         tot AS (
             -- COALESCE to 0 (round-12 degenerate sweep): an empty
@@ -199,7 +202,9 @@ def dq_distribution_drift(spark, sf_dir):
 
     def hist(year: int, n_name: str):
         return (
-            o.where(F.year("o_orderdate") == year)
+            # NaN pin (r13): mirror the oracle — NaN totals are not
+            # observations of the monitored distribution
+            o.where((F.year("o_orderdate") == year) & ~F.isnan("o_totalprice"))
             .groupBy(bin_col.alias("bin"))
             .agg(F.count(F.lit(1)).alias(n_name))
         )
@@ -1136,8 +1141,13 @@ def dq_cross_field_rules(spark, sf_dir):
                     AS BIGINT) AS n_returned,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
                     AS BIGINT) AS revenue_cents,
-               CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
-               CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+               -- NaN pin (r13) INSIDE the aggregate: DuckDB's MIN/MAX
+               -- rank NaN greatest (NaN-poisoning MAX) where the
+               -- declared semantics is NaN-skip — guard per row
+               CAST(MIN(CASE WHEN isnan(l_quantity) THEN NULL
+                             ELSE l_quantity END) AS BIGINT) AS min_qty,
+               CAST(MAX(CASE WHEN isnan(l_quantity) THEN NULL
+                             ELSE l_quantity END) AS BIGINT) AS max_qty
         FROM lineitem
         WHERE l_shipdate >= DATE '1995-01-01'
     """,
@@ -1182,8 +1192,8 @@ def dq_observe_metrics(spark, sf_dir):
         F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint"))
         .cast("bigint")
         .alias("revenue_cents"),
-        F.min(F.col("l_quantity").cast("bigint")).alias("min_qty"),
-        F.max(F.col("l_quantity").cast("bigint")).alias("max_qty"),
+        F.min(nan_to_null("l_quantity").cast("bigint")).alias("min_qty"),
+        F.max(nan_to_null("l_quantity").cast("bigint")).alias("max_qty"),
     )
     observed.count()  # the pipeline's real action; metrics ride along
     m = obs.get

@@ -65,10 +65,18 @@ def register(
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query key: {name}")
+        # Round-13 NaN pin (VERDICT r12 #1): every oracle passes through
+        # the registration-time compiler pass that wraps measure →
+        # fixed-width casts in the NaN→NULL guard — see nanpin.py for
+        # the full rationale.  Identity on NaN-free corpora; applied
+        # here (not as ~300 source edits) so the pin is one auditable
+        # code path and uniformly covers future registrations.
+        from etl_builder_spark.nanpin import pin_nan_casts
+
         REGISTRY[name] = QuerySpec(
             name=name,
             fn=fn,
-            oracle=oracle,
+            oracle=pin_nan_casts(oracle) if oracle is not None else None,
             tags=tuple(tags),
             declared=declared,
             dynamic_schema=dynamic_schema,

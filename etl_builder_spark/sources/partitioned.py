@@ -588,7 +588,16 @@ RUN_MEASURED = (
     ("l_returnflag", "l_returnflag"),
     ("l_linestatus", "l_linestatus"),
     ("l_partkey", "CAST(l_partkey AS VARCHAR)"),
-    ("l_quantity", "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)"),
+    # NaN pin (round 13) spelled inline because this snippet feeds BOTH
+    # engines verbatim (F.expr on the Spark side, the oracle builder
+    # below): Spark's ANSI NaN→BIGINT cast errors where the pinned
+    # semantics is NULL; identical text on both sides, identity on
+    # NaN-free corpora.
+    (
+        "l_quantity",
+        "CAST(CAST((CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END)"
+        " AS BIGINT) AS VARCHAR)",
+    ),
 )
 
 

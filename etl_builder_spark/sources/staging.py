@@ -98,12 +98,27 @@ def copy_parquet(src: str, dst: str) -> None:
     stagers replay byte-identical single files, so a directory source
     is consolidated through pyarrow (round-12 x10 sweep:
     ``shutil.copy`` raised IsADirectoryError on every stream_*_live
-    key over the synthesized corpus)."""
+    key over the synthesized corpus).
+
+    The directory path streams batch-at-a-time through a ParquetWriter
+    (round-13, ADVICE r12): a single ``read_table`` materializes the
+    whole table in driver memory, an OOM cliff once the engine's own
+    Spark-written outputs (arbitrarily large at higher ×N syntheses)
+    flow back through this stager.  ``pyarrow.dataset`` scans fragments
+    in file order with a single thread, so the consolidated row order
+    is deterministic — same guarantee the one-shot read gave."""
     import shutil
 
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
     if os.path.isfile(src):
         shutil.copy(src, dst)
     else:
-        pq.write_table(pq.read_table(src), dst)
+        ds = pads.dataset(src, format="parquet")
+        with pq.ParquetWriter(dst, ds.schema) as writer:
+            # use_threads=False keeps fragment order == filename order,
+            # the same deterministic row order read_table produced.
+            for batch in ds.scanner(use_threads=False).to_batches():
+                if batch.num_rows:
+                    writer.write_batch(batch)

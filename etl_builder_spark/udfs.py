@@ -121,9 +121,15 @@ def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
 @register(
     "udf_grouped_map",
     oracle="""
+        -- NaN pin (r13): pandas mean/std skip NaN (skipna default)
+        -- while DuckDB's STDDEV_SAMP ERRORS on a NaN input — feed the
+        -- moments the NULLed value; the raw value stays in the
+        -- numerator so a NaN observation's own z is NaN on both sides
         SELECT event_id, user_id,
-               ROUND((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS z_value
-        FROM events
+               ROUND((value - avg(vv) OVER w) / stddev_samp(vv) OVER w, 6) AS z_value
+        FROM (SELECT event_id, user_id, value,
+                     CASE WHEN isnan(value) THEN NULL ELSE value END AS vv
+              FROM events)
         WINDOW w AS (PARTITION BY user_id)
     """,
     tags=("K3",),
@@ -228,7 +234,12 @@ def udf_apply_in_arrow(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def census(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        # NaN pin (round 13): Arrow's float→int cast raises on IEEE NaN
+        # exactly like the engines' ANSI casts; mask NaN to NULL first —
+        # the same nan_to_null boundary semantics, expressed in Arrow.
+        scaled = pc.multiply(t["value"], 100.0)
+        scaled = pc.if_else(pc.is_nan(scaled), pa.scalar(None, pa.float64()), scaled)
+        cents = pc.cast(pc.round(scaled), pa.int64())
         # explicit int64 arrays (r12 nullmeasures): an all-NULL value
         # group sums to None, which a bare python list would infer as
         # arrow's null type and break the declared schema — the typed

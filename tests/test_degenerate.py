@@ -75,10 +75,22 @@ CLASS_REPS = [
     "udtf_tokenize_pos",         # Python-vs-SQL empty-token semantics
     "dedup_minhash_lsh",         # zero-vector guard for MinHashLSH
     "stats_anova_oneway",        # decimal→double via string round-trip
+    # --- nanmeasures classes (seventh shape, round 13) ---
+    "agg_pricing_summary",       # nanpin'd money casts (the 89-key class)
+    "agg_higher_moments",        # nan_to_null at the measure→BIGINT cast
+    "fn_math",                   # sign/ceil/floor NaN-absorption pins
+    "agg_histogram",             # NaN has no bin (NULL-bin when-guard)
+    "dq_observe_metrics",        # NaN-poisoning MIN/MAX guarded in-agg
+    "udf_grouped_map",           # pandas skipna ≡ guarded window moments
+    "er_weighted_linkage",       # floor(NaN).toLong silent-zero pin
+    "stats_levene_brownforsythe",  # quantile_cont interpolates NaN — guarded
 ]
 
 SHAPES = (
-    "empty", "single", "allequal", "onegroup", "nullmeasures", "extremetext"
+    "empty", "single", "allequal", "onegroup", "nullmeasures", "extremetext",
+    # round 13: IEEE-NaN measures (the nan_to_null / nanpin gate) and
+    # heavy key skew (hot-key single-partition hazards)
+    "nanmeasures", "skewed",
 )
 
 

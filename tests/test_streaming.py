@@ -617,3 +617,91 @@ def test_watermark_drop_crash_restart_from_checkpoint(spark, tmp_path):
         if len(got) > len(want)
         else f"post-restart output incomplete: {len(got)} vs {len(want)} windows"
     )
+
+
+def test_stateful_counters_crash_restart_from_checkpoint(spark, tmp_path):
+    """VERDICT r12 item 6: applyInPandasWithState GroupState must
+    survive a driver restart — checkpoint recovery is exactly where
+    silent state loss would hide.  The events table is split into
+    three DISJOINT row slices (maxFilesPerTrigger=1 → three
+    micro-batches, so per-user counters genuinely accumulate across
+    batches); the crash lands after batch 1's sink write but before
+    its offset commits; the restarted query must resume at batch 1
+    with batch 0's state intact.  Teeth: if the state store were
+    reset on restart, every user seen in batch 0 would end with a
+    counter missing its batch-0 contribution — the final reconciled
+    counters must hash-equal the batch per-user counts exactly."""
+    import glob
+
+    src_dir = tmp_path / "split3"
+    src_dir.mkdir()
+    t = pq.read_table(EVENTS)
+    third = t.num_rows // 3
+    slices = [
+        t.slice(0, third),
+        t.slice(third, third),
+        t.slice(2 * third),
+    ]
+    for i, sl in enumerate(slices):
+        p = src_dir / f"part_{i}.parquet"
+        pq.write_table(sl, p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    crash = {"armed": True}
+    seen_batches = []
+
+    def write_batch(batch, batch_id):
+        seen_batches.append(batch_id)
+        batch.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+        if crash["armed"] and batch_id == 1:
+            raise RuntimeError("injected crash: batch written, offset uncommitted")
+
+    def start_query():
+        ev = runtime.stream_events(spark, str(src_dir), max_files_per_trigger=1)
+        return (
+            runtime.running_user_counters(ev)
+            .writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start_query()
+    try:
+        q1.awaitTermination(120)
+    except Exception:
+        pass
+    assert q1.exception() is not None, "query should have died on the injected crash"
+    assert seen_batches == [0, 1]
+
+    crash["armed"] = False
+    q2 = start_query()
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    # offsets recovered: batch 0 never re-ran, batch 1 was redelivered
+    # (recomputed from the RECOVERED batch-0 state), then batch 2 ran
+    assert seen_batches == [0, 1, 1, 2]
+    assert len(glob.glob(os.path.join(sink, "batch_id=*"))) == 3
+
+    # last-wins reconciliation: each user's final counter is the row
+    # from the highest batch_id that emitted it
+    from pyspark.sql import Window as W
+
+    raw = spark.read.parquet(sink)
+    latest = (
+        raw.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events")
+    )
+    got = {r["user_id"]: r["n_events"] for r in latest.collect()}
+    batch = load_table(spark, SF_DIR, "events").groupBy("user_id").count()
+    want = {r["user_id"]: r["count"] for r in batch.collect()}
+    assert got == want, "GroupState lost across restart: counters reset mid-stream"
