@@ -143,16 +143,19 @@ PSI_N_BINS = 10
             SELECT LEAST(CAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}) AS BIGINT),
                          {PSI_N_BINS - 1}) AS bin,
                    COUNT(*) AS n
-            -- NaN pin (r13): an undefined total is not an observation
+            -- NaN pin (r13): a NaN total is not an observation.
+            -- COALESCE TRUE keeps NULL rows: NOT isnan(NULL) is NULL
+            -- (row dropped) in SQL but ~isnan(NULL) is TRUE on Spark,
+            -- and the r12-pinned contract bins NULL totals at the clamp
             FROM orders WHERE year(o_orderdate) = 1995
-              AND NOT isnan(o_totalprice) GROUP BY 1
+              AND COALESCE(NOT isnan(o_totalprice), TRUE) GROUP BY 1
         ),
         cur AS (
             SELECT LEAST(CAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}) AS BIGINT),
                          {PSI_N_BINS - 1}) AS bin,
                    COUNT(*) AS n
             FROM orders WHERE year(o_orderdate) = 1996
-              AND NOT isnan(o_totalprice) GROUP BY 1
+              AND COALESCE(NOT isnan(o_totalprice), TRUE) GROUP BY 1
         ),
         tot AS (
             -- COALESCE to 0 (round-12 degenerate sweep): an empty

@@ -84,6 +84,9 @@ CLASS_REPS = [
     "udf_grouped_map",           # pandas skipna ≡ guarded window moments
     "er_weighted_linkage",       # floor(NaN).toLong silent-zero pin
     "stats_levene_brownforsythe",  # quantile_cont interpolates NaN — guarded
+    # --- skewed classes (eighth shape, round 13) ---
+    "sessionize_events_gap",     # one user owns 99% of events (hot session partition)
+    "win_topk_per_group",        # hot group in a ranking window
 ]
 
 SHAPES = (
