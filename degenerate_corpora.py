@@ -234,6 +234,28 @@ def _nan_measures(t: pa.Table, cols: list[str], n: int) -> pa.Table:
     return pa.table(out, schema=head.schema)
 
 
+def _neg_measures(t: pa.Table, cols: list[str], n: int) -> pa.Table:
+    """Round-13 ninth-shape PROBE: NEGATE every numeric measure on odd
+    rows (refunds/chargebacks/corrections — the sign a real ledger
+    feed carries).  Exercises sign conventions in concentration/
+    inequality statistics, ln/sqrt domain edges, ABS-vs-raw
+    accumulation, and bin edges below zero.  2-dp exactness is
+    preserved (negation is exact), so the money discipline itself is
+    untouched — only the SIGN assumptions are stressed."""
+    head = t.slice(0, n).combine_chunks()
+    odd = pa.array([bool(i % 2) for i in range(len(head))])
+    out = []
+    for field in head.schema:
+        col = head[field.name].combine_chunks()
+        if field.name in cols and (
+            pa.types.is_floating(field.type) or pa.types.is_integer(field.type)
+        ):
+            neg = pa.compute.negate_checked(col)
+            col = pa.compute.if_else(odd, neg, col)
+        out.append(col)
+    return pa.table(out, schema=head.schema)
+
+
 def _null_measures(t: pa.Table, cols: list[str], n: int) -> pa.Table:
     head = t.slice(0, n).combine_chunks()
     odd = pa.array([bool(i % 2) for i in range(len(head))])
@@ -402,7 +424,7 @@ def build(src: str, out_root: str) -> list[str]:
     skewed = None
     for shape in (
         "empty", "single", "allequal", "onegroup", "nullmeasures",
-        "extremetext", "nanmeasures", "skewed",
+        "extremetext", "nanmeasures", "skewed", "negmeasures",
     ):
         out_dir = os.path.join(out_root, shape)
         os.makedirs(out_dir, exist_ok=True)
@@ -427,6 +449,8 @@ def build(src: str, out_root: str) -> list[str]:
                 d = _null_measures(t, MEASURE_COLS[name], N_ROWS)
             elif shape == "nanmeasures":
                 d = _nan_measures(t, MEASURE_COLS[name], N_ROWS)
+            elif shape == "negmeasures":
+                d = _neg_measures(t, MEASURE_COLS[name], N_ROWS)
             else:
                 d = _extreme_text(t, TEXT_COLS[name], N_ROWS)
             pq.write_table(d, os.path.join(out_dir, f"{name}.parquet"))

@@ -95,8 +95,14 @@ def fn_datetime(spark, sf_dir):
                CAST(ceil(l_extendedprice / 100) AS BIGINT) AS price_ceil,
                CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_floor,
                power(l_quantity, 2) AS qty_sq,
-               sqrt(l_extendedprice) AS price_sqrt,
-               ROUND(ln(l_extendedprice), 6) AS price_ln,
+               -- domain pins (r13 negmeasures): DuckDB ERRORS on
+               -- sqrt/ln of a negative where Spark yields NaN/NULL —
+               -- out-of-domain input is the undefined value NULL on
+               -- both engines (NaN stays NaN: NaN >= 0 is TRUE on both)
+               CASE WHEN l_extendedprice >= 0
+                    THEN sqrt(l_extendedprice) END AS price_sqrt,
+               CASE WHEN l_extendedprice > 0
+                    THEN ROUND(ln(l_extendedprice), 6) END AS price_ln,
                ROUND(exp(l_discount), 6) AS disc_exp,
                -- sign() is NaN-ABSORBING on DuckDB (NaN compares greatest,
                -- so sign(NaN)=1) while Spark's signum(NaN)=NaN: pin the
@@ -126,8 +132,9 @@ def fn_math(spark, sf_dir):
         F.ceil(nan_to_null(p) / 100).alias("price_ceil"),
         F.floor(nan_to_null(p) / 100).alias("price_floor"),
         F.pow(q, 2).alias("qty_sq"),
-        F.sqrt(p).alias("price_sqrt"),
-        F.round(F.log(p), 6).alias("price_ln"),
+        # domain pins (r13 negmeasures) — see the oracle comment
+        F.when(p >= 0, F.sqrt(p)).alias("price_sqrt"),
+        F.when(p > 0, F.round(F.log(p), 6)).alias("price_ln"),
         F.round(F.exp(F.col("l_discount")), 6).alias("disc_exp"),
         nan_to_null(F.signum(q - 25)).cast("int").alias("qty_sign"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),

@@ -2738,7 +2738,11 @@ def ml_als_user_step(spark, sf_dir):
     "ml_feature_binning_woe",
     oracle="""
         WITH base AS (
-            SELECT CAST(l_quantity AS BIGINT) // 10 AS bin,
+            -- FLOOR division (r13 negmeasures): DuckDB's // TRUNCATES
+            -- toward zero (-25//10 = -2) while the Spark side floors
+            -- (floor(-2.5) = -3) — spell the floor so negative
+            -- quantities bin identically; same value for positives
+            SELECT CAST(FLOOR(CAST(l_quantity AS BIGINT) / 10.0) AS BIGINT) AS bin,
                    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
             FROM lineitem
         ),

@@ -1688,10 +1688,17 @@ def agg_hhi_concentration(spark, sf_dir):
     "agg_theil_atkinson",
     oracle="""
         WITH rev AS (
+            -- positive-domain pin (r13 negmeasures): inequality indices
+            -- are defined over POSITIVE incomes; a non-positive
+            -- aggregate (refund-dominated ledger) has no log term —
+            -- DuckDB's ln(neg) ERRORS where Spark's is NULL, so both
+            -- engines drop it.  Identity on the all-positive corpora.
             SELECT o_custkey,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
                         AS BIGINT) AS x
             FROM orders GROUP BY o_custkey
+            HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) > 0
         ),
         terms AS (
             SELECT x,
@@ -1743,8 +1750,11 @@ def agg_theil_atkinson(spark, sf_dir):
     three indices share one sign convention (≤ 0 ⇔ equality
     direction) without a cross-engine subtraction-order hazard."""
     o = load_table(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(
-        F.sum(money("o_totalprice") * 100).cast("bigint").alias("x")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice") * 100).cast("bigint").alias("x"))
+        # positive-domain pin (r13 negmeasures): see the oracle comment
+        .where(F.col("x") > 0)
     )
     x = F.col("x")
     terms = rev.select(

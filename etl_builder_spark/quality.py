@@ -140,8 +140,12 @@ PSI_N_BINS = 10
     oracle=f"""
         WITH bins AS (SELECT unnest(generate_series(0, {PSI_N_BINS - 1})) AS bin),
         ref AS (
-            SELECT LEAST(CAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}) AS BIGINT),
-                         {PSI_N_BINS - 1}) AS bin,
+            -- GREATEST clamp (r13 negmeasures): a negative total
+            -- lands in the bottom bin on BOTH engines (the Spark
+            -- side's totals frame only sums bins 0..9, so an
+            -- unclamped negative bin silently left the denominator)
+            SELECT GREATEST(0, LEAST(CAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}) AS BIGINT),
+                         {PSI_N_BINS - 1})) AS bin,
                    COUNT(*) AS n
             -- NaN pin (r13): a NaN total is not an observation.
             -- COALESCE TRUE keeps NULL rows: NOT isnan(NULL) is NULL
@@ -151,8 +155,8 @@ PSI_N_BINS = 10
               AND COALESCE(NOT isnan(o_totalprice), TRUE) GROUP BY 1
         ),
         cur AS (
-            SELECT LEAST(CAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}) AS BIGINT),
-                         {PSI_N_BINS - 1}) AS bin,
+            SELECT GREATEST(0, LEAST(CAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}) AS BIGINT),
+                         {PSI_N_BINS - 1})) AS bin,
                    COUNT(*) AS n
             FROM orders WHERE year(o_orderdate) = 1996
               AND COALESCE(NOT isnan(o_totalprice), TRUE) GROUP BY 1
@@ -198,9 +202,13 @@ def dq_distribution_drift(spark, sf_dir):
     which at scale read only the monitored column + partition-pruned
     date range."""
     o = load_table(spark, sf_dir, "orders")
-    bin_col = F.least(
-        F.floor(F.col("o_totalprice") / PSI_BIN_WIDTH).cast("long"),
-        F.lit(PSI_N_BINS - 1),
+    # GREATEST clamp (r13 negmeasures): see the oracle comment
+    bin_col = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.floor(F.col("o_totalprice") / PSI_BIN_WIDTH).cast("long"),
+            F.lit(PSI_N_BINS - 1),
+        ),
     )
 
     def hist(year: int, n_name: str):
@@ -716,7 +724,10 @@ _BENFORD_CASE = "CASE digit " + " ".join(
     "dq_benford_deviation",
     oracle=f"""
         WITH digits AS (
-            SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+            -- ABS (r13 negmeasures): Benford reads the first
+            -- SIGNIFICANT digit — a negative total's leading char is
+            -- '-', which is not a digit (and errored the INT cast)
+            SELECT CAST(substr(CAST(abs(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR), 1, 1)
                         AS INT) AS digit
             FROM orders
         ),
@@ -749,7 +760,8 @@ def dq_benford_deviation(spark, sf_dir):
     from etl_builder_spark.policy import money
 
     o = load_table(spark, sf_dir, "orders")
-    digit = F.substring(money("o_totalprice").cast("string"), 1, 1).cast("int")
+    # ABS (r13 negmeasures): first significant digit is sign-agnostic
+    digit = F.substring(F.abs(money("o_totalprice")).cast("string"), 1, 1).cast("int")
     obs = (
         o.select(digit.alias("digit"))
         .groupBy("digit")

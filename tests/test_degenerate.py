@@ -87,13 +87,18 @@ CLASS_REPS = [
     # --- skewed classes (eighth shape, round 13) ---
     "sessionize_events_gap",     # one user owns 99% of events (hot session partition)
     "win_topk_per_group",        # hot group in a ranking window
+    # --- negmeasures classes (ninth shape, round 13) ---
+    "dq_benford_deviation",      # first SIGNIFICANT digit via ABS
+    "agg_theil_atkinson",        # positive-domain pin on log terms
+    "ml_feature_binning_woe",    # DuckDB // truncates, Spark floors
 ]
 
 SHAPES = (
     "empty", "single", "allequal", "onegroup", "nullmeasures", "extremetext",
-    # round 13: IEEE-NaN measures (the nan_to_null / nanpin gate) and
-    # heavy key skew (hot-key single-partition hazards)
-    "nanmeasures", "skewed",
+    # round 13: IEEE-NaN measures (the nan_to_null / nanpin gate),
+    # heavy key skew (hot-key single-partition hazards), and negated
+    # measures (refund-ledger sign conventions)
+    "nanmeasures", "skewed", "negmeasures",
 )
 
 
