@@ -181,26 +181,13 @@ TPCH = [
 ]
 
 
-def _normalize_plan(text: str) -> str:
-    """Canonicalize a formatted physical-plan string for fingerprinting:
-    strip run-varying tokens (expression IDs, plan IDs, codegen stage
-    IDs, filesystem paths, statistics, cached-RDD numbers) so the hash
-    moves iff the PLAN SHAPE moves.  VERDICT r12 item 3: the
-    cohort-over-probe bench normalization is too coarse to separate
-    host weather from engine regressions; a round-over-round diff of
-    per-key plan hashes proves "no plan changed" mechanically."""
-    import re
-
-    text = re.sub(r"#\d+[L]?", "#N", text)                 # expr IDs
-    text = re.sub(r"plan_id=\d+", "plan_id=N", text)
-    text = re.sub(r"\[codegen id : \d+\]", "[codegen id : N]", text)
-    text = re.sub(r"\[id=#N\]", "[id=#N]", text)
-    text = re.sub(r"(file:)?/[\w./@+-]*", "<path>", text)  # fs paths
-    text = re.sub(r"Statistics\([^)]*\)", "Statistics(N)", text)
-    text = re.sub(r"CachedRDD \d+", "CachedRDD N", text)
-    text = re.sub(r"Memory size: [\d.]+ \w+", "Memory size: N", text)
-    text = re.sub(r"\(\d+\)", "(N)", text)                 # node ordinals
-    return text
+# plan normalization + hashing live in plans/audit.py so the emitter
+# below and the cross-round shape gate (tests/test_plans.py) share ONE
+# definition of "the plan changed" (VERDICT r13 item 1)
+from etl_builder_spark.plans.audit import (  # noqa: E402
+    plan_fine_hash,
+    plan_shape_hash,
+)
 
 
 def emit_fingerprints() -> int:
@@ -211,33 +198,24 @@ def emit_fingerprints() -> int:
     plan folds in runtime statistics (partition coalescing counts vary
     with host state), which is exactly the noise this artifact exists
     to exclude."""
-    import hashlib
-
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     _ensure_loaded()
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("fingerprints", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")))
     spark.sparkContext.setLogLevel("ERROR")
-    import re
 
     def _hashes(name: str) -> tuple[str, str]:
+        # fresh-cache plan per key: a persisted frame left by an
+        # EARLIER key substitutes matching subtrees in later explains
+        # (InMemoryTableScan swaps whole lineages out), making the
+        # shape depend on iteration history — ml_dbscan_grid's gate
+        # flake, round 14
+        spark.catalog.clearCache()
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
-        norm = _normalize_plan(plan)
-        fine = hashlib.sha256(norm.encode()).hexdigest()[:16]
-        # coarse SHAPE hash: the sorted multiset of physical operator
-        # names — invariant under Catalyst's nondeterministic
-        # expression/gid orderings (RewriteDistinctAggregates assigns
-        # gids in hash order), while still moving on any structural
-        # change (an extra Exchange, a lost pushdown, a join strategy
-        # flip).  Keys whose FINE hash differs between two same-session
-        # builds are flagged unstable below; their shape hash is the
-        # load-bearing one.
-        ops = sorted(re.findall(r"\(N\) ([A-Za-z][A-Za-z0-9]*)", norm))
-        shape = hashlib.sha256(";".join(ops).encode()).hexdigest()[:16]
-        return fine, shape
+        return plan_fine_hash(plan), plan_shape_hash(plan)
 
     fps: dict[str, str] = {}
     shapes: dict[str, str] = {}

@@ -179,6 +179,98 @@ EXTREME_JSON = [
     '  {"padded": true}  ',                     # surrounding whitespace
 ]
 
+#: temporal columns remapped in the ``extremedates`` shape (round 14,
+#: VERDICT r13 item 5 — the tenth shape, stressing the one axis the
+#: other nine never touch: the calendar)
+TS_COLS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+    "region": [],
+    "nation": [],
+    "customer": [],
+    "supplier": [],
+    "part": [],
+    "documents": [],
+    "embeddings": [],
+}
+
+from datetime import datetime as _dt  # noqa: E402
+
+#: century-scale pool for ORDER/SHIP dates (midnight timestamps, like
+#: the shipped corpus).  Floor is 1900 — NOT 0001 — deliberately:
+#: pre-1582-10-15 parquet timestamps hit Spark's Julian/Gregorian
+#: rebase-mode machinery, which the driver's vanilla session does not
+#: configure (and pre-1677 overflows datetime64[ns], below); 1900 on is
+#: calendar-unambiguous on both engines.  Ceiling is 2260 — NOT 9999 —
+#: because the comparison HARNESS (the driver's pandas canonicalization,
+#: replicated by selfcheck parity mode) materializes timestamps as
+#: Arrow→pandas datetime64[ns], whose horizon is 2262-04-11: the first
+#: census run proved year-9999 values crash canonicalization on 8 keys
+#: before any engine semantics are compared.  2260 keeps ~2 years of
+#: headroom for operators that shift data timestamps forward (+1 year
+#: YoY frames, +interval month-ends) while still being a far-future
+#: 4-digit-year century.  Axes covered: pre-1970 negative epochs,
+#: pre-1990 negative datediffs (the business-day ``//``-vs-floor seam),
+#: the 1900/2000/2260 century-vs-400 leap rules, month-end arithmetic
+#: targets (Jan 31 / Feb 29 / Mar 31), and the far future.
+EXTREME_DATES = [
+    _dt(1900, 1, 1),
+    _dt(1900, 2, 28),    # 1900 is NOT a leap year (century rule)
+    _dt(1969, 12, 31),
+    _dt(1970, 1, 1),     # epoch 0
+    _dt(2000, 2, 29),    # 2000 IS a leap year (400 rule)
+    _dt(2024, 1, 31),    # month-end: add_months/last_day seam
+    _dt(2024, 2, 29),
+    _dt(2024, 3, 31),
+    _dt(2260, 2, 29),    # far-future leap day (2260 % 4 == 0, not a century)
+    _dt(2260, 12, 31),   # far-future year-end, ~2y under the ns horizon
+]
+
+#: BOUNDED pool for events.ts, straddling epoch 0 within ±31 days:
+#: several operators build hourly/daily spines over the OBSERVED ts
+#: range (ts_hourly_gapfill, ts_calendar_dim, the xcorr family), so a
+#: century-scale events range would explode the spine to millions of
+#: rows on both engines; 61 days keeps every spine ≤ ~1.5k rows while
+#: still forcing negative epoch-microseconds through every window
+#: bucketing, session gap, and as-of comparison (floor-vs-truncate
+#: integer division diverges EXACTLY and ONLY below zero).  Sub-second
+#: values sit 1 µs either side of hour boundaries so window assignment
+#: at the boundary is exercised, not just near it.
+EXTREME_EVENT_TS = [
+    _dt(1969, 12, 31, 23, 59, 59, 999999),   # epoch −1 µs
+    _dt(1970, 1, 1, 0, 0, 0),                # epoch 0
+    _dt(1970, 1, 1, 0, 0, 0, 1),             # epoch +1 µs
+    _dt(1969, 12, 28, 1, 0, 0),              # exact negative hour edge
+    _dt(1969, 12, 28, 0, 59, 59, 999999),    # 1 µs before that edge
+    _dt(1969, 12, 15, 12, 30, 0, 500000),    # negative half-second
+    _dt(1969, 12, 1, 0, 0, 0),               # range lo anchor
+    _dt(1970, 1, 15, 1, 0, 0),               # exact positive hour edge
+    _dt(1970, 1, 15, 0, 59, 59, 999999),     # 1 µs before that edge
+    _dt(1970, 1, 31, 23, 59, 59, 999999),    # range hi anchor
+]
+
+
+def _extreme_dates(t: pa.Table, cols: list[str], n: int) -> pa.Table:
+    """Tenth shape: remap every temporal column to its adversarial pool
+    (row i gets pool[i % len(pool)], so all axes land in every table).
+    Everything else — keys, measures, categoricals, text — stays real:
+    the shape isolates CALENDAR semantics (window bucketing at negative
+    epochs, month-end arithmetic, ISO week/era boundaries, epoch
+    extraction signs) from the value and key questions the other nine
+    shapes own."""
+    head = t.slice(0, n).combine_chunks()
+    m = len(head)
+    out = []
+    for field in head.schema:
+        col = head[field.name].combine_chunks()
+        if field.name in cols:
+            pool = EXTREME_EVENT_TS if field.name == "ts" else EXTREME_DATES
+            col = pa.array([pool[i % len(pool)] for i in range(m)], type=field.type)
+        out.append(col)
+    return pa.table(out, schema=head.schema)
+
+
 #: text payload columns mutated in the ``extremetext`` shape — group
 #: keys, categoricals (lang, source, event_type, brands, statuses) and
 #: TPC-H filter targets (r_name, n_name, p_type) stay real
@@ -425,6 +517,7 @@ def build(src: str, out_root: str) -> list[str]:
     for shape in (
         "empty", "single", "allequal", "onegroup", "nullmeasures",
         "extremetext", "nanmeasures", "skewed", "negmeasures",
+        "extremedates",
     ):
         out_dir = os.path.join(out_root, shape)
         os.makedirs(out_dir, exist_ok=True)
@@ -451,6 +544,8 @@ def build(src: str, out_root: str) -> list[str]:
                 d = _nan_measures(t, MEASURE_COLS[name], N_ROWS)
             elif shape == "negmeasures":
                 d = _neg_measures(t, MEASURE_COLS[name], N_ROWS)
+            elif shape == "extremedates":
+                d = _extreme_dates(t, TS_COLS[name], N_ROWS)
             else:
                 d = _extreme_text(t, TEXT_COLS[name], N_ROWS)
             pq.write_table(d, os.path.join(out_dir, f"{name}.parquet"))

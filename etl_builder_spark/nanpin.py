@@ -85,6 +85,44 @@ def _is_boolean_expr(expr: str) -> bool:
         i += 1
     return False
 
+def _mask_comments(sql: str) -> str:
+    """Same-length copy with SQL comment bytes (``-- …`` to end of line
+    and ``/* … */``) replaced by spaces, so every positional scan below
+    ignores them (ADVICE r13: an apostrophe, unbalanced paren, or
+    literal ``CAST(`` inside a comment must not mis-scope a rewrite).
+    Single-quoted strings are respected ('' is the escaped quote);
+    newlines are preserved so positions stay aligned either way."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                out[i] = " "
+                i += 1
+            continue
+        elif ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            while i < n and not (sql[i] == "*" and i + 1 < n and sql[i + 1] == "/"):
+                if sql[i] != "\n":
+                    out[i] = " "
+                i += 1
+            if i + 1 < n:
+                out[i] = out[i + 1] = " "
+                i += 2
+            continue
+        i += 1
+    return "".join(out)
+
+
 _CAST_RE = re.compile(r"\bCAST\s*\(")
 
 _ALREADY_RE = re.compile(r"^\(\s*CASE\s+WHEN\s+isnan\s*\(", re.IGNORECASE)
@@ -132,14 +170,20 @@ def pin_nan_casts(sql: str) -> str:
     already-guarded inner cast's fixed-width result, which can never be
     NaN."""
     while True:
+        # scan the comment-masked twin (same length, comments → spaces)
+        # so structure inside comments can't mis-scope a rewrite; the
+        # extracted expr is taken from the mask too, because the guard
+        # inlines it twice on one line — a surviving '--' inside it
+        # would comment out the THEN/ELSE tail
+        masked = _mask_comments(sql)
         edits = []
-        for m in _CAST_RE.finditer(sql):
+        for m in _CAST_RE.finditer(masked):
             open_idx = m.end() - 1
-            close_idx, as_idx = _scan_cast(sql, open_idx)
+            close_idx, as_idx = _scan_cast(masked, open_idx)
             if close_idx is None or as_idx is None:
                 continue
-            expr = sql[open_idx + 1 : as_idx].strip()
-            typ = sql[as_idx + 4 : close_idx].strip()
+            expr = masked[open_idx + 1 : as_idx].strip()
+            typ = masked[as_idx + 4 : close_idx].strip()
             if (
                 not _TYPE_RE.match(typ)
                 or _SAFE_RE.match(expr)

@@ -90,8 +90,14 @@ def funnel_signup_purchase(spark, sf_dir):
             FROM events
         ),
         cells AS (
+            -- day-diff // 7, NOT datediff('week', ...): DuckDB's week
+            -- diff counts ISO-week-NUMBER transitions and skips one at
+            -- a year boundary whose ISO week 1 starts in the old year
+            -- (1969-12-29 → 1970-01-05 counts 0).  Both operands are
+            -- Monday-truncated, so the day diff is an exact
+            -- non-negative multiple of 7 (extremedates census, r14).
             SELECT f.cohort_week,
-                   CAST(datediff('week', f.cohort_week, a.active_week) AS BIGINT)
+                   CAST(datediff('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
                        AS week_offset,
                    COUNT(DISTINCT a.user_id) AS n_active
             FROM firsts f JOIN activity a ON a.user_id = f.user_id
@@ -232,8 +238,10 @@ def funnel_time_to_convert(spark, sf_dir):
             FROM events WHERE event_type = 'purchase'
         ),
         cells AS (
+            -- day-diff // 7, not datediff('week', ...) — see
+            -- cohort_weekly_retention's pin (ISO-week-number seam)
             SELECT f.cohort_week,
-                   CAST(datediff('week', f.cohort_week, p.wk) AS BIGINT)
+                   CAST(datediff('day', f.cohort_week, p.wk) // 7 AS BIGINT)
                        AS week_offset,
                    SUM(p.v) AS wk_revenue
             FROM firsts f JOIN purchases p ON p.user_id = f.user_id

@@ -2169,11 +2169,15 @@ def ts_anomaly_mad_residual(spark, sf_dir):
                    CAST(SUM(x * y) AS BIGINT) AS sxy
             FROM paired GROUP BY lag
         )
+        -- zero-variance arm → ACF pinned to 0.0 (ts_cross_corr_lags'
+        -- convention; hit when every paired hour has the same count —
+        -- extremedates census, r14)
         SELECT CAST(lag AS BIGINT) AS lag_hours, np AS n_pairs,
-               ROUND((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                     / (sqrt(CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                        * sqrt(CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
-                   AS acf
+               CASE WHEN np * sxx - sx * sx = 0 OR np * syy - sy * sy = 0 THEN 0.0
+                    ELSE ROUND((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                               / (sqrt(CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                  * sqrt(CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+               END AS acf
         FROM m
     """,
     tags=("TS-acf",),
@@ -2219,10 +2223,14 @@ def ts_autocorr_grid(spark, sf_dir):
     den = F.sqrt(npd * F.col("sxx") - sxd * F.col("sx")) * F.sqrt(
         npd * F.col("syy") - syd * F.col("sy")
     )
+    zero_var = (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx") == 0) | (
+        F.col("np") * F.col("syy") - F.col("sy") * F.col("sy") == 0
+    )
     return m.select(
         F.col("lag").alias("lag_hours"),
         F.col("np").alias("n_pairs"),
-        F.round(num / den, 6).alias("acf"),
+        # zero-variance pairing → 0.0 (ts_cross_corr_lags' convention)
+        F.when(zero_var, F.lit(0.0)).otherwise(F.round(num / den, 6)).alias("acf"),
     )
 
 

@@ -68,3 +68,73 @@ def assert_scan_budget(df: DataFrame, max_scans_per_source: int = 1) -> dict:
     if d["forbidden"]:
         raise AssertionError(f"forbidden plan nodes: {d['forbidden']}")
     return d
+
+
+def normalize_plan(text: str) -> str:
+    """Canonicalize a formatted physical-plan string for fingerprinting:
+    strip run-varying tokens (expression IDs, plan IDs, codegen stage
+    IDs, filesystem paths, statistics, cached-RDD numbers) so the hash
+    moves iff the PLAN SHAPE moves.  Shared by ``bench.py
+    --fingerprints`` (the PLAN_FINGERPRINTS.json emitter) and the
+    cross-round shape gate in tests/test_plans.py — one normalization,
+    one definition of "the plan changed"."""
+    text = re.sub(r"#\d+[L]?", "#N", text)                 # expr IDs
+    text = re.sub(r"plan_id=\d+", "plan_id=N", text)
+    text = re.sub(r"\[codegen id : \d+\]", "[codegen id : N]", text)
+    # fs paths: require >=2 '/'-separated segments and a non-word char
+    # before the leading '/', so a bare division printed without spaces
+    # (x/100.0) survives normalization instead of collapsing to x<path>
+    # (ADVICE r13: the old /[\w./@+-]* swallowed any '/'-led token)
+    text = re.sub(r"(file:)?(?<![\w.)])/(?:[\w.@+-]+/)+[\w.@+-]*", "<path>", text)
+    text = re.sub(r"Statistics\([^)]*\)", "Statistics(N)", text)
+    text = re.sub(r"CachedRDD \d+", "CachedRDD N", text)
+    text = re.sub(r"Memory size: [\d.]+ \w+", "Memory size: N", text)
+    text = re.sub(r"\(\d+\)", "(N)", text)                 # node ordinals
+    return text
+
+
+def plan_fine_hash(text: str) -> str:
+    """sha256[:16] of the normalized plan text — moves on ANY textual
+    plan change.  Catalyst emits equivalent-but-reordered expression
+    lists run-to-run for some shapes (RewriteDistinctAggregates assigns
+    gids in hash order), so 58 registry keys are fine-unstable; their
+    SHAPE hash is the load-bearing one (PLAN_FINGERPRINTS.json lists
+    them under fine_unstable)."""
+    import hashlib
+
+    return hashlib.sha256(normalize_plan(text).encode()).hexdigest()[:16]
+
+
+#: AQE runtime wrappers excluded from the shape hash: keys that execute
+#: actions during construction (fixpoint loops) explain a PARTIALLY
+#: MATERIALIZED adaptive plan, and which stages have materialized races
+#: with background broadcast jobs — ml_dbscan_grid's shape flipped
+#: between identical sessions purely on that timing.  The wrapped REAL
+#: operators (Exchange, joins, aggregates, scans) are counted on their
+#: own lines, so dropping the wrappers loses no structural signal.
+_AQE_WRAPPER_NODES = frozenset(
+    {
+        "AdaptiveSparkPlan",
+        "BroadcastQueryStage",
+        "ShuffleQueryStage",
+        "TableCacheQueryStage",
+        "ResultQueryStage",
+        "AQEShuffleRead",
+    }
+)
+
+
+def plan_shape_hash(text: str) -> str:
+    """sha256[:16] of the sorted multiset of physical operator names
+    (AQE runtime wrappers excluded) — invariant under Catalyst's
+    nondeterministic expression/gid orderings and AQE's stage-
+    materialization timing, while still moving on any structural change
+    (an extra Exchange, a lost pushdown, a join strategy flip)."""
+    import hashlib
+
+    ops = sorted(
+        op
+        for op in re.findall(r"\(N\) ([A-Za-z][A-Za-z0-9]*)", normalize_plan(text))
+        if op not in _AQE_WRAPPER_NODES
+    )
+    return hashlib.sha256(";".join(ops).encode()).hexdigest()[:16]

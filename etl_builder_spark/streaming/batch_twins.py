@@ -184,9 +184,15 @@ def _staged_events_duplicated(sf_dir):
         -- DISTINCT (round-12 degenerate sweep): the declared operator
         -- IS dedup-by-event_id, so a corpus that already carries
         -- duplicate ids must collapse in the twin too (rows with one
-        -- id are identical in every corpus shape shipped or staged)
+        -- id are identical in every corpus shape shipped or staged).
+        -- ts > epoch (round-14 extremedates census): Structured
+        -- Streaming's global watermark INITIALIZES to 0 ms, so any
+        -- event-time at or before 1970-01-01 is late-by-construction
+        -- and dropped by every watermarked stateful operator — a real,
+        -- pinned engine boundary (identity on all shipped corpora).
         SELECT DISTINCT event_id, ts, user_id, event_type
         FROM events
+        WHERE ts > TIMESTAMP '1970-01-01 00:00:00'
     """,
     tags=("J5", "live-stream"),
 )
@@ -297,6 +303,11 @@ def _staged_events_dir(sf_dir):
 @register(
     "stream_interval_join_live",
     oracle="""
+        -- ts > epoch on BOTH legs: the streaming watermark initializes
+        -- to 0 ms, so at-or-pre-epoch event-times are late-by-
+        -- construction on either side of the stateful join (round-14
+        -- extremedates pin; identity on all shipped corpora) — see
+        -- stream_dedup_watermark_live
         SELECT s.user_id,
                s.event_id AS signup_event_id,
                p.event_id AS purchase_event_id
@@ -307,6 +318,8 @@ def _staged_events_dir(sf_dir):
          AND p.event_type = 'purchase'
          AND p.ts >= s.ts
          AND p.ts <= s.ts + INTERVAL 30 MINUTE
+         AND s.ts > TIMESTAMP '1970-01-01 00:00:00'
+         AND p.ts > TIMESTAMP '1970-01-01 00:00:00'
     """,
     tags=("J-join", "live-stream"),
 )

@@ -205,22 +205,48 @@ def main() -> int:
         specs = {k: specs[k] for k in keys}
 
     spark = get_spark("selfcheck")
-    con = duckdb.connect()
     import os as _os
 
-    for t in TABLES:
-        p = f"{args.sf}/{t}.parquet"
-        # synthesized corpora are Spark-written DIRECTORIES of part
-        # files — glob them for DuckDB (single-file corpora unchanged)
-        if _os.path.isdir(p):
-            p = f"{p}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def _connect():
+        """Fresh DuckDB connection with a PINNED memory budget and a
+        spill directory (VERDICT r13 item 3: the one ×10 red was a
+        DuckDB out-of-memory under 3-way host contention — the default
+        limit is a fraction of PHYSICAL RAM, which lies under
+        contention).  A hard cap + temp_directory makes the oracle
+        spill instead of dying, so ORACLE-ERROR means the SQL is wrong,
+        not that the host was busy."""
+        c = duckdb.connect()
+        mem = _os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "16GB")
+        c.execute(f"SET memory_limit='{mem}'")
+        _os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        for t in TABLES:
+            p = f"{args.sf}/{t}.parquet"
+            # synthesized corpora are Spark-written DIRECTORIES of part
+            # files — glob them for DuckDB (single-file corpora unchanged)
+            if _os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
+    con = _connect()
 
     check = check_query_legacy if args.legacy else check_query_parity
     n_bad = 0
     results = {}
     for name, spec in specs.items():
         status, detail, dt = check(spark, con, name, spec, args.sf)
+        if status == "ORACLE-ERROR":
+            # retry ONCE on a fresh connection: a transient host-state
+            # failure (OOM under contention) must not burn a red into
+            # the artifact when the SQL itself is fine; a genuinely
+            # broken oracle fails identically both times
+            con.close()
+            con = _connect()
+            status, detail, dt2 = check(spark, con, name, spec, args.sf)
+            dt += dt2
+            if status in ("OK", "ROWS-ONLY", "DYNAMIC-SCHEMA-OK"):
+                detail += " (oracle retried once)"
         ok = status in ("OK", "ROWS-ONLY", "DYNAMIC-SCHEMA-OK")
         n_bad += 0 if ok else 1
         results[name] = {"status": status, "detail": detail, "secs": round(dt, 2)}

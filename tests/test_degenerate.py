@@ -91,6 +91,12 @@ CLASS_REPS = [
     "dq_benford_deviation",      # first SIGNIFICANT digit via ABS
     "agg_theil_atkinson",        # positive-domain pin on log terms
     "ml_feature_binning_woe",    # DuckDB // truncates, Spark floors
+    # --- extremedates classes (tenth shape, round 14) ---
+    "cohort_weekly_retention",   # DuckDB datediff('week') ISO-week seam
+    "ts_autocorr_grid",          # zero-variance ACF arm → pinned 0.0
+    "stream_interval_join_live",  # pre-epoch event-time = late-by-construction
+    "ts_calendar_dim",           # daily spine over an epoch-straddling range
+    "win_lead_lag_rangesplit",   # band arithmetic at negative epochs
 ]
 
 SHAPES = (
@@ -99,6 +105,9 @@ SHAPES = (
     # heavy key skew (hot-key single-partition hazards), and negated
     # measures (refund-ledger sign conventions)
     "nanmeasures", "skewed", "negmeasures",
+    # round 14: adversarial calendars — negative epochs, microsecond
+    # window edges, month-end arithmetic, far-future (ns-horizon-capped)
+    "extremedates",
 )
 
 

@@ -72,16 +72,20 @@ def test_doc_counts_match_registry():
     exact = sum(1 for s in registry.REGISTRY.values() if s.oracle is not None)
     rows_only = total - exact
 
-    text = (Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
-    m = re.search(
-        r"\*\*(\d+) declared queries: (\d+) exact, (\d+) rows-only\.\*\*", text
-    )
-    assert m, "COVERAGE.md count line missing"
-    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
-        total,
-        exact,
-        rows_only,
-    ), f"COVERAGE.md says {m.groups()}, registry has {(total, exact, rows_only)}"
+    # round 14 (VERDICT r13 item 6): SURVEY.md's §8 addendum now carries
+    # the same count line — pin BOTH documents to the registry
+    root = Path(__file__).resolve().parent.parent
+    for doc in ("COVERAGE.md", "SURVEY.md"):
+        text = (root / doc).read_text()
+        m = re.search(
+            r"\*\*(\d+) declared queries: (\d+) exact, (\d+)\s+rows-only", text
+        )
+        assert m, f"{doc} count line missing"
+        assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+            total,
+            exact,
+            rows_only,
+        ), f"{doc} says {m.groups()}, registry has {(total, exact, rows_only)}"
 
 
 def test_grading_priority_order():

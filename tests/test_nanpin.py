@@ -52,7 +52,39 @@ def test_quoted_parens_do_not_break_depth():
     assert "isnan(instr(s, '('))" in out
 
 
-def test_registry_oracles_all_parse(tmp_path):
+def test_comments_do_not_break_scoping():
+    # ADVICE r13: '--' comments must not mis-scope the scan.  A literal
+    # CAST( inside a comment is not a cast site; an apostrophe or an
+    # unbalanced paren in a comment must not derail depth/quote state.
+    sql = (
+        "SELECT -- CAST(junk AS BIGINT) isn't ( a real cast\n"
+        "CAST(x AS DECIMAL(18,2)) FROM t"
+    )
+    out = pin_nan_casts(sql)
+    assert "CASE WHEN isnan(x) THEN NULL ELSE x END" in out
+    assert out.count("isnan") == 1
+    sql2 = "SELECT /* CAST( ' ) */ CAST(y AS BIGINT) FROM t"
+    out2 = pin_nan_casts(sql2)
+    assert "CASE WHEN isnan(y) THEN NULL ELSE y END" in out2
+    assert out2.count("isnan") == 1
+
+
+def test_comment_inside_wrapped_expr_is_masked():
+    # the guard inlines expr twice on one line, so a '--' comment inside
+    # a wrapped expr must not survive into the guard (it would comment
+    # out the THEN/ELSE tail); the mask turns it into spaces
+    sql = "SELECT CAST(x -- note\n + y AS BIGINT) FROM t"
+    out = pin_nan_casts(sql)
+    assert "--" not in out
+    assert "THEN NULL ELSE" in out
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW t AS SELECT 1.5::DOUBLE x, 2.0::DOUBLE y")
+    assert con.execute(out).fetchone()[0] == 4
+
+
+def test_registry_oracles_all_parse():
     """Every registered oracle (already pinned at registration) binds
     in DuckDB against empty views of the ten tables — the pass can
     never emit unparseable or unbindable SQL."""
@@ -60,13 +92,13 @@ def test_registry_oracles_all_parse(tmp_path):
 
     from etl_builder_spark.registry import REGISTRY, _ensure_loaded
     from etl_builder_spark.session import TABLES
+    from tests.conftest import SF_DIR
 
     _ensure_loaded()
     con = duckdb.connect()
-    import pyarrow.parquet as pq
 
     for t in TABLES:
-        src = f"/root/testdata/sf0.001/{t}.parquet"
+        src = f"{SF_DIR}/{t}.parquet"
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}') LIMIT 0"
         )

@@ -21,6 +21,7 @@ Then:  python selfcheck.py --sf /tmp/etl_builder_spark_scale/x10_skewed \
 
 from __future__ import annotations
 
+import argparse
 import os
 import shutil
 
@@ -29,11 +30,17 @@ from pyspark.sql import functions as F
 
 from scale_stress import SYNTH_ROOT
 
-SRC = os.path.join(SYNTH_ROOT, "x10")
-OUT = os.path.join(SYNTH_ROOT, "x10_skewed")
-
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    # round 14 (VERDICT r13 item 2): the same remap at ×100 — one user
+    # owning ~99% of 10M events is the hot-window partition the
+    # range-split escape hatch exists for
+    ap.add_argument("--scale", type=int, default=10, choices=(10, 100))
+    args = ap.parse_args()
+    global SRC, OUT
+    SRC = os.path.join(SYNTH_ROOT, f"x{args.scale}")
+    OUT = os.path.join(SYNTH_ROOT, f"x{args.scale}_skewed")
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
         .config("spark.sql.shuffle.partitions", "32")
