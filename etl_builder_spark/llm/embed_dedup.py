@@ -24,7 +24,7 @@ verification — is engine-independent and hash-checked against the
 DuckDB oracle end-to-end.
 
 Fixture: the corpus unioned with a perturbed copy
-(vec_id + VEC_OFFSET, every component + PERTURB_DELTA).  The delta is
+(vec_id + max(vec_id)+1, every component + PERTURB_DELTA).  The delta is
 a power of two, so float→double + add is bit-identical in both
 engines; planted pairs land at cosine ≈ 0.992, natural pairs max
 ≈ 0.74 — τ = 0.95 separates them with wide margin on both sides.
@@ -39,9 +39,35 @@ from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
 #: planted near-dup copy: vec_id shift and component perturbation
-#: (2**-6 — exactly representable, so both engines add the same double)
-VEC_OFFSET = 100_000
+#: (2**-6 — exactly representable, so both engines add the same double).
+#: The id shift is CORPUS-DERIVED (max vec_id + 1), not a constant:
+#: the old static 100_000 collided with real ids at the ×100 fan
+#: (200k vecs), and duplicate ids silently corrupt every per-vec_id
+#: grouping — Spark's first(v) picks a nondeterministic vector while
+#: the oracle's row_number merges both vectors' rows (round-14 ×100
+#: sweep, dedup_semantic_centroids 156k vs 256k pairs).
+_OFF_SQL = "(SELECT MAX(vec_id) + 1 FROM embeddings)"
 PERTURB_DELTA = 0.015625
+
+
+def planted_offset(spark, sf_dir) -> int:
+    """The planted-copy id shift for a given corpus (max vec_id + 1) —
+    exported for the property tests, which identify planted pairs by
+    exactly this offset."""
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.agg((F.max("vec_id") + F.lit(1)).alias("off")).first()
+    return row["off"]
+
+
+def _planted(e):
+    """Perturbed planted copy of every corpus vector, id-shifted one
+    past the corpus max via a broadcast 1-row aggregate (no collect —
+    the offset rides the plan as a scalar)."""
+    off = e.agg((F.max("vec_id") + F.lit(1)).alias("off"))
+    return e.crossJoin(F.broadcast(off)).select(
+        (F.col("vec_id") + F.col("off")).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(PERTURB_DELTA)).alias("v"),
+    )
 
 #: sign-LSH geometry: 4 bands × 8 bits from 32 pinned corpus vectors
 #: (8-bit bands: 256 buckets/band → ~9× fewer candidate pairs than
@@ -83,7 +109,7 @@ def _oracle() -> str:
         all_vecs AS (
             SELECT vec_id, v FROM vecs
             UNION ALL
-            SELECT vec_id + {VEC_OFFSET},
+            SELECT vec_id + {_OFF_SQL},
                    list_transform(v, x -> x + {PERTURB_DELTA})
             FROM vecs
         ),
@@ -176,11 +202,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     verification on candidates only.  Rounded 6 dp like every
     similarity in this repo (policy §7.2)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
-    planted = e.select(
-        (F.col("vec_id") + VEC_OFFSET).alias("vec_id"),
-        F.transform("v", lambda x: x + F.lit(PERTURB_DELTA)).alias("v"),
-    )
-    all_vecs = e.unionByName(planted)
+    all_vecs = e.unionByName(_planted(e))
     cand = sign_lsh_candidates(e, all_vecs)
     # L2 norms once per VECTOR (4k array-aggregates), not per PAIR
     # (2×|candidates| of them): sqrt(dot(v,v)) is computed on the same
@@ -218,7 +240,7 @@ SEM_N_CENT = 16
         all_vecs AS (
             SELECT vec_id, v FROM vecs
             UNION ALL
-            SELECT vec_id + {VEC_OFFSET},
+            SELECT vec_id + {_OFF_SQL},
                    list_transform(v, x -> x + {PERTURB_DELTA})
             FROM vecs
         ),
@@ -295,11 +317,7 @@ def dedup_semantic_centroids(spark, sf_dir):
     the blocking; a production caller swaps in the salted pairing
     (identical output, bounded per-task fan-out)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
-    planted = e.select(
-        (F.col("vec_id") + VEC_OFFSET).alias("vec_id"),
-        F.transform("v", lambda x: x + F.lit(PERTURB_DELTA)).alias("v"),
-    )
-    all_vecs = e.unionByName(planted)
+    all_vecs = e.unionByName(_planted(e))
     cent = e.where(
         F.col("vec_id").between(SEM_CENT_LO, SEM_CENT_LO + SEM_N_CENT - 1)
     ).select((F.col("vec_id") - SEM_CENT_LO).alias("cluster_id"), F.col("v").alias("cv"))

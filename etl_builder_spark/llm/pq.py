@@ -205,9 +205,13 @@ def pq_encode(vectors: DataFrame, codebook: DataFrame, vec_col: str = "v") -> Da
             F.array_sort(
                 F.collect_list(F.struct(F.col("subspace"), F.col("best.code").alias("code")))
             ).alias("sc"),
+            # round the EXACT decimal sum, THEN cast: rounding the double
+            # goes through its shortest decimal repr on the JVM (HALF_UP
+            # on "x.xxxxxx5") while DuckDB rounds the binary value — a
+            # 1-ulp seam the x100 sweep hit at a ...5 boundary (round 14)
             F.round(
-                F.sum(F.col("best.d2r").cast("decimal(20,9)")).cast("double"), 6
-            ).alias("recon_err"),
+                F.sum(F.col("best.d2r").cast("decimal(20,9)")), 6
+            ).cast("double").alias("recon_err"),
         )
         .select(
             "vec_id",
@@ -239,7 +243,7 @@ def _adc_scored(codes: DataFrame, codebook: DataFrame, probes: DataFrame) -> Dat
         codes.join(F.broadcast(tables), ["subspace", "code"])
         .where(F.col("vec_id") != F.col("probe_id"))
         .groupBy("probe_id", "vec_id")
-        .agg(F.round(F.sum("pd2").cast("double"), 6).alias("adc_dist"))
+        .agg(F.round(F.sum("pd2"), 6).cast("double").alias("adc_dist"))
     )
 
 
@@ -426,7 +430,7 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, cb: DataFrame | None = None) -
     scored = (
         cand_codes.join(F.broadcast(tables), ["probe_id", "subspace", "code"])
         .groupBy("probe_id", "vec_id")
-        .agg(F.round(F.sum("pd2").cast("double"), 6).alias("adc_dist"))
+        .agg(F.round(F.sum("pd2"), 6).cast("double").alias("adc_dist"))
     )
     ws = Window.partitionBy("probe_id").orderBy(F.col("adc_dist").asc(), "vec_id")
     short = scored.withColumn("r", F.row_number().over(ws)).where(F.col("r") <= shortlist_k)
@@ -527,7 +531,7 @@ _SQL_PQ_PROBES = f"""
 _SQL_PQ_SCORED_ALL = """
         scored AS (
             SELECT ptab.probe_id, enc.vec_id,
-                   ROUND(CAST(SUM(pd2) AS DOUBLE), 6) AS adc_dist
+                   CAST(ROUND(SUM(pd2), 6) AS DOUBLE) AS adc_dist
             FROM enc JOIN ptab ON enc.subspace = ptab.subspace AND enc.code = ptab.code
             WHERE enc.vec_id <> ptab.probe_id
             GROUP BY ptab.probe_id, enc.vec_id
@@ -565,7 +569,7 @@ _SQL_PQ_RERANK_TAIL = f"""
         WITH {_SQL_PQ_ENC}
         SELECT vec_id,
                string_agg(CAST(code AS VARCHAR), ',' ORDER BY subspace) AS codes_csv,
-               ROUND(CAST(SUM(CAST(d2r AS DECIMAL(20,9))) AS DOUBLE), 6) AS recon_err
+               CAST(ROUND(SUM(CAST(d2r AS DECIMAL(20,9))), 6) AS DOUBLE) AS recon_err
         FROM enc GROUP BY vec_id
     """,
     tags=("I-pq-exact",),
@@ -682,7 +686,7 @@ def sim_topk_pq_rerank_exact(spark, sf_dir):
         ),
         scored AS (
             SELECT ptab.probe_id, enc.vec_id,
-                   ROUND(CAST(SUM(pd2) AS DOUBLE), 6) AS adc_dist
+                   CAST(ROUND(SUM(pd2), 6) AS DOUBLE) AS adc_dist
             FROM enc
             JOIN asg ON asg.vec_id = enc.vec_id
             JOIN plists ON plists.cluster_id = asg.cluster_id

@@ -482,10 +482,13 @@ ZIPF_TOP_N = 100
             FROM pts
             GROUP BY lang
         )
+        -- + 0.0 canonicalizes IEEE −0.0: a flat-frequency corpus (the
+        -- ×100 md5-token fan) puts the slope AT zero, where the sign
+        -- of the ~0 numerator is libm-1-ulp noise (round-14)
         SELECT lang, n,
-               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS zipf_slope,
                ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-                   AS intercept
+                   + 0.0 AS intercept
         FROM stats
     """,
     tags=("I-zipf",),
@@ -537,8 +540,9 @@ def text_zipf_fit(spark, sf_dir):
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return pts.groupBy("lang").agg(
         n.alias("n"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        # + 0.0 canonicalizes IEEE −0.0 at the flat-corpus zero slope
+        (F.round(slope, 6) + 0.0).alias("zipf_slope"),
+        (F.round((sy - slope * sx) / n, 6) + 0.0).alias("intercept"),
     )
 
 

@@ -51,6 +51,11 @@ def get_spark(app_name: str = "etl_builder_spark", shuffle_partitions: int | Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # the parity gate collects FULL result sets driver-side
+        # (toPandas canon); pair-valued keys at x100 return >1 GiB in
+        # one task, tripping the 1g default maxResultSize (round-14
+        # x100 sweep) — a harness sizing knob, not a plan property
+        .config("spark.driver.maxResultSize", os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -267,15 +267,16 @@ def test_embed_dedup_recall_and_precision_on_planted_pairs(spark):
     ~0.74 << τ), and sims sit above τ."""
     from etl_builder_spark.llm.embed_dedup import (
         EMBED_DUP_TAU,
-        VEC_OFFSET,
         dedup_embedding_cosine,
+        planted_offset,
     )
     from etl_builder_spark.session import load_table
     from tests.conftest import SF_DIR
 
     n_vec = load_table(spark, SF_DIR, "embeddings").count()
+    off = planted_offset(spark, SF_DIR)
     rows = dedup_embedding_cosine(spark, SF_DIR).collect()
-    planted = [r for r in rows if r["id_b"] == r["id_a"] + VEC_OFFSET]
+    planted = [r for r in rows if r["id_b"] == r["id_a"] + off]
     assert len(planted) >= int(0.97 * n_vec)  # OR-amplified 3-band recall
     assert len(planted) == len(rows)  # zero false positives at this τ
     assert all(r["sim"] >= EMBED_DUP_TAU for r in rows)
@@ -385,15 +386,16 @@ def test_semantic_centroids_recall_and_precision(spark):
     << τ), and sims sit above τ."""
     from etl_builder_spark.llm.embed_dedup import (
         EMBED_DUP_TAU,
-        VEC_OFFSET,
         dedup_semantic_centroids,
+        planted_offset,
     )
     from etl_builder_spark.session import load_table
     from tests.conftest import SF_DIR
 
     n_vec = load_table(spark, SF_DIR, "embeddings").count()
+    off = planted_offset(spark, SF_DIR)
     rows = dedup_semantic_centroids(spark, SF_DIR).collect()
-    planted = [r for r in rows if r["drop_id"] == r["keep_id"] + VEC_OFFSET]
+    planted = [r for r in rows if r["drop_id"] == r["keep_id"] + off]
     assert len(planted) >= int(0.85 * n_vec)
     assert len(planted) == len(rows)  # zero false positives at this τ
     assert all(r["sim"] >= EMBED_DUP_TAU for r in rows)
