@@ -293,12 +293,14 @@ def test_embed_dedup_candidates_are_equi_join(spark):
         df.explain("formatted")
     p = buf.getvalue()
     assert "CartesianProduct" not in p
-    # the only nested-loop joins are the 1-row hw broadcast, which the
-    # candidate self-join recomputes once per branch (2 physical nodes)
+    # the only nested-loop joins are 1-ROW broadcasts: the wide
+    # hyperplane row (recomputed once per candidate-self-join branch, 2
+    # nodes) and the planted-offset scalar aggregate (round 14: the
+    # corpus-derived max(vec_id)+1 rides the plan as a broadcast scalar)
     import re
 
     bnlj_nodes = re.findall(r"\(\d+\)\s+BroadcastNestedLoopJoin", p)
-    assert len(bnlj_nodes) <= 2, f"unexpected nested-loop joins: {len(bnlj_nodes)}"
+    assert len(bnlj_nodes) <= 3, f"unexpected nested-loop joins: {len(bnlj_nodes)}"
     # the candidate self-join and both vector fetch-backs are hash equi-joins
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         p.count("BroadcastHashJoin") >= 2
