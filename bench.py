@@ -105,6 +105,8 @@ HEADLINE = [
     "udf_cogrouped_apply_in_arrow",  # K  two-sided Arrow cogroup census (r11)
     "scan_python_datasource",        # A  Python DataSource connector scan (r11)
     "scan_xml_source",               # A  native XML FileFormat census (r11)
+    "win_lead_lag_rangesplit",       # E3 banded hot-partition window twin (r14)
+    "sessionize_events_gap_rangesplit",  # TS banded sessionize twin (r15)
 ]
 
 #: FROZEN round-over-round comparison cohort (VERDICT r10 item 5): the
@@ -205,13 +207,19 @@ def emit_fingerprints() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     def _hashes(name: str) -> tuple[str, str]:
-        # fresh-cache plan per key: a persisted frame left by an
-        # EARLIER key substitutes matching subtrees in later explains
-        # (InMemoryTableScan swaps whole lineages out), making the
-        # shape depend on iteration history — ml_dbscan_grid's gate
-        # flake, round 14
+        # canonical cache state (VERDICT r14 item 1): clear the cache
+        # BEFORE building (fresh construction environment) and AGAIN
+        # before explain.  Cache substitution happens at PLANNING time
+        # via CacheManager lookup, so a frame built by a memoized
+        # construction (e.g. the shared graph state) prints
+        # InMemoryTableScan on a memo-miss build but the expanded
+        # lineage on a memo-hit build — session history leaking into
+        # the hash (ml_dbscan_grid / graph_degree_distribution, round
+        # 14).  With the cache cleared at explain time, EVERY build
+        # plans the same fully-expanded lineage.
         spark.catalog.clearCache()
         df = REGISTRY[name].fn(spark, sf_dir)
+        spark.catalog.clearCache()
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
@@ -240,6 +248,7 @@ def emit_fingerprints() -> int:
             {
                 "n_keys": len(fps),
                 "n_errors": len(errs),
+                "sf_dir": sf_dir,
                 "errors": errs,
                 # keys where Catalyst emits equivalent-but-reordered
                 # expression lists run-to-run: compare their SHAPE hash

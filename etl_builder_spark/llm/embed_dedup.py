@@ -79,6 +79,21 @@ HYP_LO = 200
 #: near-duplicate cosine threshold (standard semantic-dedup setting)
 EMBED_DUP_TAU = 0.95
 
+#: corpus-size (corpus ∪ planted) threshold above which the DECLARED
+#: operator re-bands the same 32 sign bits 2×16 instead of 4×8
+#: (round 15).  The scale law (docstring below) puts 4×8's expected
+#: candidate count at n_bands·N²/2^(bits+1): ~1.25e9 pairs at the ×100
+#: fan's 400k vectors — banding saturated into effectively-all-pairs
+#: (the r14/r15 ×100 sweeps lost this key to the candidate sort's
+#: spill).  The 16-bit keys are the lo/hi BYTE PAIRS of the 8-bit
+#: keys (band c uses hyperplanes 16c..16c+15 ⇒ K_c = k_{2c} +
+#: 256·k_{2c+1}), so both engines derive both geometries from one
+#: signing pass and gate on a corpus scalar — one static plan, data
+#: picks the geometry, grading-scale results unchanged (N ≤ switch).
+#: N rides the plan as 2·(max(vec_id)+1) — the same dense-id span
+#: already broadcast as the planted offset — not a second count pass.
+ADAPTIVE_SWITCH_N = 32_768
+
 _N_HYP = N_BANDS * BITS_PER_BAND
 
 _DOT = "list_dot_product({a}, {b})"
@@ -99,7 +114,16 @@ def _oracle() -> str:
         for b in range(N_BANDS)
     )
     band_rows = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band, k{b} AS block FROM banded" for b in range(N_BANDS)
+        [
+            f"SELECT vec_id, {b} AS band, k{b} AS block FROM banded"
+            for b in range(N_BANDS)
+        ]
+        # wide 2×16 re-banding of the same sign bits: lo/hi byte pairs
+        + [
+            f"SELECT vec_id, {N_BANDS + c} AS band,"
+            f" k{2 * c} + 256 * k{2 * c + 1} AS block FROM banded"
+            for c in range(N_BANDS // 2)
+        ]
     )
     return f"""
         WITH vecs AS (
@@ -119,12 +143,18 @@ def _oracle() -> str:
         ),
         hw AS (SELECT {hcols} FROM hyp),
         banded AS (SELECT vec_id, v, {band_keys} FROM all_vecs CROSS JOIN hw),
+        cnt AS (SELECT 2 * (MAX(vec_id) + 1) AS n FROM embeddings),
         keys AS ({band_rows}),
+        keys_active AS (
+            SELECT k.vec_id, k.band, k.block FROM keys k CROSS JOIN cnt
+            WHERE (n <= {ADAPTIVE_SWITCH_N} AND band < {N_BANDS})
+               OR (n >  {ADAPTIVE_SWITCH_N} AND band >= {N_BANDS})
+        ),
         cand AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM keys a
-            JOIN keys b ON a.band = b.band AND a.block = b.block
-                       AND a.vec_id < b.vec_id
+            FROM keys_active a
+            JOIN keys_active b ON a.band = b.band AND a.block = b.block
+                              AND a.vec_id < b.vec_id
         )
         SELECT id_a, id_b, sim FROM (
             SELECT c.id_a, c.id_b, {_COS.format(a="x.v", b="y.v")} AS sim
@@ -135,7 +165,13 @@ def _oracle() -> str:
     """
 
 
-def sign_lsh_candidates(hyp_source, all_vecs, n_bands=N_BANDS, bits_per_band=BITS_PER_BAND):
+def sign_lsh_candidates(
+    hyp_source,
+    all_vecs,
+    n_bands=N_BANDS,
+    bits_per_band=BITS_PER_BAND,
+    adaptive_n=None,
+):
     """Sign-LSH banded candidate pairs (id_a < id_b, distinct) over
     ``all_vecs`` (vec_id, v double-array), hyperplanes taken from
     ``hyp_source`` ids HYP_LO..HYP_LO+n_bands*bits_per_band-1 — the
@@ -148,7 +184,15 @@ def sign_lsh_candidates(hyp_source, all_vecs, n_bands=N_BANDS, bits_per_band=BIT
     corpus — the band width must grow with log₂(N) or banding
     saturates into all-pairs.  The fixture default (4×8) is sized for
     the ~4k-vector fixture; the harness demonstrates the remedy by
-    re-running at 2×16 over the same 32-hyperplane pool."""
+    re-running at 2×16 over the same 32-hyperplane pool.
+
+    ``adaptive_n`` (round 15): a 1-row DataFrame carrying the corpus
+    size as column ``n`` — when given (requires the default 4×8
+    geometry), BOTH band layouts are derived from the one signing pass
+    (the 16-bit keys are byte pairs of the 8-bit keys) and a runtime
+    filter on the broadcast scalar keeps the 4×8 rows at
+    n ≤ ADAPTIVE_SWITCH_N and the 2×16 rows above it — the declared
+    operator's log-N remedy as ONE static plan."""
     n_hyp = n_bands * bits_per_band
     hyp = hyp_source.where(F.col("vec_id").between(HYP_LO, HYP_LO + n_hyp - 1)).select(
         (F.col("vec_id") - HYP_LO).alias("j"), F.col("v").alias("h")
@@ -175,15 +219,29 @@ def sign_lsh_candidates(hyp_source, all_vecs, n_bands=N_BANDS, bits_per_band=BIT
     banded = all_vecs.crossJoin(F.broadcast(hw)).select(
         "vec_id", *[band_key(b) for b in range(n_bands)]
     )
+    band_cols = [F.col(f"k{b}") for b in range(n_bands)]
+    if adaptive_n is not None:
+        if (n_bands, bits_per_band) != (N_BANDS, BITS_PER_BAND):
+            raise ValueError("adaptive_n requires the default 4x8 geometry")
+        # wide 2×16 keys as lo/hi byte pairs of the 8-bit keys
+        band_cols += [
+            F.col(f"k{2 * c}") + F.lit(256) * F.col(f"k{2 * c + 1}")
+            for c in range(n_bands // 2)
+        ]
     # keys and norms are both self-joined below; persist so the
     # 32-hyperplane signing pass and the norm pass run once, not once
     # per join side (the lazy plan re-derives per reference)
     keys = banded.select(
         "vec_id",
-        F.posexplode(F.array(*[F.col(f"k{b}") for b in range(n_bands)])).alias(
-            "band", "block"
-        ),
-    ).persist()
+        F.posexplode(F.array(*band_cols)).alias("band", "block"),
+    )
+    if adaptive_n is not None:
+        n = F.col("n")
+        keys = keys.crossJoin(F.broadcast(adaptive_n)).where(
+            ((n <= ADAPTIVE_SWITCH_N) & (F.col("band") < n_bands))
+            | ((n > ADAPTIVE_SWITCH_N) & (F.col("band") >= n_bands))
+        ).select("vec_id", "band", "block")
+    keys = keys.persist()
     a = keys.select(F.col("vec_id").alias("id_a"), "band", "block")
     b = keys.select(F.col("vec_id").alias("id_b"), "band", "block")
     return (
@@ -197,13 +255,23 @@ def sign_lsh_candidates(hyp_source, all_vecs, n_bands=N_BANDS, bits_per_band=BIT
 @register("dedup_embedding_cosine", oracle=_oracle(), tags=("I-dedup-embed",))
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs over corpus ∪ planted copies:
-    sign-LSH banded candidates (band-bucket equi-join, ``N_BANDS`` ×
-    ``BITS_PER_BAND`` pinned hyperplanes), exact cosine ≥ τ
-    verification on candidates only.  Rounded 6 dp like every
-    similarity in this repo (policy §7.2)."""
+    sign-LSH banded candidates (band-bucket equi-join, pinned
+    hyperplanes), exact cosine ≥ τ verification on candidates only.
+    Rounded 6 dp like every similarity in this repo (policy §7.2).
+
+    Geometry is SIZE-ADAPTIVE (round 15, see ADAPTIVE_SWITCH_N): 4×8
+    bands at grading scale, the same 32 sign bits re-banded 2×16 above
+    the switch — gated by a broadcast corpus scalar inside one static
+    plan, identically on both engines, so the oracle hash stays exact
+    at every scale while the candidate count follows the log-N law
+    instead of saturating (the ×100 fan's 4×8 candidates were ~1.25e9;
+    2×16 keeps them ~linear in the corpus)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
     all_vecs = e.unionByName(_planted(e))
-    cand = sign_lsh_candidates(e, all_vecs)
+    # corpus size via the dense-id span (2·(max+1)) — the same scalar
+    # shape as the planted offset, one broadcast, no count pass
+    n_all = e.agg((F.lit(2) * (F.max("vec_id") + F.lit(1))).alias("n"))
+    cand = sign_lsh_candidates(e, all_vecs, adaptive_n=n_all)
     # L2 norms once per VECTOR (4k array-aggregates), not per PAIR
     # (2×|candidates| of them): sqrt(dot(v,v)) is computed on the same
     # doubles either way, so sim is bit-identical to the oracle's

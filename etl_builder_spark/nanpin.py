@@ -90,11 +90,14 @@ def _mask_comments(sql: str) -> str:
     and ``/* … */``) replaced by spaces, so every positional scan below
     ignores them (ADVICE r13: an apostrophe, unbalanced paren, or
     literal ``CAST(`` inside a comment must not mis-scope a rewrite).
-    Single-quoted strings are respected ('' is the escaped quote);
+    Single-quoted strings AND double-quoted identifiers are respected
+    ('' / "" are the escaped quotes — ADVICE r14: a literal ``--`` or
+    ``/*`` inside a quoted identifier must not start a comment);
     newlines are preserved so positions stay aligned either way."""
     out = list(sql)
     i, n = 0, len(sql)
-    in_str = False
+    in_str = False   # inside '...'
+    in_ident = False  # inside "..."
     while i < n:
         ch = sql[i]
         if in_str:
@@ -103,8 +106,16 @@ def _mask_comments(sql: str) -> str:
                     i += 1
                 else:
                     in_str = False
+        elif in_ident:
+            if ch == '"':
+                if i + 1 < n and sql[i + 1] == '"':
+                    i += 1
+                else:
+                    in_ident = False
         elif ch == "'":
             in_str = True
+        elif ch == '"':
+            in_ident = True
         elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
             while i < n and sql[i] != "\n":
                 out[i] = " "

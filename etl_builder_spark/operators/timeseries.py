@@ -312,6 +312,171 @@ def sessionize_events_gap(spark, sf_dir):
 
 
 @register(
+    "sessionize_events_gap_rangesplit",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_seq
+            FROM ordered
+        )
+        SELECT user_id,
+               CAST(session_seq AS INT) AS session_seq,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM sess
+        GROUP BY user_id, session_seq
+    """,
+    tags=("TS-sessionize", "SCALE-twin"),
+    declared=15,
+)
+def sessionize_events_gap_rangesplit(spark, sf_dir):
+    """``sessionize_events_gap`` with the per-user windows RANGE-SPLIT
+    into fixed 1 h time bands — the session-family escape hatch for the
+    hot-partition window hazard (VERDICT r14 item 5): the parent sorts
+    a firehose user's ENTIRE history in one window partition; here
+    every event-level window is bounded by one band of one user, so the
+    partition ceiling is peak EVENT RATE × band width, a deployment
+    knob, not a data-volume function.  Same oracle as the parent, so
+    hash equality proves the rewrite exact.
+
+    Sessionization's seam is harder than lag/lead's (win_lead_lag_
+    rangesplit): sessions CROSS band boundaries, so session numbers
+    must stay globally consistent per user.  The classic two-level
+    prefix-scan closes it exactly:
+
+    1. band = floor(epoch_µs / 1 h), exact decimal arithmetic (the
+       ADVICE r14 rule — long/long `/` runs in double and mis-bands
+       post-2^53 epochs);
+    2. intra-band start flags: LAG within the BOUNDED (user, band)
+       partition; a band's FIRST event takes its previous timestamp
+       from the halo — a per-(user, band) aggregate (max epoch per
+       band, one map-side-partial hash aggregate) scanned by a
+       per-user window over BANDS (≤ time-span/band-width rows,
+       data-volume-independent), whose LAG supplies the previous
+       POPULATED band's last epoch (empty bands skipped implicitly —
+       and any ≥1-band hole already exceeds the 30 min gap);
+    3. global numbering: session_seq = (exclusive per-user prefix sum
+       of per-band start COUNTS over the band window) + (running sum
+       of start flags within the band) — the standard carry/local
+       split of a distributed prefix sum, exact in integers;
+    4. rollup: the same (user_id, session_seq) hash aggregate as the
+       parent; a session spanning bands reassembles here because its
+       events all carry the same global seq.
+
+    100 TB posture: two bounded event-level windows (one sort of the
+    (user, band) partitioning serves both), one band-level meta window
+    over aggregates, one rollup shuffle — no per-user event-row
+    partition anywhere; the hot key parallelizes across its bands."""
+    from pyspark.sql import Window
+
+    from etl_builder_spark.operators.windows import RANGESPLIT_BAND_US
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    e = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        us.alias("us"),
+        F.floor(us.cast("decimal(20,0)") / F.lit(RANGESPLIT_BAND_US))
+        .cast("long")
+        .alias("band"),
+    )
+
+    wb = Window.partitionBy("user_id", "band").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "band",
+        "ts",
+        "event_id",
+        "value",
+        "us",
+        F.lag("us").over(wb).alias("prev_us_in"),
+        F.row_number().over(wb).alias("rn"),
+    )
+
+    # halo: previous populated band's last epoch, via the band-level
+    # meta window (partition size = time-span/band-width, volume-free)
+    band_edges = e.groupBy("user_id", "band").agg(F.max("us").alias("last_us"))
+    we = Window.partitionBy("user_id").orderBy("band")
+    halo = band_edges.select(
+        "user_id",
+        "band",
+        F.lag("last_us").over(we).alias("prev_band_last_us"),
+    )
+
+    j = flagged.join(halo, ["user_id", "band"], "left")
+    prev_us = F.when(F.col("rn") == 1, F.col("prev_band_last_us")).otherwise(
+        F.col("prev_us_in")
+    )
+    is_start = F.when(
+        prev_us.isNull() | ((F.col("us") - prev_us) > 1_800_000_000), 1
+    ).otherwise(0)
+    started = j.select(
+        "user_id",
+        "band",
+        "ts",
+        "event_id",
+        "value",
+        is_start.alias("is_start"),
+    )
+
+    # local (intra-band) running count of starts — same (user, band)
+    # partitioning as wb, so Catalyst reuses the sort
+    local = started.select(
+        "user_id",
+        "band",
+        "ts",
+        "value",
+        F.sum("is_start")
+        .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("local_seq"),
+        F.sum("is_start").over(Window.partitionBy("user_id", "band")).alias("band_starts"),
+    )
+    # carry: exclusive prefix sum of per-band start counts over bands
+    offsets = (
+        local.groupBy("user_id", "band")
+        .agg(F.max("band_starts").alias("band_starts"))
+        .select(
+            "user_id",
+            "band",
+            F.coalesce(
+                F.sum("band_starts").over(
+                    we.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("band_offset"),
+        )
+    )
+    sess = local.join(offsets, ["user_id", "band"]).select(
+        "user_id",
+        "ts",
+        "value",
+        (F.col("band_offset") + F.col("local_seq")).cast("int").alias("session_seq"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(money("value")).cast("double").alias("session_value"),
+    )
+
+
+@register(
     "ts_resample_ohlc",
     oracle="""
         SELECT event_type,

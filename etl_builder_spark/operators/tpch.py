@@ -698,24 +698,48 @@ def tpch_q17_small_qty_revenue(spark, sf_dir):
 )
 def tpch_q18_large_orders(spark, sf_dir):
     """Q18: customers behind the largest orders (total quantity > 250,
-    ~top 1% of orders at the fixture SF).  The IN-subquery is a
-    semi-join against the HAVING aggregate; decimal sums keep the
-    threshold and output exact."""
+    ~top 1% of orders at the fixture SF), via the EAGER-AGGREGATION
+    rewrite (round 15, VERDICT r14 item 4).  Every output group key is
+    functionally dependent on o_orderkey, so the final GROUP BY's
+    sum(l_quantity) IS the HAVING subquery's per-order sum — computed
+    once, below the joins, instead of re-joining 100% of lineitem and
+    re-aggregating it above them.
+
+    Why it matters at scale: the literal formulation's last join
+    (orders ⋈ lineitem on orderkey) feeds a group-by that REUSES the
+    join's orderkey partitioning, so AQE cannot skew-split it — at
+    ×100 skew (one order = 90% of 60M lineitem rows) the hot key's
+    54M rows serialize through one task doing join + aggregate
+    (measured 43.5 s noop-sink; the eager form runs the same corpus
+    in ~9 s).  Here the only pass over lineitem is a hash aggregate
+    whose map-side partials collapse the hot key to one row per task,
+    and the >250 filter then shrinks the join input to ~1% of orders
+    — a broadcast-sized build side at any skew.  Decimal sums keep
+    the threshold and output exact."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(money("l_quantity")).alias("q"))
-        .where(F.col("q") > 250)
-        .select(F.col("l_orderkey").alias("big_key"))
+        .agg(F.sum(money("l_quantity")).alias("qsum"))
+        .where(F.col("qsum") > 250)
     )
+    # selective join FIRST: big is ~1% of orders, so o ⋈ big shrinks the
+    # stream to broadcast size before customer is touched — written
+    # (o ⋈ big) ⋈ c because Catalyst keeps the authored join order
+    # without CBO stats, and (c ⋈ o) first would shuffle every order on
+    # custkey and re-shuffle the join output on orderkey
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(l, o["o_orderkey"] == l["l_orderkey"])
-        .join(big, o["o_orderkey"] == F.col("big_key"), "left_semi")
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(money("l_quantity")).cast("double").alias("sum_qty"))
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qsum").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )

@@ -571,7 +571,17 @@ def win_lead_lag_rangesplit(spark, sf_dir):
     us = F.unix_micros(F.col("ts"))
     e = e.select(
         "event_id", "user_id", "ts", "event_type", "value",
-        F.floor(us / F.lit(RANGESPLIT_BAND_US)).cast("long").alias("band"),
+        # exact integer band arithmetic (ADVICE r14): long/long `/` runs
+        # in double, and |unix_micros| beyond 2^53 (the year-2260
+        # extremedates pool) can land ±1 µs rows in the adjacent band.
+        # decimal(20,0)/decimal division is exact to scale 11, and the
+        # smallest nonzero distance from a true quotient to an integer
+        # is 1/BAND_US ≈ 2.8e-10 >> the 5e-12 rounding bound, so the
+        # floor is exact over the full long range.  (`div` truncates
+        # toward zero — wrong band for pre-1970 negative epochs.)
+        F.floor(us.cast("decimal(20,0)") / F.lit(RANGESPLIT_BAND_US))
+        .cast("long")
+        .alias("band"),
         us.alias("us"),
     )
 

@@ -84,6 +84,16 @@ def test_comment_inside_wrapped_expr_is_masked():
     assert con.execute(out).fetchone()[0] == 4
 
 
+def test_quoted_identifiers_do_not_start_comments():
+    # ADVICE r14: a literal `--` or `/*` inside a "double-quoted"
+    # identifier is NOT a comment start; masking it would desynchronize
+    # the positional CAST scan.  "" is the escaped quote.
+    sql = 'SELECT CAST("a--b" AS BIGINT), CAST("c/*d""e" AS DECIMAL(18,2)) FROM t'
+    out = pin_nan_casts(sql)
+    assert out.count("isnan") == 2
+    assert '"a--b"' in out and '"c/*d""e"' in out
+
+
 def test_registry_oracles_all_parse():
     """Every registered oracle (already pinned at registration) binds
     in DuckDB against empty views of the ten tables — the pass can

@@ -5,6 +5,8 @@ pushdown, pruning, broadcast, top-k short-circuit, group-limit.
 
 from __future__ import annotations
 
+import pytest
+
 from etl_builder_spark.registry import REGISTRY, _ensure_loaded
 from tests.conftest import SF_DIR
 
@@ -295,12 +297,14 @@ def test_embed_dedup_candidates_are_equi_join(spark):
     assert "CartesianProduct" not in p
     # the only nested-loop joins are 1-ROW broadcasts: the wide
     # hyperplane row (recomputed once per candidate-self-join branch, 2
-    # nodes) and the planted-offset scalar aggregate (round 14: the
-    # corpus-derived max(vec_id)+1 rides the plan as a broadcast scalar)
+    # nodes), the planted-offset scalar aggregate (round 14: the
+    # corpus-derived max(vec_id)+1 rides the plan as a broadcast
+    # scalar), and the adaptive-geometry gate scalar (round 15: the
+    # corpus-size span that picks 4×8 vs 2×16 banding)
     import re
 
     bnlj_nodes = re.findall(r"\(\d+\)\s+BroadcastNestedLoopJoin", p)
-    assert len(bnlj_nodes) <= 3, f"unexpected nested-loop joins: {len(bnlj_nodes)}"
+    assert len(bnlj_nodes) <= 4, f"unexpected nested-loop joins: {len(bnlj_nodes)}"
     # the candidate self-join and both vector fetch-backs are hash equi-joins
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         p.count("BroadcastHashJoin") >= 2
@@ -791,6 +795,32 @@ def test_partsupp_queries_scan_shapes(spark):
 SHAPE_DRIFT_ALLOWLIST: dict[str, str] = {}
 
 
+def test_shape_hash_ignores_cache_state_text():
+    """Pure-text pin for the round-14 gate-flake fix: the shape hash
+    must not move when a subtree gains cache-materialization wrapper
+    nodes (InMemoryTableScan / InMemoryRelation) around the same
+    operators, and file:-prefixed single-segment paths must normalize
+    (ADVICE r14) so host temp dirs can't destabilize fine hashes."""
+    from etl_builder_spark.plans.audit import (
+        normalize_plan,
+        plan_shape_hash,
+    )
+
+    expanded = "(1) HashAggregate\n(2) Exchange\n(3) Scan parquet \n"
+    cached = (
+        "(1) InMemoryTableScan\n(2) InMemoryRelation\n"
+        "(3) HashAggregate\n(4) Exchange\n(5) Scan parquet \n"
+    )
+    assert plan_shape_hash(expanded) == plan_shape_hash(cached)
+    # structural changes still move it
+    assert plan_shape_hash(expanded) != plan_shape_hash(
+        "(1) HashAggregate\n(2) Exchange\n(3) Exchange\n(4) Scan parquet \n"
+    )
+    assert "<path>" in normalize_plan("Location: [file:/spilldir]")
+    # a bare division must NOT collapse (the ADVICE r13 regression)
+    assert "x/100.0" in normalize_plan("Project [x/100.0 AS pct]")
+
+
 def test_plan_shape_fingerprints_cross_round(spark):
     """VERDICT r13 item 1: the committed PLAN_FINGERPRINTS.json is the
     cross-round plan-SHAPE baseline; this test recomputes every key's
@@ -814,7 +844,15 @@ def test_plan_shape_fingerprints_cross_round(spark):
         (Path(__file__).resolve().parent.parent / "PLAN_FINGERPRINTS.json").read_text()
     )
     committed = artifact["shapes"]
-    fp_sf = "/root/testdata/sf0.1"  # the SF the artifact is emitted at
+    # the SF the artifact was emitted at — hashes are only comparable
+    # against plans built over the SAME files (stats drive broadcast
+    # decisions); on a host without that corpus, skip rather than error
+    # (ADVICE r14)
+    fp_sf = artifact.get("sf_dir", "/root/testdata/sf0.1")
+    import os
+
+    if not os.path.isdir(fp_sf):
+        pytest.skip(f"fingerprint corpus absent: {fp_sf}")
 
     drift = {}
     computed = {}
@@ -823,11 +861,15 @@ def test_plan_shape_fingerprints_cross_round(spark):
         if "live-stream" in spec.tags or name == "stream_foreachbatch_sink":
             skipped.append(name)
             continue
-        # fresh-cache plan per key — mirror the emitter exactly: a
-        # persisted frame left by an earlier key substitutes matching
-        # subtrees (InMemoryTableScan) and changes later shapes
+        # canonical cache state — mirror the emitter exactly: clear
+        # BEFORE building (fresh construction environment) and AGAIN
+        # before explain, so cache substitution (a PLANNING-time
+        # CacheManager lookup) can never leak session history into the
+        # hash (the round-14 ml_dbscan_grid flake: memo-hit vs
+        # memo-miss builds printed different trees)
         spark.catalog.clearCache()
         df = spec.fn(spark, fp_sf)
+        spark.catalog.clearCache()
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
@@ -879,5 +921,35 @@ def test_rangesplit_lead_lag_exact_and_bounded(spark):
         if re.match(r"user_id#\d+", cols_part.strip()):
             # partitioned by user_id first — must carry band next,
             # unless it orders by band (the halo meta-window)
+            head = ",".join(cols_part.split(",")[:2])
+            assert "band" in head, f"user-only window partition: {ln.strip()[:160]}"
+
+
+def test_rangesplit_sessionize_exact_and_bounded(spark):
+    """sessionize_events_gap_rangesplit (round 15, VERDICT r14 item 5)
+    must (a) equal the parent sessionizer row-for-row — sessions that
+    CROSS band boundaries must reassemble under the same global
+    session_seq — and (b) contain NO window partitioned by user_id
+    alone over event rows: the intra-band flag/prefix windows carry
+    the band column, and the only per-user windows run over BAND
+    aggregates (halo + carry), whose partition size is time-span/
+    band-width, independent of data volume."""
+    a = REGISTRY["sessionize_events_gap"].fn(spark, SF_DIR)
+    b = REGISTRY["sessionize_events_gap_rangesplit"].fn(spark, SF_DIR)
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    ra = sorted(map(tuple, a.select(*cols).collect()))
+    rb = sorted(map(tuple, b.select(*cols).collect()))
+    assert ra == rb, f"sessionize twin diverged: {len(ra)} vs {len(rb)} rows"
+
+    p = plan(spark, "sessionize_events_gap_rangesplit")
+    import re
+
+    for ln in p.splitlines():
+        if "windowspecdefinition" not in ln:
+            continue
+        spec = ln.split("windowspecdefinition(", 1)[1]
+        cols_part = spec.split(", specifiedwindowframe", 1)[0]
+        if re.match(r"user_id#\d+", cols_part.strip()):
             head = ",".join(cols_part.split(",")[:2])
             assert "band" in head, f"user-only window partition: {ln.strip()[:160]}"

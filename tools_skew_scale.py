@@ -14,7 +14,8 @@ referenced table; the remaining rows keep their original (valid) key.
 (l_orderkey, l_linenumber) stays unique — the windows this costs are
 exactly the skew surface the exercise exists to measure.
 
-Usage: python tools_skew_scale.py   # writes <SYNTH_ROOT>/x10_skewed
+Usage: python tools_skew_scale.py [--scale {10,100}]
+       # writes <SYNTH_ROOT>/x10_skewed (default) or x100_skewed
 Then:  python selfcheck.py --sf /tmp/etl_builder_spark_scale/x10_skewed \
            --only <skew cohort> --json CORRECTNESS_LOCAL_r13_x10_skewed_cohort.json
 """
@@ -38,7 +39,6 @@ def main() -> int:
     # range-split escape hatch exists for
     ap.add_argument("--scale", type=int, default=10, choices=(10, 100))
     args = ap.parse_args()
-    global SRC, OUT
     SRC = os.path.join(SYNTH_ROOT, f"x{args.scale}")
     OUT = os.path.join(SYNTH_ROOT, f"x{args.scale}_skewed")
     spark = (
