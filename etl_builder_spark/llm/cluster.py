@@ -65,12 +65,27 @@ def connected_components_min_label(
     """
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError(f"on_nonconverged must be 'raise' or 'warn': {on_nonconverged!r}")
+    # the symmetrized edge list is iteration-invariant and referenced by
+    # every round's propagation join — materialize it ONCE with an eager
+    # localCheckpoint (r15, guide §5/§3.3): unlike persist(), this also
+    # TRUNCATES the logical plan, so each round's Catalyst analysis (and
+    # the convergence probe's) walks a one-node scan instead of
+    # re-analyzing the full upstream edge construction — for callers
+    # like DBSCAN whose edge lineage is a large candidate-join tree,
+    # driver-side analysis was the dominant per-round cost.
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label")).cache()
-    labels.count()  # materialize
+    # Convergence probe (r15, guide §2.4): labels only ever DECREASE
+    # (least of old and neighbor min), so the label multiset changed
+    # iff the exact decimal SUM of labels moved — one aggregate over
+    # the new frame replaces the former old⋈new shuffle join + count
+    # per round, and the same job materializes the round's cache.
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     converged = False
     for it in range(max_iter):
         neigh_min = (
@@ -87,17 +102,15 @@ def connected_components_min_label(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         msg = (
             f"connected_components_min_label: still changing after {max_iter} rounds "
@@ -351,7 +364,12 @@ def dbscan_labels(pts: DataFrame, eps: int, min_pts: int) -> DataFrame:
         left.join(right, ["cxa", "cya"])
         .where(d2 <= F.lit(eps * eps))
         .select("na", "nb")  # includes self-pairs: count = |eps-ball incl. self|
-        .persist()
+        # eager localCheckpoint, not persist (r15, guide §3.3): four
+        # consumers (core, both sides of core_edges, border) re-ANALYZE
+        # this candidate-join lineage on every reference; truncating it
+        # makes each downstream plan a one-node scan of the
+        # materialized pairs
+        .localCheckpoint(eager=True)
     )
     core = (
         nbrs.groupBy("na")

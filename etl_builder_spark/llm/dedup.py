@@ -230,16 +230,18 @@ def _minhash_sig_bands(everything):
     )
     h = F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % _P)
     sh_hash = shingles.select("doc_id", h.alias("h"))
+    # the 16 permuted minima build as SQL text — one parse per
+    # aggregate instead of per-perm Column-API py4j crossings (r15,
+    # same rationale as the simhash/sign-LSH constructors)
     mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}")
+        F.expr(f"min(({a} * h + {b}) % {_P})").alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
     sig_wide = sh_hash.groupBy("doc_id").agg(*mins)
+    marr = ", ".join(f"m{i}" for i in range(len(MINHASH_PERMS)))
     sig = sig_wide.select(
         "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"m{i}") for i in range(len(MINHASH_PERMS))])
-        ).alias("i", "minh"),
+        F.posexplode(F.expr(f"array({marr})")).alias("i", "minh"),
     ).select("doc_id", F.col("i").cast("long").alias("i"), "minh").persist()
     pow31 = F.element_at(F.array(*[F.lit(p) for p in _POW31]), (F.col("i") % 4 + 1).cast("int"))
     bands = (
@@ -720,36 +722,32 @@ def dedup_simhash_exact(spark, sf_dir):
     )
     h = F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % _P)
     th = tok.select("doc_id", "w", h.alias("h"))
+    # the 48-expression families build as SQL text — ONE parse per
+    # column instead of ~12 py4j Column-API crossings per bit (r15,
+    # guide §1.2 step 2: measured ~1.4s of pure driver-side plan
+    # construction per build at any SF); literal shapes match the old
+    # Column form exactly (INT * BIGINT arithmetic, BIGINT bit values)
     votes = [
-        F.sum(
-            F.col("w")
-            * (F.lit(2) * (((F.lit(a) * F.col("h") + F.lit(b)) % _P) % 2) - F.lit(1))
+        F.expr(
+            f"sum(w * (2 * ((({a} * h + {b}) % {_P}) % 2) - 1))"
         ).alias(f"v{i}")
         for i, (a, b) in enumerate(SIMHASH_PERMS)
     ]
     vw = th.groupBy("doc_id").agg(*votes)
-    fp = vw.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-                for i in range(len(SIMHASH_PERMS))
-            ],
-            F.lit(0).cast("long"),
-        ).alias("f"),
+    fp_terms = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(len(SIMHASH_PERMS))
     )
+    fp = vw.selectExpr("doc_id", f"CAST(0 AS BIGINT) + {fp_terms} AS f")
     mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_arr = ", ".join(
+        f"(shiftright(f, {SIMHASH_BAND_BITS * b}) & {mask})"
+        for b in range(SIMHASH_BANDS)
+    )
     bands = fp.select(
         "doc_id",
         "f",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("f"), SIMHASH_BAND_BITS * b).bitwiseAND(F.lit(mask))
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band", "bkey"),
+        F.posexplode(F.expr(f"array({band_arr})")).alias("band", "bkey"),
     ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etl_builder_spark.llm.similarity import _dbl, cosine, dot
+from etl_builder_spark.llm.similarity import _dbl, cosine, dot, dot_sql
 from etl_builder_spark.registry import register
 from etl_builder_spark.session import load_table
 
@@ -198,26 +198,24 @@ def sign_lsh_candidates(
         (F.col("vec_id") - HYP_LO).alias("j"), F.col("v").alias("h")
     )
     # one wide row (h0..h{n_hyp-1}) — the de-exploded form: the corpus
-    # is never multiplied by the hyperplane count
+    # is never multiplied by the hyperplane count.  The wide expression
+    # families build as SQL TEXT, one parse per column, instead of
+    # thousands of Column-API py4j round trips (r15; see dot_sql) —
+    # same Catalyst expressions, ~1s less driver time per construction.
     hw = hyp.groupBy().agg(
-        *[F.max(F.when(F.col("j") == i, F.col("h"))).alias(f"h{i}") for i in range(n_hyp)]
+        *[F.expr(f"max(CASE WHEN j = {i} THEN h END)").alias(f"h{i}") for i in range(n_hyp)]
     )
 
-    def band_key(b: int):
-        bits = [
-            F.when(
-                F.round(dot(F.col("v"), F.col(f"h{b * bits_per_band + i}")), 6) >= 0,
-                F.lit(1 << i),
-            ).otherwise(0)
+    def band_key_sql(b: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN round({dot_sql('v', f'h{b * bits_per_band + i}')}, 6) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
             for i in range(bits_per_band)
-        ]
-        acc = bits[0]
-        for x in bits[1:]:
-            acc = acc + x
-        return acc.alias(f"k{b}")
+        )
+        return f"({bits}) AS k{b}"
 
-    banded = all_vecs.crossJoin(F.broadcast(hw)).select(
-        "vec_id", *[band_key(b) for b in range(n_bands)]
+    banded = all_vecs.crossJoin(F.broadcast(hw)).selectExpr(
+        "vec_id", *[band_key_sql(b) for b in range(n_bands)]
     )
     band_cols = [F.col(f"k{b}") for b in range(n_bands)]
     if adaptive_n is not None:

@@ -161,7 +161,13 @@ def ml_naive_bayes_langid(spark, sf_dir):
     (unseen token) is a COALESCE against the class constant, not a
     dense fill."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text").persist()
-    n_docs_total = d.count()
+    # r15 optimization (guide §5): the corpus size and vocabulary size
+    # were driver-side .count() actions baked in as literals — two
+    # eager jobs per build.  Both are now 1-row broadcast frames inside
+    # the ONE lazy plan (the oracle always computed them relationally);
+    # count()/COUNT(*) produce the same BIGINT, and double division by
+    # a cast column equals division by the float literal bit-for-bit.
+    n_total = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs_total"))
     toks = d.select(
         "doc_id",
         "lang",
@@ -173,15 +179,18 @@ def ml_naive_bayes_langid(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("c")
     ).persist()
     class_tot = class_tok.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tot"))
-    vocab_v = class_tok.select("tok").distinct().count()
+    vocab = class_tok.select("tok").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
     prior = (
         d.groupBy("lang")
-        .agg(
-            F.round(
-                F.log(F.count(F.lit(1)).cast("double") / F.lit(float(n_docs_total))), 7
-            )
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "lang",
+            F.round(F.log(F.col("cnt") / F.col("n_docs_total")), 7)
             .cast("decimal(28,7)")
-            .alias("logprior")
+            .alias("logprior"),
         )
     )
     doc_tok = toks.groupBy("doc_id", F.col("lang").alias("true_lang"), "tok").agg(
@@ -191,13 +200,17 @@ def ml_naive_bayes_langid(spark, sf_dir):
         F.round(
             F.log(
                 (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
-                / (F.col("tot") + F.lit(float(vocab_v)))
+                / (F.col("tot") + F.col("v"))
             ),
             7,
         ).cast("decimal(28,7)")
     )
     scored = (
-        doc_tok.crossJoin(class_tot.select(F.col("lang").alias("cand"), "tot"))
+        doc_tok.crossJoin(
+            class_tot.select(F.col("lang").alias("cand"), "tot").crossJoin(
+                F.broadcast(vocab)
+            )
+        )
         .join(
             class_tok.select(
                 F.col("lang").alias("kcand"), F.col("tok").alias("ktok"), "c"
@@ -211,9 +224,16 @@ def ml_naive_bayes_langid(spark, sf_dir):
     totals = scored.join(prior.select(F.col("lang").alias("cand"), "logprior"), "cand").select(
         "doc_id", "true_lang", "cand", (F.col("loglik") + F.col("logprior")).alias("score")
     )
-    best = totals.groupBy("doc_id").agg(F.max("score").alias("m"))
+    # r15 optimization (guide §2.4): argmax via a per-doc window MAX
+    # instead of the groupBy+self-join — the join form recomputed the
+    # whole crossJoin-score-aggregate subtree twice (once per side);
+    # max().over(partitionBy) needs no sort and no second pass, and the
+    # decimal comparison semantics are identical.
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id")
     pred = (
-        totals.join(best, "doc_id")
+        totals.withColumn("m", F.max("score").over(wdoc))
         .where(F.col("score") == F.col("m"))
         .groupBy("doc_id", "true_lang")
         .agg(F.min("cand").alias("pred_lang"))

@@ -28,6 +28,18 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`dot` for composing WIDE expression sets
+    (r15, guide §1.2 step 2): building N-bit/N-perm expression families
+    through the Column API costs thousands of py4j round trips per
+    query construction (measured ~1.5s for the 32-hyperplane signing
+    select at sf0.1 — pure driver time, paid on every build); one
+    parsed SQL string per output column is ~100x fewer crossings and
+    parses to the same Catalyst operators (`0.0D` is the double literal
+    F.lit(0.0) builds, the lambda shapes are identical)."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 

@@ -1860,6 +1860,14 @@ def text_bleu_corpus_pairs(spark, sf_dir):
         .where(F.col("ref").isNotNull())
         .persist()
     )
+    # NOTE (r15 optimization round): an array-expression bigram rewrite
+    # (consecutive array elements instead of the LEAD window) was
+    # attempted and REVERTED — on a corpus with duplicate doc_ids (the
+    # `allequal` shape) the merged (pair_id, side) window partition
+    # interleaves the duplicate rows' tokens, so the LEAD bigram
+    # multiset differs from per-row array bigrams, and the oracle
+    # mirrors the LEAD form.  The window stays; it was wall-clock
+    # neutral locally anyway (ReuseExchange dedupes the toks branches).
     toks = (
         p.select(
             "pair_id",

@@ -1851,14 +1851,28 @@ def agg_winsorized_mean(spark, sf_dir):
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
-    bounds = ranked.groupBy("flag").agg(
-        F.min("n").cast("bigint").alias("n_rows"),
-        F.floor(F.min("n") * 5 / 100).cast("bigint").alias("k"),
-        F.max(F.when(F.col("rn") == F.floor(F.col("n") * 5 / 100) + 1, F.col("v"))).alias("lo"),
-        F.max(F.when(F.col("rn") == F.col("n") - F.floor(F.col("n") * 5 / 100), F.col("v"))).alias("hi"),
+    # r15 optimization (guide §2.4): the boundary order statistics are
+    # WINDOW aggregates over the same flag partition instead of a
+    # separate groupBy + broadcast-join-back — the join form recomputed
+    # the entire rank window a second time for the probe side (two
+    # sorts, two scans); this form is one exchange + one sort, with
+    # lo/hi riding the already-partitioned rows (no join at all).
+    # Values are identical: n is constant within the partition, so
+    # min(n)==n and the same rank-equality picks the same rows.
+    wf = Window.partitionBy("flag")
+    j = ranked.select(
+        "flag",
+        "v",
+        "rn",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.floor(F.col("n") * 5 / 100).cast("bigint").alias("k"),
+        F.max(
+            F.when(F.col("rn") == F.floor(F.col("n") * 5 / 100) + 1, F.col("v"))
+        ).over(wf).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - F.floor(F.col("n") * 5 / 100), F.col("v"))
+        ).over(wf).alias("hi"),
     )
-    b = F.broadcast(bounds)
-    j = ranked.join(b, "flag")
     clamped = (
         F.when(F.col("rn") <= F.col("k"), F.col("lo"))
         .when(F.col("rn") > F.col("n_rows") - F.col("k"), F.col("hi"))

@@ -610,20 +610,21 @@ def er_fellegi_sunter_em(spark, sf_dir):
         F.sum(F.col("m") * F.col("bal_agree")).cast("bigint").alias("am_bal"),
         F.sum((1 - F.col("m")) * F.col("bal_agree")).cast("bigint").alias("au_bal"),
     )
-    feats = None
-    for name, am, au in (
-        ("name_close", "am_name", "au_name"),
-        ("nation", "am_nation", "au_nation"),
-        ("bal_band", "am_bal", "au_bal"),
-    ):
-        row = counts.select(
-            F.lit(name).alias("feature"),
-            "n_match",
-            "n_non",
-            F.col(am).alias("n_agree_match"),
-            F.col(au).alias("n_agree_non"),
-        )
-        feats = row if feats is None else feats.unionByName(row)
+    # unpivot the 1-row count frame with ONE generator instead of a
+    # 3-way union of selects: the union form re-planned (and re-ran)
+    # the blocked levenshtein pair aggregate once PER BRANCH — three
+    # full pair scans for one 8-cell result (r15 optimization; the
+    # before/after numbers live in OPTIMIZATION_r15.md)
+    feats = counts.select(
+        F.expr(
+            "stack(3, 'name_close', am_name, au_name,"
+            "         'nation', am_nation, au_nation,"
+            "         'bal_band', am_bal, au_bal)"
+            " AS (feature, n_agree_match, n_agree_non)"
+        ),
+        "n_match",
+        "n_non",
+    )
     mh = (F.col("n_agree_match") + 0.5) / (F.col("n_match") + 1.0)
     uh = (F.col("n_agree_non") + 0.5) / (F.col("n_non") + 1.0)
     return feats.select(

@@ -105,22 +105,29 @@ def stats_poisson_bootstrap_ci(spark, sf_dir):
     ONCE.  The same shape yields CIs for any algebraic aggregate
     (sums, ratios, regression moments)."""
     o = load_table(spark, sf_dir, "orders")
-    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
-    expanded = o.select(money("o_totalprice").alias("p"), F.col("o_orderkey"), b)
     # one md5 yields FOUR independent 8-hex uniforms — hash once per
-    # replicate GROUP of 4 and slice, cutting hash work 4x (measured
-    # 4.4s -> ~1.7s at sf0.1) with fully independent digests across
-    # groups and disjoint slices within one
+    # replicate GROUP of 4 and slice.  The explode is TWO-LEVEL so the
+    # digest is genuinely computed once per group: the single-level
+    # form (explode b over 0..B-1, md5 of b div 4 per row) re-evaluated
+    # the md5 on each of the 4 rows sharing a group — the projection
+    # holding the md5 must sit BELOW the slice-index generator for the
+    # 4x cut to be real (plan-verified: one md5 per Generate level).
+    g = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B // 4 - 1))).alias("g")
+    grouped = o.select(money("o_totalprice").alias("p"), F.col("o_orderkey"), g)
     h = F.md5(
         F.concat(
             F.col("o_orderkey").cast("string"),
             F.lit(":"),
-            F.floor(F.col("b") / 4).cast("long").cast("string"),
+            F.col("g").cast("long").cast("string"),
         )
     )
+    hashed = grouped.select("p", "g", h.alias("h"))
+    expanded = hashed.select(
+        "p", "g", "h", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+    ).select("p", "h", (F.col("g") * 4 + F.col("i")).alias("b"), F.col("i"))
     u = (
         F.conv(
-            F.substr(h, F.lit(1) + 8 * (F.col("b") % 4), F.lit(8)),
+            F.substr(F.col("h"), F.lit(1) + 8 * F.col("i"), F.lit(8)),
             16,
             10,
         ).cast("long")

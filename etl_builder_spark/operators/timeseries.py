@@ -398,6 +398,10 @@ def sessionize_events_gap_rangesplit(spark, sf_dir):
     )
 
     wb = Window.partitionBy("user_id", "band").orderBy("ts", "event_id")
+    # r15: the former row_number()==1 test duplicated what NULL-ness of
+    # the intra-band LAG already encodes (only a band's first row has a
+    # NULL lag), so the extra window expression is dropped and prev_us
+    # is a plain COALESCE of intra-band lag with the halo
     flagged = e.select(
         "user_id",
         "band",
@@ -406,7 +410,6 @@ def sessionize_events_gap_rangesplit(spark, sf_dir):
         "value",
         "us",
         F.lag("us").over(wb).alias("prev_us_in"),
-        F.row_number().over(wb).alias("rn"),
     )
 
     # halo: previous populated band's last epoch, via the band-level
@@ -420,12 +423,14 @@ def sessionize_events_gap_rangesplit(spark, sf_dir):
     )
 
     j = flagged.join(halo, ["user_id", "band"], "left")
-    prev_us = F.when(F.col("rn") == 1, F.col("prev_band_last_us")).otherwise(
-        F.col("prev_us_in")
-    )
+    prev_us = F.coalesce(F.col("prev_us_in"), F.col("prev_band_last_us"))
     is_start = F.when(
         prev_us.isNull() | ((F.col("us") - prev_us) > 1_800_000_000), 1
     ).otherwise(0)
+    # persisted (r15, guide §5): both the event-level numbering and the
+    # band-level carry aggregate read this frame — without it the
+    # window+halo join re-derives once per consumer (the sess⋈offsets
+    # join held TWO full derivations of the same subtree)
     started = j.select(
         "user_id",
         "band",
@@ -433,7 +438,7 @@ def sessionize_events_gap_rangesplit(spark, sf_dir):
         "event_id",
         "value",
         is_start.alias("is_start"),
-    )
+    ).persist()
 
     # local (intra-band) running count of starts — same (user, band)
     # partitioning as wb, so Catalyst reuses the sort
@@ -445,12 +450,14 @@ def sessionize_events_gap_rangesplit(spark, sf_dir):
         F.sum("is_start")
         .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("local_seq"),
-        F.sum("is_start").over(Window.partitionBy("user_id", "band")).alias("band_starts"),
     )
-    # carry: exclusive prefix sum of per-band start counts over bands
+    # carry: exclusive prefix sum of per-band start counts over bands —
+    # the counts come straight off the persisted event frame as one
+    # hash aggregate (r15; formerly a whole-partition window sum
+    # carried on every event row and re-reduced)
     offsets = (
-        local.groupBy("user_id", "band")
-        .agg(F.max("band_starts").alias("band_starts"))
+        started.groupBy("user_id", "band")
+        .agg(F.sum("is_start").alias("band_starts"))
         .select(
             "user_id",
             "band",

@@ -111,13 +111,35 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: (applicationId, sf_dir, table, file mtime) → LAZY DataFrame handle.
+#: Memoizes only the unresolved relation (plan-level reuse — spark.read
+#: .parquet resolves the footer schema EAGERLY, ~80ms of driver time
+#: per call; r15 measured ~160 load_table calls per bench pass), never
+#: any data: every action over the handle still scans the parquet
+#: files.  The mtime in the key makes a regenerated corpus at the same
+#: path miss the memo; the size bound keeps multi-corpus test sessions
+#: from accumulating entries.
+_TABLE_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table. Parquet scan → vectorized columnar reader;
     filters/pruning push down from whatever the caller composes on top."""
     _pin_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = normalize_events_ts(df)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (spark.sparkContext.applicationId, path, mtime)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        if name == "events":
+            df = normalize_events_ts(df)
+        if len(_TABLE_CACHE) >= 256:
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[key] = df
     return df
 
 

@@ -297,12 +297,18 @@ def udf_cogrouped_apply_in_arrow(spark, sf_dir):
     so empty sides never require peeking into a 0-row table for the
     key."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_id")
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_orderkey"
-    )
+    # r15 optimization (guide §4.1 "pass only the columns the function
+    # needs"): the census only reads num_rows, so the payload columns
+    # (event_id / o_orderkey) never needed to cross the cogroup
+    # exchange or the Arrow boundary — each side ships the grouping key
+    # alone.  (A pre-aggregated variant — groupBy counts BEFORE the
+    # cogroup, guide §2.3 — was measured 4.3s vs 2.6s for this form at
+    # sf0.1: the two extra aggregate stages cost more here than the
+    # row-width saving; at hot-key scale the pre-agg swap bounds the
+    # per-task Arrow slice and is the documented escape hatch.)
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("user_id"))
 
     def census(key, left: pa.Table, right: pa.Table) -> pa.Table:
         return pa.table(
