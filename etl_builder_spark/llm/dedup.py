@@ -862,16 +862,22 @@ def dedup_text_containment(spark, sf_dir):
             excerpt_text.alias("text"),
         )
     )
+    # two-stage form (r15, guide §1.2 step 2): token array as a column
+    # first — the inlined form re-split the text once per trigram per
+    # element_at (see llm/sparse_sim.shingle_tf for the measurement)
     t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    tok_base = everything.select("doc_id", t.alias("toks")).where(F.size("toks") >= 3)
     tri = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 2),
+        F.sequence(F.lit(1), F.size("toks") - 2),
         lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
         ),
     )
     sh = (
-        everything.where(F.size(t) >= 3)
-        .select("doc_id", F.explode(tri).alias("token"))
+        tok_base.select("doc_id", F.explode(tri).alias("token"))
         .distinct()
     )
     keep = (

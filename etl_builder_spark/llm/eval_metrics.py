@@ -3249,20 +3249,27 @@ def ml_conformal_split_interval(spark, sf_dir):
         ).cast("bigint")
         % 2
     )
+    # r15: the persisted frame carries only the three columns every
+    # consumer reads — the line keys existed solely to feed the fold
+    # hash and were cached dead weight (guide §2.3 narrower rows)
     base = li.select(
         y.alias("y"),
         yhat.alias("yhat"),
-        "l_orderkey",
-        "l_linenumber",
         fold.alias("fold"),
     ).persist()
     cal = base.where(F.col("fold") == 0).select(
         F.abs(F.col("y") - F.col("yhat")).alias("r")
     )
-    n_df = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     per = cal.groupBy(F.col("r").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     ).persist()
+    # r15: n_calibration = SUM(cnt) over the per-distinct-residual
+    # frame — one aggregate over |distinct| rows instead of a second
+    # full pass over the calibration fold (COUNT of the fold rows and
+    # SUM of its per-value counts are the same BIGINT by definition);
+    # COALESCE 0 because SUM over an EMPTY fold is NULL where COUNT
+    # was 0 (caught by the empty/single/allequal shape sweep)
+    n_df = per.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n"))
     run = banded_running(per, value_col="v", tiebreak_col="v", sum_col="cnt").select(
         "v", F.col("run_sum").alias("c_le")
     )

@@ -220,16 +220,22 @@ def text_ngrams_trigram(spark, sf_dir):
     posexplode — the explode is the only row amplification (×n_tokens),
     no shuffle until whatever aggregates downstream."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    # two-stage form (r15, guide §1.2 step 2): token array as a column
+    # first — the inlined form re-split the text once per trigram per
+    # element_at (see llm/sparse_sim.shingle_tf for the measurement)
     t = F.filter(F.split(fold_lower(F.col("text")), " "), lambda x: x != "")
+    base = d.select("doc_id", t.alias("toks")).where(F.size("toks") >= 3)
     tri = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 2),
+        F.sequence(F.lit(1), F.size("toks") - 2),
         lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
         ),
     )
     return (
-        d.where(F.size(t) >= 3)
-        .select("doc_id", F.posexplode(tri).alias("pos0", "trigram"))
+        base.select("doc_id", F.posexplode(tri).alias("pos0", "trigram"))
         .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "trigram")
     )
 
@@ -1048,16 +1054,22 @@ def text_ngram_novelty(spark, sf_dir):
     all, so no DF ceiling is even needed — cost is linear in corpus
     shingle volume."""
     d = load_table(spark, sf_dir, "documents")
+    # two-stage form (r15, guide §1.2 step 2): token array as a column
+    # first — the inlined form re-split the text once per trigram per
+    # element_at (see llm/sparse_sim.shingle_tf for the measurement)
     t = F.filter(F.split(fold_lower("text"), " "), lambda x: x != "")
+    base = d.select("doc_id", t.alias("toks")).where(F.size("toks") >= 3)
     tri = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 2),
+        F.sequence(F.lit(1), F.size("toks") - 2),
         lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
         ),
     )
     tris = (
-        d.where(F.size(t) >= 3)
-        .select("doc_id", F.explode(tri).alias("token"))
+        base.select("doc_id", F.explode(tri).alias("token"))
         .distinct()
         .persist()
     )

@@ -25,7 +25,7 @@ from etl_builder_spark.session import load_table
 ER_OFFSET = 100_000
 
 
-def _lev_pinned(a, b):
+def _lev_pinned(a, b, threshold: int | None = None):
     """Cross-engine edit distance: Spark's levenshtein counts CODEPOINTS
     while DuckDB's counts BYTES (probed: levenshtein('café','cafe') = 1
     vs 2), so the distance tier is pinned to all-ASCII operand pairs --
@@ -33,11 +33,22 @@ def _lev_pinned(a, b):
     (a NULL distance fails every <= 2 gate and scores as 'far' on both
     engines).  Real corpora names are pure ASCII, so this is the
     identity there; production non-ASCII names get transliterated
-    upstream of the matcher.  SQL twin: _LEV_SQL."""
+    upstream of the matcher.  SQL twin: _LEV_SQL.
+
+    ``threshold``: every caller only consumes the distance through
+    ``== 0`` / ``<= 2`` gates (or on rows already filtered to <= 2), so
+    the BOUNDED form ``levenshtein(a, b, k)`` — which computes only the
+    width-(2k+1) diagonal band of the DP matrix and returns -1 above k
+    — yields identical results ~O(len/k)x cheaper per pair (guide §1.2
+    step 2: per-task work on the blocked pair scan).  Contract under a
+    threshold: exact distance in 0..k, -1 for "more than k", NULL for
+    non-ASCII — callers translate ``d <= k`` as ``d >= 0`` and keep
+    ``d == 0`` as-is (NULL fails both, same as the unbounded form)."""
     ascii_ok = (F.octet_length(a) == F.length(a)) & (
         F.octet_length(b) == F.length(b)
     )
-    return F.when(ascii_ok, F.levenshtein(a, b))
+    lev = F.levenshtein(a, b) if threshold is None else F.levenshtein(a, b, threshold)
+    return F.when(ascii_ok, lev)
 
 
 #: DuckDB twin of _lev_pinned over the standard pair aliases
@@ -97,7 +108,10 @@ def er_blocked_fuzzy_match(spark, sf_dir):
         "block_key", F.substring("c_name", 10, 7)
     )
     a, b = blocked.alias("a"), blocked.alias("b")
-    lev = _lev_pinned(F.col("a.c_name"), F.col("b.c_name"))
+    # bounded form (r15): only pairs with distance <= 2 survive, so the
+    # banded DP is value-identical on every output row; -1 (">2") and
+    # NULL (non-ASCII) both fail the >= 0 gate exactly as d <= 2 did
+    lev = _lev_pinned(F.col("a.c_name"), F.col("b.c_name"), threshold=2)
     return (
         a.join(
             b,
@@ -105,7 +119,7 @@ def er_blocked_fuzzy_match(spark, sf_dir):
             & (F.col("a.block_key") == F.col("b.block_key"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
-        .where(lev <= 2)
+        .where(lev >= 0)
         .select(
             F.col("a.c_custkey").alias("id_a"),
             F.col("b.c_custkey").alias("id_b"),
@@ -314,7 +328,13 @@ def er_weighted_linkage(spark, sf_dir):
     ).select(
         F.col("a.c_custkey").alias("id_a"),
         F.col("b.c_custkey").alias("id_b"),
-        _lev_pinned(F.col("a.c_name"), F.col("b.c_name")).cast("bigint").alias("ed"),
+        # bounded at 2 (r15): ed is -1 for ">2" instead of the exact
+        # far distance — safe because a far name scores FS_W_NAME_FAR
+        # and maxes out at -4.0+1.5+2.0 = -0.5 < FS_POSSIBLE_T, so no
+        # far pair ever reaches the output where ed is exposed
+        _lev_pinned(F.col("a.c_name"), F.col("b.c_name"), threshold=2)
+        .cast("bigint")
+        .alias("ed"),
         (F.col("a.c_nationkey") == F.col("b.c_nationkey")).alias("nation_agree"),
         # total flag (r12 nullmeasures): an unknown balance band is not
         # agreement evidence — coalesce FALSE, never a NULL boolean
@@ -324,7 +344,7 @@ def er_weighted_linkage(spark, sf_dir):
     )
     name_w = (
         F.when(F.col("ed") == 0, F.lit(FS_W_NAME_EXACT))
-        .when(F.col("ed") <= 2, F.lit(FS_W_NAME_CLOSE))
+        .when(F.col("ed") > 0, F.lit(FS_W_NAME_CLOSE))  # bounded: 1..2; -1/NULL fall through
         .otherwise(F.lit(FS_W_NAME_FAR))
     )
     nation_w = F.when(F.col("nation_agree"), F.lit(FS_W_NATION_AGREE)).otherwise(
@@ -424,7 +444,9 @@ def er_blocking_quality_report(spark, sf_dir):
     a, b = everything.alias("a"), everything.alias("b")
     truth = (
         a.join(F.broadcast(b), F.col("a.c_custkey") < F.col("b.c_custkey"))
-        .where(_lev_pinned(F.col("a.c_name"), F.col("b.c_name")) <= 2)
+        # bounded form (r15): d <= 2 ⇔ bounded d >= 0 (-1 = ">2",
+        # NULL = non-ASCII; both fail, exactly as before)
+        .where(_lev_pinned(F.col("a.c_name"), F.col("b.c_name"), threshold=2) >= 0)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
     )
     blocked = everything.withColumn("block_key", F.substring("c_name", 10, 7))
@@ -438,7 +460,7 @@ def er_blocking_quality_report(spark, sf_dir):
         )
         .select(
             (
-                _lev_pinned(F.col("ba.c_name"), F.col("bb.c_name")) <= 2
+                _lev_pinned(F.col("ba.c_name"), F.col("bb.c_name"), threshold=2) >= 0
             ).alias("is_match")
         )
         .agg(
@@ -578,13 +600,15 @@ def er_fellegi_sunter_em(spark, sf_dir):
         "block_key", F.substring("c_name", 10, 8)
     )
     a, b = blocked.alias("a"), blocked.alias("b")
-    ed = _lev_pinned(F.col("a.c_name"), F.col("b.c_name"))
-    name_agree = F.when(ed <= 2, 1).otherwise(0)
+    # bounded at 2 (r15): ed is only consumed via == 0 / <= 2 gates, so
+    # the banded DP is value-identical (d <= 2 ⇔ bounded d >= 0)
+    ed = _lev_pinned(F.col("a.c_name"), F.col("b.c_name"), threshold=2)
+    name_agree = F.when(ed >= 0, 1).otherwise(0)
     nation_agree = F.when(F.col("a.c_nationkey") == F.col("b.c_nationkey"), 1).otherwise(0)
     bal_agree = F.when(F.col("a.bal_band") == F.col("b.bal_band"), 1).otherwise(0)
     score = (
         F.when(ed == 0, FS_W_NAME_EXACT)
-        .when(ed <= 2, FS_W_NAME_CLOSE)
+        .when(ed > 0, FS_W_NAME_CLOSE)  # bounded: 1..2; -1/NULL fall to FAR
         .otherwise(FS_W_NAME_FAR)
         + F.when(nation_agree == 1, FS_W_NATION_AGREE).otherwise(FS_W_NATION_DISAGREE)
         + F.when(bal_agree == 1, FS_W_BAL_AGREE).otherwise(FS_W_BAL_DISAGREE)
@@ -782,14 +806,15 @@ def er_sorted_neighborhood(spark, sf_dir):
         ).select(
             "id_a",
             "id_b",
-            _lev_pinned(F.col("name_a"), F.col("name_b")).alias("ed"),
+            # bounded at 2 (r15): ed only feeds <= 2 gates below
+            _lev_pinned(F.col("name_a"), F.col("name_b"), threshold=2).alias("ed"),
         )
         pairs = j if pairs is None else pairs.unionAll(j)
     m = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
-        F.sum(F.when(F.col("ed") <= 2, 1).otherwise(0)).cast("bigint").alias("n_matches"),
+        F.sum(F.when(F.col("ed") >= 0, 1).otherwise(0)).cast("bigint").alias("n_matches"),
         F.sum(
-            F.when((F.col("id_b") == F.col("id_a") + ER_OFFSET) & (F.col("ed") <= 2), 1)
+            F.when((F.col("id_b") == F.col("id_a") + ER_OFFSET) & (F.col("ed") >= 0), 1)
             .otherwise(0)
         )
         .cast("bigint")
