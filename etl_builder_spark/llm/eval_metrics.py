@@ -671,21 +671,29 @@ def ml_kmeans_lloyd_exact(spark, sf_dir):
         lambda acc, t: acc + t,
     )
 
-    def assign(centroids):
+    def assign(centroids, carry_v=False):
+        # carry_v threads the vector THROUGH the argmin struct (r15,
+        # guide §2.4): cid is unique per vec_id, so min(struct(d9, cid))
+        # and min(struct(d9, cid, v)) pick the same row and the centroid
+        # recompute below reads v straight off the assignment — no
+        # per-iteration assignment⋈vectors re-join (one exchange + two
+        # sorts per Lloyd round removed; same bytes move, fewer stages).
+        fields = ["d9", "cid", "v"] if carry_v else ["d9", "cid"]
         scored = x.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", F.col("cid"), F.round(d2, 9).alias("d9")
+            "vec_id", F.col("cid"), F.round(d2, 9).alias("d9"), "v"
         )
-        return (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("d9", "cid")).alias("m"))
-            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d9").alias("d9"))
+        out = scored.groupBy("vec_id").agg(
+            F.min(F.struct(*[F.col(f) for f in fields])).alias("m")
         )
+        cols = ["vec_id", F.col("m.cid").alias("cid"), F.col("m.d9").alias("d9")]
+        if carry_v:
+            cols.append(F.col("m.v").alias("v"))
+        return out.select(*cols)
 
     for _ in range(KMEANS_ITERS):
-        a = assign(cent)
+        a = assign(cent, carry_v=True)
         cent = (
-            a.join(x, "vec_id")
-            .select("cid", F.posexplode("v").alias("pos0", "xx"))
+            a.select("cid", F.posexplode("v").alias("pos0", "xx"))
             .groupBy("cid", "pos0")
             .agg(F.round(F.sum(F.round(F.col("xx"), 9).cast("decimal(20,9)")).cast("double") / F.count(F.lit(1)), 6).alias("cv"))
             .groupBy("cid")

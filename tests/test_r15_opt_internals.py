@@ -106,3 +106,83 @@ def test_trigram_generate_reads_column_not_inlined_split(spark):
         assert sorted(map(tuple, tf.collect())) == sorted(map(tuple, ref.collect()))
     finally:
         tf.unpersist()
+
+
+def _formatted(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pagerank_iteration_reuses_dst_partitioned_cache(spark):
+    """The graph-state cache is hash-partitioned by dst, so once the
+    cache is materialized every PageRank round's groupBy("dst")
+    aggregate runs WITHOUT its own exchange (guide §2.4: N_ITER
+    shuffles of the edge frame collapse into the one paid at cache
+    build).  Pin: zero dst-keyed exchanges in the materialized plan."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    df = REGISTRY["graph_pagerank_fixed"].fn(spark, sf)
+    df.write.format("noop").mode("overwrite").save()  # materialize the cache
+    plan = _formatted(REGISTRY["graph_pagerank_fixed"].fn(spark, sf))
+    assert "InMemoryTableScan" in plan  # cache substituted
+    assert "Exchange hashpartitioning(dst#" not in plan, plan
+
+
+def test_label_propagation_sym_side_never_reshuffles(spark):
+    """sym is cached hash-partitioned by v (the per-round join key):
+    with the cache materialized, no round's join re-exchanges the
+    edge side — only the label frame (v2) shuffles."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    df = REGISTRY["graph_label_propagation"].fn(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _formatted(REGISTRY["graph_label_propagation"].fn(spark, sf))
+    assert "InMemoryTableScan" in plan
+    assert "Exchange hashpartitioning(v#" not in plan, plan
+
+
+def test_hits_p_rounds_reuse_cache_partitioning(spark):
+    """The bipartite edge cache is hash-partitioned by p: every
+    p-keyed aggregate READING THE CACHE DIRECTLY (a1, the degree
+    count) runs fused — partial+final HashAggregate with no exchange
+    between them and the InMemoryTableScan.  (a2 still exchanges when
+    the planner broadcasts the edge cache into the h1 join and
+    streams the o-partitioned aggregate instead — a size-based choice
+    this pin deliberately leaves free.)"""
+    import re
+
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    df = REGISTRY["graph_hits_hubs_authorities"].fn(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _formatted(REGISTRY["graph_hits_hubs_authorities"].fn(spark, sf))
+    assert "InMemoryTableScan" in plan
+    fused = re.findall(
+        r"HashAggregate \(\d+\)\s*\n\s*[:+ ]*\+- HashAggregate \(\d+\)\s*\n"
+        r"\s*[:+ ]*\+- Filter \(\d+\)\s*\n\s*[:+ ]*\+- InMemoryTableScan",
+        plan,
+    )
+    assert len(fused) >= 1, plan
+
+
+def test_kmeans_assignment_carries_vector_no_rejoin(spark):
+    """assign(carry_v=True) threads v through the argmin struct —
+    cid is unique per vec_id so min(struct(d9, cid)) and
+    min(struct(d9, cid, v)) pick the same row — and the centroid
+    recompute no longer re-joins assignments to vectors: the plan
+    has NO shuffle join anywhere (broadcast crossJoins only)."""
+    from etl_builder_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    plan = _formatted(
+        REGISTRY["ml_kmeans_lloyd_exact"].fn(spark, "/root/testdata/sf0.001")
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
