@@ -393,9 +393,19 @@ def dedup_semantic_centroids(spark, sf_dir):
     # (negating the rounded double is exact), but with map-side combine
     # instead of a row_number sort over the ×16 broadcast expansion
     # (the pq_encode lesson, VERDICT r4 item 4).
+    # norms hoisted out of the ×16 crossJoin too (similarity.norm —
+    # bit-identical; r15): one dot per (vec, centroid) pair
+    from etl_builder_spark.llm.similarity import dot as _dot
+    from etl_builder_spark.llm.similarity import norm as _norm
+
+    av = all_vecs.select("vec_id", "v", _norm(F.col("v")).alias("nv"))
+    cn = cent.select("cluster_id", "cv", _norm(F.col("cv")).alias("ncv"))
     asg = (
-        all_vecs.crossJoin(F.broadcast(cent))
-        .withColumn("negc", -F.round(cosine(F.col("v"), F.col("cv")), 6))
+        av.crossJoin(F.broadcast(cn))
+        .withColumn(
+            "negc",
+            -F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6),
+        )
         .groupBy("vec_id")
         .agg(
             F.min(F.struct(F.col("negc"), F.col("cluster_id"))).alias("b"),

@@ -106,10 +106,15 @@ def ivf_topk(
         pc.withColumn("crn", F.row_number().over(w)).where(F.col("crn") <= n_probe)
         .select("probe_id", "pv", "cluster_id")
     )
+    # norms hoisted to per-row columns before the candidate fan-out
+    # (r15, similarity.norm rationale): npv folds once per probe list
+    # row and nv once per indexed row; the pair pays one dot.
+    # sqrt(dot(a,a))*sqrt(dot(b,b)) evaluates identically either way.
+    probe_lists = probe_lists.withColumn("npv", F.sqrt(dot(F.col("pv"), F.col("pv"))))
+    indexed = indexed.withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v"))))
     cands = probe_lists.join(indexed, "cluster_id").where(F.col("vec_id") != F.col("probe_id"))
     sim = F.round(
-        dot(F.col("pv"), F.col("v"))
-        / (F.sqrt(dot(F.col("pv"), F.col("pv"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
+        dot(F.col("pv"), F.col("v")) / (F.col("npv") * F.col("nv")),
         6,
     )
     wk = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
@@ -209,8 +214,6 @@ def sim_knn_ivf_exact(spark, sf_dir):
     argmax assignment, probes touch 4 of 16 lists, candidates come only
     from probed lists.  Cosine everywhere, rounded 6 dp, ranked on the
     rounded value with id tiebreaks (policy §7.2)."""
-    from etl_builder_spark.llm.similarity import cosine
-
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dbl().alias("v"))
     centroids = e.where(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI)).select(
         (F.col("vec_id") - IVF_SEED_LO).alias("cluster_id"), F.col("v").alias("cv")
@@ -219,34 +222,48 @@ def sim_knn_ivf_exact(spark, sf_dir):
     # ORDER BY cos_r DESC, cluster_id (negating the rounded double is
     # exact), but with map-side combine instead of a row_number sort
     # over the ×16 broadcast expansion (the pq_encode lesson).
+    # norms hoisted out of every cosine pairing (similarity.norm —
+    # bit-identical): the ×16 assignment crossJoin and the probe×list
+    # candidate scoring each pay one dot per pair; nv rides the argmin
+    # group (every row of a vec_id group carries the same v/nv, so
+    # first() is value-deterministic, same as the existing v carry).
+    from etl_builder_spark.llm.similarity import dot, norm
+
+    en = e.select("vec_id", "v", norm(F.col("v")).alias("nv"))
+    cn = centroids.select("cluster_id", "cv", norm(F.col("cv")).alias("ncv"))
     asg = (
-        e.crossJoin(F.broadcast(centroids))
-        .withColumn("negc", -F.round(cosine(F.col("v"), F.col("cv")), 6))
+        en.crossJoin(F.broadcast(cn))
+        .withColumn(
+            "negc",
+            -F.round(dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6),
+        )
         .groupBy("vec_id")
         .agg(
             F.min(F.struct(F.col("negc"), F.col("cluster_id"))).alias("b"),
             F.first("v").alias("v"),
+            F.first("nv").alias("nv"),
         )
-        .select("vec_id", "v", F.col("b.cluster_id").alias("cluster_id"))
+        .select("vec_id", "v", "nv", F.col("b.cluster_id").alias("cluster_id"))
     )
-    probes = e.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    probes = en.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), F.col("nv").alias("npv")
     )
     wp = Window.partitionBy("probe_id").orderBy(
-        F.round(cosine(F.col("pv"), F.col("cv")), 6).desc(), F.col("cluster_id")
+        F.round(dot(F.col("pv"), F.col("cv")) / (F.col("npv") * F.col("ncv")), 6).desc(),
+        F.col("cluster_id"),
     )
     plists = (
-        probes.crossJoin(F.broadcast(centroids))
+        probes.crossJoin(F.broadcast(cn))
         .withColumn("crn", F.row_number().over(wp))
         .where(F.col("crn") <= 4)
-        .select("probe_id", "pv", "cluster_id")
+        .select("probe_id", "pv", "npv", "cluster_id")
     )
     cands = (
         F.broadcast(plists)
         .join(asg, "cluster_id")
         .where(F.col("vec_id") != F.col("probe_id"))
     )
-    sim = F.round(cosine(F.col("pv"), F.col("v")), 6)
+    sim = F.round(dot(F.col("pv"), F.col("v")) / (F.col("npv") * F.col("nv")), 6)
     wk = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), "cand_id")
     return (
         cands.select("probe_id", F.col("vec_id").alias("cand_id"), sim.alias("sim"))

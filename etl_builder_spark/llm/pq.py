@@ -386,10 +386,19 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, cb: DataFrame | None = None) -
     cent = e.where(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI)).select(
         (F.col("vec_id") - IVF_SEED_LO).alias("cluster_id"), F.col("v").alias("cv")
     )
-    # coarse assignment — de-windowed argmax (map-side combine)
+    # coarse assignment — de-windowed argmax (map-side combine); norms
+    # hoisted out of the ×16 crossJoin (similarity.norm: bit-identical,
+    # 3 folds per pair → 1 dot per pair + 1 norm per row)
+    from etl_builder_spark.llm.similarity import dot, norm
+
+    en = e.select("vec_id", "v", norm(F.col("v")).alias("nv"))
+    cn = cent.select("cluster_id", "cv", norm(F.col("cv")).alias("ncv"))
     asg = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("negc", -F.round(cosine(F.col("v"), F.col("cv")), 6))
+        en.crossJoin(F.broadcast(cn))
+        .withColumn(
+            "negc",
+            -F.round(dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6),
+        )
         .groupBy("vec_id")
         .agg(F.min(F.struct(F.col("negc"), F.col("cluster_id"))).alias("b"))
         .select("vec_id", F.col("b.cluster_id").alias("cluster_id"))

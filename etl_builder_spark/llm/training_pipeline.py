@@ -358,22 +358,45 @@ def pipeline_dedup_cascade(spark, sf_dir):
     # row_number sort over the ×16 broadcast expansion (same shape as
     # dedup_semantic_centroids / sim_knn_ivf_exact; the pq_encode
     # lesson, VERDICT r4 item 4).
+    # norms hoisted out of BOTH cosine pairings (similarity.norm —
+    # bit-identical; r15): the ×16 assignment crossJoin pays one dot
+    # per pair, and nv rides the persisted assignment so the
+    # within-cluster pair fan-out — the hot loop — pays one dot per
+    # pair instead of three folds.
+    from etl_builder_spark.llm.similarity import dot as _dot
+    from etl_builder_spark.llm.similarity import norm as _norm
+
+    ev = evec.select("doc_id", "v", _norm(F.col("v")).alias("nv"))
+    cn = cent.select("cluster_id", "cv", _norm(F.col("cv")).alias("ncv"))
     asg = (
-        evec.crossJoin(F.broadcast(cent))
-        .withColumn("negc", -F.round(cosine(F.col("v"), F.col("cv")), 6))
+        ev.crossJoin(F.broadcast(cn))
+        .withColumn(
+            "negc",
+            -F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6),
+        )
         .groupBy("doc_id")
         .agg(
             F.min(F.struct(F.col("negc"), F.col("cluster_id"))).alias("b"),
             F.first("v").alias("v"),
+            F.first("nv").alias("nv"),
         )
-        .select("doc_id", "v", F.col("b.cluster_id").alias("cluster_id"))
+        .select("doc_id", "v", "nv", F.col("b.cluster_id").alias("cluster_id"))
     ).persist()
-    x = asg.select("cluster_id", F.col("doc_id").alias("id_a"), F.col("v").alias("xv"))
-    y = asg.select("cluster_id", F.col("doc_id").alias("id_b"), F.col("v").alias("yv"))
+    x = asg.select(
+        "cluster_id", F.col("doc_id").alias("id_a"), F.col("v").alias("xv"),
+        F.col("nv").alias("nxv"),
+    )
+    y = asg.select(
+        "cluster_id", F.col("doc_id").alias("id_b"), F.col("v").alias("yv"),
+        F.col("nv").alias("nyv"),
+    )
     drops3 = (
         x.join(y, "cluster_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine(F.col("xv"), F.col("yv")), 6) >= EMBED_DUP_TAU)
+        .where(
+            F.round(_dot(F.col("xv"), F.col("yv")) / (F.col("nxv") * F.col("nyv")), 6)
+            >= EMBED_DUP_TAU
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )

@@ -186,3 +186,32 @@ def test_kmeans_assignment_carries_vector_no_rejoin(spark):
     )
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_hoisted_norm_cosine_bit_identical(spark):
+    """dot(a,b)/(norm(a)*norm(b)) must be BIT-identical to cosine(a,b)
+    — the hoist moves the same fold out of the pair loop without
+    changing a single float op — on the real embedding corpus."""
+    from etl_builder_spark.llm.similarity import _dbl, cosine, dot, norm
+    from etl_builder_spark.session import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", _dbl().alias("v")
+    )
+    probes = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        norm(F.col("v")).alias("npv"),
+    )
+    pairs = F.broadcast(probes).join(
+        e.select("vec_id", "v", norm(F.col("v")).alias("nv")),
+        F.col("vec_id") != F.col("probe_id"),
+    )
+    mismatch = pairs.where(
+        ~(
+            cosine(F.col("pv"), F.col("v")).eqNullSafe(
+                dot(F.col("pv"), F.col("v")) / (F.col("npv") * F.col("nv"))
+            )
+        )
+    ).count()
+    assert mismatch == 0
