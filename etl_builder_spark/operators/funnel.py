@@ -1001,7 +1001,13 @@ def seq_markov_stationary(spark, sf_dir):
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).where(F.col("to_type").isNotNull())
-    cells = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    # persist the |states|² cell frame itself (r15, guide §5): p and
+    # states BOTH derive from it, and without this cache each one
+    # re-ran the LEAD-window pairing over the full event table — the
+    # only expensive pass in the key, previously executed twice.
+    cells = (
+        seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n")).persist()
+    )
     rowtot = cells.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("row_n"))
     p = (
         cells.join(rowtot, "from_type")
@@ -1035,7 +1041,12 @@ def seq_markov_stationary(spark, sf_dir):
                 .alias("v")
             )
         )
-        vs.append(nxt)
+        # persist each step's |states|-row vector (r15): the final
+        # report joins v0..v3, and an unpersisted v_i re-derived its
+        # whole iteration chain once per downstream reference (v1 ran
+        # 3x, v2 2x) — the label-propagation per-round-frontier rule
+        # applied to a 25-row frame.
+        vs.append(nxt.persist())
     out = vs[0].select("s", F.col("v").cast("double").alias("p0"))
     for i, vi in enumerate(vs[1:], start=1):
         out = out.join(
